@@ -1,0 +1,294 @@
+"""Rule-driven triple extraction: the declarative JSON-mapping engine.
+
+Faithful reimplementation of the reference's ``RDFModeler#convert``
+(/root/reference/lib/rdfmodeler.rb:149-309) over the generic field-record
+model (model.py), so the same rule set drives MARC records *and* extracted
+web pages.
+
+Semantics preserved (each with a file:line citation into /root/reference):
+
+- mapping tag keys are REGEXES, matched with search against each record tag;
+  every matching rule fires (rdfmodeler.rb:155).
+- control rules (no ``subfield`` key): whole field value, skipped when blank;
+  objects emitted as strict-checked URIs unless datatype == "literal";
+  optional ``relation.class`` types the object node (rdfmodeler.rb:160-186).
+- data rules: per-subfield; ``conditions`` rewrite the predicate from a
+  sibling subfield value (normalized via gsub(/[.\\-]+/,'').downcase, scanned
+  against ``orig``, last match wins, ``default`` on miss/empty) or from
+  indicator1/indicator2 (rdfmodeler.rb:200-231).
+- ``relation`` rules mint an entity URI, type it with ``relation.class`` and
+  apply nested relation-subfield rules with the entity as subject
+  (rdfmodeler.rb:238-275).  Relation-subfield "uri" objects are coerced to
+  URIs even when the strict check fails (RDF::URI(...) wrapping,
+  rdfmodeler.rb:268).
+- plain rules dispatch datatype uri/integer/float/literal(+lang)
+  (rdfmodeler.rb:290-299).
+- empty predicates / blank values never emit (rdfmodeler.rb:139,163,245,287).
+- duplicate triples are NOT deduplicated here (converter-output semantics;
+  dedup happens later on the canonical edge table, SURVEY.md §2.7 O3).
+
+Divergence (documented): language tags given as ":no" in mapping JSON are
+stored as "no" (the reference passes the raw string into RDF::Literal).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from typing import Any, Optional
+
+from .functions.textops import (
+    condition_normalize,
+    generate_objects,
+    generate_uri,
+    ruby_strip,
+    scan_last_match,
+)
+from .model import Field, Record
+from .vocab import DEFAULT_VOCAB, RDF_TYPE, Vocabulary
+
+Triple = tuple[str, str, str, str, Optional[str]]  # subj, pred, obj, kind, lang
+
+
+def _object_opts(spec: dict) -> dict:
+    """Lower a rule's ``object`` spec to generate_objects kwargs
+    (the option pass-through of rdfmodeler.rb:165,246,263,288)."""
+    return {
+        "regex_split": spec.get("regex_split"),
+        "urlize_opt": spec.get("urlize"),
+        "no_downcase": bool(spec.get("no_downcase")),
+        "no_convert_spaces": bool(spec.get("no_convert_spaces")),
+        "urlize_regexp": spec.get("regexp"),
+        "regex_strip": spec.get("regex_strip"),
+        "regex_substitute": spec.get("regex_substitute"),
+        "substr_offset": spec.get("substr_offset"),
+        "substr_length": spec.get("substr_length"),
+        "combine": spec.get("combine"),
+        "combinestring": spec.get("combinestring"),
+    }
+
+
+def _norm_lang(lang: Optional[str]) -> Optional[str]:
+    if not lang:
+        return None
+    return lang[1:] if lang.startswith(":") else lang
+
+
+class RuleSet:
+    """A compiled mapping document ``{"tags": {tag_regex: rule, ...}}``.
+
+    Compiled ONCE per worker (module-level cache / actor __init__) -- the
+    reference re-reads db/mappings.json per record (mapping.rb:8-25), which we
+    deliberately do not reproduce (SURVEY.md §2.4 T1).
+    """
+
+    def __init__(self, mapping: dict, vocab: Vocabulary = DEFAULT_VOCAB):
+        self.mapping = mapping
+        self.vocab = vocab
+        tags = mapping.get("tags", mapping)  # accept bare tag dict too
+        self.compiled: list[tuple[re.Pattern, str, dict]] = [
+            (re.compile(key), key, rule) for key, rule in tags.items()
+        ]
+        blob = json.dumps(mapping, sort_keys=True, ensure_ascii=False).encode()
+        self.ruleset_hash = hashlib.sha256(
+            blob + vocab.content_hash().encode()
+        ).hexdigest()[:16]
+
+    @classmethod
+    def from_file(cls, path: str, vocab: Vocabulary = DEFAULT_VOCAB) -> "RuleSet":
+        with open(path) as f:
+            return cls(json.load(f), vocab)
+
+    def matches(self, tag: str) -> list[dict]:
+        return [rule for pat, _, rule in self.compiled if pat.search(tag)]
+
+
+class RuleEngine:
+    """Record -> triples converter (RDFModeler analog).
+
+    ``resource`` carries the subject-URI template: ``base + prefix +
+    record[identifier_tag]`` (rdfmodeler.rb:14-15) and the optional rdf:type
+    list (marc2rdf.rb:73 set_type call).
+    """
+
+    def __init__(
+        self,
+        ruleset: RuleSet,
+        base: str = "http://example.com/",
+        prefix: str = "id_",
+        identifier_tag: str = "001",
+        resource_type: Optional[str] = None,
+    ):
+        self.ruleset = ruleset
+        self.vocab = ruleset.vocab
+        self.base = base
+        self.prefix = prefix
+        self.identifier_tag = identifier_tag
+        self.resource_type = resource_type
+
+    # -- subject minting ---------------------------------------------------
+    def subject_uri(self, record: Record) -> Optional[str]:
+        ident = record.first_value(self.identifier_tag)
+        if ident is None:
+            return None
+        return f"{self.base}{self.prefix}{ident}"
+
+    # -- type statements (rdfmodeler.rb:28-33) -----------------------------
+    def set_type(self, subj: str, types: Any) -> list[Triple]:
+        if not isinstance(types, list):
+            types = str(types).replace(" ", "").split(",")
+        return [
+            (subj, RDF_TYPE, self.vocab.resolve(t), "uri", None) for t in types if t
+        ]
+
+    # -- conversion --------------------------------------------------------
+    def convert(self, record: Record, include_types: bool = True) -> list[Triple]:
+        subj = self.subject_uri(record)
+        if subj is None:
+            return []
+        out: list[Triple] = []
+        if include_types and self.resource_type:
+            out.extend(self.set_type(subj, self.resource_type))
+        for tag in record.tags():
+            fields = record.find_all(tag)
+            for pat, _, rule in self.ruleset.compiled:
+                if not pat.search(tag):
+                    continue
+                for fld in fields:
+                    if "subfield" not in rule:
+                        self._convert_control(out, subj, fld, rule)
+                    else:
+                        self._convert_data(out, subj, fld, rule["subfield"])
+        return out
+
+    # control rules: rdfmodeler.rb:160-186
+    def _convert_control(
+        self, out: list[Triple], subj: str, fld: Field, rule: dict
+    ) -> None:
+        marc_object = fld.value or ""
+        if not ruby_strip(marc_object):
+            return
+        for _, value in rule.items():
+            if not isinstance(value, dict) or "object" not in value:
+                continue
+            spec = value["object"]
+            objects = generate_objects(
+                marc_object, marcfield=fld, **_object_opts(spec)
+            )
+            pred_name = value.get("predicate") or ""
+            for o in objects:
+                if o is None or not ruby_strip(o):
+                    continue
+                if spec.get("datatype") != "literal":
+                    val, kind = generate_uri(o, spec.get("prefix") or "")
+                    if pred_name:
+                        out.append((subj, self.vocab.resolve(pred_name), val, kind, None))
+                    if "relation" in value:
+                        relcls = self.vocab.resolve(value["relation"]["class"])
+                        out.append((val, RDF_TYPE, relcls, "uri", None))
+                else:
+                    if pred_name:
+                        out.append(
+                            (subj, self.vocab.resolve(pred_name), o, "literal", None)
+                        )
+
+    # predicate from conditions: rdfmodeler.rb:200-234
+    def _predicate_name(self, fld: Field, sub: dict) -> Optional[str]:
+        if "conditions" not in sub:
+            return sub.get("predicate")
+        cond = sub["conditions"]
+        pred: Optional[str] = ""
+        if "subfield" in cond:
+            for ckey, cval in cond["subfield"].items():
+                m = fld.first(ckey) or ""
+                if m:
+                    norm = condition_normalize(m)
+                    last = scan_last_match(cval.get("orig", ""), norm)
+                    if last is not None:
+                        pred = cval.get("subs", {}).get(last)
+                    if not pred:
+                        pred = cval.get("default")
+                else:
+                    pred = cval.get("default")
+        elif "indicator" in cond:
+            ind = cond["indicator"]
+            for ind_key, ind_val in (("indicator1", fld.ind1), ("indicator2", fld.ind2)):
+                ind_rule = ind.get(ind_key)
+                if ind_rule:
+                    last = scan_last_match(ind_rule.get("orig", ""), ind_val or "")
+                    if last is not None:
+                        pred = ind_rule.get("subs", {}).get(last)
+            if not pred:
+                pred = ind.get("default")
+        return pred
+
+    # data rules: rdfmodeler.rb:188-304
+    def _convert_data(
+        self, out: list[Triple], subj: str, fld: Field, subfield_rules: dict
+    ) -> None:
+        for code, sub in subfield_rules.items():
+            pred_name = self._predicate_name(fld, sub)
+            spec = sub.get("object", {})
+            if "relation" in sub:
+                marc_object = fld.first(code) or ""
+                if not marc_object:
+                    continue
+                objects = generate_objects(
+                    marc_object, marcfield=fld, **_object_opts(spec)
+                )
+                relcls = self.vocab.resolve(sub["relation"]["class"])
+                rel_subfields = sub["relation"].get("subfield") or {}
+                for o in objects:
+                    if o is None:
+                        continue
+                    val, kind = generate_uri(o, spec.get("prefix") or "")
+                    if pred_name:
+                        out.append((subj, self.vocab.resolve(pred_name), val, kind, None))
+                    out.append((val, RDF_TYPE, relcls, "uri", None))
+                    for code2, rs in rel_subfields.items():
+                        relobject = fld.first(code2) or ""
+                        if not relobject:
+                            continue
+                        rspec = rs["object"]
+                        relobjects = generate_objects(
+                            relobject, marcfield=fld, **_object_opts(rspec)
+                        )
+                        rpred = self.vocab.resolve(rs["predicate"])
+                        for ro in relobjects:
+                            if ro is None:
+                                continue
+                            if rspec.get("datatype") == "uri":
+                                rval, _ = generate_uri(ro, rspec.get("prefix") or "")
+                                # RDF::URI(...) coercion: always a URI here
+                                out.append((val, rpred, rval, "uri", None))
+                            else:
+                                out.append(
+                                    (val, rpred, ro, "literal",
+                                     _norm_lang(rspec.get("lang")))
+                                )
+            else:
+                marc_object = fld.first(code) or ""
+                if not marc_object:
+                    continue
+                objects = generate_objects(
+                    marc_object, marcfield=fld, **_object_opts(spec)
+                )
+                if not pred_name:
+                    continue
+                pred = self.vocab.resolve(pred_name)
+                dt = spec.get("datatype")
+                for o in objects:
+                    if o is None:
+                        continue
+                    if dt == "uri":
+                        val, kind = generate_uri(o, spec.get("prefix") or "")
+                        out.append((subj, pred, val, kind, None))
+                    elif dt == "integer":
+                        out.append((subj, pred, o, "integer", None))
+                    elif dt == "float":
+                        out.append((subj, pred, o, "float", None))
+                    else:
+                        out.append(
+                            (subj, pred, o, "literal", _norm_lang(spec.get("lang")))
+                        )

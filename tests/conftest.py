@@ -1,0 +1,21 @@
+import os
+
+import pytest
+
+os.environ.setdefault("RAY_DISABLE_IMPORT_WARNING", "1")
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    """One Ray session for the whole pytest run (driver contract)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    yield
+    ray.shutdown()
