@@ -1,0 +1,84 @@
+"""Pipeline configuration: the Library-config analog.
+
+Mirrors /root/reference/lib/library.rb:3-19 + config/templates/libraries.json:
+a source/resource configuration (URI template base+prefix+identifier_tag,
+rdf:type list, chosen mapping) plus engine knobs.  Serialized as a plain
+dataclass; the rule-set hash it induces is recorded in lineage manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from .rules import RuleEngine, RuleSet
+from .vocab import Vocabulary
+
+_TEMPLATES = os.path.join(os.path.dirname(__file__), "templates")
+DEFAULT_PAGE_MAPPING_PATH = os.path.join(_TEMPLATES, "page_mapping.json")
+
+
+@dataclass
+class PipelineConfig:
+    """Everything needed to build a RuleEngine + pipeline stages."""
+
+    mapping: Any = None            # dict, or path to a mapping JSON
+    base: str = ""                 # subject template: base + prefix + id
+    prefix: str = ""
+    identifier_tag: str = "url"
+    resource_type: Optional[str] = "FOAF.Document"
+    extra_namespaces: dict = field(default_factory=dict)
+
+    # engine knobs (sized for multi-node scale; see SURVEY.md §4.2)
+    batch_size: int = 256          # pages per batch (html rows are wide)
+    triples_batch_size: int = 8192
+    link_concurrency: int = 4      # actor-pool size for the linker stage
+    num_output_partitions: int = 16
+
+    def __post_init__(self):
+        if self.mapping is None:
+            self.mapping = DEFAULT_PAGE_MAPPING_PATH
+
+    def load_mapping(self) -> dict:
+        if isinstance(self.mapping, str):
+            with open(self.mapping) as f:
+                return json.load(f)
+        return self.mapping
+
+    def build_engine(self) -> RuleEngine:
+        vocab = Vocabulary(self.extra_namespaces or None)
+        ruleset = RuleSet(self.load_mapping(), vocab)
+        return RuleEngine(
+            ruleset,
+            base=self.base,
+            prefix=self.prefix,
+            identifier_tag=self.identifier_tag,
+            resource_type=self.resource_type,
+        )
+
+    def ruleset_hash(self) -> str:
+        return self.build_engine().ruleset.ruleset_hash
+
+
+def default_page_config(**overrides) -> PipelineConfig:
+    """Pages pipeline: subject URI == the page url (base='', prefix='')."""
+    return PipelineConfig(**overrides)
+
+
+def marc_config(
+    mapping: Any,
+    base: str = "http://data.deichman.no/resource/",
+    prefix: str = "tnr_",
+    **overrides,
+) -> PipelineConfig:
+    """MARC-compatibility config (libraries.json analog)."""
+    return PipelineConfig(
+        mapping=mapping,
+        base=base,
+        prefix=prefix,
+        identifier_tag="001",
+        resource_type="BIBO.Document",
+        **overrides,
+    )

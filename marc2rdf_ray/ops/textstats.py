@@ -1,0 +1,139 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operate on a documents table ``(doc_id, text, lang, ...)`` as vectorized
+``map_batches`` stages:
+
+- token counting: whitespace tokens + a BPE-ish regex tokenization
+- quality scoring: length / punctuation ratio / stopword ratio / mean word len
+- language ID: character-trigram profile heuristic (deterministic, no model)
+- document fingerprinting: 64-bit polynomial rolling hash over tokens
+
+Each has a ``queries()`` entry in __ray_entry__.py; the SQL-expressible ones
+(token/quality stats) carry DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_TOKEN_RE = re.compile(r"\S+")
+# BPE-ish: words, numbers, or single punctuation marks (GPT-2-style shape)
+_BPE_RE = re.compile(r"[A-Za-zÀ-ɏ]+|\d+|[^\sA-Za-zÀ-ɏ\d]")
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+_STOPWORDS = {
+    "the", "and", "of", "a", "to", "in", "is", "it", "on", "for",
+    "og", "i", "det", "som", "en", "på", "er", "av", "til", "med",
+}
+
+# tiny deterministic trigram profiles per language (top trigrams incl. spaces)
+_LANG_PROFILES = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "],
+    "no": [" og", "og ", " de", "det", "et ", " er", "er ", "en ", " på", "på "],
+    "de": [" de", "der", "er ", " un", "und", "nd ", "ie ", "ein", "ich", "sch"],
+    "fr": [" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion", "on "],
+    "sv": [" oc", "och", "ch ", " at", "att", "tt ", "en ", " de", "det", "et "],
+}
+_LANG_WEIGHTS = {
+    lang: {tri: len(tris) - i for i, tri in enumerate(tris)}
+    for lang, tris in _LANG_PROFILES.items()
+}
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> token counts (whitespace + BPE-ish) and n_chars."""
+    texts = batch["text"].to_pylist()
+    ws = [len(_TOKEN_RE.findall(t or "")) for t in texts]
+    bpe = [len(_BPE_RE.findall(t or "")) for t in texts]
+    nchars = [len(t or "") for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "ws_tokens": pa.array(ws, pa.int64()),
+            "bpe_tokens": pa.array(bpe, pa.int64()),
+            "n_chars": pa.array(nchars, pa.int64()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality signals per doc: ratios a filtering pipeline thresholds on."""
+    texts = batch["text"].to_pylist()
+    n = len(texts)
+    punct_ratio = np.zeros(n)
+    stop_ratio = np.zeros(n)
+    mean_word_len = np.zeros(n)
+    n_tokens = np.zeros(n, np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        toks = _TOKEN_RE.findall(t)
+        n_tokens[i] = len(toks)
+        if t:
+            punct_ratio[i] = len(_PUNCT_RE.findall(t)) / len(t)
+        if toks:
+            low = [w.strip(".,;:!?\"'()").lower() for w in toks]
+            stop_ratio[i] = sum(w in _STOPWORDS for w in low) / len(toks)
+            mean_word_len[i] = sum(len(w) for w in toks) / len(toks)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "punct_ratio": pa.array(np.round(punct_ratio, 6)),
+            "stop_ratio": pa.array(np.round(stop_ratio, 6)),
+            "mean_word_len": pa.array(np.round(mean_word_len, 6)),
+        }
+    )
+
+
+def detect_lang(text: str) -> str:
+    """Deterministic trigram-profile language guess ('und' when no signal)."""
+    t = " " + re.sub(r"\s+", " ", (text or "").lower()) + " "
+    scores = {}
+    for lang, weights in _LANG_WEIGHTS.items():
+        s = 0
+        for tri, w in weights.items():
+            s += t.count(tri) * w
+        scores[lang] = s
+    best = max(sorted(scores), key=lambda k: scores[k])
+    return best if scores[best] > 0 else "und"
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array([detect_lang(t) for t in texts], pa.string()),
+        }
+    )
+
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_OFFSET = np.uint64(14695981039346656037)
+
+
+def fingerprint(text: str) -> int:
+    """FNV-1a-style 64-bit rolling hash over whitespace tokens."""
+    h = _FP_OFFSET
+    with np.errstate(over="ignore"):
+        for tok in _TOKEN_RE.findall(text or ""):
+            for b in tok.encode("utf-8"):
+                h = np.uint64((int(h) ^ b) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
+            h = np.uint64((int(h) ^ 0x20) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
+    return int(h)
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(
+                [fingerprint(t) & 0x7FFFFFFFFFFFFFFF for t in texts], pa.int64()
+            ),
+        }
+    )

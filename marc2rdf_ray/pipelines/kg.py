@@ -1,0 +1,206 @@
+"""The flagship KG-construction pipeline (Ray Data equivalent of the
+reference's harvest->convert->update->enrich->rules lifecycle, SURVEY.md §3.3):
+
+    read_parquet(pages)                       # url + html only (prune at read)
+      -> map_batches(KGExtract, ...)          # fused: parse + rules + linking
+      -> write_parquet(raw triples)           # converter output checkpoint
+      -> dedup + sameAs + symmetry closure    # canonicalization shuffles
+      -> materialize: sorted NT/Parquet partitioned by hash(subj) + manifest
+
+Stage-fusion note: HTML parse, rule-driven triple extraction, entity linking
+and per-record work propagation all happen in ONE map_batches pass -- the
+html column never crosses a stage boundary, which at 100 TB halves
+object-store traffic versus a parse->fields->triples chain.
+
+Work propagation (A1, joint_work_ids.isql:13-30): the reference aggregates
+manifestations per work inside Virtuoso.  Here the work key is minted
+deterministically per record by the combine rule, so the propagation
+(work -> creator / isbn edges) derives per record with NO join; the global
+dedup collapses repeats.  Equivalent output, no store.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import pyarrow as pa
+
+from ..config import PipelineConfig
+from ..stages.canonicalize import (
+    dedup_triples,
+    sameas_by_shared_key,
+    symmetry_closure,
+)
+from ..stages.extract import page_to_record
+from ..stages.link import EntityLinker, build_alias_dict
+from ..stages.materialize import materialize_graph
+from ..stages.triples import triples_to_table
+from ..vocab import DEFAULT_VOCAB
+
+ISBN_PRED = DEFAULT_VOCAB.resolve("BIBO.isbn")
+MANIFESTATION_PRED = DEFAULT_VOCAB.resolve("FABIO.isManifestationOf")
+CREATOR_PRED = DEFAULT_VOCAB.resolve("DC.creator")
+
+
+def derive_work_triples(triples: list[tuple], src: str) -> list[tuple]:
+    """Per-record A1 propagation: attach the record's creators and isbns to
+    its minted work URI (joint_work_ids.isql:68-85 semantics, record-local)."""
+    works = [t[2] for t in triples if t[1] == MANIFESTATION_PRED and t[3] == "uri"]
+    if not works:
+        return []
+    creators = {t[2] for t in triples if t[1] == CREATOR_PRED and t[0] == src}
+    isbns = {t[2] for t in triples if t[1] == ISBN_PRED and t[0] == src}
+    out = []
+    for w in works:
+        for c in sorted(creators):
+            out.append((w, CREATOR_PRED, c, "uri", None))
+        for i in sorted(isbns):
+            out.append((w, ISBN_PRED, i, "literal", None))
+    return out
+
+
+class KGExtract:
+    """Fused pages -> triples stage (rules + entity linking + work derive).
+
+    Callable class: rule set compiled and alias dictionary fetched ONCE per
+    actor in ``__init__`` (broadcast via ray.put upstream)."""
+
+    def __init__(self, config: PipelineConfig, alias_ref=None,
+                 derive_works: bool = True):
+        self.engine = config.build_engine()
+        self.linker = EntityLinker(alias_ref) if alias_ref is not None else None
+        self.derive_works = derive_works
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        rows: list[tuple] = []
+        srcs: list[str] = []
+
+        for url, html in zip(urls, htmls):
+            rec, text = page_to_record(url, html)
+            triples = self.engine.convert(rec)
+            if self.derive_works:
+                triples.extend(derive_work_triples(triples, url))
+            if self.linker is not None:
+                for uri, _score in self.linker.link_text(text):
+                    triples.append((url, self.linker_pred(), uri, "uri", None))
+            rows.extend(triples)
+            srcs.extend([url] * len(triples))
+        return triples_to_table(rows, srcs)
+
+    @staticmethod
+    def linker_pred() -> str:
+        from ..stages.link import MENTIONS_PRED
+
+        return MENTIONS_PRED
+
+
+def extract_triples(
+    pages_ds,
+    config: PipelineConfig,
+    alias_dict=None,
+    *,
+    concurrency: Optional[int] = None,
+    derive_works: bool = True,
+):
+    """pages Dataset -> raw triples Dataset (converter semantics: duplicate
+    triples preserved, SURVEY.md §2.7 O3)."""
+    import ray
+
+    alias_ref = ray.put(alias_dict) if alias_dict is not None else None
+    if not concurrency:
+        # leave headroom for the read and shuffle stages (ray_guide: a pool
+        # that reserves every CPU starves the other stages)
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, ncpu - 2)
+    return pages_ds.map_batches(
+        KGExtract,
+        fn_constructor_args=(config, alias_ref, derive_works),
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+        concurrency=concurrency,
+    )
+
+
+def canonical_edges(raw_triples_ds, *, sameas_key_pred: str = ISBN_PRED):
+    """Raw triples -> canonical edge set: exact dedup + sameAs by shared
+    identifier + symmetry closure (J4/J6)."""
+    deduped = dedup_triples(raw_triples_ds)
+    sameas = symmetry_closure(
+        sameas_by_shared_key(raw_triples_ds, sameas_key_pred)
+    )
+    return deduped.union(sameas)
+
+
+def run_kg_pipeline(
+    pages_path,
+    out_dir: str,
+    config: Optional[PipelineConfig] = None,
+    *,
+    alias_dict=None,
+    link: bool = True,
+    concurrency: Optional[int] = None,
+    num_partitions: Optional[int] = None,
+    raw_checkpoint_dir: Optional[str] = None,
+):
+    """End-to-end flagship run.  Caller owns the Ray session.
+
+    ``pages_path``: parquet path/dir, or an existing pages Dataset.
+    Returns the run manifest (counts per output partition).
+
+    The raw converter output is ALWAYS checkpointed to Parquet (default
+    ``<out_dir>/_raw_triples``) before canonicalization.  This is (a) the
+    converter-output sink (K1 analog -- duplicates preserved), (b) the
+    resume point, and (c) load-bearing for execution: canonicalization
+    consumes the triples in multiple branches (dedup + sameAs + closure),
+    and re-deriving each branch from the pages DAG would instantiate one
+    extraction actor pool PER BRANCH -- enough idle reserved CPUs to
+    starve the shuffle tasks on a small cluster.  One extraction pass,
+    then cheap parquet re-reads.
+    """
+    import shutil
+
+    import ray.data as rd
+
+    from ..state.manifest import (
+        input_signature,
+        list_input_files,
+        matches,
+        read_manifest,
+    )
+
+    config = config or PipelineConfig()
+    if alias_dict is None and link:
+        alias_dict = build_alias_dict()
+
+    if isinstance(pages_path, str):
+        input_paths = [pages_path]
+        # resume short-circuit BEFORE any extraction work
+        sig = input_signature(list_input_files(pages_path))
+        existing = read_manifest(out_dir)
+        if matches(existing, sig, config.ruleset_hash()):
+            return existing
+        pages_ds = rd.read_parquet(pages_path, columns=["url", "html"])
+    else:
+        pages_ds = pages_path
+        input_paths = []
+
+    raw = extract_triples(
+        pages_ds, config, alias_dict if link else None, concurrency=concurrency
+    )
+    ckpt = raw_checkpoint_dir or os.path.join(out_dir, "_raw_triples")
+    if os.path.isdir(ckpt):
+        shutil.rmtree(ckpt)
+    raw.write_parquet(ckpt)
+    raw = rd.read_parquet(ckpt)
+
+    edges = canonical_edges(raw)
+    return materialize_graph(
+        edges,
+        out_dir,
+        num_partitions=num_partitions or config.num_output_partitions,
+        ruleset_hash=config.ruleset_hash(),
+        input_paths=input_paths,
+    )

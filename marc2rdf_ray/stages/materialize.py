@@ -1,0 +1,122 @@
+"""Graph materialization: sorted N-Triples + Parquet edge tables
+partitioned by subject hash, with per-partition lineage manifests.
+
+Sink analog of the reference's NT writer + Virtuoso bulk load
+(rdfmodeler.rb:314-324; tools/isql/import_books_graph.isql:3-7), redesigned
+for resumable distributed output (SURVEY.md §2.2 K1/K2):
+
+- partition key: ``crc32(subj) % P`` -- co-locates every edge of a subject,
+  so "sorted N-Triples" means sorted WITHIN a hash partition (the only sane
+  definition at 10^12 docs; SURVEY.md §7.4 'Ordering').
+- each partition directory gets Parquet part files plus one ``part-*.nt``;
+  a run-level ``_manifest.json`` records input signature, rule-set hash and
+  per-partition triple counts; a matching manifest short-circuits the run.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.ntriples import format_batch
+from ..state.manifest import (
+    RunManifest,
+    input_signature,
+    list_input_files,
+    matches,
+    read_manifest,
+    write_manifest,
+)
+
+PART_COL = "part"
+
+
+def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
+    """crc32(subj) % P as int32 -- stable across runs and processes."""
+    subs = batch["subj"].to_pylist()
+    parts = pa.array(
+        [zlib.crc32(s.encode()) % num_partitions if s else 0 for s in subs],
+        pa.int32(),
+    )
+    return batch.append_column(PART_COL, parts)
+
+
+def write_sorted_partition(group: pa.Table, out_dir: str) -> pa.Table:
+    """Per-partition writer task: sort within partition, write Parquet + NT.
+
+    Runs inside ``groupby(part).map_groups`` -- each partition is one task,
+    output files are deterministic per partition id, so re-running
+    overwrites idempotently (K2's append replaced by partition overwrite).
+    """
+    part = int(group[PART_COL][0].as_py())
+    sort_keys = [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
+    group = group.sort_by(sort_keys)
+    pdir = os.path.join(out_dir, f"part={part:05d}")
+    os.makedirs(pdir, exist_ok=True)
+
+    data = group.drop_columns([PART_COL])
+    pq.write_table(data, os.path.join(pdir, "edges.parquet"))
+
+    lines = format_batch(
+        data["subj"].to_pylist(),
+        data["pred"].to_pylist(),
+        data["obj"].to_pylist(),
+        data["obj_kind"].to_pylist(),
+        data["lang"].to_pylist() if "lang" in data.column_names else [None] * len(data),
+    )
+    tmp = os.path.join(pdir, ".edges.nt.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+        if lines:
+            f.write("\n")
+    os.replace(tmp, os.path.join(pdir, "edges.nt"))
+
+    return pa.table({"part": pa.array([part], pa.int32()),
+                     "rows": pa.array([len(data)], pa.int64())})
+
+
+def materialize_graph(
+    triples_ds,
+    out_dir: str,
+    *,
+    num_partitions: int = 16,
+    ruleset_hash: str = "",
+    input_paths: list[str] | None = None,
+    extra: dict | None = None,
+) -> RunManifest:
+    """Write the edge table partitioned+sorted; returns the run manifest.
+
+    Resume: when ``_manifest.json`` matches (same inputs, same rule set),
+    the whole write is skipped and the prior manifest returned.
+    """
+    files = []
+    for p in input_paths or []:
+        files.extend(list_input_files(p))
+    sig = input_signature(files) if files else ""
+    existing = read_manifest(out_dir)
+    if sig and matches(existing, sig, ruleset_hash):
+        return existing
+
+    parted = triples_ds.map_batches(
+        lambda b: add_partition_column(b, num_partitions),
+        batch_format="pyarrow",
+    )
+    counts_ds = parted.groupby(PART_COL).map_groups(
+        lambda g: write_sorted_partition(g, out_dir), batch_format="pyarrow"
+    )
+    counts = {str(r["part"]): r["rows"] for r in counts_ds.take_all()}
+
+    manifest = RunManifest(
+        input_signature=sig,
+        ruleset_hash=ruleset_hash,
+        num_partitions=num_partitions,
+        triple_count=sum(counts.values()),
+        partition_counts=counts,
+        extra=extra or {},
+    )
+    write_manifest(out_dir, manifest)
+    return manifest

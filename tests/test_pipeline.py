@@ -1,0 +1,110 @@
+"""End-to-end pipeline tests over the synthetic pages corpus (Ray session)."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from marc2rdf_ray.config import PipelineConfig
+from marc2rdf_ray.sources.pages import synthesize_pages
+from marc2rdf_ray.stages.extract import extract_text, verify_text_batch
+from marc2rdf_ray.vocab import OWL_SAMEAS
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    table = synthesize_pages(120, seed=42)
+    pq.write_table(table, os.path.join(d, "pages.parquet"))
+    return str(d)
+
+
+def test_text_invariant_bytes_identical(pages_dir):
+    """input_hint per-row invariant: extract_text(html) == text per url."""
+    table = pq.read_table(os.path.join(pages_dir, "pages.parquet"))
+    out = verify_text_batch(table)
+    assert all(out["ok"].to_pylist())
+
+
+def test_full_pipeline(ray_session, pages_dir, tmp_path):
+    import ray.data as rd
+
+    from marc2rdf_ray.pipelines.kg import run_kg_pipeline
+
+    out_dir = str(tmp_path / "graph")
+    manifest = run_kg_pipeline(pages_dir, out_dir, PipelineConfig())
+    assert manifest.triple_count > 1000
+    assert manifest.ruleset_hash
+
+    # partition layout: parquet + NT per partition dir
+    parts = [p for p in os.listdir(out_dir) if p.startswith("part=")]
+    assert parts
+    total = 0
+    sameas_fwd = set()
+    all_edges = set()
+    for p in parts:
+        t = pq.read_table(os.path.join(out_dir, p, "edges.parquet"))
+        total += t.num_rows
+        # sorted within partition
+        subs = t["subj"].to_pylist()
+        assert subs == sorted(subs)
+        nt = open(os.path.join(out_dir, p, "edges.nt")).read().splitlines()
+        assert len(nt) == t.num_rows
+        assert all(line.endswith(" .") for line in nt)
+        for s, pr, o in zip(subs, t["pred"].to_pylist(), t["obj"].to_pylist()):
+            all_edges.add((s, pr, o))
+            if pr == OWL_SAMEAS:
+                sameas_fwd.add((s, o))
+    assert total == manifest.triple_count
+
+    # no duplicate triples in the canonical edge table
+    assert len(all_edges) == total
+
+    # sameAs symmetry closure held
+    assert sameas_fwd, "expected sameAs edges from shared isbn clusters"
+    for s, o in sameas_fwd:
+        assert (o, s) in sameas_fwd
+
+    # partition correctness: every triple of a subject is in one partition
+    man = json.load(open(os.path.join(out_dir, "_manifest.json")))
+    assert man["triple_count"] == total
+
+    # resume: second run with identical input + rules is a no-op (manifest hit)
+    before = os.path.getmtime(os.path.join(out_dir, "_manifest.json"))
+    m2 = run_kg_pipeline(pages_dir, out_dir, PipelineConfig())
+    after = os.path.getmtime(os.path.join(out_dir, "_manifest.json"))
+    assert m2.triple_count == manifest.triple_count
+    assert before == after, "matching manifest must short-circuit the write"
+
+
+def test_linking_emits_mentions(ray_session, pages_dir, tmp_path):
+    import ray.data as rd
+
+    from marc2rdf_ray.config import PipelineConfig
+    from marc2rdf_ray.pipelines.kg import extract_triples
+    from marc2rdf_ray.stages.link import MENTIONS_PRED, build_alias_dict
+
+    ds = rd.read_parquet(pages_dir, columns=["url", "html"])
+    raw = extract_triples(ds, PipelineConfig(), build_alias_dict())
+    mentions = raw.map_batches(
+        lambda b: b.filter(
+            __import__("pyarrow.compute", fromlist=["c"]).equal(
+                b["pred"], MENTIONS_PRED
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    n = mentions.count()
+    assert n > 50  # every page body mentions its author + keywords
+
+
+def test_duplicate_pages_share_content_triples(ray_session, pages_dir):
+    """i%20==19 pages duplicate page i-1's body: dedup-relevant fixture."""
+    table = pq.read_table(os.path.join(pages_dir, "pages.parquet"))
+    texts = table["text"].to_pylist()
+    # drop the nav line and footer (urls/site differ) and compare bodies
+    def body(t):
+        return "\n".join(t.splitlines()[1:-1])
+    assert body(texts[19]) == body(texts[18])
+    assert body(texts[39]) == body(texts[38])
