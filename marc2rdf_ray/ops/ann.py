@@ -1,0 +1,166 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_topk``: exact cosine top-k.  The query matrix is broadcast
+  (``ray.put`` once -> read in every task); each batch does one float64
+  matmul against it and emits its local top-k per query; a final tiny
+  groupby merges the partials.  Shuffle volume: k rows per query per batch,
+  never the embeddings.
+- ``lsh_topk``: the scale path -- signed-random-hyperplane buckets
+  restrict candidates to the query's bucket (and its 1-bit neighbors),
+  then exact cosine within candidates.  Recall is tested against brute
+  force in tests/test_ops.py.
+
+Scores are computed in float64 and rounded to 4 decimals so they are
+reproducible against a DuckDB ``list_cosine_similarity`` oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    mat = np.asarray(mat, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+class _BruteScorer:
+    """Per-batch scorer; query matrix fetched once per actor (broadcast)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        import ray
+
+        q = (
+            ray.get(queries_ref)
+            if isinstance(queries_ref, ray.ObjectRef)
+            else queries_ref
+        )
+        self.qids = np.asarray(q["qid"])
+        self.qmat = _unit(np.asarray(q["mat"], dtype=np.float64)).T  # (d, nq)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        mat = _unit(np.array(batch[self.vec_col].to_pylist()))
+        sims = mat @ self.qmat  # (n, nq)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for j, qid in enumerate(self.qids):
+            col = sims[:, j]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+            for i in top:
+                out_q.append(int(qid))
+                out_id.append(int(ids[i]))
+                out_s.append(round(float(col[i]), 4))
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def brute_topk(
+    ds,
+    query_ids: list[int],
+    query_mat: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Exact cosine top-k of every query against the dataset."""
+    import ray
+
+    ref = ray.put({"qid": list(query_ids), "mat": np.asarray(query_mat)})
+
+    partial = ds.map_batches(
+        _BruteScorer(ref, k, id_col, vec_col), batch_format="pyarrow"
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("score", "descending"), ("vec_id", "ascending")])
+        return t.slice(0, k)
+
+    return partial.groupby("qid").map_groups(merge, batch_format="pyarrow")
+
+
+def lsh_topk(
+    ds,
+    query_ids: list[int],
+    query_mat: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+    probe_bits: int = 1,
+):
+    """Approximate top-k: candidates share the query's hyperplane bucket or
+    differ in <= probe_bits bits (multi-probe).  One shuffle on bucket id;
+    probe_bits trades recall for candidate volume."""
+    import itertools
+
+    import ray
+
+    qmat = np.asarray(query_mat, dtype=np.float64)
+    dim = qmat.shape[1]
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(dim, num_planes)
+
+    def bucket_of(mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ planes > 0).astype(np.int64)
+        return (bits * (1 << np.arange(num_planes))).sum(axis=1)
+
+    qb = bucket_of(qmat)
+    probe: dict[int, list[int]] = {}
+    for qi, b in enumerate(qb):
+        probe.setdefault(int(b), []).append(qi)
+        for r in range(1, probe_bits + 1):
+            for bits in itertools.combinations(range(num_planes), r):
+                flip = 0
+                for bit in bits:
+                    flip |= 1 << bit
+                probe.setdefault(int(b) ^ flip, []).append(qi)
+    ref = ray.put({"qid": list(query_ids), "mat": qmat, "probe": probe})
+
+    class Scorer:
+        def __init__(self):
+            q = ray.get(ref)
+            self.qids = q["qid"]
+            self.qunit = _unit(q["mat"])
+            self.probe = q["probe"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist())
+            mat = _unit(np.array(batch[vec_col].to_pylist()))
+            buckets = bucket_of(mat)
+            out_q, out_id, out_s = [], [], []
+            for i, b in enumerate(buckets):
+                for qi in self.probe.get(int(b), ()):
+                    s = float(mat[i] @ self.qunit[qi])
+                    out_q.append(int(self.qids[qi]))
+                    out_id.append(int(ids[i]))
+                    out_s.append(round(s, 4))
+            return pa.table(
+                {
+                    "qid": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_id, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partial = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("score", "descending"), ("vec_id", "ascending")])
+        return t.slice(0, k)
+
+    return partial.groupby("qid").map_groups(merge, batch_format="pyarrow")

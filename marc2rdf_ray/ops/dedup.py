@@ -82,21 +82,28 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
 
 
 class MinHasher:
-    """Seeded universal-hash MinHash (num_perm x (a*x+b) mod p)."""
-
-    P = np.uint64((1 << 61) - 1)
+    """Seeded multiply-shift MinHash: h_i(x) = (a_i * x + b_i) mod 2^64 with
+    odd a_i drawn over the full 64-bit range (uint64 overflow IS the mod --
+    well-mixed, unlike a barely-wrapping Mersenne-prime scheme)."""
 
     def __init__(self, num_perm: int = 64, seed: int = 42, ngram: int = 3):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, 1 << 31, num_perm).astype(np.uint64)
-        self.b = rng.randint(0, 1 << 31, num_perm).astype(np.uint64)
+
+        def draw64(n):
+            hi = rng.randint(0, 1 << 32, n).astype(np.uint64)
+            lo = rng.randint(0, 1 << 32, n).astype(np.uint64)
+            return (hi << np.uint64(32)) | lo
+
+        self.a = draw64(num_perm) | np.uint64(1)  # odd multipliers
+        self.b = draw64(num_perm)
         self.num_perm = num_perm
         self.ngram = ngram
 
     def signature(self, text: str) -> np.ndarray:
         x = _shingle_hashes(text, self.ngram)
-        # (num_perm, n_shingles) universal hashes, min over shingles
-        vals = (np.outer(self.a, x) + self.b[:, None]) % self.P
+        with np.errstate(over="ignore"):
+            # (num_perm, n_shingles); uint64 wraparound is intentional
+            vals = self.a[:, None] * x[None, :] + self.b[:, None]
         return vals.min(axis=1).astype(np.uint64)
 
 

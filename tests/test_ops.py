@@ -1,0 +1,262 @@
+"""Tests for training-data ops (dedup, ANN, text stats, multimodal) and the
+remaining canonicalization operators."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    rows = []
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "pack my box with five dozen liquor jugs before the winter storm",
+        "sphinx of black quartz judge my vow under ancient starlit skies",
+        "how vexingly quick daft zebras jump across the frozen harbour ice",
+    ]
+    for i in range(40):
+        t = base[i % 4] + f" variant {i // 4}"
+        rows.append({"doc_id": i, "text": t})
+    # exact duplicates of docs 0..3
+    for i in range(4):
+        rows.append({"doc_id": 100 + i, "text": rows[i]["text"]})
+    # near duplicate of doc 0 (one word changed)
+    rows.append({"doc_id": 200, "text": rows[0]["text"].replace("lazy", "sleepy")})
+    return rd.from_items(rows)
+
+
+class TestExactDedup:
+    def test_groups_and_representatives(self, docs_ds):
+        from marc2rdf_ray.ops.dedup import exact_dedup_groups
+
+        out = exact_dedup_groups(docs_ds).to_pandas()
+        assert len(out) == 41  # 40 distinct + 1 near-dup; 4 exact dups folded
+        dup_rows = out[out["cnt"] > 1]
+        assert len(dup_rows) == 4
+        assert set(dup_rows["doc_id"]) == {0, 1, 2, 3}  # min id kept
+
+    def test_exact_dedup_keeps_one_per_content(self, docs_ds):
+        from marc2rdf_ray.ops.dedup import exact_dedup
+
+        keep = exact_dedup(docs_ds).to_pandas()
+        assert len(keep) == 41
+
+
+class TestMinHash:
+    def test_signature_similarity_tracks_jaccard(self):
+        from marc2rdf_ray.ops.dedup import MinHasher, ngram_jaccard
+
+        h = MinHasher(num_perm=128)
+        a = "the quick brown fox jumps over the lazy dog near the river"
+        b = a.replace("lazy", "sleepy")
+        c = "completely different words entirely unrelated content here now"
+        sa, sb, sc = h.signature(a), h.signature(b), h.signature(c)
+        est_ab = (sa == sb).mean()
+        est_ac = (sa == sc).mean()
+        true_ab = ngram_jaccard(a, b)
+        assert abs(est_ab - true_ab) < 0.2
+        assert est_ac < 0.2 < est_ab
+
+    def test_lsh_finds_exact_and_near_dups(self, docs_ds):
+        from marc2rdf_ray.ops.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            docs_ds, threshold=0.5, id_col="doc_id"
+        ).to_pandas()
+        got = set(map(tuple, pairs[["a", "b"]].values.tolist()))
+        for i in range(4):
+            assert (i, 100 + i) in got  # exact dups found
+        assert (0, 200) in got  # near dup found
+
+    def test_no_self_pairs_and_no_duplicates(self, docs_ds):
+        from marc2rdf_ray.ops.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()
+        assert (pairs["a"] < pairs["b"]).all()
+        assert not pairs.duplicated(["a", "b"]).any()
+
+
+class TestSimHash:
+    def test_near_dups_within_hamming(self, docs_ds):
+        from marc2rdf_ray.ops.dedup import simhash_pairs
+
+        pairs = simhash_pairs(docs_ds, max_hamming=4).to_pandas()
+        got = set(map(tuple, pairs[["a", "b"]].values.tolist()))
+        for i in range(4):
+            assert (i, 100 + i) in got
+        assert (pairs["hamming"] <= 4).all()
+
+
+class TestEmbeddingDedup:
+    def test_cosine_pairs(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.dedup import embedding_dup_pairs
+
+        rng = np.random.RandomState(0)
+        base = rng.randn(30, 16)
+        rows = [
+            {"vec_id": i, "embedding": list(map(float, base[i]))}
+            for i in range(30)
+        ]
+        # rows 100.. are near-copies of 0..4
+        for i in range(5):
+            v = base[i] + rng.randn(16) * 0.01
+            rows.append({"vec_id": 100 + i, "embedding": list(map(float, v))})
+        ds = rd.from_items(rows)
+        pairs = embedding_dup_pairs(ds, threshold=0.98).to_pandas()
+        got = set(map(tuple, pairs[["a", "b"]].values.tolist()))
+        assert {(i, 100 + i) for i in range(5)} <= got
+
+
+class TestANN:
+    def test_brute_matches_numpy(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.ann import brute_topk
+
+        rng = np.random.RandomState(1)
+        mat = rng.randn(200, 32)
+        rows = [
+            {"vec_id": i, "embedding": list(map(float, mat[i]))}
+            for i in range(200)
+        ]
+        ds = rd.from_items(rows)
+        q = mat[:3]
+        out = brute_topk(ds, [0, 1, 2], q, k=5).to_pandas()
+        unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+        for qi in range(3):
+            sims = unit @ unit[qi]
+            want = set(np.argsort(-sims)[:5].tolist())
+            got = set(out[out["qid"] == qi]["vec_id"].tolist())
+            assert got == want
+            assert len(out[out["qid"] == qi]) == 5
+
+    def test_lsh_recall_reasonable(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.ann import brute_topk, lsh_topk
+
+        rng = np.random.RandomState(2)
+        mat = rng.randn(300, 16)
+        rows = [
+            {"vec_id": i, "embedding": list(map(float, mat[i]))}
+            for i in range(300)
+        ]
+        ds = rd.from_items(rows)
+        qids = [0, 1, 2, 3]
+        brute = brute_topk(ds, qids, mat[:4], k=10).to_pandas()
+        approx = lsh_topk(
+            ds, qids, mat[:4], k=10, num_planes=6, probe_bits=2
+        ).to_pandas()
+        recalls = []
+        for qi in qids:
+            b = set(brute[brute["qid"] == qi]["vec_id"])
+            a = set(approx[approx["qid"] == qi]["vec_id"])
+            recalls.append(len(a & b) / len(b))
+        assert sum(recalls) / len(recalls) >= 0.5
+
+
+class TestTextStats:
+    def test_token_counts(self):
+        from marc2rdf_ray.ops.textstats import token_stats_batch
+
+        b = pa.table({"doc_id": [1, 2], "text": ["a b  c", ""]})
+        out = token_stats_batch(b)
+        assert out["ws_tokens"].to_pylist() == [3, 0]
+        assert out["n_chars"].to_pylist() == [6, 0]
+
+    def test_langid(self):
+        from marc2rdf_ray.ops.textstats import detect_lang
+
+        assert detect_lang("the cat and the dog of the house") == "en"
+        assert detect_lang("det er og på er det og på det er") == "no"
+        assert detect_lang("") == "und"
+
+    def test_fingerprint_stable_and_ws_insensitive(self):
+        from marc2rdf_ray.ops.textstats import fingerprint
+
+        assert fingerprint("a b c") == fingerprint("a  b   c")
+        assert fingerprint("a b c") != fingerprint("a b d")
+
+    def test_quality(self):
+        from marc2rdf_ray.ops.textstats import quality_batch
+
+        b = pa.table({"doc_id": [1], "text": ["The cat, and the dog!"]})
+        out = quality_batch(b).to_pandas().iloc[0]
+        assert out["n_tokens"] == 5
+        assert 0 < out["punct_ratio"] < 0.2
+        assert out["stop_ratio"] == pytest.approx(3 / 5)  # the, and, the
+
+
+class TestMultimodal:
+    def test_decode_stub_requires_fake(self):
+        from marc2rdf_ray.ops.multimodal import DecodeStub
+
+        with pytest.raises(NotImplementedError):
+            DecodeStub()
+
+    def test_decode_and_features(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.multimodal import (
+            DecodeStub,
+            FeatureExtractStub,
+            synth_media_table,
+        )
+
+        ds = rd.from_arrow(synth_media_table(50))
+        dec = ds.map_batches(
+            DecodeStub,
+            fn_constructor_kwargs={"fake": True},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=2,
+        ).to_pandas()
+        assert dec["decode_ok"].all()
+        assert (dec["width"] >= 64).all()
+
+        feats = ds.map_batches(
+            FeatureExtractStub, batch_format="pyarrow", batch_size=16,
+            concurrency=2,
+        ).to_pandas()
+        assert len(feats) == 50
+        assert all(len(f) == 8 for f in feats["features"])
+
+
+class TestCanonicalizeExtras:
+    def test_connected_components(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.stages.canonicalize import connected_components
+
+        edges = rd.from_items(
+            [
+                {"subj": "b", "obj": "a"},
+                {"subj": "c", "obj": "b"},   # chain a-b-c
+                {"subj": "e", "obj": "d"},   # pair d-e
+                {"subj": "f", "obj": "f"},   # self loop
+            ]
+        )
+        out = connected_components(edges, rounds=3).to_pandas()
+        roots = dict(zip(out["node"], out["root"]))
+        assert roots["a"] == roots["b"] == roots["c"] == "a"
+        assert roots["d"] == roots["e"] == "d"
+        assert roots["f"] == "f"
+
+    def test_salted_group_distinct_matches_plain(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.stages.canonicalize import salted_group_distinct
+
+        rows = []
+        for i in range(200):
+            rows.append({"k": f"key{i % 3}", "v": f"val{i % 7}"})
+        ds = rd.from_items(rows)
+        out = salted_group_distinct(ds, ["k"], "v", salt=4).to_pandas()
+        got = set(map(tuple, out[["k", "v"]].values.tolist()))
+        want = {(f"key{i % 3}", f"val{i % 7}") for i in range(200)}
+        assert got == want
