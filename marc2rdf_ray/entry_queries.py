@@ -135,7 +135,9 @@ def kg_triples(sf_dir: str):
 def kg_dedup_edges(sf_dir: str):
     from .stages.canonicalize import dedup_triples
 
-    return dedup_triples(kg_triples(sf_dir))
+    return dedup_triples(
+        kg_triples(sf_dir), columns=["subj", "pred", "obj", "obj_kind"]
+    )
 
 
 def _augmented_doc_hashes(sf_dir: str):

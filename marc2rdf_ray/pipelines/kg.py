@@ -124,14 +124,20 @@ def extract_triples(
     )
 
 
-def canonical_edges(raw_triples_ds, *, sameas_key_pred: str = ISBN_PRED):
+def canonical_edges(raw_triples_ds, *, sameas_key_pred: str = ISBN_PRED,
+                    pre_dedup: bool = True):
     """Raw triples -> canonical edge set: exact dedup + sameAs by shared
-    identifier + symmetry closure (J4/J6)."""
-    deduped = dedup_triples(raw_triples_ds)
+    identifier + symmetry closure (J4/J6).
+
+    ``pre_dedup=False`` skips the standalone dedup shuffle and emits the
+    raw union -- for consumers that dedup inside their own subject-hash
+    shuffle (materialize_graph(dedup=True)), saving an entire exchange."""
     sameas = symmetry_closure(
-        sameas_by_shared_key(raw_triples_ds, sameas_key_pred)
+        sameas_by_shared_key(raw_triples_ds, sameas_key_pred),
+        dedup=pre_dedup,
     )
-    return deduped.union(sameas)
+    base = dedup_triples(raw_triples_ds) if pre_dedup else raw_triples_ds
+    return base.union(sameas)
 
 
 def run_kg_pipeline(
@@ -196,11 +202,15 @@ def run_kg_pipeline(
     raw.write_parquet(ckpt)
     raw = rd.read_parquet(ckpt)
 
-    edges = canonical_edges(raw)
+    # dedup rides the materialize subject-hash shuffle (dedup=True):
+    # every copy of a triple lands in the same partition, so the pipeline
+    # needs only ONE big exchange after extraction.
+    edges = canonical_edges(raw, pre_dedup=False)
     return materialize_graph(
         edges,
         out_dir,
         num_partitions=num_partitions or config.num_output_partitions,
         ruleset_hash=config.ruleset_hash(),
         input_paths=input_paths,
+        dedup=True,
     )

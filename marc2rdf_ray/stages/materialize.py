@@ -45,14 +45,36 @@ def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
     return batch.append_column(PART_COL, parts)
 
 
-def write_sorted_partition(group: pa.Table, out_dir: str) -> pa.Table:
-    """Per-partition writer task: sort within partition, write Parquet + NT.
+def write_sorted_partition(
+    group: pa.Table, out_dir: str, dedup: bool = False
+) -> pa.Table:
+    """Per-partition writer task: (optionally dedup,) sort within partition,
+    write Parquet + NT.
 
     Runs inside ``groupby(part).map_groups`` -- each partition is one task,
     output files are deterministic per partition id, so re-running
     overwrites idempotently (K2's append replaced by partition overwrite).
+
+    ``dedup=True`` makes the partition shuffle double as the GLOBAL exact
+    triple dedup: every copy of a triple shares its subject, hence its
+    partition, so per-partition dedup is globally exact -- and the pipeline
+    saves an entire extra shuffle.
     """
+    from .canonicalize import TRIPLE_KEY_COLS, local_dedup
+
     part = int(group[PART_COL][0].as_py())
+    if dedup:
+        # NB: PART_COL is constant within the group and must NOT be in the
+        # key set -- pyarrow 16.1's grouper miscounts groups when a
+        # constant int32 key is mixed with null-bearing string keys
+        # (observed: 142 groups where 133 exist; tests/test_pipeline.py
+        # guards the dedup invariant).
+        keys = [c for c in TRIPLE_KEY_COLS if c in group.column_names]
+        group = group.drop_columns([PART_COL])
+        group = local_dedup(group, keys)
+        group = group.append_column(
+            PART_COL, pa.array([part] * len(group), pa.int32())
+        )
     sort_keys = [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
     group = group.sort_by(sort_keys)
     pdir = os.path.join(out_dir, f"part={part:05d}")
@@ -87,6 +109,7 @@ def materialize_graph(
     ruleset_hash: str = "",
     input_paths: list[str] | None = None,
     extra: dict | None = None,
+    dedup: bool = False,
 ) -> RunManifest:
     """Write the edge table partitioned+sorted; returns the run manifest.
 
@@ -106,7 +129,8 @@ def materialize_graph(
         batch_format="pyarrow",
     )
     counts_ds = parted.groupby(PART_COL).map_groups(
-        lambda g: write_sorted_partition(g, out_dir), batch_format="pyarrow"
+        lambda g: write_sorted_partition(g, out_dir, dedup=dedup),
+        batch_format="pyarrow",
     )
     counts = {str(r["part"]): r["rows"] for r in counts_ds.take_all()}
 
