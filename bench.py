@@ -28,7 +28,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-PAGES_PER_DOC = int(os.environ.get("M2R_PAGES_PER_DOC", "10"))
+PAGES_PER_DOC = int(os.environ.get("M2R_PAGES_PER_DOC", "25"))
 CACHE_ROOT = os.environ.get("M2R_BENCH_CACHE", "/tmp/m2r_bench")
 
 
@@ -65,7 +65,8 @@ def run_headline(pages_dir: str) -> tuple[float, int]:
     out_dir = os.path.join(CACHE_ROOT, f"graph_out_{NUM_CPUS}")
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
-    manifest = run_kg_pipeline(pages_dir, out_dir, PipelineConfig())
+    manifest = run_kg_pipeline(pages_dir, out_dir, PipelineConfig(),
+                               checkpoint_mode="memory")
     wall = time.time() - t0
     return wall, manifest.triple_count
 

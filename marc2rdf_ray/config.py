@@ -32,10 +32,10 @@ class PipelineConfig:
     extra_namespaces: dict = field(default_factory=dict)
 
     # engine knobs (sized for multi-node scale; see SURVEY.md §4.2)
-    batch_size: int = 256          # pages per batch (html rows are wide)
+    batch_size: int = 1024          # pages per batch (html rows are wide)
     triples_batch_size: int = 8192
     link_concurrency: int = 4      # actor-pool size for the linker stage
-    num_output_partitions: int = 16
+    num_output_partitions: int = 64
 
     def __post_init__(self):
         if self.mapping is None:

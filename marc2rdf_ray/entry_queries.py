@@ -589,6 +589,30 @@ def kg_flagship_edges(sf_dir: str):
         return pa.concat_tables([pq.read_table(p) for p in parts])
 
 
+def reverse_records(sf_dir: str):
+    """M20 reverse conversion: edges -> field records, flattened to
+    (subj, tag) rows for the oracle."""
+    import pyarrow as pa
+
+    from .stages.reverse import invert_mapping, records_from_edges
+    from .vocab import DEFAULT_VOCAB
+
+    inv = invert_mapping(DOC_MAPPING, DEFAULT_VOCAB)
+    recs = records_from_edges(kg_triples(sf_dir), inv)
+
+    def flatten(b: pa.Table) -> pa.Table:
+        subj, tag = [], []
+        for s_, fields in zip(b["subj"].to_pylist(), b["fields"].to_pylist()):
+            for f in fields or []:
+                subj.append(s_)
+                tag.append(f["tag"])
+        return pa.table(
+            {"subj": pa.array(subj, pa.string()), "tag": pa.array(tag, pa.string())}
+        )
+
+    return recs.map_batches(flatten, batch_format="pyarrow")
+
+
 # -- registry --------------------------------------------------------------
 
 QUERIES = {
@@ -615,6 +639,7 @@ QUERIES = {
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "embeddings_by_label": embeddings_by_label,
+    "reverse_records": reverse_records,
     "marc_fixture_convert": marc_fixture_convert,
     "multimodal_decode": multimodal_decode,
 }
@@ -715,6 +740,11 @@ SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS cnt
 FROM aug GROUP BY md5(text)
 """,
     "embeddings_by_label": "SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label",
+    "reverse_records": """
+SELECT 'http://data.example.org/doc/' || CAST(doc_id AS VARCHAR) AS subj,
+       t.tag
+FROM documents CROSS JOIN (VALUES ('id'), ('lang'), ('meta')) AS t(tag)
+""",
     "ann_brute_topk": """
 WITH q AS (
   SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

@@ -97,6 +97,26 @@ class KGExtract:
         return MENTIONS_PRED
 
 
+# worker-process-global stage cache: stateless tasks reuse long-lived Ray
+# workers, so compiled rule sets / fetched alias dicts amortize exactly like
+# actor state but WITHOUT per-run actor-pool startup cost (which dominated
+# small runs and wrecked scaling efficiency).
+_STAGE_CACHE: dict = {}
+
+
+def make_extract_fn(config: PipelineConfig, alias_ref, derive_works: bool):
+    key = (config.ruleset_hash(), str(alias_ref), derive_works)
+
+    def extract_fn(batch):
+        stage = _STAGE_CACHE.get(key)
+        if stage is None:
+            stage = KGExtract(config, alias_ref, derive_works)
+            _STAGE_CACHE[key] = stage
+        return stage(batch)
+
+    return extract_fn
+
+
 def extract_triples(
     pages_ds,
     config: PipelineConfig,
@@ -104,23 +124,32 @@ def extract_triples(
     *,
     concurrency: Optional[int] = None,
     derive_works: bool = True,
+    use_actors: bool = False,
 ):
     """pages Dataset -> raw triples Dataset (converter semantics: duplicate
-    triples preserved, SURVEY.md §2.7 O3)."""
+    triples preserved, SURVEY.md §2.7 O3).
+
+    Default: stateless tasks with a worker-global compiled-rules cache
+    (elastic, no pool startup).  ``use_actors=True`` switches to an
+    explicit actor pool (useful when init is heavy, e.g. a real model)."""
     import ray
 
     alias_ref = ray.put(alias_dict) if alias_dict is not None else None
-    if not concurrency:
-        # leave headroom for the read and shuffle stages (ray_guide: a pool
-        # that reserves every CPU starves the other stages)
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = max(2, ncpu - 2)
+    if use_actors:
+        if not concurrency:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            concurrency = max(2, ncpu - 2)
+        return pages_ds.map_batches(
+            KGExtract,
+            fn_constructor_args=(config, alias_ref, derive_works),
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+            concurrency=concurrency,
+        )
     return pages_ds.map_batches(
-        KGExtract,
-        fn_constructor_args=(config, alias_ref, derive_works),
+        make_extract_fn(config, alias_ref, derive_works),
         batch_format="pyarrow",
         batch_size=config.batch_size,
-        concurrency=concurrency,
     )
 
 
@@ -150,6 +179,7 @@ def run_kg_pipeline(
     concurrency: Optional[int] = None,
     num_partitions: Optional[int] = None,
     raw_checkpoint_dir: Optional[str] = None,
+    checkpoint_mode: str = "disk",
 ):
     """End-to-end flagship run.  Caller owns the Ray session.
 
@@ -196,11 +226,19 @@ def run_kg_pipeline(
     raw = extract_triples(
         pages_ds, config, alias_dict if link else None, concurrency=concurrency
     )
-    ckpt = raw_checkpoint_dir or os.path.join(out_dir, "_raw_triples")
-    if os.path.isdir(ckpt):
-        shutil.rmtree(ckpt)
-    raw.write_parquet(ckpt)
-    raw = rd.read_parquet(ckpt)
+    if checkpoint_mode == "memory":
+        # pin raw triples in the object store: multiple canonicalization
+        # branches read the SAME blocks, no disk round-trip.  The streaming
+        # executor spills to disk under memory pressure, so this stays safe
+        # at scale; use "disk" when the raw converter output must survive
+        # the job (it is also the finer-grained resume point).
+        raw = raw.materialize()
+    else:
+        ckpt = raw_checkpoint_dir or os.path.join(out_dir, "_raw_triples")
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt)
+        raw.write_parquet(ckpt)
+        raw = rd.read_parquet(ckpt)
 
     # dedup rides the materialize subject-hash shuffle (dedup=True):
     # every copy of a triple lands in the same partition, so the pipeline

@@ -49,7 +49,10 @@ def test_full_pipeline(ray_session, pages_dir, tmp_path):
         # sorted within partition
         subs = t["subj"].to_pylist()
         assert subs == sorted(subs)
-        nt = open(os.path.join(out_dir, p, "edges.nt")).read().splitlines()
+        import gzip
+
+        with gzip.open(os.path.join(out_dir, p, "edges.nt.gz"), "rt") as fh:
+            nt = fh.read().splitlines()
         assert len(nt) == t.num_rows
         assert all(line.endswith(" .") for line in nt)
         for s, pr, o in zip(subs, t["pred"].to_pylist(), t["obj"].to_pylist()):
