@@ -613,6 +613,150 @@ def reverse_records(sf_dir: str):
     return recs.map_batches(flatten, batch_format="pyarrow")
 
 
+def distinct_flag_ship_months(sf_dir: str):
+    """Salted two-phase distinct (hot-key-safe groupby) over lineitem:
+    distinct (l_returnflag, ship month)."""
+    from .stages.canonicalize import salted_group_distinct
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_shipdate"])
+
+    def month(batch: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(batch["l_shipdate"], pa.int64())
+        # month bucket: days since epoch // 30 is NOT calendar month; use
+        # strftime for an exact calendar key
+        m = pc.strftime(batch["l_shipdate"], format="%Y-%m")
+        return pa.table({"l_returnflag": batch["l_returnflag"], "ship_month": m})
+
+    out = salted_group_distinct(
+        ds.map_batches(month, batch_format="pyarrow"),
+        ["l_returnflag"],
+        "ship_month",
+        salt=8,
+    )
+    return out.map_batches(
+        lambda b: b.select(["l_returnflag", "ship_month"]), batch_format="pyarrow"
+    )
+
+
+def doc_components(sf_dir: str):
+    """Connected components (bounded min-label propagation) over the
+    duplicate-document sameAs graph; star clusters -> root = min subject."""
+    from .stages.canonicalize import connected_components, sameas_by_shared_key
+
+    edges = sameas_by_shared_key(_augmented_doc_hashes(sf_dir), "hash")
+    return connected_components(edges, rounds=3)
+
+
+def top_orders_per_segment(sf_dir: str):
+    """Per-group top-k: 3 priciest orders per market segment."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cdf = cust.to_pandas()
+    seg_map = dict(zip(cdf["c_custkey"].tolist(), cdf["c_mktsegment"].tolist()))
+    ref = ray.put(seg_map)
+
+    class JoinSeg:
+        def __init__(self):
+            self.seg = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segs = [self.seg.get(k, "UNKNOWN")
+                    for k in batch["o_custkey"].to_pylist()]
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(segs, pa.string()),
+                    "o_orderkey": batch["o_orderkey"],
+                    "price_cents": pc.cast(
+                        pc.round(pc.multiply(batch["o_totalprice"], 100.0)),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(group: pa.Table) -> pa.Table:
+        return group.sort_by(
+            [("price_cents", "descending"), ("o_orderkey", "ascending")]
+        ).slice(0, 3)
+
+    return (
+        orders.map_batches(JoinSeg, batch_format="pyarrow", concurrency=2)
+        .groupby("c_mktsegment")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+def similar_docs(sf_dir: str):
+    """J5-analog similarity pairs: documents sharing (lang, source)."""
+    from .stages.canonicalize import similarity_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    out = similarity_pairs(ds, ["lang", "source"], "doc_id")
+    return out.map_batches(lambda b: b.select(["a", "b"]), batch_format="pyarrow")
+
+
+def count_distinct_subjects(sf_dir: str):
+    """A2: COUNT(DISTINCT ?s) -- unique subjects of the doc triples."""
+    ds = kg_triples(sf_dir)
+    uniq = ds.map_batches(
+        lambda b: pa.table({"subj": pc.unique(b["subj"].combine_chunks())}),
+        batch_format="pyarrow",
+    ).groupby("subj").count()
+    n = uniq.count()
+    return pa.table({"n_subjects": pa.array([n], pa.int64())})
+
+
+def docs_enriched_labels(sf_dir: str):
+    """J1 enrichment: broadcast authority table (embeddings labels keyed by
+    id) attaches cluster labels to matching doc subjects."""
+    from .stages.enrich import enrich_triples
+
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+    authority = {
+        str(v): {"http://data.example.org/def/clusterLabel": (str(l), "literal")}
+        for v, l in zip(emb["vec_id"].to_pylist(), emb["label"].to_pylist())
+    }
+    enriched = enrich_triples(
+        kg_triples(sf_dir).map_batches(
+            lambda b: b.append_column(
+                "lang", pa.nulls(len(b), pa.string())
+            ).append_column("src", b["subj"]),
+            batch_format="pyarrow",
+        ),
+        authority,
+        "http://purl.org/dc/terms/identifier",
+    )
+    return enriched.map_batches(
+        lambda b: b.select(["subj", "pred", "obj"]), batch_format="pyarrow"
+    )
+
+
+def docs_without_blocked_content(sf_dir: str):
+    """O4 content-checksum blocklist: drop docs whose md5(text) matches the
+    blocklist (derived here from doc_id < 3)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from .stages.enrich import filter_content_blocklist
+
+    head = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).filter(pc.less(pc.field("doc_id"), 3))
+    blocked = {
+        hashlib.md5(t.encode()).hexdigest() for t in head["text"].to_pylist()
+    }
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = filter_content_blocklist(ds, "text", blocked)
+    return out.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
 # -- registry --------------------------------------------------------------
 
 QUERIES = {
@@ -640,6 +784,13 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "embeddings_by_label": embeddings_by_label,
     "reverse_records": reverse_records,
+    "distinct_flag_ship_months": distinct_flag_ship_months,
+    "doc_components": doc_components,
+    "top_orders_per_segment": top_orders_per_segment,
+    "similar_docs": similar_docs,
+    "docs_enriched_labels": docs_enriched_labels,
+    "docs_without_blocked_content": docs_without_blocked_content,
+    "count_distinct_subjects": count_distinct_subjects,
     "marc_fixture_convert": marc_fixture_convert,
     "multimodal_decode": multimodal_decode,
 }
@@ -740,6 +891,47 @@ SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS cnt
 FROM aug GROUP BY md5(text)
 """,
     "embeddings_by_label": "SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label",
+    "distinct_flag_ship_months": """
+SELECT DISTINCT l_returnflag, strftime(l_shipdate, '%Y-%m') AS ship_month
+FROM lineitem
+""",
+    "doc_components": """
+WITH aug AS (
+  SELECT 'http://data.example.org/doc/' || CAST(doc_id AS VARCHAR) AS subj,
+         md5(text) AS h FROM documents
+  UNION ALL
+  SELECT 'http://data.example.org/doc/' || CAST(doc_id + 1000000 AS VARCHAR),
+         md5(text) FROM documents
+), m AS (SELECT h, min(subj) AS canon, count(*) AS n FROM aug GROUP BY h)
+SELECT a.subj AS node, m.canon AS root
+FROM aug a JOIN m ON a.h = m.h WHERE m.n > 1
+""",
+    "docs_enriched_labels": """
+SELECT 'http://data.example.org/doc/' || CAST(d.doc_id AS VARCHAR) AS subj,
+       'http://data.example.org/def/clusterLabel' AS pred,
+       CAST(e.label AS VARCHAR) AS obj
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+    "docs_without_blocked_content": """
+SELECT doc_id FROM documents
+WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 3)
+""",
+    "similar_docs": """
+SELECT a.doc_id AS a, b.doc_id AS b
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+""",
+    "count_distinct_subjects": """
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_subjects FROM documents
+""",
+    "top_orders_per_segment": """
+SELECT c.c_mktsegment, o.o_orderkey,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+QUALIFY row_number() OVER (
+  PARTITION BY c.c_mktsegment
+  ORDER BY price_cents DESC, o.o_orderkey ASC) <= 3
+""",
     "reverse_records": """
 SELECT 'http://data.example.org/doc/' || CAST(doc_id AS VARCHAR) AS subj,
        t.tag

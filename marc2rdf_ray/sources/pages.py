@@ -32,6 +32,8 @@ import pyarrow as pa
 from ..model import PAGES_SCHEMA
 from ..stages.extract import extract_text
 
+GEN_VERSION = 3  # bump when page content changes (bench cache key)
+
 SITES = [
     "news.example.org", "blog.example.net", "books.example.no",
     "culture.example.com", "review.example.io", "arkiv.example.no",
@@ -80,7 +82,7 @@ def _title(r: random.Random) -> tuple[str, str]:
 
 
 def _paragraph(r: random.Random, mentions: list[str]) -> str:
-    n = r.randint(12, 40)
+    n = r.randint(30, 90)
     words = [r.choice(WORDS) for _ in range(n)]
     for m in mentions:
         words.insert(r.randrange(len(words) + 1), m)
@@ -117,8 +119,11 @@ def gen_page(i: int, seed: int = 42) -> dict:
     )
     display_name = f"{given} {cat_name.split(',')[0]}"
     mentions = [display_name] + [k.capitalize() for k in kws[:2]]
+    # realistic Common-Crawl page body: tens of paragraphs (~15-40 KB of
+    # markup), not a stub -- extraction cost per page must look like the
+    # real workload's
     paras = [_paragraph(rc, mentions if p == 0 else [])
-             for p in range(rc.randint(2, 5))]
+             for p in range(rc.randint(15, 35))]
     desc = f"{main}. {paras[0][:80]}"
     words = sum(len(p.split()) for p in paras)
     score = round(rc.random() * 5, 2)
@@ -147,21 +152,48 @@ def gen_page(i: int, seed: int = 42) -> dict:
     meta_html = "\n".join(
         f'<meta name="{n}" content="{c}">' for n, c in metas
     )
-    heads = "\n".join(f"<h2>{p.split('.')[0][:40]}</h2>" for p in paras[1:3])
-    body_paras = "\n".join(f"<p>{p}</p>" for p in paras)
+    heads = "\n".join(f"<h2>{p.split('.')[0][:40]}</h2>" for p in paras[1:4])
+    # realistic messy markup: nested divs, inline spans/links inside
+    # paragraphs, comments, a table and a list section
+    chunks = []
+    for pi, p in enumerate(paras):
+        words = p.split(" ")
+        if pi % 3 == 1 and len(words) > 8:
+            mid = len(words) // 2
+            ref = f"https://{site}/tag/{words[0]}"
+            p = (" ".join(words[:mid])
+                 + f' <a href="{ref}">{words[mid]}</a> <em>'
+                 + " ".join(words[mid + 1:]) + "</em>")
+        chunks.append(f'<div class="para"><!-- p{pi} --><p>{p}</p></div>')
+    body_paras = "\n".join(chunks)
+    row_cells = "".join(
+        f"<tr><td>{k}</td><td>{rc.randint(1, 999)}</td></tr>" for k in kws
+    )
+    table_html = f"<table><tr><th>tag</th><th>n</th></tr>{row_cells}</table>"
+    list_html = "<ul>" + "".join(
+        f'<li><a href="https://{site}/kw/{k}">{k.capitalize()}</a></li>'
+        for k in kws
+    ) + "</ul>"
+    related = "\n".join(
+        f'<a href="https://{SITES[(i + j) % len(SITES)]}/articles/rel-{(i * 7 + j) % 1000}">related {j}</a>'
+        for j in range(rc.randint(3, 8))
+    )
     html = f"""<!DOCTYPE html>
 <html lang="{lang}">
 <head>
 <title>{title_txt}</title>
 {meta_html}
-<style>body {{ margin: 0; }}</style>
-<script>var x = 1;</script>
+<style>body {{ margin: 0; }} .para {{ padding: 2px; }}</style>
+<script>var x = 1; function f() {{ return x + 1; }}</script>
 </head>
 <body>
 <header><nav><a href="/about">About</a> <a href="{prev_url}">Previous</a></nav></header>
 <h1>{main}</h1>
 {heads}
 {body_paras}
+<section>{table_html}</section>
+<section>{list_html}</section>
+<aside>{related}</aside>
 <footer>© {year} {site} — <a href=" see {url} ">self</a></footer>
 </body>
 </html>"""

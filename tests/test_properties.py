@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the byte-exact scalar ops."""
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from marc2rdf_ray.functions.ntriples import escape_literal, format_triple
+from marc2rdf_ray.functions.textops import (
+    generate_objects,
+    generate_uri,
+    replace_characters,
+    ruby_strip,
+    urlize,
+)
+
+text = st.text(max_size=80)
+printable = st.text(alphabet=string.printable, max_size=60)
+
+
+class TestUrlizeProperties:
+    @given(text)
+    @settings(max_examples=200)
+    def test_default_urlize_output_alphabet(self, s):
+        out = urlize(s, downcase=True, convert_spaces=True)
+        assert re.fullmatch(r"[-_A-Za-z0-9]*", out)
+
+    @given(text)
+    def test_idempotent(self, s):
+        once = urlize(s, downcase=True, convert_spaces=True)
+        twice = urlize(once, downcase=True, convert_spaces=True)
+        assert once == twice
+
+    @given(text)
+    def test_replacecharacters_only_touches_mapped(self, s):
+        out = replace_characters(s)
+        # unmapped chars preserved in order
+        from marc2rdf_ray.functions.textops import _TRANSLATE_TABLE
+
+        expected = "".join(_TRANSLATE_TABLE.get(ord(c), c) for c in s)
+        assert out == expected
+
+
+class TestGenerateObjectsProperties:
+    @given(text, st.integers(0, 100), st.integers(0, 100))
+    def test_substr_never_out_of_range(self, s, off, ln):
+        out = generate_objects(s, substr_offset=off, substr_length=ln)
+        assert all(isinstance(o, str) for o in out)
+        if out:
+            assert len(s) >= off + ln
+
+    @given(printable)
+    def test_split_drops_empties(self, s):
+        out = generate_objects(s, regex_split=", *")
+        assert "" not in out
+        assert "".join(out).replace(" ", "") == re.sub(
+            r", *", "", s
+        ).replace(" ", "")
+
+    @given(text)
+    def test_whole_string_default(self, s):
+        assert generate_objects(s) == [s]
+
+
+class TestUriProperties:
+    @given(printable)
+    def test_kind_is_uri_or_literal(self, s):
+        val, kind = generate_uri(s, "http://example.com/")
+        assert kind in ("uri", "literal")
+        assert val == f"http://example.com/{s}"
+
+    @given(st.text(alphabet=string.ascii_letters + string.digits, min_size=1,
+                   max_size=20))
+    def test_clean_values_make_uris(self, s):
+        assert generate_uri(s, "http://example.com/")[1] == "uri"
+
+
+class TestNtProperties:
+    @given(text)
+    def test_escape_roundtrip_via_unescape(self, s):
+        esc = escape_literal(s)
+        # no raw quote survives unescaped
+        assert '"' not in esc.replace('\\"', "")
+        # left-to-right unescape (sentinel-free)
+        out, i = [], 0
+        rev = {"\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t"}
+        while i < len(esc):
+            if esc[i] == "\\" and i + 1 < len(esc) and esc[i + 1] in rev:
+                out.append(rev[esc[i + 1]])
+                i += 2
+            else:
+                out.append(esc[i])
+                i += 1
+        assert "".join(out) == s
+
+    @given(text, text)
+    def test_format_triple_shape(self, s, o):
+        line = format_triple("http://s", "http://p", o, "literal")
+        assert line is not None
+        assert line.startswith("<http://s> <http://p> ") and line.endswith(" .")
+
+
+class TestRubyStripProperties:
+    @given(text)
+    def test_strip_subset_of_python(self, s):
+        # ruby strip removes only ASCII ws; result contains python-strip
+        assert ruby_strip(s).strip() == s.strip(" \t\n\r\f\v\x00").strip()
