@@ -213,6 +213,7 @@ def generate_objects(
 _RFC2396_OK = re.compile(r"\A[A-Za-z0-9;/?:@&=+$,\-_.!~*'()%#\[\]]*\Z")
 
 
+@lru_cache(maxsize=65536)
 def generate_uri(s: str, prefix: str = "") -> tuple[str, str]:
     """Strict URI check of rdfmodeler.rb:35-47.
 

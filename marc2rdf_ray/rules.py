@@ -51,9 +51,24 @@ from .vocab import DEFAULT_VOCAB, RDF_TYPE, Vocabulary
 Triple = tuple[str, str, str, str, Optional[str]]  # subj, pred, obj, kind, lang
 
 
+_OPTS_CACHE: dict = {}
+
+
 def _object_opts(spec: dict) -> dict:
     """Lower a rule's ``object`` spec to generate_objects kwargs
-    (the option pass-through of rdfmodeler.rb:165,246,263,288)."""
+    (the option pass-through of rdfmodeler.rb:165,246,263,288).
+    Cached per spec identity -- specs are shared rule-set dicts compiled
+    once per worker, so the cache is tiny and hit on every record."""
+    key = id(spec)
+    hit = _OPTS_CACHE.get(key)
+    if hit is not None and hit[0] is spec:
+        return hit[1]
+    opts = _build_object_opts(spec)
+    _OPTS_CACHE[key] = (spec, opts)
+    return opts
+
+
+def _build_object_opts(spec: dict) -> dict:
     return {
         "regex_split": spec.get("regex_split"),
         "urlize_opt": spec.get("urlize"),
