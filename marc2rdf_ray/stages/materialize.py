@@ -139,9 +139,21 @@ def materialize_graph(
         nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
     except Exception:
         nblocks = 16
+    def prep(b: pa.Table) -> pa.Table:
+        if dedup:
+            # per-batch pre-dedup BEFORE the shuffle: hot entities (e.g. an
+            # author on 20% of pages) emit IDENTICAL triples from every
+            # record; collapsing them locally is what defuses hot-key skew
+            # in the partition exchange (the salting equivalent -- the
+            # merge is a set union, associative+commutative).
+            from .canonicalize import TRIPLE_KEY_COLS, local_dedup
+
+            keys = [c for c in TRIPLE_KEY_COLS if c in b.column_names]
+            b = local_dedup(b, keys)
+        return add_partition_column(b, num_partitions)
+
     parted = triples_ds.repartition(nblocks).map_batches(
-        lambda b: add_partition_column(b, num_partitions),
-        batch_format="pyarrow",
+        prep, batch_format="pyarrow"
     )
     counts_ds = parted.groupby(PART_COL).map_groups(
         lambda g: write_sorted_partition(g, out_dir, dedup=dedup),
