@@ -35,7 +35,9 @@ class PipelineConfig:
     batch_size: int = 1024          # pages per batch (html rows are wide)
     triples_batch_size: int = 8192
     link_concurrency: int = 4      # actor-pool size for the linker stage
-    num_output_partitions: int = 64
+    # None => adaptive: materialize_graph sizes partition count from input
+    # bytes so each partition-write task stays within a memory budget
+    num_output_partitions: Optional[int] = None
 
     def __post_init__(self):
         if self.mapping is None:

@@ -316,7 +316,14 @@ def events_hourly(sf_dir: str):
 
     def window(batch: pa.Table) -> pa.Table:
         epoch_us = pc.cast(batch["ts"], pa.int64())
-        hour = pc.divide(epoch_us, 3_600_000_000)
+        # FLOOR division (pc.divide truncates toward zero): for pre-1970
+        # timestamps truncation is one bucket off vs the oracle's
+        # floor(epoch/3600) -- subtract the positive remainder first.
+        h = pa.scalar(3_600_000_000, pa.int64())
+        rem0 = pc.subtract(epoch_us, pc.multiply(pc.divide(epoch_us, h), h))
+        shifted = pc.add(rem0, h)  # in (0, 2h): trunc == floor here
+        rem = pc.subtract(shifted, pc.multiply(pc.divide(shifted, h), h))
+        hour = pc.divide(pc.subtract(epoch_us, rem), h)
         return pa.table(
             {
                 "user_id": batch["user_id"],

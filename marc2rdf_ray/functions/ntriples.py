@@ -11,9 +11,21 @@ write, so the driver never sees triple rows.
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 from ..vocab import XSD_FLOAT, XSD_INTEGER
+
+# N-Triples IRIREF production: no control chars, space, or <>"{}|^`\ inside
+# <...>.  Statements with an invalid IRI term are SKIPPED, mirroring the
+# reference's writer which rescues+logs invalid statements
+# (rdfmodeler.rb:317-321) rather than emitting broken lines.
+_INVALID_IRI_RE = re.compile(r'[\x00-\x20<>"{}|^`\\]')
+
+
+def valid_iri(value: str) -> bool:
+    return bool(value) and _INVALID_IRI_RE.search(value) is None
+
 
 _ESCAPES = {
     "\\": "\\\\",
@@ -29,9 +41,14 @@ def escape_literal(s: str) -> str:
     return s.translate(_ESCAPE_TABLE)
 
 
-def format_term(value: str, kind: str, lang: Optional[str] = None) -> str:
-    """One object term: URI, plain/lang-tagged literal, or typed literal."""
+def format_term(
+    value: str, kind: str, lang: Optional[str] = None
+) -> Optional[str]:
+    """One object term: URI, plain/lang-tagged literal, or typed literal.
+    Returns None for an invalid IRI (statement gets skipped upstream)."""
     if kind == "uri":
+        if not valid_iri(value):
+            return None
         return f"<{value}>"
     if kind == "integer":
         return f'"{escape_literal(value)}"^^<{XSD_INTEGER}>'
@@ -47,9 +64,12 @@ def format_triple(
 ) -> Optional[str]:
     """One N-Triples line, or None when the statement is invalid
     (write_ntriples skips such statements, rdfmodeler.rb:317-321)."""
-    if not subj or not pred or obj is None:
+    if obj is None or not valid_iri(subj) or not valid_iri(pred):
         return None
-    return f"<{subj}> <{pred}> {format_term(obj, obj_kind, lang)} ."
+    term = format_term(obj, obj_kind, lang)
+    if term is None:
+        return None
+    return f"<{subj}> <{pred}> {term} ."
 
 
 def format_batch(

@@ -16,12 +16,12 @@ for resumable distributed output (SURVEY.md §2.2 K1/K2):
 from __future__ import annotations
 
 import os
-import zlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from ..functions.hashing import bucket_codes
 from ..functions.ntriples import format_batch
 from ..state.manifest import (
     RunManifest,
@@ -36,13 +36,11 @@ PART_COL = "part"
 
 
 def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
-    """crc32(subj) % P as int32 -- stable across runs and processes."""
-    subs = batch["subj"].to_pylist()
-    parts = pa.array(
-        [zlib.crc32(s.encode()) % num_partitions if s else 0 for s in subs],
-        pa.int32(),
+    """hash(subj) % P as int32 -- columnar (functions.hashing), stable
+    across runs/processes within an environment (what manifests need)."""
+    return batch.append_column(
+        PART_COL, bucket_codes(batch["subj"], num_partitions)
     )
-    return batch.append_column(PART_COL, parts)
 
 
 def write_sorted_partition(
@@ -105,21 +103,59 @@ def write_sorted_partition(
                      "rows": pa.array([len(data)], pa.int64())})
 
 
+_PARTITION_EXPANSION = 3.0  # triples bytes ~ pages-parquet bytes x this
+
+
+def choose_num_partitions(
+    input_bytes: int, target_partition_bytes: int = 128 << 20
+) -> int:
+    """Size the output partition count from input bytes.
+
+    Each partition is sorted+written by ONE task holding the partition in
+    memory (in-memory Arrow ~3x its on-disk size), so the per-task memory
+    bound is ``target_partition_bytes * ~3``; partition count scales with
+    input size instead of being a fixed constant (VERDICT r1 #4).  Floor:
+    2 partitions per CPU keeps the write parallel on small inputs."""
+    try:
+        import ray
+
+        floor = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    except Exception:
+        floor = 16
+    est = int(input_bytes * _PARTITION_EXPANSION)
+    need = -(-est // target_partition_bytes) if est > 0 else 1
+    return max(floor, min(65536, need))
+
+
 def materialize_graph(
     triples_ds,
     out_dir: str,
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     ruleset_hash: str = "",
     input_paths: list[str] | None = None,
     extra: dict | None = None,
     dedup: bool = False,
+    target_partition_bytes: int = 128 << 20,
 ) -> RunManifest:
     """Write the edge table partitioned+sorted; returns the run manifest.
 
     Resume: when ``_manifest.json`` matches (same inputs, same rule set),
     the whole write is skipped and the prior manifest returned.
+
+    Replace semantics: a non-matching manifest means FULL recompute -- all
+    existing ``part=*`` directories are deleted before the write, so a run
+    with fewer partitions (or fewer touched subjects) cannot leave stale
+    partition files behind for globbing consumers.  Windowed/incremental
+    runs must therefore target their own out_dir (and merge explicitly),
+    never append into a previous run's directory.
+
+    ``num_partitions=None`` => adaptive via ``choose_num_partitions``
+    (input-byte-scaled; fixed constants stop being valid the moment the
+    input grows 1000x).
     """
+    import shutil
+
     files = []
     for p in input_paths or []:
         files.extend(list_input_files(p))
@@ -127,6 +163,21 @@ def materialize_graph(
     existing = read_manifest(out_dir)
     if sig and matches(existing, sig, ruleset_hash):
         return existing
+
+    if num_partitions is None:
+        in_bytes = 0
+        for f in files:
+            try:
+                in_bytes += os.path.getsize(f)
+            except OSError:
+                pass
+        num_partitions = choose_num_partitions(in_bytes, target_partition_bytes)
+
+    # drop stale partitions from any previous run into this out_dir
+    if os.path.isdir(out_dir):
+        for d in os.listdir(out_dir):
+            if d.startswith("part="):
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
 
     # coalesce the many small upstream blocks (one per extraction task)
     # before the shuffle: the sort exchange creates #blocks x #partitions
