@@ -91,6 +91,29 @@ def brute_topk(
     return partial.groupby("qid").map_groups(merge, batch_format="pyarrow")
 
 
+def _quantized_sign_planes(dim: int, num_planes: int) -> np.ndarray:
+    """±1 'hyperplanes' from md5 parity -- deterministic without shipping a
+    seed, and integer-exact: bucketing quantizes vectors to
+    floor(x*2^20+0.5) int64 and takes sign of an INTEGER dot product, so
+    bucket codes are bit-identical across numpy, a SQL oracle, and any
+    future engine (float summation order can flip the sign of a
+    near-zero projection; integers cannot)."""
+    from .dedup import md5_u64
+
+    s = np.empty((dim, num_planes), np.int64)
+    for p in range(num_planes):
+        for d in range(dim):
+            s[d, p] = 1 if (md5_u64(f"plane:{p}:{d}") & 1) else -1
+    return s
+
+
+_QUANT = 1 << 20
+
+
+def _quantize(mat: np.ndarray) -> np.ndarray:
+    return np.floor(mat * _QUANT + 0.5).astype(np.int64)
+
+
 def lsh_topk(
     ds,
     query_ids: list[int],
@@ -100,23 +123,23 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_planes: int = 8,
-    seed: int = 42,
     probe_bits: int = 1,
 ):
     """Approximate top-k: candidates share the query's hyperplane bucket or
     differ in <= probe_bits bits (multi-probe).  One shuffle on bucket id;
-    probe_bits trades recall for candidate volume."""
+    probe_bits trades recall for candidate volume.  Buckets come from
+    integer-quantized md5-sign planes (see _quantized_sign_planes), making
+    the FULL candidate pipeline replayable by a SQL oracle."""
     import itertools
 
     import ray
 
     qmat = np.asarray(query_mat, dtype=np.float64)
     dim = qmat.shape[1]
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(dim, num_planes)
+    planes = _quantized_sign_planes(dim, num_planes)
 
     def bucket_of(mat: np.ndarray) -> np.ndarray:
-        bits = (mat @ planes > 0).astype(np.int64)
+        bits = (_quantize(np.asarray(mat, np.float64)) @ planes > 0).astype(np.int64)
         return (bits * (1 << np.arange(num_planes))).sum(axis=1)
 
     qb = bucket_of(qmat)

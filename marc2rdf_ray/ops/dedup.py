@@ -12,14 +12,33 @@ stages.canonicalize.connected_components (bounded label propagation).
 from __future__ import annotations
 
 import hashlib
+import logging
 import re
-import zlib
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+logger = logging.getLogger("marc2rdf_ray.dedup")
+
+
+def md5_u64(s: str) -> int:
+    """First 8 bytes (big-endian) of md5 as uint64 -- the hash primitive for
+    every LSH stage here.  Chosen over faster non-cryptographic hashes
+    because it is reproducible inside a SQL oracle (DuckDB ``md5()``), so
+    the ENTIRE candidate-generation pipeline is differential-testable."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+
+
+def _log_capped(op: str, bucket, size: int, cap: int) -> None:
+    """Observable signal when a hot bucket is truncated (silent caps look
+    like full coverage; ADVICE r1)."""
+    logger.warning(
+        "%s: bucket %r truncated %d -> %d items; pairs beyond the cap are "
+        "dropped (potential false negatives)", op, bucket, size, cap
+    )
 
 
 # -- exact dedup -----------------------------------------------------------
@@ -73,29 +92,28 @@ def word_ngrams(text: str, n: int = 3) -> set[str]:
 
 
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """md5-derived shingle hashes (sorted distinct shingles; [0] when none)."""
     sh = word_ngrams(text, n)
     if not sh:
         return np.array([0], np.uint64)
-    return np.array(
-        [zlib.crc32(s.encode()) for s in sorted(sh)], np.uint64
-    )
+    return np.array([md5_u64(s) for s in sorted(sh)], np.uint64)
 
 
 class MinHasher:
-    """Seeded multiply-shift MinHash: h_i(x) = (a_i * x + b_i) mod 2^64 with
-    odd a_i drawn over the full 64-bit range (uint64 overflow IS the mod --
-    well-mixed, unlike a barely-wrapping Mersenne-prime scheme)."""
+    """Multiply-shift MinHash: h_i(x) = (a_i * x + b_i) mod 2^64 with odd
+    a_i over the full 64-bit range (uint64 overflow IS the mod).  All
+    constants derive from md5 (a_i = md5_u64('a:i')|1, b_i = md5_u64('b:i'))
+    instead of a seeded RNG so a DuckDB oracle replays the identical
+    signature pipeline (the ``seed`` parameter namespaces the constants)."""
 
     def __init__(self, num_perm: int = 64, seed: int = 42, ngram: int = 3):
-        rng = np.random.RandomState(seed)
-
-        def draw64(n):
-            hi = rng.randint(0, 1 << 32, n).astype(np.uint64)
-            lo = rng.randint(0, 1 << 32, n).astype(np.uint64)
-            return (hi << np.uint64(32)) | lo
-
-        self.a = draw64(num_perm) | np.uint64(1)  # odd multipliers
-        self.b = draw64(num_perm)
+        ns = "" if seed == 42 else f"{seed}:"
+        self.a = np.array(
+            [md5_u64(f"{ns}a:{i}") | 1 for i in range(num_perm)], np.uint64
+        )
+        self.b = np.array(
+            [md5_u64(f"{ns}b:{i}") for i in range(num_perm)], np.uint64
+        )
         self.num_perm = num_perm
         self.ngram = ngram
 
@@ -138,15 +156,19 @@ def minhash_lsh_pairs(
             for b in range(bands):
                 band = sig[b * rows_per_band : (b + 1) * rows_per_band]
                 out_band.append(b)
+                # md5 over decimal-joined band values: SQL-replayable
+                # (string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i))
                 out_hash.append(
-                    zlib.crc32(band.tobytes()) & 0x7FFFFFFF
+                    hashlib.md5(
+                        ":".join(str(int(v)) for v in band).encode()
+                    ).hexdigest()
                 )
                 out_id.append(i)
                 out_sig.append(sig_bytes)
         return pa.table(
             {
                 "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
+                "band_hash": pa.array(out_hash, pa.string()),
                 "id": pa.array(out_id),
                 "sig": pa.array(out_sig, pa.binary()),
             }
@@ -157,7 +179,7 @@ def minhash_lsh_pairs(
     def bucket_key(batch: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(
             pc.cast(batch["band"], pa.string()),
-            pc.cast(batch["band_hash"], pa.string()),
+            batch["band_hash"],
             ":",
         )
         return batch.append_column("bucket", key)
@@ -171,6 +193,11 @@ def minhash_lsh_pairs(
         items = sorted(uniq.items())
         a_out, b_out, j_out = [], [], []
         # bucket sizes are tiny by construction; cap pathological buckets
+        if len(items) > 200:
+            _log_capped(
+                "minhash_lsh_pairs", group["bucket"][0].as_py(),
+                len(items), 200,
+            )
         items = items[:200]
         for x in range(len(items)):
             sx = np.frombuffer(items[x][1], np.uint64)
@@ -213,19 +240,17 @@ def minhash_lsh_pairs(
 # -- SimHash ---------------------------------------------------------------
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (crc-seeded, deterministic)."""
-    acc = np.zeros(64, np.int64)
-    for tok in _WORD_RE.findall((text or "").lower()):
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-        )
-        bits = np.array([(h >> i) & 1 for i in range(64)], np.int64)
-        acc += bits * 2 - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    """64-bit SimHash over word occurrences (token multiplicity counts).
+
+    Token hash = md5_u64 (SQL-replayable, see md5_u64); bit j of the
+    simhash is 1 iff sum over token occurrences of (2*bit_j(h)-1) > 0."""
+    toks = _WORD_RE.findall((text or "").lower())
+    if not toks:
+        return 0
+    hs = np.array([md5_u64(t) for t in toks], np.uint64)
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    acc = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
 def simhash_batch(batch: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
@@ -273,7 +298,12 @@ def simhash_pairs(ds, *, id_col="doc_id", text_col="text", max_hamming: int = 3)
 
     def pairs(group: pa.Table) -> pa.Table:
         items = sorted(set(zip(group["id"].to_pylist(),
-                               group["simhash"].to_pylist())))[:200]
+                               group["simhash"].to_pylist())))
+        if len(items) > 200:
+            _log_capped(
+                "simhash_pairs", group["bucket"][0].as_py(), len(items), 200
+            )
+        items = items[:200]
         a_out, b_out, d_out = [], [], []
         for x in range(len(items)):
             for y in range(x + 1, len(items)):
@@ -327,13 +357,23 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    num_planes: int = 12,
+    num_planes: int = 32,
+    bands: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    round_to: int = 6,
 ):
-    """Near-dup pairs by cosine similarity, LSH-bucketed (random signed
-    hyperplanes, seeded).  Verification computes exact cosine within bucket.
-    Scale path: bucket count 2^num_planes bounds group sizes."""
+    """Near-dup pairs by cosine similarity via BANDED hyperplane LSH.
+
+    ``num_planes`` seeded random hyperplanes are split into ``bands``
+    groups; two vectors are candidates when ALL planes of at least one band
+    agree (the OR-of-ANDs construction -- a single AND over many planes
+    loses recall fast as the angle grows, VERDICT r1).  With p =
+    angle/pi per-plane disagreement, miss probability per pair is
+    (1-(1-p)^(planes/bands))^bands.  Exact cosine verification inside each
+    bucket; pairs deduped across bands.  Scale: 2^(planes/bands) buckets
+    per band bound group sizes; hot buckets capped at 500 (logged)."""
+    rows_per_band = num_planes // bands
 
     state = {"planes": None}
 
@@ -344,43 +384,73 @@ def embedding_dup_pairs(
             rng = np.random.RandomState(seed)
             state["planes"] = rng.randn(d, num_planes)
         proj = mat @ state["planes"]
-        bits = (proj > 0).astype(np.int64)
-        bucket = (bits * (1 << np.arange(num_planes))).sum(axis=1)
+        bits = (proj > 0).astype(np.int64)  # (n, num_planes)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
-        return pa.table(
-            {
-                "bucket": pa.array(bucket, pa.int64()),
-                "id": batch[id_col],
-                "unit": pa.array(list(unit), pa.list_(pa.float64())),
-            }
-        )
+        ids = batch[id_col]
+        tabs = []
+        for b in range(bands):
+            band_bits = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
+            code = (band_bits * (1 << np.arange(rows_per_band))).sum(axis=1)
+            bucket = code + (b << (rows_per_band + 1))  # disjoint per band
+            tabs.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(bucket, pa.int64()),
+                        "id": ids,
+                        "unit": pa.array(list(unit), pa.list_(pa.float64())),
+                    }
+                )
+            )
+        return pa.concat_tables(tabs)
 
     def pairs(group: pa.Table) -> pa.Table:
         ids = group["id"].to_pylist()
         mat = np.array(group["unit"].to_pylist(), dtype=np.float64)
-        order = np.argsort(ids)
-        ids = [ids[i] for i in order]
-        mat = mat[order][:500]
-        ids = ids[:500]
+        # dedup ids within the bucket (same id can arrive in many blocks)
+        seen: dict = {}
+        for k, i in enumerate(ids):
+            seen.setdefault(i, k)
+        order = sorted(seen)
+        if len(order) > 500:
+            _log_capped(
+                "embedding_dup_pairs", int(group["bucket"][0].as_py()),
+                len(order), 500,
+            )
+        order = order[:500]
+        mat = mat[[seen[i] for i in order]]
         sims = mat @ mat.T
         a_out, b_out, s_out = [], [], []
-        n = len(ids)
-        iu = np.triu_indices(n, 1)
+        iu = np.triu_indices(len(order), 1)
         for x, y in zip(*iu):
             s = sims[x, y]
             if s >= threshold:
-                a_out.append(ids[x])
-                b_out.append(ids[y])
-                s_out.append(round(float(s), 6))
+                a_out.append(order[x])
+                b_out.append(order[y])
+                s_out.append(round(float(s), round_to))
         return pa.table(
             {"a": pa.array(a_out), "b": pa.array(b_out),
              "cosine": pa.array(s_out, pa.float64())}
         )
 
-    return (
+    cand = (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pairs, batch_format="pyarrow")
     )
+
+    # same pair can surface from multiple bands -> dedup on (a, b)
+    from ..stages.canonicalize import local_dedup
+
+    def key(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(batch["a"], pa.string()), pc.cast(batch["b"], pa.string()), "|"
+        )
+        return local_dedup(batch.append_column("pk", k), ["pk"])
+
+    out = cand.map_batches(key, batch_format="pyarrow")
+    out = out.groupby("pk").map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+    return out.drop_columns(["pk"])

@@ -60,6 +60,13 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _round6(x: np.ndarray) -> np.ndarray:
+    """Half-away-from-zero rounding to 6 decimals (for non-negative x):
+    floor(x*1e6 + 0.5)/1e6 -- the EXACT double arithmetic a SQL oracle can
+    replicate (np.round is half-to-even, which SQL engines don't expose)."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality signals per doc: ratios a filtering pipeline thresholds on."""
     texts = batch["text"].to_pylist()
@@ -82,9 +89,9 @@ def quality_batch(batch: pa.Table) -> pa.Table:
         {
             "doc_id": batch["doc_id"],
             "n_tokens": pa.array(n_tokens),
-            "punct_ratio": pa.array(np.round(punct_ratio, 6)),
-            "stop_ratio": pa.array(np.round(stop_ratio, 6)),
-            "mean_word_len": pa.array(np.round(mean_word_len, 6)),
+            "punct_ratio": pa.array(_round6(punct_ratio)),
+            "stop_ratio": pa.array(_round6(stop_ratio)),
+            "mean_word_len": pa.array(_round6(mean_word_len)),
         }
     )
 
