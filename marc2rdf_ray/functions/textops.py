@@ -245,3 +245,23 @@ def scan_last_match(pattern: str, s: str) -> Optional[str]:
     for m in _compile(pattern).finditer(s):
         last = m.group(0)
     return last
+
+
+def split_inverted_name(s: str) -> tuple[Optional[str], Optional[str], str]:
+    """A5 derived-attribute normalization: split a catalogue name at the
+    FIRST comma into (lastName, firstName, name), mirroring the reference's
+    normalize_creatornames.isql:10-22 bif: expressions exactly:
+
+    - lastName  = left(s, strchr(s, ','))          (before the comma, untrimmed)
+    - firstName = trim(subseq(s, pos+1))           (after the comma, trimmed)
+    - name      = trim(subseq(s,pos+1) + ' ' + left(s,pos))  (note: the
+      after-part is NOT individually trimmed inside the concat)
+
+    Names without a comma get only ``name = s`` (isql:29-43, the
+    'Chinese, Icelandic, etc.' fallback).  ``trim`` strips spaces only,
+    like Virtuoso's bif:trim default."""
+    if "," in s:
+        i = s.index(",")
+        before, after = s[:i], s[i + 1:]
+        return before, after.strip(" "), (after + " " + before).strip(" ")
+    return None, None, s

@@ -180,6 +180,7 @@ def run_kg_pipeline(
     num_partitions: Optional[int] = None,
     raw_checkpoint_dir: Optional[str] = None,
     checkpoint_mode: str = "disk",
+    preserve_src_prefixes: Optional[list] = None,
 ):
     """End-to-end flagship run.  Caller owns the Ray session.
 
@@ -251,4 +252,5 @@ def run_kg_pipeline(
         ruleset_hash=config.ruleset_hash(),
         input_paths=input_paths,
         dedup=True,
+        preserve_src_prefixes=preserve_src_prefixes,
     )

@@ -27,8 +27,19 @@ Semantics preserved (each with a file:line citation into /root/reference):
 - duplicate triples are NOT deduplicated here (converter-output semantics;
   dedup happens later on the canonical edge table, SURVEY.md §2.7 O3).
 
-Divergence (documented): language tags given as ":no" in mapping JSON are
-stored as "no" (the reference passes the raw string into RDF::Literal).
+Divergences (documented):
+
+- language tags given as ":no" in mapping JSON are stored as "no" (the
+  reference passes the raw string into RDF::Literal).
+- urlize options: this engine honors ``no_downcase`` / ``no_convert_spaces``
+  / ``regexp`` / ``"urlize": false`` as written in the mapping.  The
+  reference's live convert path does NOT forward them (RDFModeler#convert
+  passes only ``:downcase`` -- which urlize ignores -- rdfmodeler.rb:165,
+  and its has_key? check after delete_if treats ``"urlize": false`` as
+  enabled), so the reference always downcases, converts spaces and uses the
+  default regexp.  We consider the mapping author's intent authoritative;
+  mappings relying on the reference's option-dropping behavior must drop
+  the options themselves.  (ADVICE r1.)
 """
 
 from __future__ import annotations
@@ -90,15 +101,150 @@ def _norm_lang(lang: Optional[str]) -> Optional[str]:
     return lang[1:] if lang.startswith(":") else lang
 
 
+class MappingError(ValueError):
+    """A rule-set document violates the mapping grammar.  Raised at COMPILE
+    time: the reference validates only JSON well-formedness at its API
+    surface (mapping.rb:71-78), so a typo'd option silently dropped triples;
+    here a malformed mapping fails loudly before any data is touched."""
+
+
+_OBJECT_SPEC_KEYS = {
+    "datatype", "prefix", "lang", "regex_split", "urlize", "no_downcase",
+    "no_convert_spaces", "regexp", "regex_strip", "regex_substitute",
+    "substr_offset", "substr_length", "combine", "combinestring",
+}
+_DATATYPES = {"uri", "literal", "integer", "float"}
+
+
+def _err(path: str, msg: str) -> None:
+    raise MappingError(f"mapping{path}: {msg}")
+
+
+def _validate_object_spec(spec, path: str) -> None:
+    if not isinstance(spec, dict):
+        _err(path, f"object spec must be a dict, got {type(spec).__name__}")
+    unknown = set(spec) - _OBJECT_SPEC_KEYS
+    if unknown:
+        _err(path, f"unknown object option(s) {sorted(unknown)} "
+                   f"(known: {sorted(_OBJECT_SPEC_KEYS)})")
+    dt = spec.get("datatype")
+    if dt is not None and dt not in _DATATYPES:
+        _err(path, f"datatype {dt!r} not one of {sorted(_DATATYPES)}")
+    for k in ("substr_offset", "substr_length"):
+        if k in spec and not isinstance(spec[k], int):
+            _err(path, f"{k} must be an integer")
+    if "combine" in spec and not isinstance(spec["combine"], list):
+        _err(path, "combine must be a list of subfield codes")
+    for k in ("regex_split", "regex_strip", "regexp"):
+        if k in spec:
+            try:
+                re.compile(spec[k])
+            except (re.error, TypeError) as e:
+                _err(path, f"{k} is not a valid regex: {e}")
+
+
+def _validate_scan_rule(cv, path: str) -> None:
+    if not isinstance(cv, dict):
+        _err(path, "condition entry must be a dict")
+    if "subs" in cv and not isinstance(cv["subs"], dict):
+        _err(path, "subs must be a dict of match -> predicate")
+    if "orig" in cv:
+        try:
+            re.compile(cv["orig"])
+        except (re.error, TypeError) as e:
+            _err(path, f"orig is not a valid regex: {e}")
+
+
+def _validate_conditions(cond, path: str) -> None:
+    if not isinstance(cond, dict):
+        _err(path, "conditions must be a dict")
+    keys = set(cond)
+    if not keys <= {"subfield", "indicator"}:
+        _err(path, f"conditions keys must be 'subfield' or 'indicator', "
+                   f"got {sorted(keys)}")
+    if "subfield" in cond:
+        for ck, cv in cond["subfield"].items():
+            _validate_scan_rule(cv, f"{path}.subfield[{ck!r}]")
+    if "indicator" in cond:
+        ind = cond["indicator"]
+        if not isinstance(ind, dict):
+            _err(path, "indicator conditions must be a dict")
+        for k in set(ind) - {"indicator1", "indicator2", "default"}:
+            _err(path, f"unknown indicator key {k!r}")
+        for k in ("indicator1", "indicator2"):
+            if k in ind:
+                _validate_scan_rule(ind[k], f"{path}.indicator.{k}")
+
+
+def _validate_subfield_rule(sub, path: str) -> None:
+    if not isinstance(sub, dict):
+        _err(path, "subfield rule must be a dict")
+    if "object" in sub:
+        _validate_object_spec(sub["object"], f"{path}.object")
+    if "conditions" in sub:
+        _validate_conditions(sub["conditions"], f"{path}.conditions")
+    if "predicate" in sub and not isinstance(sub["predicate"], str):
+        _err(path, "predicate must be a string")
+    if "relation" in sub:
+        rel = sub["relation"]
+        if not isinstance(rel, dict) or "class" not in rel:
+            _err(f"{path}.relation", "relation requires a 'class'")
+        for code2, rs in (rel.get("subfield") or {}).items():
+            rp = f"{path}.relation.subfield[{code2!r}]"
+            if not isinstance(rs, dict) or "predicate" not in rs or "object" not in rs:
+                _err(rp, "relation subfield rules require 'predicate' and 'object'")
+            _validate_object_spec(rs["object"], f"{rp}.object")
+
+
+def validate_mapping(mapping: dict) -> None:
+    """Validate a rule-set document against the grammar the engine executes
+    (every key the engine reads; unknown object options are errors so typos
+    cannot silently drop triples).  Raises MappingError."""
+    if not isinstance(mapping, dict):
+        raise MappingError(
+            f"mapping must be a dict, got {type(mapping).__name__}"
+        )
+    tags = mapping.get("tags", mapping)
+    if not isinstance(tags, dict):
+        raise MappingError("mapping['tags'] must be a dict of tag -> rule")
+    for key, rule in tags.items():
+        path = f".tags[{key!r}]"
+        try:
+            re.compile(key)
+        except re.error as e:
+            _err(path, f"tag key is not a valid regex: {e}")
+        if not isinstance(rule, dict):
+            _err(path, "rule must be a dict")
+        if "subfield" in rule:
+            if not isinstance(rule["subfield"], dict):
+                _err(path, "'subfield' must be a dict of code -> rule")
+            for code, sub in rule["subfield"].items():
+                _validate_subfield_rule(sub, f"{path}.subfield[{code!r}]")
+        else:
+            for name, value in rule.items():
+                if isinstance(value, dict):
+                    if "object" in value:
+                        _validate_object_spec(
+                            value["object"], f"{path}.{name}.object"
+                        )
+                    if "relation" in value:
+                        rel = value["relation"]
+                        if not isinstance(rel, dict) or "class" not in rel:
+                            _err(f"{path}.{name}.relation",
+                                 "relation requires a 'class'")
+
+
 class RuleSet:
     """A compiled mapping document ``{"tags": {tag_regex: rule, ...}}``.
 
     Compiled ONCE per worker (module-level cache / actor __init__) -- the
     reference re-reads db/mappings.json per record (mapping.rb:8-25), which we
-    deliberately do not reproduce (SURVEY.md §2.4 T1).
+    deliberately do not reproduce (SURVEY.md §2.4 T1).  The document is
+    schema-validated at construction (validate_mapping; SURVEY.md §2.10).
     """
 
     def __init__(self, mapping: dict, vocab: Vocabulary = DEFAULT_VOCAB):
+        validate_mapping(mapping)
         self.mapping = mapping
         self.vocab = vocab
         tags = mapping.get("tags", mapping)  # accept bare tag dict too

@@ -137,11 +137,23 @@ def materialize_graph(
     extra: dict | None = None,
     dedup: bool = False,
     target_partition_bytes: int = 128 << 20,
+    preserve_src_prefixes: list[str] | None = None,
 ) -> RunManifest:
     """Write the edge table partitioned+sorted; returns the run manifest.
 
     Resume: when ``_manifest.json`` matches (same inputs, same rule set),
     the whole write is skipped and the prior manifest returned.
+
+    Preserve-on-update (``preserve_src_prefixes``): on a NON-matching
+    manifest (changed inputs or rules), edges from the previous output
+    whose ``src`` starts with one of the prefixes (e.g. ``enrich:``,
+    ``sameas:``) are carried forward into the new graph before the old
+    partitions are replaced -- the recompute analog of the reference's
+    ``preserve_on_update`` predicate lists and preserve-filtered DELETEs
+    (sparql_update.rb:30-78, clear_books_graph.isql:15-30; SURVEY.md §2.8
+    U2/U3/U6).  Requires the input dataset to carry the full 6-column
+    triples layout.  Combine with ``dedup=True`` so carried-forward edges
+    that the new run also produces collapse to one copy.
 
     Replace semantics: a non-matching manifest means FULL recompute -- all
     existing ``part=*`` directories are deleted before the write, so a run
@@ -173,11 +185,47 @@ def materialize_graph(
                 pass
         num_partitions = choose_num_partitions(in_bytes, target_partition_bytes)
 
+    # carry preserved edges forward BEFORE the old partitions are dropped
+    preserved = None
+    if preserve_src_prefixes and existing is not None and os.path.isdir(out_dir):
+        import ray.data as rd
+
+        part_files = [
+            os.path.join(out_dir, d, "edges.parquet")
+            for d in os.listdir(out_dir)
+            if d.startswith("part=")
+        ]
+        part_files = [p for p in part_files if os.path.isfile(p)]
+        prefixes = list(preserve_src_prefixes)
+
+        def keep_preserved(b: pa.Table) -> pa.Table:
+            cols = ["subj", "pred", "obj", "obj_kind", "lang", "src"]
+            if len(b) == 0 or "src" not in b.column_names:
+                return b.select([c for c in cols if c in b.column_names]).slice(0, 0)
+            src = pc.coalesce(b["src"], pa.scalar("", pa.string()))
+            mask = None
+            for p in prefixes:
+                m = pc.starts_with(src, pattern=p)
+                mask = m if mask is None else pc.or_(mask, m)
+            return b.filter(mask).select(cols)
+
+        if part_files:
+            preserved = (
+                rd.read_parquet(part_files)
+                .map_batches(keep_preserved, batch_format="pyarrow")
+                .materialize()  # must be off disk before the dirs go away
+            )
+            if preserved.count() == 0:
+                preserved = None
+
     # drop stale partitions from any previous run into this out_dir
     if os.path.isdir(out_dir):
         for d in os.listdir(out_dir):
             if d.startswith("part="):
                 shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+
+    if preserved is not None:
+        triples_ds = triples_ds.union(preserved)
 
     # coalesce the many small upstream blocks (one per extraction task)
     # before the shuffle: the sort exchange creates #blocks x #partitions

@@ -111,3 +111,80 @@ def test_duplicate_pages_share_content_triples(ray_session, pages_dir):
         return "\n".join(t.splitlines()[1:-1])
     assert body(texts[19]) == body(texts[18])
     assert body(texts[39]) == body(texts[38])
+
+
+def test_preserve_on_update_carries_enrichment_forward(ray_session, pages_dir, tmp_path):
+    """U2/U3/U6 semantics: edges with a preserved src prefix survive a
+    rules-changed recompute (sparql_update.rb:30-78 preserve lists)."""
+    import ray.data as rd
+
+    from marc2rdf_ray.pipelines.kg import run_kg_pipeline
+    from marc2rdf_ray.stages.materialize import materialize_graph
+
+    out_dir = str(tmp_path / "graph")
+    run_kg_pipeline(pages_dir, out_dir, PipelineConfig())
+
+    def read_edges():
+        parts = [
+            os.path.join(out_dir, d, "edges.parquet")
+            for d in os.listdir(out_dir)
+            if d.startswith("part=")
+        ]
+        return pq.read_table(parts[0]).schema, [
+            r for p in parts for r in pq.read_table(p).to_pylist()
+        ]
+
+    # inject an enrichment edge by materializing an extended graph into the
+    # same out_dir with a DIFFERENT ruleset hash (simulates the enrichment
+    # stage having run)
+    _, edges = read_edges()
+    enrich_row = {
+        "subj": edges[0]["subj"], "pred": "http://example.org/depiction",
+        "obj": "http://img.example.org/1.jpg", "obj_kind": "uri",
+        "lang": None, "src": "enrich:isbn:123",
+    }
+    extended = rd.from_items(edges + [enrich_row]).map_batches(
+        lambda b: b.select(["subj", "pred", "obj", "obj_kind", "lang", "src"]),
+        batch_format="pyarrow",
+    )
+    materialize_graph(
+        extended, out_dir, ruleset_hash="with-enrichment",
+        input_paths=[pages_dir], dedup=True,
+    )
+    _, edges2 = read_edges()
+    assert any(e["src"] == "enrich:isbn:123" for e in edges2)
+
+    # rules-changed recompute WITHOUT the enrichment stage: preserved
+    # prefix carries the edge forward; without the prefix it would vanish
+    manifest = run_kg_pipeline(
+        pages_dir, out_dir, PipelineConfig(prefix="changed_"),
+        preserve_src_prefixes=["enrich:"],
+    )
+    _, edges3 = read_edges()
+    kept = [e for e in edges3 if e["src"] == "enrich:isbn:123"]
+    assert len(kept) == 1
+    assert kept[0]["obj"] == "http://img.example.org/1.jpg"
+    assert manifest.ruleset_hash != "with-enrichment"
+
+
+def test_token_index_matcher_matches_regex_alternation(pages_dir):
+    """The large-dict token-index matcher must produce the SAME mention
+    multiset as the regex-alternation path on the corpus."""
+    from marc2rdf_ray.stages.link import EntityLinker, build_alias_dict
+
+    aliases = build_alias_dict()
+    rx = EntityLinker(aliases)                           # alternation path
+    ti = EntityLinker(aliases, token_index_threshold=0)  # token-index path
+    assert rx.pattern is not None and ti.matcher is not None
+
+    table = pq.read_table(os.path.join(pages_dir, "pages.parquet"))
+    from marc2rdf_ray.stages.extract import extract_text
+
+    checked = 0
+    for html in table["html"].to_pylist():
+        text = extract_text(html)
+        a = sorted(m for m in (x.group(1) for x in rx.pattern.finditer(text)))
+        b = sorted(ti.matcher.finditer_aliases(text))
+        assert a == b
+        checked += 1
+    assert checked > 100

@@ -307,3 +307,42 @@ class TestEngineSemantics:
         t = eng.convert(records[0])
         titles = [x for x in t if x[1] == "http://purl.org/dc/terms/title"]
         assert len(titles) == 2
+
+
+class TestMappingValidation:
+    """Schema validation at RuleSet construction (SURVEY.md §2.10): the
+    reference checks only JSON well-formedness (mapping.rb:71-78); a typo'd
+    option there silently drops triples, here it fails loudly."""
+
+    def test_reference_skeleton_validates(self):
+        import json
+
+        from marc2rdf_ray.rules import RuleSet
+
+        RuleSet(json.load(open(
+            "/root/reference/config/templates/mapping_skeleton.json")))
+
+    def test_malformed_mappings_raise(self):
+        import pytest
+
+        from marc2rdf_ray.rules import MappingError, RuleSet
+
+        bad = [
+            # typo'd object option
+            {"tags": {"245": {"subfield": {"a": {"object": {"sustr_offset": 3}}}}}},
+            # invalid datatype enum
+            {"tags": {"245": {"subfield": {"a": {"object": {"datatype": "int"}}}}}},
+            # tag key not a regex
+            {"tags": {"([": {}}},
+            # unknown conditions key
+            {"tags": {"245": {"subfield": {"a": {"conditions": {"typo": {}}}}}}},
+            # relation without class
+            {"tags": {"245": {"subfield": {"a": {"relation": {}}}}}},
+            # non-integer substr
+            {"tags": {"008": {"r": {"object": {"substr_offset": "21"}}}}},
+            # combine not a list
+            {"tags": {"245": {"subfield": {"a": {"object": {"combine": "ab"}}}}}},
+        ]
+        for m in bad:
+            with pytest.raises(MappingError):
+                RuleSet(m)

@@ -159,3 +159,25 @@ class TestRubyStrip:
     def test_ascii_whitespace_only(self):
         assert ruby_strip(" x ") == " x "  # nbsp not stripped
         assert ruby_strip(" \t x \n ") == "x"
+
+
+class TestSplitInvertedName:
+    """A5 normalize_creatornames.isql mirror."""
+
+    def test_inverted(self):
+        from marc2rdf_ray.functions.textops import split_inverted_name
+
+        assert split_inverted_name("Hamsun, Knut") == (
+            "Hamsun", "Knut", "Knut Hamsun")
+        # multiple commas: FIRST comma splits
+        assert split_inverted_name("de la Cruz, Juan, Jr.") == (
+            "de la Cruz", "Juan, Jr.", "Juan, Jr. de la Cruz")
+        # untrimmed before-part preserved in lastName
+        assert split_inverted_name(" Ibsen ,Henrik") == (
+            " Ibsen ", "Henrik", "Henrik  Ibsen")
+
+    def test_not_inverted(self):
+        from marc2rdf_ray.functions.textops import split_inverted_name
+
+        assert split_inverted_name("Halldór Laxness") == (
+            None, None, "Halldór Laxness")
