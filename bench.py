@@ -164,8 +164,11 @@ def main() -> None:
     pages_dir = ensure_corpus(n_pages)
 
     wall, triples, walls = run_headline(pages_dir)
-    queries = run_queries(SF_DIR)
-    queries["cc_microbench_1m_edges"] = round(cc_microbench(), 3)
+    if os.environ.get("M2R_BENCH_HEADLINE_ONLY"):
+        queries = {}
+    else:
+        queries = run_queries(SF_DIR)
+        queries["cc_microbench_1m_edges"] = round(cc_microbench(), 3)
 
     result = {
         "metric": (
@@ -225,7 +228,7 @@ def scaling() -> None:
         # one timed headline per arm (the warm-up pass below de-noises);
         # median-of-3 inside each arm would triple scaling wall time
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   M2R_BENCH_REPEATS="1")
+                   M2R_BENCH_REPEATS="1", M2R_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

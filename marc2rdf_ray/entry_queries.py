@@ -428,6 +428,16 @@ def events_json_props(sf_dir: str):
 
 # -- text ops --------------------------------------------------------------
 
+def events_sessions(sf_dir: str):
+    """Gap-based session windows (30 min) per user -- the custom windowed
+    aggregate (ops.windows.sessionize): one shuffle, vectorized per-bucket
+    pass, integer-cent money."""
+    from .ops.windows import sessionize
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return sessionize(ds)
+
+
 def docs_token_stats(sf_dir: str):
     from .ops.textstats import token_stats_batch
 
@@ -638,6 +648,26 @@ def multimodal_decode(sf_dir: str):
     return ds.map_batches(
         DecodeStub,
         fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+
+
+def multimodal_frames(sf_dir: str):
+    """Video frame sampling over the mixed synthetic media table: the
+    actor-pool flat-map row expansion (one row per sampled frame) with a
+    sha256-replay oracle."""
+    import ray.data as rd
+
+    from .ops.multimodal import FrameSampleStub, synth_media_table
+
+    ds = rd.from_arrow(
+        synth_media_table(120, kinds=("image", "audio", "video"))
+    )
+    return ds.map_batches(
+        FrameSampleStub,
+        fn_constructor_kwargs={"fake": True, "stride": 10},
         batch_format="pyarrow",
         batch_size=64,
         concurrency=2,
@@ -959,6 +989,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_top_types": events_top_types,
     "events_json_props": events_json_props,
+    "events_sessions": events_sessions,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
     "docs_quality": docs_quality,
@@ -982,6 +1013,7 @@ QUERIES = {
     "count_distinct_subjects": count_distinct_subjects,
     "marc_fixture_convert": marc_fixture_convert,
     "multimodal_decode": multimodal_decode,
+    "multimodal_frames": multimodal_frames,
 }
 
 def _kg_triples_sql_for(id_expr: str = "doc_id") -> str:
@@ -1105,6 +1137,28 @@ GROUP BY event_type ORDER BY cnt DESC, event_type ASC LIMIT 5
 SELECT event_type,
        CAST(SUM(CAST(COALESCE(regexp_extract(props, '[0-9]+'), '0') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
+""",
+    # session windows: lag-gap break flags, running-sum session ids
+    "events_sessions": """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+), lagd AS (
+  SELECT user_id, tus, vc,
+    CASE WHEN lag(tus) OVER w IS NULL
+           OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+), sess AS (
+  SELECT user_id, tus, vc,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagd
+)
+SELECT user_id, CAST(MIN(tus) AS BIGINT) AS session_start_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(vc) AS BIGINT) AS sum_value_cents
+FROM sess GROUP BY user_id, sid
 """,
     "docs_token_stats": r"""
 SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
@@ -1480,4 +1534,18 @@ SELECT CAST(t.i AS BIGINT) AS media_id,
        AS INTEGER) % 64) AS INTEGER) AS height,
   TRUE AS decode_ok
 FROM range(200) t(i)
+"""
+
+# video frame sampling: n_frames = 10 + byte4(sha256('42:i')) % 240 for the
+# video rows (i % 3 == 2 in the mixed table), stride 10
+ORACLE_SQL["multimodal_frames"] = """
+WITH m AS (
+  SELECT i, 10 + (CAST(('0x' || substr(sha256('42:' || CAST(i AS VARCHAR)), 9, 2))
+       AS INTEGER) % 240) AS nf
+  FROM range(120) t(i) WHERE i % 3 = 2
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(unnest(range(0, nf, 10)) AS INTEGER) AS frame_idx,
+       CAST(unnest(range(0, nf, 10)) * 40 AS INTEGER) AS frame_ts_ms
+FROM m
 """

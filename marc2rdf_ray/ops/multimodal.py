@@ -34,22 +34,40 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 _MAGIC = b"FAKEIMG1"
+_MAGIC_AUD = b"FAKEAUD1"
+_MAGIC_VID = b"FAKEVID1"
 
 
-def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media rows: payload = magic + w + h + blob."""
+def synth_media_table(
+    n: int, seed: int = 42, kinds: tuple = ("image",)
+) -> pa.Table:
+    """Deterministic fake media rows.  Payload headers (per kind):
+    image: magic + <w, h>;  audio: magic + <duration_ms>;
+    video: magic + <w, h, n_frames>.  Blob bytes are sha256-derived."""
     rows = []
     for i in range(n):
         h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        kind = kinds[i % len(kinds)]
         w, ht = 64 + h[0] % 64, 64 + h[1] % 64
+        if kind == "image":
+            payload = _MAGIC + struct.pack("<II", w, ht)
+            mime, dur = "image/fake", 0
+        elif kind == "audio":
+            dur = 1000 + int.from_bytes(h[2:4], "little") % 60000
+            payload = _MAGIC_AUD + struct.pack("<I", dur)
+            mime = "audio/fake"
+        else:  # video
+            nf = 10 + h[4] % 240
+            dur = nf * 40
+            payload = _MAGIC_VID + struct.pack("<III", w, ht, nf)
+            mime = "video/fake"
         blob = (h * ((w * ht) // len(h) + 1))[: w * ht // 16]
-        payload = _MAGIC + struct.pack("<II", w, ht) + blob
         rows.append(
             {
                 "media_id": i,
-                "kind": "image",
-                "payload": payload,
-                "mime": "image/fake",
+                "kind": kind,
+                "payload": payload + blob,
+                "mime": mime,
                 "width": 0,
                 "height": 0,
                 "duration_ms": 0,
@@ -94,6 +112,76 @@ class DecodeStub:
                 "width": pa.array(widths, pa.int32()),
                 "height": pa.array(heights, pa.int32()),
                 "decode_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+class ResizeStub:
+    """Actor-pool image-resize stage shape.  Real resizing needs codec
+    libraries absent here; ``fake=True`` emits the deterministic target
+    dimensions plus an md5 fingerprint of (payload, target) standing in
+    for resized bytes.  Call shape, schema and small batch size are the
+    real 100 TB plumbing: ds.map_batches(ResizeStub,
+    fn_constructor_kwargs={"fake": True, "target": (224, 224)},
+    batch_size=64, concurrency=N)."""
+
+    def __init__(self, fake: bool = False, target: tuple = (224, 224)):
+        if not fake:
+            raise NotImplementedError(
+                "image resize requires codec libraries not present in this "
+                "environment; construct with fake=True"
+            )
+        self.target = tuple(target)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w, h = self.target
+        out_digest = []
+        for p in batch["payload"].to_pylist():
+            out_digest.append(
+                hashlib.md5((p or b"") + struct.pack("<II", w, h)).hexdigest()
+            )
+        n = len(batch)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array([w] * n, pa.int32()),
+                "height": pa.array([h] * n, pa.int32()),
+                "resized_md5": pa.array(out_digest, pa.string()),
+            }
+        )
+
+
+class FrameSampleStub:
+    """Video frame-sampling stage shape: parses the fake video header and
+    emits every ``stride``-th frame index (flat_map row expansion -- one
+    output row per sampled frame, the real layout a downstream image model
+    consumes).  Real frame extraction is NOT implemented (no codecs)."""
+
+    def __init__(self, fake: bool = False, stride: int = 10):
+        if not fake:
+            raise NotImplementedError(
+                "video decode requires codec libraries not present in this "
+                "environment; construct with fake=True"
+            )
+        self.stride = max(1, stride)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, fidx, fts = [], [], []
+        for mid, p in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            if not p or p[:8] != _MAGIC_VID or len(p) < 20:
+                continue
+            _w, _h, nf = struct.unpack("<III", p[8:20])
+            for f in range(0, nf, self.stride):
+                mids.append(mid)
+                fidx.append(f)
+                fts.append(f * 40)
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "frame_ts_ms": pa.array(fts, pa.int32()),
             }
         )
 

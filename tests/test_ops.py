@@ -260,3 +260,78 @@ class TestCanonicalizeExtras:
         got = set(map(tuple, out[["k", "v"]].values.tolist()))
         want = {(f"key{i % 3}", f"val{i % 7}") for i in range(200)}
         assert got == want
+
+
+class TestWindows:
+    def test_sessionize_matches_naive(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import sessionize
+
+        # 3 users, crafted gaps around the 30-min boundary
+        rows = []
+        base = 1_700_000_000_000_000
+        for u, gaps in [(1, [0, 100, 1_800_000_001, 5]),      # 2 sessions
+                        (2, [0, 1_800_000_000]),               # exactly at gap: SAME session
+                        (3, [0])]:                             # singleton
+            t = base
+            for g in gaps:
+                t += g
+                rows.append({"user_id": u, "ts": t, "value": 1.25})
+        tab = pa.table(
+            {
+                "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r["ts"] for r in rows], pa.timestamp("us")
+                ),
+                "value": pa.array([r["value"] for r in rows], pa.float64()),
+            }
+        )
+        out = sessionize(rd.from_arrow(tab)).to_pandas().sort_values(
+            ["user_id", "session_start_us"]).reset_index(drop=True)
+        per_user = out.groupby("user_id").size().to_dict()
+        assert per_user == {1: 2, 2: 1, 3: 1}
+        u1 = out[out.user_id == 1]
+        assert list(u1["n_events"]) == [2, 2]
+        assert list(u1["sum_value_cents"]) == [250, 250]
+        assert int(out[out.user_id == 2]["n_events"].iloc[0]) == 2
+
+
+class TestMultimodalExtras:
+    def test_resize_and_frames_stub_plumbing(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.multimodal import (
+            FrameSampleStub,
+            ResizeStub,
+            synth_media_table,
+        )
+
+        # honest stubs: real decode paths raise without fake=True
+        with pytest.raises(NotImplementedError):
+            ResizeStub()
+        with pytest.raises(NotImplementedError):
+            FrameSampleStub()
+
+        tab = synth_media_table(90, kinds=("image", "audio", "video"))
+        assert set(tab["kind"].to_pylist()) == {"image", "audio", "video"}
+        ds = rd.from_arrow(tab)
+        resized = ds.map_batches(
+            ResizeStub, fn_constructor_kwargs={"fake": True, "target": (224, 224)},
+            batch_format="pyarrow", batch_size=32, concurrency=2,
+        ).to_pandas()
+        assert len(resized) == 90
+        assert set(resized["width"]) == {224}
+        assert resized["resized_md5"].nunique() == 90
+
+        frames = ds.map_batches(
+            FrameSampleStub, fn_constructor_kwargs={"fake": True, "stride": 10},
+            batch_format="pyarrow", batch_size=32, concurrency=2,
+        ).to_pandas()
+        # only video rows expand; frame indices stride-aligned
+        assert set(frames["media_id"]) <= set(range(2, 90, 3))
+        assert (frames["frame_idx"] % 10 == 0).all()
+        assert (frames["frame_ts_ms"] == frames["frame_idx"] * 40).all()
