@@ -42,6 +42,13 @@ ISBN_PRED = DEFAULT_VOCAB.resolve("BIBO.isbn")
 MANIFESTATION_PRED = DEFAULT_VOCAB.resolve("FABIO.isManifestationOf")
 CREATOR_PRED = DEFAULT_VOCAB.resolve("DC.creator")
 
+TRIPLE_COLS = ["subj", "pred", "obj", "obj_kind", "lang", "src"]
+
+
+def sameas_key_pred_for(config: "PipelineConfig") -> str:
+    """The shared-identifier predicate the sameAs stage joins on (J4)."""
+    return ISBN_PRED
+
 
 def derive_work_triples(triples: list[tuple], src: str) -> list[tuple]:
     """Per-record A1 propagation: attach the record's creators and isbns to
@@ -154,15 +161,23 @@ def extract_triples(
 
 
 def canonical_edges(raw_triples_ds, *, sameas_key_pred: str = ISBN_PRED,
-                    pre_dedup: bool = True):
+                    pre_dedup: bool = True, key_triples=None):
     """Raw triples -> canonical edge set: exact dedup + sameAs by shared
     identifier + symmetry closure (J4/J6).
 
     ``pre_dedup=False`` skips the standalone dedup shuffle and emits the
     raw union -- for consumers that dedup inside their own subject-hash
-    shuffle (materialize_graph(dedup=True)), saving an entire exchange."""
+    shuffle (materialize_graph(dedup=True)), saving an entire exchange.
+
+    ``key_triples``: optional pre-filtered dataset containing (at least)
+    every triple with ``pred == sameas_key_pred`` -- e.g. the ``pk=1``
+    partition of the raw checkpoint -- so the sameAs stage does not
+    re-scan the full converter output."""
     sameas = symmetry_closure(
-        sameas_by_shared_key(raw_triples_ds, sameas_key_pred),
+        sameas_by_shared_key(
+            key_triples if key_triples is not None else raw_triples_ds,
+            sameas_key_pred,
+        ),
         dedup=pre_dedup,
     )
     base = dedup_triples(raw_triples_ds) if pre_dedup else raw_triples_ds
@@ -227,6 +242,7 @@ def run_kg_pipeline(
     raw = extract_triples(
         pages_ds, config, alias_dict if link else None, concurrency=concurrency
     )
+    key_triples = None
     if checkpoint_mode == "memory":
         # pin raw triples in the object store: multiple canonicalization
         # branches read the SAME blocks, no disk round-trip.  The streaming
@@ -235,16 +251,41 @@ def run_kg_pipeline(
         # the job (it is also the finer-grained resume point).
         raw = raw.materialize()
     else:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         ckpt = raw_checkpoint_dir or os.path.join(out_dir, "_raw_triples")
         if os.path.isdir(ckpt):
             shutil.rmtree(ckpt)
-        raw.write_parquet(ckpt)
-        raw = rd.read_parquet(ckpt)
+
+        # checkpoint PARTITIONED on "is this a sameAs-key triple": the
+        # sameAs stage then reads only the pk=1 sliver (~1-2% of rows)
+        # instead of re-scanning the full converter output -- at 100 TB
+        # that second full pass is real money.  pk is a partition
+        # directory, not a data column, so the main re-read is unchanged.
+        def add_pk(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "pk",
+                pc.cast(
+                    pc.equal(b["pred"], pa.scalar(sameas_key_pred_for(config))),
+                    pa.int8(),
+                ),
+            )
+
+        raw.map_batches(add_pk, batch_format="pyarrow").write_parquet(
+            ckpt, partition_cols=["pk"]
+        )
+        raw = rd.read_parquet(ckpt, columns=TRIPLE_COLS)
+        pk1 = os.path.join(ckpt, "pk=1")
+        if os.path.isdir(pk1):
+            key_triples = rd.read_parquet(pk1, columns=TRIPLE_COLS)
+        else:  # no key triples at all -> empty sameAs input
+            key_triples = raw.limit(0)
 
     # dedup rides the materialize subject-hash shuffle (dedup=True):
     # every copy of a triple lands in the same partition, so the pipeline
     # needs only ONE big exchange after extraction.
-    edges = canonical_edges(raw, pre_dedup=False)
+    edges = canonical_edges(raw, pre_dedup=False, key_triples=key_triples)
     return materialize_graph(
         edges,
         out_dir,
