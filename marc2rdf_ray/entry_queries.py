@@ -604,6 +604,22 @@ def ann_lsh_topk(sf_dir: str):
     return lsh_topk(emb, ids, mat, k=10)
 
 
+def ann_ivf_topk(sf_dir: str):
+    """IVF-flat top-k: coarse centroids = embeddings with vec_id < 16,
+    nprobe=2; the oracle replays the integer-exact list assignment."""
+    import pyarrow.parquet as pq
+
+    from .ops.ann import ivf_topk
+
+    ids, mat = _query_vectors(sf_dir)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(pc.less(pc.field("vec_id"), 16)).sort_by("vec_id")
+    cents = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(emb, ids, mat, cents, k=10, nprobe=2)
+
+
 def embeddings_by_label(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1001,6 +1017,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embeddings_by_label": embeddings_by_label,
     "reverse_records": reverse_records,
     "distinct_flag_ship_months": distinct_flag_ship_months,
@@ -1356,6 +1373,39 @@ SELECT a.vid AS a, b.vid AS b,
   ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
 FROM aug a JOIN aug b ON a.vid < b.vid
 WHERE list_cosine_similarity(a.v, b.v) >= 0.98
+""",
+    # IVF-flat replay: integer-quantized L2 assignment to centroid vectors
+    # (vec_id < 16), nprobe=2 nearest lists per query, exact cosine rerank.
+    "ann_ivf_topk": """
+WITH qv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < 16
+), dist AS (
+  SELECT qv.vec_id, cent.cid,
+    list_aggregate(list_transform(generate_series(1, 64),
+      d -> (qv.q[d] - cent.cq[d]) * (qv.q[d] - cent.cq[d])), 'sum') AS d2
+  FROM qv CROSS JOIN cent
+), assign AS (
+  SELECT vec_id, cid FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+), qprobe AS (
+  SELECT vec_id AS qid, cid FROM dist WHERE vec_id < 8
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= 2
+), cand AS (
+  SELECT qp.qid, a.vec_id FROM qprobe qp JOIN assign a ON a.cid = qp.cid
+)
+SELECT c.qid, c.vec_id,
+  ROUND(list_cosine_similarity(e.v, qe.v), 4) AS score
+FROM cand c
+JOIN qv e ON e.vec_id = c.vec_id
+JOIN qv qe ON qe.vec_id = c.qid
+QUALIFY row_number() OVER (
+  PARTITION BY c.qid
+  ORDER BY ROUND(list_cosine_similarity(e.v, qe.v), 4) DESC, c.vec_id ASC) <= 10
 """,
     # Full LSH replay: integer-quantized (floor(x*2^20+0.5)) md5-sign-plane
     # bucket codes, hamming<=1 multi-probe candidates, exact rerank.

@@ -114,6 +114,90 @@ def _quantize(mat: np.ndarray) -> np.ndarray:
     return np.floor(mat * _QUANT + 0.5).astype(np.int64)
 
 
+def ivf_topk(
+    ds,
+    query_ids: list[int],
+    query_mat: np.ndarray,
+    centroid_mat: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+):
+    """IVF-flat approximate top-k: vectors are assigned to their nearest
+    coarse centroid (inverted lists); a query searches only the ``nprobe``
+    nearest lists, with exact cosine rerank.
+
+    Assignment uses INTEGER-quantized L2 (floor(x*2^20+0.5), int64 sums:
+    order-free, overflow-safe at 64 dims) so list membership is
+    bit-identical across numpy and a SQL oracle -- float L2 argmin can
+    flip on summation-order ulps.  Centroids here are sampled data vectors
+    (IVF with random init, no Lloyd refinement -- the standard cheap
+    variant); at scale you'd train them on a sample and broadcast, which
+    changes nothing structurally.  Shuffle volume: k rows per query per
+    batch (same partial-top-k merge as brute_topk), centroids broadcast."""
+    import ray
+
+    cq = _quantize(np.asarray(centroid_mat, np.float64))  # (C, d)
+    qmat = np.asarray(query_mat, dtype=np.float64)
+
+    def assign(q: np.ndarray) -> np.ndarray:
+        # (n, C) integer squared distances; argmin = first (lowest cid) tie
+        d2 = ((q[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
+        return d2
+
+    qq = _quantize(qmat)
+    qd2 = assign(qq)
+    # nprobe nearest lists per query, ties -> lower centroid id
+    order = np.lexsort((np.tile(np.arange(cq.shape[0]), (len(qq), 1)), qd2))
+    probe_sets = [set(order[i, :nprobe].tolist()) for i in range(len(qq))]
+    ref = ray.put(
+        {"qid": list(query_ids), "mat": qmat, "probe": probe_sets, "cq": cq}
+    )
+
+    class Scorer:
+        def __init__(self):
+            q = ray.get(ref)
+            self.qids = q["qid"]
+            self.qunit = _unit(q["mat"])
+            self.probe = q["probe"]
+            self.cq = q["cq"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist())
+            raw = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            d2 = ((_quantize(raw)[:, None, :] - self.cq[None, :, :]) ** 2).sum(axis=2)
+            cid = np.argmin(d2, axis=1)  # first occurrence = lowest cid
+            mat = _unit(raw)
+            out_q, out_id, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                probe = self.probe[qi]
+                sel = np.array([c in probe for c in cid])
+                if not sel.any():
+                    continue
+                sims = mat[sel] @ self.qunit[qi]
+                for i, s in zip(ids[sel], sims):
+                    out_q.append(int(qid))
+                    out_id.append(int(i))
+                    out_s.append(round(float(s), 4))
+            return pa.table(
+                {
+                    "qid": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_id, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partial = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("score", "descending"), ("vec_id", "ascending")])
+        return t.slice(0, k)
+
+    return partial.groupby("qid").map_groups(merge, batch_format="pyarrow")
+
+
 def lsh_topk(
     ds,
     query_ids: list[int],

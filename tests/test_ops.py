@@ -159,6 +159,31 @@ class TestANN:
             recalls.append(len(a & b) / len(b))
         assert sum(recalls) / len(recalls) >= 0.5
 
+    def test_ivf_recall_reasonable(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.ann import brute_topk, ivf_topk
+
+        rng = np.random.RandomState(3)
+        # clustered data so inverted lists are meaningful
+        centers = rng.randn(8, 16) * 4
+        mat = np.vstack([centers[i % 8] + rng.randn(16) for i in range(400)])
+        rows = [
+            {"vec_id": i, "embedding": list(map(float, mat[i]))}
+            for i in range(400)
+        ]
+        ds = rd.from_items(rows)
+        qids = [0, 1, 2, 3]
+        cents = mat[:16]
+        brute = brute_topk(ds, qids, mat[:4], k=10).to_pandas()
+        approx = ivf_topk(ds, qids, mat[:4], cents, k=10, nprobe=3).to_pandas()
+        recalls = []
+        for qi in qids:
+            b = set(brute[brute["qid"] == qi]["vec_id"])
+            a = set(approx[approx["qid"] == qi]["vec_id"])
+            recalls.append(len(a & b) / len(b))
+        assert sum(recalls) / len(recalls) >= 0.6
+
 
 class TestTextStats:
     def test_token_counts(self):
