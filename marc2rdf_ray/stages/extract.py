@@ -44,6 +44,16 @@ from ..model import FIELDS_TYPE, Field, Record
 
 _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
 
+
+def _collapse(s: str) -> str:
+    """_WS_RE.sub(' ', s).strip(), C-speed: for ASCII strings
+    ``' '.join(s.split())`` is byte-identical (Python's ASCII whitespace
+    set == the regex class); non-ASCII falls back to the regex so unicode
+    whitespace (e.g. NBSP from &nbsp;) keeps its exact semantics."""
+    if s.isascii():
+        return " ".join(s.split())
+    return _WS_RE.sub(" ", s).strip()
+
 _BLOCK_TAGS = {
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
     "br", "tr", "table", "section", "article", "header", "footer", "nav",
@@ -54,6 +64,10 @@ _SKIP_TAGS = {"script", "style", "noscript", "template"}
 
 class _TextAndFields(HTMLParser):
     """Single-pass extractor: visible body text + structured fields."""
+
+    # only these tags' attributes are ever read; the fast tokenizer skips
+    # attribute parsing for everything else (ATTR_TAGS protocol)
+    ATTR_TAGS = frozenset(("html", "meta", "a"))
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -106,14 +120,14 @@ class _TextAndFields(HTMLParser):
             return
         if tag == "title":
             self._in_title = False
-            self.title = _WS_RE.sub(" ", "".join(self._title_buf)).strip()
+            self.title = _collapse("".join(self._title_buf))
         if tag in ("h1", "h2", "h3") and self._heading_tag == tag:
-            text = _WS_RE.sub(" ", "".join(self._heading_buf)).strip()
+            text = _collapse("".join(self._heading_buf))
             if text:
                 self.headings.append((tag, text))
             self._heading_tag = None
         if tag == "a" and self._anchor_href is not None:
-            text = _WS_RE.sub(" ", "".join(self._anchor_buf)).strip()
+            text = _collapse("".join(self._anchor_buf))
             self.anchors.append((self._anchor_href, text))
             self._anchor_href = None
         if tag == "body":
@@ -137,7 +151,7 @@ class _TextAndFields(HTMLParser):
 
     def _flush_line(self):
         if self._buf:
-            line = _WS_RE.sub(" ", "".join(self._buf)).strip()
+            line = _collapse("".join(self._buf))
             if line:
                 self.lines.append(line)
             self._buf = []
