@@ -958,6 +958,51 @@ def docs_without_blocked_content(sf_dir: str):
     return out.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
 
 
+def docs_harvest_enrich(sf_dir: str):
+    """Config-driven XML harvester over the doc triples: the response
+    table (the network snapshot) is synthesized deterministically from the
+    documents table, keyed by the harvest URL template; each response
+    carries the doc's source wrapped in XML, extracted back by xpath."""
+    import pyarrow.parquet as pq
+
+    from .stages.harvest import harvest_triples
+
+    config = {
+        "id": "docsrc",
+        "url": {"prefix": "http://authority.example.org/doc/", "suffix": ".xml"},
+        "local": {"subject": "doc", "predicate": "DC.identifier"},
+        "remote": {
+            "predicates": {
+                "DC.source": {"datatype": "literal", "xpath": "//src"},
+            },
+            "namespaces": {},
+        },
+        "limits": {"max_limit": 10},
+    }
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    responses = {
+        f"http://authority.example.org/doc/{i}.xml": f"<r><src>{s}</src></r>"
+        for i, s in zip(t["doc_id"].to_pylist(), t["source"].to_pylist())
+    }
+    out = harvest_triples(kg_triples_full(sf_dir), config, responses)
+    return out.map_batches(
+        lambda b: b.select(["subj", "pred", "obj"]), batch_format="pyarrow"
+    )
+
+
+def kg_triples_full(sf_dir: str):
+    """kg_triples with the full 6-column layout (lang/src) for stages that
+    require provenance columns."""
+    return kg_triples(sf_dir).map_batches(
+        lambda b: b.append_column(
+            "lang", pa.nulls(len(b), pa.string())
+        ).append_column("src", b["subj"]),
+        batch_format="pyarrow",
+    )
+
+
 def normalize_creator_names(sf_dir: str):
     """A5 derived-attribute normalization (normalize_creatornames.isql):
     catalogue-style names synthesized deterministically from document
@@ -1027,6 +1072,7 @@ QUERIES = {
     "docs_enriched_labels": docs_enriched_labels,
     "docs_without_blocked_content": docs_without_blocked_content,
     "normalize_creator_names": normalize_creator_names,
+    "docs_harvest_enrich": docs_harvest_enrich,
     "count_distinct_subjects": count_distinct_subjects,
     "marc_fixture_convert": marc_fixture_convert,
     "multimodal_decode": multimodal_decode,
@@ -1476,6 +1522,14 @@ FROM documents a JOIN documents b
 """,
     "count_distinct_subjects": """
 SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_subjects FROM documents
+""",
+    # harvester enrichment: one DC.source triple per doc extracted back out
+    # of the synthesized XML responses
+    "docs_harvest_enrich": """
+SELECT 'http://data.example.org/doc/' || CAST(doc_id AS VARCHAR) AS subj,
+       'http://purl.org/dc/terms/source' AS pred,
+       source AS obj
+FROM documents
 """,
     # A5: split at FIRST comma; before-part untrimmed into last_name, the
     # concat for name trims only at the ends (normalize_creatornames.isql)

@@ -111,3 +111,96 @@ class TestIncrementalWindow:
         s, u = daily_window(dt.datetime(2026, 8, 17, 15, 30))
         assert s == dt.datetime(2026, 8, 16)
         assert u == dt.datetime(2026, 8, 17)
+
+
+class TestHarvester:
+    """Config-driven XML harvester (batch_harvest.rb fetch surface with the
+    network replaced by a keyed response table)."""
+
+    CONFIG = {
+        "id": "xisbn",
+        "protocol": "http",
+        "url": {
+            "prefix": "http://xisbn.example.org/isbn/",
+            "suffix": "?method=getEditions&format=xml",
+        },
+        "local": {"subject": "edition", "predicate": "BIBO.isbn"},
+        "remote": {
+            "predicates": {
+                "BIBO.isbn": {"datatype": "literal", "xpath": "//xmlns:isbn"},
+                "FOAF.depiction": {
+                    "datatype": "uri",
+                    "xpath": "//xmlns:cover",
+                    "regex_strip": r"\?size=\w+",
+                },
+            },
+            "namespaces": {},
+        },
+        "limits": {"max_limit": "5"},
+    }
+
+    def test_extracts_reference_fixture(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.stages.harvest import harvest_triples
+        from marc2rdf_ray.vocab import DEFAULT_VOCAB
+
+        xml = open("/root/reference/spec/example.harvestresponse.xml").read()
+        url = ("http://xisbn.example.org/isbn/9788203192128"
+               "?method=getEditions&format=xml")
+        triples = rd.from_items([
+            {"subj": "http://ex.org/ed/1",
+             "pred": DEFAULT_VOCAB.resolve("BIBO.isbn"),
+             "obj": "9788203192128", "obj_kind": "literal",
+             "lang": None, "src": "http://ex.org/ed/1"},
+            {"subj": "http://ex.org/ed/1", "pred": "http://other/pred",
+             "obj": "x", "obj_kind": "literal", "lang": None,
+             "src": "http://ex.org/ed/1"},
+        ])
+        out = harvest_triples(
+            triples, self.CONFIG, {url: xml}
+        ).to_pandas()
+        isbns = out[out["pred"] == DEFAULT_VOCAB.resolve("BIBO.isbn")]
+        # max_limit=5 caps the fixture's long isbn list
+        assert len(isbns) == 5
+        assert isbns["obj"].iloc[0] == "9788770530934"
+        assert (out["src"] == "harvest:xisbn:9788203192128").all()
+
+    def test_regex_strip_and_uri_coercion(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.stages.harvest import harvest_triples
+        from marc2rdf_ray.vocab import DEFAULT_VOCAB
+
+        xml = (
+            '<rsp xmlns="http://worldcat.org/xid/isbn/">'
+            "<cover>http://img.example.org/c/1.jpg?size=large</cover>"
+            "<cover>  </cover>"
+            "</rsp>"
+        )
+        url = ("http://xisbn.example.org/isbn/123"
+               "?method=getEditions&format=xml")
+        triples = rd.from_items([
+            {"subj": "http://ex.org/ed/2",
+             "pred": DEFAULT_VOCAB.resolve("BIBO.isbn"),
+             "obj": "123", "obj_kind": "literal", "lang": None,
+             "src": "http://ex.org/ed/2"},
+        ])
+        out = harvest_triples(triples, self.CONFIG, {url: xml}).to_pandas()
+        dep = out[out["pred"] == DEFAULT_VOCAB.resolve("FOAF.depiction")]
+        assert list(dep["obj"]) == ["http://img.example.org/c/1.jpg"]
+        assert list(dep["obj_kind"]) == ["uri"]
+
+    def test_sparql_list_config_rejected(self):
+        import json
+
+        import pytest
+
+        from marc2rdf_ray.stages.harvest import HarvesterConfig
+
+        docs = json.load(open("/root/reference/config/templates/harvest.json"))
+        with pytest.raises(ValueError):
+            HarvesterConfig(docs[0])  # sparql list-style
+        cfg = HarvesterConfig(docs[1])  # xpath dict-style parses
+        assert cfg.url_prefix.startswith("http://xisbn.worldcat.org/")
+        assert cfg.max_limit == 10
