@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.hashing import bucket_codes
-from ..functions.ntriples import format_batch
+from ..functions.ntriples import format_batch_arrow
 from ..state.manifest import (
     RunManifest,
     input_signature,
@@ -81,13 +81,7 @@ def write_sorted_partition(
     data = group.drop_columns([PART_COL])
     pq.write_table(data, os.path.join(pdir, "edges.parquet"))
 
-    lines = format_batch(
-        data["subj"].to_pylist(),
-        data["pred"].to_pylist(),
-        data["obj"].to_pylist(),
-        data["obj_kind"].to_pylist(),
-        data["lang"].to_pylist() if "lang" in data.column_names else [None] * len(data),
-    )
+    lines = format_batch_arrow(data)  # vectorized; invalid statements skipped
     # gzip level 1: ~6x smaller NT -> serial disk IO becomes parallel CPU
     # (each partition task compresses its own shard); plain-text NT is one
     # `zcat` away, and bulk loaders read .nt.gz natively.

@@ -46,3 +46,53 @@ class TestTriples:
         assert format_triple("", "http://p", "o", "literal") is None
         assert format_triple("http://s", "", "o", "literal") is None
         assert format_triple("http://s", "http://p", None, "literal") is None
+
+
+class TestFormatBatchArrow:
+    """Vectorized formatter must match the row-wise reference exactly."""
+
+    def test_differential_random(self):
+        import random
+
+        import pyarrow as pa
+
+        from marc2rdf_ray.functions.ntriples import (
+            format_batch,
+            format_batch_arrow,
+        )
+
+        rng = random.Random(7)
+        kinds = ["uri", "literal", "integer", "float"]
+        weird = ["ok", 'quo"te', "back\\slash", "new\nline", "tab\there",
+                 "space in uri", "<angle>", "", "fin{e}", "café"]
+        rows = []
+        for i in range(500):
+            rows.append({
+                "subj": rng.choice(["http://ex.org/s", "bad uri", "",
+                                    "http://ex.org/s2"]),
+                "pred": rng.choice(["http://ex.org/p", "http://ex.org/p2",
+                                    "no`tick"]),
+                "obj": rng.choice(weird + [None]),
+                "obj_kind": rng.choice(kinds),
+                "lang": rng.choice([None, "", "no", "en"]),
+            })
+        tab = pa.Table.from_pylist(rows)
+        want = format_batch(
+            [r["subj"] for r in rows], [r["pred"] for r in rows],
+            [r["obj"] for r in rows], [r["obj_kind"] for r in rows],
+            [r["lang"] for r in rows],
+        )
+        got = format_batch_arrow(tab)
+        assert got == want
+        assert len(got) > 50  # meaningful sample survived
+
+    def test_empty(self):
+        import pyarrow as pa
+
+        from marc2rdf_ray.functions.ntriples import format_batch_arrow
+
+        tab = pa.table({"subj": pa.array([], pa.string()),
+                        "pred": pa.array([], pa.string()),
+                        "obj": pa.array([], pa.string()),
+                        "obj_kind": pa.array([], pa.string())})
+        assert format_batch_arrow(tab) == []
