@@ -188,3 +188,16 @@ def test_token_index_matcher_matches_regex_alternation(pages_dir):
         assert a == b
         checked += 1
     assert checked > 100
+
+
+def test_choose_num_partitions_scales_with_input(ray_session):
+    from marc2rdf_ray.stages.materialize import choose_num_partitions
+
+    small = choose_num_partitions(1 << 20)            # 1 MiB input
+    big = choose_num_partitions(100 << 30)            # 100 GiB input
+    huge = choose_num_partitions(100 << 40)           # 100 TiB input
+    assert small >= 16                                # parallelism floor
+    assert big > small                                # scales with bytes
+    # 100 GiB * 3x expansion / 128 MiB target = 2400 partitions
+    assert 2000 <= big <= 3000
+    assert huge <= 65536                              # bounded above
