@@ -238,6 +238,7 @@ def run_kg_pipeline(
     else:
         pages_ds = pages_path
         input_paths = []
+        sig = ""
 
     raw = extract_triples(
         pages_ds, config, alias_dict if link else None, concurrency=concurrency
@@ -255,26 +256,49 @@ def run_kg_pipeline(
         import pyarrow.compute as pc
 
         ckpt = raw_checkpoint_dir or os.path.join(out_dir, "_raw_triples")
-        if os.path.isdir(ckpt):
-            shutil.rmtree(ckpt)
+        # crashed-run resume for the EXTRACTION phase: a completion marker
+        # (written after write_parquet returns) certifies the checkpoint
+        # matches (inputs, rules); a matching marker skips re-extraction
+        # entirely -- the dominant cost of a restart.
+        ckpt_sig = f"{sig}:{config.ruleset_hash()}" if sig else ""
+        marker = ckpt + ".complete"
+        ckpt_ok = False
+        if ckpt_sig and os.path.isdir(ckpt):
+            try:
+                with open(marker) as f:
+                    ckpt_ok = f.read().strip() == ckpt_sig
+            except OSError:
+                ckpt_ok = False
+        if not ckpt_ok:
+            if os.path.isdir(ckpt):
+                shutil.rmtree(ckpt)
+            if os.path.exists(marker):
+                os.remove(marker)
 
-        # checkpoint PARTITIONED on "is this a sameAs-key triple": the
-        # sameAs stage then reads only the pk=1 sliver (~1-2% of rows)
-        # instead of re-scanning the full converter output -- at 100 TB
-        # that second full pass is real money.  pk is a partition
-        # directory, not a data column, so the main re-read is unchanged.
-        def add_pk(b: pa.Table) -> pa.Table:
-            return b.append_column(
-                "pk",
-                pc.cast(
-                    pc.equal(b["pred"], pa.scalar(sameas_key_pred_for(config))),
-                    pa.int8(),
-                ),
+            # checkpoint PARTITIONED on "is this a sameAs-key triple": the
+            # sameAs stage then reads only the pk=1 sliver (~1-2% of rows)
+            # instead of re-scanning the full converter output -- at 100 TB
+            # that second full pass is real money.  pk is a partition
+            # directory, not a data column, so the main re-read is unchanged.
+            def add_pk(b: pa.Table) -> pa.Table:
+                return b.append_column(
+                    "pk",
+                    pc.cast(
+                        pc.equal(
+                            b["pred"], pa.scalar(sameas_key_pred_for(config))
+                        ),
+                        pa.int8(),
+                    ),
+                )
+
+            raw.map_batches(add_pk, batch_format="pyarrow").write_parquet(
+                ckpt, partition_cols=["pk"]
             )
-
-        raw.map_batches(add_pk, batch_format="pyarrow").write_parquet(
-            ckpt, partition_cols=["pk"]
-        )
+            if ckpt_sig:
+                tmp = marker + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(ckpt_sig)
+                os.replace(tmp, marker)
         raw = rd.read_parquet(ckpt, columns=TRIPLE_COLS)
         pk1 = os.path.join(ckpt, "pk=1")
         if os.path.isdir(pk1):

@@ -44,7 +44,8 @@ def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
 
 
 def write_sorted_partition(
-    group: pa.Table, out_dir: str, dedup: bool = False
+    group: pa.Table, out_dir: str, dedup: bool = False,
+    run_sig: str = "",
 ) -> pa.Table:
     """Per-partition writer task: (optionally dedup,) sort within partition,
     write Parquet + NT.
@@ -52,6 +53,15 @@ def write_sorted_partition(
     Runs inside ``groupby(part).map_groups`` -- each partition is one task,
     output files are deterministic per partition id, so re-running
     overwrites idempotently (K2's append replaced by partition overwrite).
+
+    PARTITION-LEVEL RESUME (``run_sig``): the last write per partition is
+    an atomic ``_sig`` marker carrying the run signature.  A re-run of a
+    CRASHED job (same inputs/rules/partitioning => same signature) skips
+    the sort+write for partitions whose marker matches -- partition
+    content is deterministic given (inputs, rules), so the existing files
+    are exactly what this task would produce.  Writes are tmp+rename and
+    the marker is written LAST, so a killed task can never leave a marked
+    partial partition.
 
     ``dedup=True`` makes the partition shuffle double as the GLOBAL exact
     triple dedup: every copy of a triple shares its subject, hence its
@@ -61,6 +71,21 @@ def write_sorted_partition(
     from .canonicalize import TRIPLE_KEY_COLS, local_dedup
 
     part = int(group[PART_COL][0].as_py())
+    pdir = os.path.join(out_dir, f"part={part:05d}")
+    sig_path = os.path.join(pdir, "_sig")
+    if run_sig:
+        try:
+            with open(sig_path) as f:
+                if f.read().strip() == run_sig:
+                    rows = pq.read_metadata(
+                        os.path.join(pdir, "edges.parquet")
+                    ).num_rows
+                    return pa.table(
+                        {"part": pa.array([part], pa.int32()),
+                         "rows": pa.array([rows], pa.int64())}
+                    )
+        except OSError:
+            pass
     if dedup:
         # NB: PART_COL is constant within the group and must NOT be in the
         # key set -- pyarrow 16.1's grouper miscounts groups when a
@@ -75,11 +100,12 @@ def write_sorted_partition(
         )
     sort_keys = [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
     group = group.sort_by(sort_keys)
-    pdir = os.path.join(out_dir, f"part={part:05d}")
     os.makedirs(pdir, exist_ok=True)
 
     data = group.drop_columns([PART_COL])
-    pq.write_table(data, os.path.join(pdir, "edges.parquet"))
+    tmp_pq = os.path.join(pdir, ".edges.parquet.tmp")
+    pq.write_table(data, tmp_pq)
+    os.replace(tmp_pq, os.path.join(pdir, "edges.parquet"))
 
     lines = format_batch_arrow(data)  # vectorized; invalid statements skipped
     # gzip level 1: ~6x smaller NT -> serial disk IO becomes parallel CPU
@@ -92,6 +118,12 @@ def write_sorted_partition(
     with gzip.open(tmp, "wb", compresslevel=1) as f:
         f.write(payload)
     os.replace(tmp, os.path.join(pdir, "edges.nt.gz"))
+
+    if run_sig:  # marker LAST: presence certifies a complete partition
+        tmp_sig = sig_path + ".tmp"
+        with open(tmp_sig, "w") as f:
+            f.write(run_sig)
+        os.replace(tmp_sig, sig_path)
 
     return pa.table({"part": pa.array([part], pa.int32()),
                      "rows": pa.array([len(data)], pa.int64())})
@@ -149,12 +181,15 @@ def materialize_graph(
     triples layout.  Combine with ``dedup=True`` so carried-forward edges
     that the new run also produces collapse to one copy.
 
-    Replace semantics: a non-matching manifest means FULL recompute -- all
-    existing ``part=*`` directories are deleted before the write, so a run
-    with fewer partitions (or fewer touched subjects) cannot leave stale
-    partition files behind for globbing consumers.  Windowed/incremental
-    runs must therefore target their own out_dir (and merge explicitly),
-    never append into a previous run's directory.
+    Replace semantics: a non-matching manifest means recompute -- every
+    existing ``part=*`` directory whose ``_sig`` marker does not certify
+    THIS run's signature is deleted before the write, so a run with fewer
+    partitions (or fewer touched subjects) cannot leave stale partition
+    files behind for globbing consumers.  Directories whose marker DOES
+    match (a crashed run of the identical job) survive and their
+    sort+write is skipped -- partition-level resume.  Windowed/incremental
+    runs must target their own out_dir (and merge explicitly), never
+    append into a previous run's directory.
 
     ``num_partitions=None`` => adaptive via ``choose_num_partitions``
     (input-byte-scaled; fixed constants stop being valid the moment the
@@ -212,10 +247,27 @@ def materialize_graph(
             if preserved.count() == 0:
                 preserved = None
 
-    # drop stale partitions from any previous run into this out_dir
+    # partition-resume signature: identical (inputs, rules, partitioning)
+    # => identical deterministic partition content
+    run_sig = (
+        f"{sig}:{ruleset_hash}:{num_partitions}:{int(dedup)}" if sig else ""
+    )
+
+    # drop stale partitions: anything whose _sig doesn't certify THIS run's
+    # signature (a crashed identical run's finished partitions survive and
+    # are skipped by the writer -- partition-level resume)
     if os.path.isdir(out_dir):
         for d in os.listdir(out_dir):
-            if d.startswith("part="):
+            if not d.startswith("part="):
+                continue
+            keep = False
+            if run_sig:
+                try:
+                    with open(os.path.join(out_dir, d, "_sig")) as f:
+                        keep = f.read().strip() == run_sig
+                except OSError:
+                    keep = False
+            if not keep:
                 shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
 
     if preserved is not None:
@@ -249,7 +301,9 @@ def materialize_graph(
         prep, batch_format="pyarrow"
     )
     counts_ds = parted.groupby(PART_COL).map_groups(
-        lambda g: write_sorted_partition(g, out_dir, dedup=dedup),
+        lambda g: write_sorted_partition(
+            g, out_dir, dedup=dedup, run_sig=run_sig
+        ),
         batch_format="pyarrow",
     )
     counts = {str(r["part"]): r["rows"] for r in counts_ds.take_all()}

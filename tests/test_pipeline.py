@@ -201,3 +201,65 @@ def test_choose_num_partitions_scales_with_input(ray_session):
     # 100 GiB * 3x expansion / 128 MiB target = 2400 partitions
     assert 2000 <= big <= 3000
     assert huge <= 65536                              # bounded above
+
+
+def test_partition_level_resume_after_crash(ray_session, pages_dir, tmp_path):
+    """A failed run's finished partitions are skipped on re-run; missing
+    ones are rebuilt; output is identical."""
+    import time
+
+    from marc2rdf_ray.pipelines.kg import run_kg_pipeline
+
+    out_dir = str(tmp_path / "graph")
+    m1 = run_kg_pipeline(pages_dir, out_dir, PipelineConfig())
+    parts = sorted(d for d in os.listdir(out_dir) if d.startswith("part="))
+    assert all(os.path.exists(os.path.join(out_dir, d, "_sig")) for d in parts)
+
+    def totals():
+        return {
+            d: pq.read_table(os.path.join(out_dir, d, "edges.parquet")).num_rows
+            for d in parts
+        }
+
+    before = totals()
+    # simulate a crash: manifest never written, one partition lost
+    os.remove(os.path.join(out_dir, "_manifest.json"))
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, parts[0]))
+    kept_mtime = os.path.getmtime(os.path.join(out_dir, parts[1], "edges.parquet"))
+    time.sleep(1.1)
+
+    m2 = run_kg_pipeline(pages_dir, out_dir, PipelineConfig())
+    assert m2.triple_count == m1.triple_count
+    assert totals() == before
+    # the surviving partition was NOT rewritten (resume skipped it)
+    assert os.path.getmtime(
+        os.path.join(out_dir, parts[1], "edges.parquet")
+    ) == kept_mtime
+    # the lost partition was rebuilt
+    assert os.path.exists(os.path.join(out_dir, parts[0], "edges.parquet"))
+
+
+def test_checkpoint_resume_skips_reextraction(ray_session, pages_dir, tmp_path):
+    """After a crash (manifest lost, checkpoint intact+marked), the re-run
+    reuses the raw checkpoint instead of re-extracting."""
+    import time
+
+    from marc2rdf_ray.pipelines.kg import run_kg_pipeline
+
+    out_dir = str(tmp_path / "graph")
+    m1 = run_kg_pipeline(pages_dir, out_dir, PipelineConfig())
+    ckpt = os.path.join(out_dir, "_raw_triples")
+    assert os.path.exists(ckpt + ".complete")
+    files = [
+        os.path.join(r, n) for r, _, ns in os.walk(ckpt) for n in ns
+    ]
+    mtimes = {f: os.path.getmtime(f) for f in files}
+
+    os.remove(os.path.join(out_dir, "_manifest.json"))
+    time.sleep(1.1)
+    m2 = run_kg_pipeline(pages_dir, out_dir, PipelineConfig())
+    assert m2.triple_count == m1.triple_count
+    # checkpoint untouched -> extraction was skipped
+    assert {f: os.path.getmtime(f) for f in files} == mtimes
