@@ -512,6 +512,48 @@ def dedup_minhash(sf_dir: str):
     )
 
 
+def dedup_jaccard_verified(sf_dir: str):
+    """Exact n-gram Jaccard (ops.dedup.ngram_jaccard) computed for every
+    MinHash-LSH candidate pair -- the verification-grade metric as a
+    first-class output.  Texts are broadcast once (small side); the exact
+    ratio of distinct-shingle intersections is integer-derived, so the
+    double division is bit-identical to the SQL oracle."""
+    import ray
+
+    from .ops.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    aug = _augmented_docs(sf_dir, perturb=True)
+    pairs = minhash_lsh_pairs(aug, threshold=0.7)
+
+    ttab = pa.concat_tables(
+        ray.get(aug.materialize().to_arrow_refs()), promote_options="default"
+    )
+    texts = dict(zip(ttab["doc_id"].to_pylist(), ttab["text"].to_pylist()))
+    tref = ray.put(texts)
+
+    class ExactJaccard:
+        def __init__(self):
+            self.texts = ray.get(tref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            a_ids = b["a"].to_pylist()
+            b_ids = b["b"].to_pylist()
+            j = [
+                ngram_jaccard(self.texts.get(x, ""), self.texts.get(y, ""))
+                for x, y in zip(a_ids, b_ids)
+            ]
+            return pa.table(
+                {
+                    "a": b["a"],
+                    "b": b["b"],
+                    "jaccard": pa.array(j, pa.float64()),
+                }
+            )
+
+    return pairs.map_batches(ExactJaccard, batch_format="pyarrow",
+                             concurrency=2)
+
+
 def dedup_simhash(sf_dir: str):
     from .ops.dedup import simhash_pairs
 
@@ -1058,6 +1100,7 @@ QUERIES = {
     "docs_fingerprint": docs_fingerprint,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
+    "dedup_jaccard_verified": dedup_jaccard_verified,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "ann_brute_topk": ann_brute_topk,
@@ -1295,63 +1338,8 @@ FROM aug GROUP BY md5(text)
     # mulmod), banding via md5 over decimal-joined band values, per-bucket
     # 200-item cap mirrored with row_number -- byte-identical to
     # ops.dedup.minhash_lsh_pairs with num_perm=64, bands=16, threshold 0.7.
-    "dedup_minhash": r"""
-WITH aug AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000,
-    CASE WHEN length(regexp_extract_all(text, '\S+')) <= 1 THEN ''
-         ELSE array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1,
-              length(regexp_extract_all(text, '\S+')) - 1), ' ') END
-  FROM documents
-), toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS tk FROM aug
-), shingles AS (
-  SELECT doc_id,
-    CASE WHEN length(tk) = 0 THEN CAST([] AS VARCHAR[])
-         WHEN length(tk) < 3 THEN [array_to_string(tk, ' ')]
-         ELSE list_distinct(list_transform(generate_series(1, length(tk) - 2),
-              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS shs
-  FROM toks
-), xs AS (
-  SELECT doc_id,
-    CASE WHEN length(shs) = 0 THEN [CAST(0 AS HUGEINT)]
-         ELSE list_transform(shs, s ->
-              CAST(CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT) AS HUGEINT))
-    END AS xh
-  FROM shingles
-), perms AS (
-  SELECT i,
-    CAST(CAST('0x' || substr(md5('a:' || i), 1, 16) AS UBIGINT) | 1 AS HUGEINT) AS a,
-    CAST(CAST('0x' || substr(md5('b:' || i), 1, 16) AS UBIGINT) AS HUGEINT) AS b
-  FROM range(64) t(i)
-), sig AS (
-  SELECT doc_id, i,
-    list_aggregate(list_transform(xh, x ->
-      ( ((a // 4294967296) * x % 4294967296) * 4294967296
-        + (a % 4294967296) * x + b ) % 18446744073709551616), 'min') AS mh
-  FROM xs CROSS JOIN perms
-), bands AS (
-  SELECT doc_id, i // 4 AS band,
-         md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i)) AS bh
-  FROM sig GROUP BY doc_id, i // 4
-), b2 AS (
-  SELECT *, row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
-  FROM bands
-), cand AS (
-  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM b2 x JOIN b2 y ON x.band = y.band AND x.bh = y.bh
-   AND x.doc_id < y.doc_id AND x.rn <= 200 AND y.rn <= 200
-), est AS (
-  SELECT c.a, c.b,
-    CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 64.0 AS ej
-  FROM cand c
-  JOIN sig sa ON sa.doc_id = c.a
-  JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i
-  GROUP BY c.a, c.b
-)
-SELECT a, b, ej AS est_jaccard FROM est WHERE ej >= 0.7
-""",
+    "dedup_minhash": None,  # filled below from _MINHASH_CTES
+
     # Full SimHash replay: md5 token hashes, 64 bit-position sums, 4x16-bit
     # pigeonhole bands, hamming via bit_count(xor) on the shifted int64
     # representation (two's complement makes the shift xor-transparent).
@@ -1609,6 +1597,83 @@ FROM best WHERE rn = 1
 
 
 ORACLE_SQL["docs_langid"] = _langid_oracle_sql()
+
+# shared MinHash CTE pipeline (aug -> shingles -> signatures -> bands ->
+# candidates -> estimated jaccard); two oracles select different tails
+_MINHASH_CTES = r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+    CASE WHEN length(regexp_extract_all(text, '\S+')) <= 1 THEN ''
+         ELSE array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1,
+              length(regexp_extract_all(text, '\S+')) - 1), ' ') END
+  FROM documents
+), toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS tk FROM aug
+), shingles AS (
+  SELECT doc_id,
+    CASE WHEN length(tk) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN length(tk) < 3 THEN [array_to_string(tk, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, length(tk) - 2),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS shs
+  FROM toks
+), xs AS (
+  SELECT doc_id,
+    CASE WHEN length(shs) = 0 THEN [CAST(0 AS HUGEINT)]
+         ELSE list_transform(shs, s ->
+              CAST(CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT) AS HUGEINT))
+    END AS xh
+  FROM shingles
+), perms AS (
+  SELECT i,
+    CAST(CAST('0x' || substr(md5('a:' || i), 1, 16) AS UBIGINT) | 1 AS HUGEINT) AS a,
+    CAST(CAST('0x' || substr(md5('b:' || i), 1, 16) AS UBIGINT) AS HUGEINT) AS b
+  FROM range(64) t(i)
+), sig AS (
+  SELECT doc_id, i,
+    list_aggregate(list_transform(xh, x ->
+      ( ((a // 4294967296) * x % 4294967296) * 4294967296
+        + (a % 4294967296) * x + b ) % 18446744073709551616), 'min') AS mh
+  FROM xs CROSS JOIN perms
+), bands AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i)) AS bh
+  FROM sig GROUP BY doc_id, i // 4
+), b2 AS (
+  SELECT *, row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
+  FROM bands
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM b2 x JOIN b2 y ON x.band = y.band AND x.bh = y.bh
+   AND x.doc_id < y.doc_id AND x.rn <= 200 AND y.rn <= 200
+), est AS (
+  SELECT c.a, c.b,
+    CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 64.0 AS ej
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i
+  GROUP BY c.a, c.b
+)
+"""
+
+ORACLE_SQL["dedup_minhash"] = (
+    _MINHASH_CTES + "SELECT a, b, ej AS est_jaccard FROM est WHERE ej >= 0.7"
+)
+
+# exact n-gram Jaccard for every candidate pair: distinct-shingle
+# intersection ratio (integer counts -> identical double division)
+ORACLE_SQL["dedup_jaccard_verified"] = _MINHASH_CTES + """
+SELECT e.a, e.b,
+  CAST(length(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+    / (length(sa.shs) + length(sb.shs)
+       - length(list_intersect(sa.shs, sb.shs))) AS jaccard
+FROM est e
+JOIN shingles sa ON sa.doc_id = e.a
+JOIN shingles sb ON sb.doc_id = e.b
+WHERE e.ej >= 0.7
+"""
+
 
 
 def _fixture_oracle_sql() -> str:
