@@ -222,11 +222,15 @@ def machine_ceiling(lo: int, hi: int, total_units: int = 160) -> float:
 
 def scaling() -> None:
     """Same job, fresh processes, N vs 4N CPUs -> scaling efficiency,
-    raw and normalized by the host's measured parallel ceiling."""
+    raw and normalized by the host's measured parallel ceiling.
+
+    De-noising (this shared VM's co-tenant load swings both the pipeline
+    arms AND the arithmetic ceiling by tens of percent run-to-run):
+    arms run ALTERNATING lo/hi 3x each and the ceiling is measured 3x
+    INTERLEAVED between them; medians are compared, with per-sample
+    ranges reported so drift is visible."""
 
     def run(ncpu: int) -> dict:
-        # one timed headline per arm (the warm-up pass below de-noises);
-        # median-of-3 inside each arm would triple scaling wall time
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    M2R_BENCH_REPEATS="1", M2R_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
@@ -241,29 +245,44 @@ def scaling() -> None:
 
     lo_cpu = int(os.environ.get("M2R_SCALE_LO", "8"))
     hi_cpu = int(os.environ.get("M2R_SCALE_HI", str(lo_cpu * 4)))
+    reps = int(os.environ.get("M2R_SCALE_REPS", "3"))
     run(lo_cpu)  # untimed warm-up pass: builds/warms the corpus cache
-    lo = run(lo_cpu)
-    hi = run(hi_cpu)
-    tp_lo = lo["triples"] / lo["value"]
-    tp_hi = hi["triples"] / hi["value"]
+    lo_secs, hi_secs, ceilings = [], [], []
+    triples = n_pages = 0
+    for _ in range(reps):
+        lo = run(lo_cpu)
+        hi = run(hi_cpu)
+        lo_secs.append(lo["value"])
+        hi_secs.append(hi["value"])
+        triples, n_pages = lo["triples"], lo["n_pages"]
+        ceilings.append(machine_ceiling(lo_cpu, hi_cpu))
+
+    def med(xs):
+        s = sorted(xs)
+        return s[len(s) // 2]
+
+    tp_lo = triples / med(lo_secs)
+    tp_hi = triples / med(hi_secs)
     speedup = tp_hi / tp_lo
     eff = speedup / (hi_cpu / lo_cpu)
-    ceiling = machine_ceiling(lo_cpu, hi_cpu)
+    ceiling = med(ceilings)
     print(
         json.dumps(
             {
                 "metric": "scaling efficiency (throughput ratio / cpu ratio)",
                 "cpus": [lo_cpu, hi_cpu],
-                "sec": [lo["value"], hi["value"]],
+                "sec": [med(lo_secs), med(hi_secs)],
+                "sec_all": [sorted(lo_secs), sorted(hi_secs)],
                 "triples_per_sec": [round(tp_lo, 1), round(tp_hi, 1)],
                 "pipeline_speedup": round(speedup, 3),
                 "scaling_efficiency": round(eff, 3),
                 "machine_ceiling_speedup": round(ceiling, 3),
+                "machine_ceiling_all": [round(c, 2) for c in sorted(ceilings)],
                 "machine_ceiling_efficiency": round(
                     ceiling / (hi_cpu / lo_cpu), 3
                 ),
                 "normalized_efficiency": round(speedup / ceiling, 3),
-                "n_pages": lo["n_pages"],
+                "n_pages": n_pages,
             }
         )
     )
