@@ -106,3 +106,40 @@ class TestRubyStripProperties:
     def test_strip_subset_of_python(self, s):
         # ruby strip removes only ASCII ws; result contains python-strip
         assert ruby_strip(s).strip() == s.strip(" \t\n\r\f\v\x00").strip()
+
+
+class TestSessionizeProperties:
+    def test_conservation_invariants(self, ray_session):
+        """Sessions PARTITION the event stream: event counts and integer
+        cents are conserved exactly, and session starts are unique per
+        user (random input, fixed seed)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import sessionize
+
+        rng = np.random.RandomState(11)
+        n = 4000
+        users = rng.randint(0, 40, n)
+        base = 1_700_000_000_000_000
+        ts = base + rng.randint(0, 3 * 24 * 3600, n).astype(np.int64) * 1_000_000
+        vals = np.round(rng.rand(n) * 100, 2)
+        tab = pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+        out = sessionize(rd.from_arrow(tab)).to_pandas()
+        assert out["n_events"].sum() == n
+        want_cents = int(np.round(vals * 100).astype(np.int64).sum())
+        assert int(out["sum_value_cents"].sum()) == want_cents
+        assert not out.duplicated(["user_id", "session_start_us"]).any()
+        # every session start is an actual event timestamp of that user
+        by_user = {u: set(ts[users == u].tolist()) for u in set(users)}
+        assert all(
+            r.session_start_us in by_user[r.user_id]
+            for r in out.itertuples()
+        )
