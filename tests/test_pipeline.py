@@ -263,3 +263,31 @@ def test_checkpoint_resume_skips_reextraction(ray_session, pages_dir, tmp_path):
     assert m2.triple_count == m1.triple_count
     # checkpoint untouched -> extraction was skipped
     assert {f: os.path.getmtime(f) for f in files} == mtimes
+
+
+def test_token_index_matcher_edge_cases():
+    """Handcrafted equivalence cases: interior punctuation, overlapping
+    aliases, longest-first wins, trailing-boundary rejection."""
+    import re
+
+    from marc2rdf_ray.stages.link import _TokenIndexMatcher
+
+    aliases = ["J.R. Smith", "Smith", "Smithson", "Data Engine", "Data"]
+    rx = re.compile(
+        r"\b(" + "|".join(
+            re.escape(a) for a in sorted(aliases, key=len, reverse=True)
+        ) + r")\b"
+    )
+    ti = _TokenIndexMatcher(aliases)
+    texts = [
+        "J.R. Smith met Smithson near the Data Engine.",
+        "Smithereens are not Smith; Data, however, is Data Engine fuel.",
+        "data engine is lowercase; Data Engine matches; DataEngine does not",
+        "Smith",
+        "prefix-Smith suffix",  # '-' is a \b boundary: Smith matches
+        "",
+    ]
+    for t in texts:
+        want = [m.group(1) for m in rx.finditer(t)]
+        got = list(ti.finditer_aliases(t))
+        assert got == want, (t, got, want)
