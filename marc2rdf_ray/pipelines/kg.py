@@ -214,6 +214,8 @@ def run_kg_pipeline(
     """
     import shutil
 
+    import ray
+
     import ray.data as rd
 
     from ..state.manifest import (
@@ -299,17 +301,64 @@ def run_kg_pipeline(
                 with open(tmp, "w") as f:
                     f.write(ckpt_sig)
                 os.replace(tmp, marker)
-        raw = rd.read_parquet(ckpt, columns=TRIPLE_COLS)
+        # STAGE the sameAs closure to parquet instead of union-ing it into
+        # the materialize sort: Union(big-read, closure) feeding an
+        # all-to-all deadlocks the streaming executor's memory accounting
+        # at 1M pages -- the Union's queued bundles count against the
+        # execution budget, which blocks downstream admission, which keeps
+        # the Union from draining (observed: 0/466 blocks for 20 min with
+        # every input backpressured).  The closure output is ~1% of the
+        # triples, so the extra parquet round-trip is noise, and it makes
+        # the sameAs edges a durable resume artifact like the checkpoint.
+        read_dirs = [
+            os.path.join(ckpt, d)
+            for d in sorted(os.listdir(ckpt))
+            if d.startswith("pk=")
+        ] or [ckpt]
+        sameas_dir = os.path.join(out_dir, "_sameas_triples")
+        if os.path.isdir(sameas_dir):
+            shutil.rmtree(sameas_dir)
         pk1 = os.path.join(ckpt, "pk=1")
         if os.path.isdir(pk1):
             key_triples = rd.read_parquet(pk1, columns=TRIPLE_COLS)
-        else:  # no key triples at all -> empty sameAs input
-            key_triples = raw.limit(0)
-
-    # dedup rides the materialize subject-hash shuffle (dedup=True):
-    # every copy of a triple lands in the same partition, so the pipeline
-    # needs only ONE big exchange after extraction.
-    edges = canonical_edges(raw, pre_dedup=False, key_triples=key_triples)
+            sameas = symmetry_closure(
+                sameas_by_shared_key(
+                    key_triples, sameas_key_pred_for(config)
+                ),
+                dedup=False,  # dedup rides the materialize shuffle
+            )
+            sameas.write_parquet(sameas_dir)
+            if os.path.isdir(sameas_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(sameas_dir)
+            ):
+                read_dirs.append(sameas_dir)
+        # coalesce at the READ (2 blocks/CPU): the sort exchange creates
+        # #blocks x #partitions objects, and thousands of tiny checkpoint
+        # files would dominate wall time.  Reading fewer, bigger blocks
+        # replaces the repartition() that used to live in materialize_graph
+        # (a second all-to-all there ALSO deadlocked the executor at 1M
+        # pages -- two all-to-alls double-buffer the whole dataset).
+        nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        # read_parquet expands a single directory but not directories in a
+        # path LIST, so enumerate the files explicitly.
+        read_files = [
+            os.path.join(d, f)
+            for d in read_dirs
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        # single linear chain into materialize: read -> prep -> sort ->
+        # write, exactly one all-to-all, no multi-input operators.
+        edges = rd.read_parquet(
+            read_files or read_dirs,
+            columns=TRIPLE_COLS,
+            override_num_blocks=nblocks,
+        )
+    if checkpoint_mode == "memory":
+        # dedup rides the materialize subject-hash shuffle (dedup=True):
+        # every copy of a triple lands in the same partition, so the
+        # pipeline needs only ONE big exchange after extraction.
+        edges = canonical_edges(raw, pre_dedup=False, key_triples=key_triples)
     return materialize_graph(
         edges,
         out_dir,

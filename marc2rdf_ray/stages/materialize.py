@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.hashing import bucket_codes
-from ..functions.ntriples import format_batch_arrow
+from ..functions.ntriples import format_batch_arrow_payload
 from ..state.manifest import (
     RunManifest,
     input_signature,
@@ -68,7 +68,12 @@ def write_sorted_partition(
     partition, so per-partition dedup is globally exact -- and the pipeline
     saves an entire extra shuffle.
     """
-    from .canonicalize import TRIPLE_KEY_COLS, local_dedup
+    import time as _time
+
+    from .canonicalize import TRIPLE_KEY_COLS
+
+    _timing = os.environ.get("M2R_WRITE_TIMING")
+    _t0 = _time.monotonic()
 
     part = int(group[PART_COL][0].as_py())
     pdir = os.path.join(out_dir, f"part={part:05d}")
@@ -86,35 +91,50 @@ def write_sorted_partition(
                     )
         except OSError:
             pass
-    if dedup:
-        # NB: PART_COL is constant within the group and must NOT be in the
-        # key set -- pyarrow 16.1's grouper miscounts groups when a
-        # constant int32 key is mixed with null-bearing string keys
-        # (observed: 142 groups where 133 exist; tests/test_pipeline.py
-        # guards the dedup invariant).
-        keys = [c for c in TRIPLE_KEY_COLS if c in group.column_names]
-        group = group.drop_columns([PART_COL])
-        group = local_dedup(group, keys)
-        group = group.append_column(
-            PART_COL, pa.array([part] * len(group), pa.int32())
-        )
-    sort_keys = [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
-    group = group.sort_by(sort_keys)
-    os.makedirs(pdir, exist_ok=True)
-
+    # ONE sort does double duty: output ordering (O6) AND exact dedup.
+    # Sorting by all six columns makes key-equal rows adjacent, so dedup is
+    # a vectorized neighbor-equality mask -- no second hash aggregation,
+    # and it sidesteps the pyarrow 16.1 grouper bug entirely (constant
+    # int32 key + null-bearing string keys miscounts groups; the old
+    # group_by-based dedup had to drop PART_COL to dodge it --
+    # tests/test_pipeline.py still guards the dedup invariant).  Sorting
+    # src last reproduces the group_by path's min(src) pick exactly
+    # (nulls sort last; Arrow's min skips nulls).
     data = group.drop_columns([PART_COL])
+    sort_cols = [c for c in TRIPLE_KEY_COLS if c in data.column_names]
+    other_cols = [c for c in data.column_names if c not in sort_cols]
+    data = data.sort_by([(c, "ascending") for c in sort_cols + other_cols])
+    _t1 = _time.monotonic()
+    if dedup and len(data) > 1:
+        dup = None  # row i+1 duplicates row i iff equal on ALL key cols
+        for c in sort_cols:
+            col = data[c].combine_chunks()
+            hi, lo = col.slice(1), col.slice(0, len(data) - 1)
+            same = pc.or_kleene(
+                pc.equal(hi, lo), pc.and_(pc.is_null(hi), pc.is_null(lo))
+            )
+            same = pc.fill_null(same, False)
+            dup = same if dup is None else pc.and_(dup, same)
+        if isinstance(dup, pa.ChunkedArray):
+            dup = dup.combine_chunks()
+        mask = pa.concat_arrays([pa.array([True]), pc.invert(dup)])
+        data = data.filter(mask)
+    _t2 = _time.monotonic()
+    os.makedirs(pdir, exist_ok=True)
     tmp_pq = os.path.join(pdir, ".edges.parquet.tmp")
     pq.write_table(data, tmp_pq)
     os.replace(tmp_pq, os.path.join(pdir, "edges.parquet"))
+    _t3 = _time.monotonic()
 
-    lines = format_batch_arrow(data)  # vectorized; invalid statements skipped
+    # vectorized formatting; invalid statements skipped; the payload stays
+    # in Arrow until the single final join -- no per-line Python objects
+    payload = format_batch_arrow_payload(data)
     # gzip level 1: ~6x smaller NT -> serial disk IO becomes parallel CPU
     # (each partition task compresses its own shard); plain-text NT is one
     # `zcat` away, and bulk loaders read .nt.gz natively.
     import gzip
 
     tmp = os.path.join(pdir, ".edges.nt.gz.tmp")
-    payload = ("\n".join(lines) + ("\n" if lines else "")).encode("utf-8")
     with gzip.open(tmp, "wb", compresslevel=1) as f:
         f.write(payload)
     os.replace(tmp, os.path.join(pdir, "edges.nt.gz"))
@@ -124,6 +144,14 @@ def write_sorted_partition(
         with open(tmp_sig, "w") as f:
             f.write(run_sig)
         os.replace(tmp_sig, sig_path)
+    if _timing:
+        _t4 = _time.monotonic()
+        print(
+            f"M2R_WRITE_TIMING part={part} rows_in={len(group)} "
+            f"rows_out={len(data)} sort={_t1 - _t0:.2f} dedup={_t2 - _t1:.2f} "
+            f"parquet={_t3 - _t2:.2f} nt={_t4 - _t3:.2f} total={_t4 - _t0:.2f}",
+            flush=True,
+        )
 
     return pa.table({"part": pa.array([part], pa.int32()),
                      "rows": pa.array([len(data)], pa.int64())})
@@ -273,17 +301,6 @@ def materialize_graph(
     if preserved is not None:
         triples_ds = triples_ds.union(preserved)
 
-    # coalesce the many small upstream blocks (one per extraction task)
-    # before the shuffle: the sort exchange creates #blocks x #partitions
-    # objects, and thousands of tiny objects dominate wall time.  2 blocks
-    # per CPU keeps the sort parallel while collapsing that product ~10x
-    # (measured 4-6x faster materialize, and it restores 8->32 scaling).
-    try:
-        import ray
-
-        nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-    except Exception:
-        nblocks = 16
     def prep(b: pa.Table) -> pa.Table:
         if dedup:
             # per-batch pre-dedup BEFORE the shuffle: hot entities (e.g. an
@@ -297,9 +314,15 @@ def materialize_graph(
             b = local_dedup(b, keys)
         return add_partition_column(b, num_partitions)
 
-    parted = triples_ds.repartition(nblocks).map_batches(
-        prep, batch_format="pyarrow"
-    )
+    # NOTE deliberately NO repartition() here: a repartition feeding the
+    # sort exchange stacks two all-to-all operators, each buffering the
+    # whole dataset in the object store -- at 1M pages (~132M intermediate
+    # rows, ~2x store capacity) the streaming executor wedges with zero
+    # runnable tasks (observed; round-2).  Callers with many tiny upstream
+    # blocks coalesce at the SOURCE instead (read_parquet
+    # override_num_blocks -- see pipelines/kg.py), which costs nothing and
+    # keeps exactly one all-to-all in this pipeline.
+    parted = triples_ds.map_batches(prep, batch_format="pyarrow")
     counts_ds = parted.groupby(PART_COL).map_groups(
         lambda g: write_sorted_partition(
             g, out_dir, dedup=dedup, run_sig=run_sig

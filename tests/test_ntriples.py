@@ -96,3 +96,36 @@ class TestFormatBatchArrow:
                         "obj": pa.array([], pa.string()),
                         "obj_kind": pa.array([], pa.string())})
         assert format_batch_arrow(tab) == []
+
+    def test_payload_differential(self):
+        """format_batch_arrow_payload == newline-join of the line list
+        (the write path never materializes per-line Python strings)."""
+        import random
+
+        import pyarrow as pa
+
+        from marc2rdf_ray.functions.ntriples import (
+            format_batch_arrow,
+            format_batch_arrow_payload,
+        )
+
+        rng = random.Random(11)
+        kinds = ["uri", "literal", "integer", "float"]
+        weird = ["ok", 'quo"te', "back\\slash", "new\nline", "tab\there",
+                 "space in uri", "<angle>", "", "fin{e}", "café"]
+        rows = []
+        for i in range(300):
+            rows.append({
+                "subj": rng.choice(["http://ex.org/s", "bad uri",
+                                    "http://ex.org/s2"]),
+                "pred": rng.choice(["http://ex.org/p", "no`tick"]),
+                "obj": rng.choice(weird + [None]),
+                "obj_kind": rng.choice(kinds),
+                "lang": rng.choice([None, "", "no", "en"]),
+            })
+        tab = pa.Table.from_pylist(rows)
+        lines = format_batch_arrow(tab)
+        want = ("\n".join(lines) + "\n").encode("utf-8") if lines else b""
+        assert format_batch_arrow_payload(tab) == want
+        empty = tab.slice(0, 0)
+        assert format_batch_arrow_payload(empty) == b""
