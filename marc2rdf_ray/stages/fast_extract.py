@@ -79,9 +79,7 @@ def tokenize(html: str, sink) -> None:
             sink.handle_data("<")
             pos = lt + 1
             continue
-        end_name, start_name, attr_raw, selfclose = (
-            m.group(1), m.group(2), m.group(3), m.group(4),
-        )
+        end_name, start_name, attr_raw, selfclose = m.group(1, 2, 3, 4)
         pos = m.end()
         if m.end() - lt == 1:  # stray '<': HTMLParser emits it as data
             sink.handle_data("<")

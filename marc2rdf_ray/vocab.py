@@ -62,17 +62,23 @@ class Vocabulary:
         self.namespaces = dict(NAMESPACES)
         if extra:
             self.namespaces.update({k.upper(): v for k, v in extra.items()})
+        self._memo: dict[str, str] = {}
 
     def resolve(self, name: str) -> str:
         """``"BIBO.Document"`` -> ``"http://purl.org/ontology/bibo/Document"``.
 
         Raises KeyError for an unknown prefix (the reference's
-        ``RDF.module_eval`` would raise NameError likewise).
-        """
+        ``RDF.module_eval`` would raise NameError likewise).  Memoized --
+        the rule engine resolves the same few dozen names per triple."""
+        hit = self._memo.get(name)
+        if hit is not None:
+            return hit
         prefix, dot, suffix = name.partition(".")
         if not dot:
             raise KeyError(f"not a PREFIX.suffix name: {name!r}")
-        return self.namespaces[prefix.upper()] + suffix
+        uri = self.namespaces[prefix.upper()] + suffix
+        self._memo[name] = uri
+        return uri
 
     def content_hash(self) -> str:
         """Stable hash of the namespace table (part of the rule-set hash
