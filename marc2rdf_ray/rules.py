@@ -255,14 +255,28 @@ class RuleSet:
         self.ruleset_hash = hashlib.sha256(
             blob + vocab.content_hash().encode()
         ).hexdigest()[:16]
+        # tag -> matched rules memo: records in one corpus reuse a small set
+        # of tag strings (title, link, meta_*, ...), so the per-record regex
+        # sweep over every rule collapses to one dict hit per tag.
+        self._match_memo: dict[str, tuple] = {}
 
     @classmethod
     def from_file(cls, path: str, vocab: Vocabulary = DEFAULT_VOCAB) -> "RuleSet":
         with open(path) as f:
             return cls(json.load(f), vocab)
 
+    def matched_rules(self, tag: str) -> tuple:
+        """Rules whose tag-regex matches ``tag`` (memoized)."""
+        hit = self._match_memo.get(tag)
+        if hit is None:
+            hit = tuple(
+                rule for pat, _, rule in self.compiled if pat.search(tag)
+            )
+            self._match_memo[tag] = hit
+        return hit
+
     def matches(self, tag: str) -> list[dict]:
-        return [rule for pat, _, rule in self.compiled if pat.search(tag)]
+        return list(self.matched_rules(tag))
 
 
 class RuleEngine:
@@ -311,11 +325,13 @@ class RuleEngine:
         out: list[Triple] = []
         if include_types and self.resource_type:
             out.extend(self.set_type(subj, self.resource_type))
-        for tag in record.tags():
-            fields = record.find_all(tag)
-            for pat, _, rule in self.ruleset.compiled:
-                if not pat.search(tag):
-                    continue
+        # one pass to group fields by tag (first-appearance order), then the
+        # memoized tag->rules lookup -- no per-record regex sweep.
+        by_tag: dict[str, list[Field]] = {}
+        for f in record.fields:
+            by_tag.setdefault(f.tag, []).append(f)
+        for tag, fields in by_tag.items():
+            for rule in self.ruleset.matched_rules(tag):
                 for fld in fields:
                     if "subfield" not in rule:
                         self._convert_control(out, subj, fld, rule)
