@@ -871,6 +871,41 @@ def doc_components(sf_dir: str):
     return connected_components(edges, rounds=3)
 
 
+def doc_pagerank(sf_dir: str):
+    """Integer-exact PageRank (ops/graph.py:pagerank) over a deterministic
+    md5-derived link graph on the documents table: doc i emits (i % 4)
+    out-links, target_k = int(md5("{i}:{k}")[:8], 16) % N; docs with
+    doc_id % 4 == 0 are dangling.  5 fixed iterations, damping 85/100,
+    ranks in 1e-12 units -- every step is order-independent integer
+    arithmetic, so the DuckDB oracle (unrolled recurrence) matches
+    bit-for-bit."""
+    from .ops.graph import pagerank
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for i in b["doc_id"].to_pylist():
+            for k in range(i % 4):
+                src.append(i)
+                dst.append(
+                    int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16)
+                    % n
+                )
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": pc.cast(b["doc_id"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return pagerank(
+        docs.map_batches(edges, batch_format="pyarrow"), nodes, iterations=5
+    )
+
+
 def top_orders_per_segment(sf_dir: str):
     """Per-group top-k: 3 priciest orders per market segment.  Small side
     broadcast once (byte-budgeted), ds.join fallback at scale."""
@@ -1110,6 +1145,7 @@ QUERIES = {
     "reverse_records": reverse_records,
     "distinct_flag_ship_months": distinct_flag_ship_months,
     "doc_components": doc_components,
+    "doc_pagerank": doc_pagerank,
     "top_orders_per_segment": top_orders_per_segment,
     "similar_docs": similar_docs,
     "docs_enriched_labels": docs_enriched_labels,
@@ -1718,3 +1754,53 @@ SELECT CAST(i AS BIGINT) AS media_id,
        CAST(unnest(range(0, nf, 10)) * 40 AS INTEGER) AS frame_ts_ms
 FROM m
 """
+
+
+def _pagerank_oracle_sql(
+    iterations: int = 5, scale: int = 10**12, dnum: int = 85, dden: int = 100
+) -> str:
+    """Unrolled integer PageRank recurrence (see doc_pagerank / ops/graph.py).
+    All arithmetic is non-negative integer division, so DuckDB's truncating
+    ``//`` equals Python floor division and the result is bit-exact."""
+    comp = dden - dnum
+    parts = [f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+edges AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, (SELECT {scale} // n FROM nn) AS r FROM nodes)"""]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(f""",
+dang{i} AS (
+  SELECT COALESCE(SUM(r.r), 0) // (SELECT n FROM nn) AS share
+  FROM r{p} r LEFT JOIN outdeg o ON r.node = o.src
+  WHERE o.src IS NULL
+),
+insum{i} AS (
+  SELECT e.dst AS node, SUM(r.r // o.d) AS in_sum
+  FROM edges e
+  JOIN r{p} r ON r.node = e.src
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT nodes.node,
+         CAST(({comp} * (SELECT {scale} // n FROM nn)
+               + {dnum} * (COALESCE(s.in_sum, 0)
+                           + (SELECT share FROM dang{i}))) // {dden}
+              AS BIGINT) AS r
+  FROM nodes LEFT JOIN insum{i} s ON s.node = nodes.node
+)""")
+    parts.append(f"\nSELECT node, r AS rank FROM r{iterations}")
+    return "".join(parts)
+
+
+ORACLE_SQL["doc_pagerank"] = _pagerank_oracle_sql()

@@ -360,3 +360,54 @@ class TestMultimodalExtras:
         assert set(frames["media_id"]) <= set(range(2, 90, 3))
         assert (frames["frame_idx"] % 10 == 0).all()
         assert (frames["frame_ts_ms"] == frames["frame_idx"] * 40).all()
+
+
+class TestPageRank:
+    def test_matches_reference_replay(self, ray_session):
+        import random
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import pagerank, pagerank_reference
+
+        rng = random.Random(7)
+        nodes = list(range(60))
+        # mixed topology: a hub, a chain, dangling nodes (no out-edges),
+        # parallel edges (count twice), and random noise
+        edges = [(i, 0) for i in range(1, 30)]          # hub in-links
+        edges += [(i, i + 1) for i in range(30, 40)]    # chain
+        edges += [(5, 6), (5, 6)]                       # parallel edge
+        edges += [(rng.randrange(50), rng.randrange(60)) for _ in range(80)]
+        edges = [(s, d) for s, d in edges if s < 50]    # nodes 50..59 dangle
+
+        got = (
+            pagerank(
+                rd.from_items([{"src": s, "dst": d} for s, d in edges]),
+                rd.from_items([{"node": v} for v in nodes]),
+                iterations=4,
+                num_buckets=8,
+            )
+            .to_pandas()
+        )
+        want = pagerank_reference(edges, nodes, iterations=4)
+        assert len(got) == len(nodes)
+        assert dict(zip(got["node"], got["rank"])) == want
+
+    def test_rank_mass_conserved_and_hub_wins(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import pagerank
+
+        n = 40
+        edges = [{"src": i, "dst": 0} for i in range(1, n)]
+        out = pagerank(
+            rd.from_items(edges),
+            rd.from_items([{"node": v} for v in range(n)]),
+            iterations=3,
+            num_buckets=4,
+        ).to_pandas()
+        ranks = dict(zip(out["node"], out["rank"]))
+        # the hub must dominate every other node
+        assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 5
+        # total mass stays within deterministic floor loss of 1.0
+        assert 0.9 * 10**12 < sum(ranks.values()) <= 10**12
