@@ -428,6 +428,60 @@ def events_json_props(sf_dir: str):
 
 # -- text ops --------------------------------------------------------------
 
+def _events_side(sf_dir: str, event_type: str):
+    """One event type projected to (event_id, user_id, ts_us) -- a separate
+    read per side (never branch one Dataset into two consumers; NOTES.md)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], event_type))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def events_asof_join(sf_dir: str):
+    """As-of join (ops/joins.py): each purchase event matched to the LATEST
+    click by the same user at or before the purchase time (ties broken by
+    largest click event_id); purchases with no prior click keep nulls."""
+    from .ops.joins import asof_join
+
+    return asof_join(
+        _events_side(sf_dir, "purchase"),
+        _events_side(sf_dir, "click"),
+        by="user_id",
+        on="ts_us",
+        tiebreak="event_id",
+        left_cols=["event_id", "user_id", "ts_us"],
+        right_cols=["event_id", "ts_us"],
+        suffix="_click",
+    )
+
+
+def events_error_window(sf_dir: str):
+    """Range join (ops/joins.py): every (purchase, error) pair where the
+    same user logged the error in the 24 h up to the purchase (inclusive)."""
+    from .ops.joins import range_join
+
+    return range_join(
+        _events_side(sf_dir, "purchase"),
+        _events_side(sf_dir, "error"),
+        by="user_id",
+        on="ts_us",
+        lower=-86_400_000_000,
+        upper=0,
+        left_cols=["event_id", "user_id", "ts_us"],
+        right_cols=["event_id", "ts_us"],
+        suffix="_error",
+    )
+
+
 def events_sessions(sf_dir: str):
     """Gap-based session windows (30 min) per user -- the custom windowed
     aggregate (ops.windows.sessionize): one shuffle, vectorized per-bucket
@@ -1127,6 +1181,8 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_top_types": events_top_types,
     "events_json_props": events_json_props,
+    "events_asof_join": events_asof_join,
+    "events_error_window": events_error_window,
     "events_sessions": events_sessions,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
@@ -1279,6 +1335,31 @@ GROUP BY event_type ORDER BY cnt DESC, event_type ASC LIMIT 5
 SELECT event_type,
        CAST(SUM(CAST(COALESCE(regexp_extract(props, '[0-9]+'), '0') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
+""",
+    # as-of join: latest click at/before each purchase, per user
+    "events_asof_join": """
+WITH p AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events WHERE event_type = 'click'),
+m AS (SELECT p.event_id AS pid, c.event_id AS cid, c.ts_us AS cts,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts_us DESC, c.event_id DESC) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id AND c.ts_us <= p.ts_us)
+SELECT p.event_id, p.user_id, p.ts_us,
+       m.cid AS event_id_click, m.cts AS ts_us_click
+FROM p LEFT JOIN m ON m.pid = p.event_id AND m.rn = 1
+""",
+    # range join: (purchase, error) pairs within the preceding 24 h, per user
+    "events_error_window": """
+WITH p AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+e AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events WHERE event_type = 'error')
+SELECT p.event_id, p.user_id, p.ts_us,
+       e.event_id AS event_id_error, e.ts_us AS ts_us_error
+FROM p JOIN e ON e.user_id = p.user_id
+             AND e.ts_us BETWEEN p.ts_us - 86400000000 AND p.ts_us
 """,
     # session windows: lag-gap break flags, running-sum session ids
     "events_sessions": """

@@ -411,3 +411,90 @@ class TestPageRank:
         assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 5
         # total mass stays within deterministic floor loss of 1.0
         assert 0.9 * 10**12 < sum(ranks.values()) <= 10**12
+
+
+class TestTimeJoins:
+    @staticmethod
+    def _mk(ray_rows):
+        import ray.data as rd
+
+        return rd.from_items(ray_rows)
+
+    def test_asof_matches_naive(self, ray_session):
+        import random
+
+        from marc2rdf_ray.ops.joins import asof_join
+
+        rng = random.Random(11)
+        right = [
+            {"rid": i, "k": rng.randrange(6), "t": rng.randrange(100)}
+            for i in range(120)
+        ]
+        left = [
+            {"lid": i, "k": rng.randrange(8), "t": rng.randrange(100)}
+            for i in range(80)
+        ]
+        out = asof_join(
+            self._mk(left),
+            self._mk(right),
+            by="k",
+            on="t",
+            tiebreak="rid",
+            left_cols=["lid", "k", "t"],
+            right_cols=["rid", "t"],
+            num_buckets=5,
+        ).to_pandas()
+
+        def naive(l):
+            cands = [r for r in right if r["k"] == l["k"] and r["t"] <= l["t"]]
+            if not cands:
+                return None
+            return max(cands, key=lambda r: (r["t"], r["rid"]))
+
+        got = {row.lid: (row.rid_match, row.t_match) for row in out.itertuples()}
+        assert len(got) == len(left)
+        import pandas as pd
+
+        for l in left:
+            want = naive(l)
+            g = got[l["lid"]]
+            if want is None:
+                assert pd.isna(g[0])
+            else:
+                assert (int(g[0]), int(g[1])) == (want["rid"], want["t"])
+
+    def test_range_join_matches_naive(self, ray_session):
+        import random
+
+        from marc2rdf_ray.ops.joins import range_join
+
+        rng = random.Random(13)
+        right = [
+            {"rid": i, "k": rng.randrange(5), "t": rng.randrange(200)}
+            for i in range(150)
+        ]
+        left = [
+            {"lid": i, "k": rng.randrange(6), "t": rng.randrange(200)}
+            for i in range(70)
+        ]
+        out = range_join(
+            self._mk(left),
+            self._mk(right),
+            by="k",
+            on="t",
+            lower=-15,
+            upper=5,
+            left_cols=["lid", "t"],
+            right_cols=["rid", "t"],
+            num_buckets=4,
+        ).to_pandas()
+        got = set(zip(out["lid"], out["rid_match"]))
+        want = {
+            (l["lid"], r["rid"])
+            for l in left
+            for r in right
+            if r["k"] == l["k"] and l["t"] - 15 <= r["t"] <= l["t"] + 5
+        }
+        assert got == want
+        # bounds inclusive on both ends
+        assert len(got) == len(out)
