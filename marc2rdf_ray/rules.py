@@ -70,13 +70,36 @@ def _object_opts(spec: dict) -> dict:
     (the option pass-through of rdfmodeler.rb:165,246,263,288).
     Cached per spec identity -- specs are shared rule-set dicts compiled
     once per worker, so the cache is tiny and hit on every record."""
+    return _opts_entry(spec)[1]
+
+
+def _opts_entry(spec: dict) -> tuple:
     key = id(spec)
     hit = _OPTS_CACHE.get(key)
     if hit is not None and hit[0] is spec:
-        return hit[1]
+        return hit
     opts = _build_object_opts(spec)
-    _OPTS_CACHE[key] = (spec, opts)
-    return opts
+    # a spec with no transform options makes generate_objects the identity
+    # ([o]); the hot loop then skips the 13-kwarg call entirely
+    trivial = (
+        opts["substr_offset"] is None
+        and not opts["regex_split"]
+        and not opts["regex_substitute"]
+        and not opts["combine"]
+        and not opts["regex_strip"]
+        and not opts["urlize_opt"]
+    )
+    hit = (spec, opts, trivial)
+    _OPTS_CACHE[key] = hit
+    return hit
+
+
+def _gen_objects(marc_object: str, fld, spec: dict) -> list[str]:
+    """generate_objects with the per-spec trivial fast path."""
+    entry = _opts_entry(spec)
+    if entry[2]:
+        return [marc_object]
+    return generate_objects(marc_object, marcfield=fld, **entry[1])
 
 
 def _build_object_opts(spec: dict) -> dict:
@@ -350,9 +373,7 @@ class RuleEngine:
             if not isinstance(value, dict) or "object" not in value:
                 continue
             spec = value["object"]
-            objects = generate_objects(
-                marc_object, marcfield=fld, **_object_opts(spec)
-            )
+            objects = _gen_objects(marc_object, fld, spec)
             pred_name = value.get("predicate") or ""
             for o in objects:
                 if o is None or not ruby_strip(o):
@@ -411,9 +432,7 @@ class RuleEngine:
                 marc_object = fld.first(code) or ""
                 if not marc_object:
                     continue
-                objects = generate_objects(
-                    marc_object, marcfield=fld, **_object_opts(spec)
-                )
+                objects = _gen_objects(marc_object, fld, spec)
                 relcls = self.vocab.resolve(sub["relation"]["class"])
                 rel_subfields = sub["relation"].get("subfield") or {}
                 for o in objects:
@@ -428,9 +447,7 @@ class RuleEngine:
                         if not relobject:
                             continue
                         rspec = rs["object"]
-                        relobjects = generate_objects(
-                            relobject, marcfield=fld, **_object_opts(rspec)
-                        )
+                        relobjects = _gen_objects(relobject, fld, rspec)
                         rpred = self.vocab.resolve(rs["predicate"])
                         for ro in relobjects:
                             if ro is None:
@@ -448,9 +465,7 @@ class RuleEngine:
                 marc_object = fld.first(code) or ""
                 if not marc_object:
                     continue
-                objects = generate_objects(
-                    marc_object, marcfield=fld, **_object_opts(spec)
-                )
+                objects = _gen_objects(marc_object, fld, spec)
                 if not pred_name:
                     continue
                 pred = self.vocab.resolve(pred_name)

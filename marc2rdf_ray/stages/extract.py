@@ -174,21 +174,18 @@ def extract_text(html: bytes | str) -> str:
     """
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", "replace")
-    from .fast_extract import tokenize
+    from .fast_extract import parse_page_fused
 
-    p = _TextAndFields()
-    tokenize(html, p)
-    return p.text()
+    return parse_page_fused(html).text()
 
 
 def page_to_record(url: str, html: bytes | str, warc_ts=None) -> tuple[Record, str]:
     """Lower one page to a field record; returns (record, extracted_text)."""
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", "replace")
-    from .fast_extract import tokenize
+    from .fast_extract import parse_page_fused
 
-    p = _TextAndFields()
-    tokenize(html, p)
+    p = parse_page_fused(html)
 
     host = urlparse(url).netloc
     fields: list[Field] = [Field(tag="url", value=url), Field(tag="host", value=host)]

@@ -51,6 +51,26 @@ def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
     return out
 
 
+def _wanted_attrs(raw: str, wanted: tuple) -> dict:
+    """Last-wins attribute dict restricted to ``wanted`` names -- identical
+    to ``dict(_parse_attrs(raw))`` filtered to those keys, but skips
+    unquoting/unescaping every other attribute's value (the a/meta hot
+    path reads 1-2 attrs of tags carrying many)."""
+    out: dict = {}
+    for m in _ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        if name not in wanted:
+            continue
+        val = m.group(2)
+        if val is not None:
+            if val[:1] in "\"'":
+                val = val[1:-1]
+            if "&" in val:
+                val = unescape(val)
+        out[name] = val
+    return out
+
+
 def tokenize(html: str, sink) -> None:
     """Feed start/end/data events to a sink with the HTMLParser interface
     (handle_starttag / handle_endtag / handle_data), convert_charrefs-style
@@ -110,6 +130,240 @@ def tokenize(html: str, sink) -> None:
         elif end_name is not None:
             sink.handle_endtag(end_name.lower())
         # comments/doctype/PI/stray '<' fall through silently
+
+
+class _ParsedPage:
+    """Result shape of :func:`parse_page_fused` -- same attribute surface as
+    ``_TextAndFields`` so the differential tests compare them directly."""
+
+    __slots__ = ("lines", "title", "metas", "headings", "anchors", "html_lang")
+
+    def __init__(self):
+        self.lines = []
+        self.title = ""
+        self.metas = []
+        self.headings = []
+        self.anchors = []
+        self.html_lang = ""
+
+    def text(self) -> str:
+        return "\n".join(self.lines)
+
+
+def parse_page_fused(html: str) -> _ParsedPage:
+    """Tokenizer and ``_TextAndFields`` sink fused into one pass: no
+    per-event method dispatch (~250 start/end/data events per page cost
+    ~0.3 ms of pure call overhead at 1 ms/page total).  Semantics are
+    byte-identical to tokenize()+_TextAndFields by construction and by
+    differential test (tests/test_fast_extract.py runs the same corpus and
+    edge cases through both)."""
+    from .extract import _BLOCK_TAGS, _SKIP_TAGS, _WS_RE, _collapse
+
+    p = _ParsedPage()
+    lines = p.lines
+    metas = p.metas
+    headings = p.headings
+    anchors = p.anchors
+    buf: list[str] = []
+    title_buf: list[str] = []
+    heading_buf: list[str] = []
+    heading_tag = None
+    anchor_buf: list[str] = []
+    anchor_href = None
+    skip_depth = 0
+    in_body = False
+    in_title = False
+    pos = 0
+    n = len(html)
+    lower = None
+    find = html.find
+    tag_match = _TAG_RE.match
+    h_tags = ("h1", "h2", "h3")
+
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            data = html[pos:]
+        else:
+            data = html[pos:lt]
+        if data:
+            if "&" in data:
+                data = unescape(data)
+            if skip_depth:
+                pass
+            elif in_title:
+                title_buf.append(data)
+            else:
+                if heading_tag is not None:
+                    heading_buf.append(data)
+                if anchor_href is not None:
+                    anchor_buf.append(data)
+                if in_body:
+                    buf.append(data)
+        if lt < 0:
+            break
+        m = tag_match(html, lt)
+        e = lt + 1 if m is None else m.end()
+        if e - lt == 1:  # stray '<': emitted as data
+            if not skip_depth:
+                if in_title:
+                    title_buf.append("<")
+                else:
+                    if heading_tag is not None:
+                        heading_buf.append("<")
+                    if anchor_href is not None:
+                        anchor_buf.append("<")
+                    if in_body:
+                        buf.append("<")
+            pos = e
+            continue
+        end_name, start_name, attr_raw, selfclose = m.group(1, 2, 3, 4)
+        pos = e
+        if start_name is not None:
+            tag = start_name.lower()
+            if tag == "html" and attr_raw and not attr_raw.isspace():
+                for k, v in _parse_attrs(attr_raw):
+                    if k == "lang" and v:
+                        p.html_lang = v
+            if tag in _SKIP_TAGS:
+                skip_depth += 1
+            else:
+                if tag == "meta":
+                    if attr_raw and not attr_raw.isspace():
+                        d = _wanted_attrs(attr_raw, ("name", "content"))
+                        name = d.get("name")
+                        content = d.get("content")
+                        if name and content is not None:
+                            metas.append((name, content))
+                elif tag == "body":
+                    in_body = True
+                elif tag == "title":
+                    in_title = True
+                elif tag in h_tags:
+                    heading_tag = tag
+                    heading_buf = []
+                elif tag == "a":
+                    if attr_raw and not attr_raw.isspace():
+                        anchor_href = _wanted_attrs(attr_raw, ("href",)).get(
+                            "href", ""
+                        )
+                    else:
+                        anchor_href = ""
+                    anchor_buf = []
+                if tag in _BLOCK_TAGS and buf:
+                    line = "".join(buf)
+                    line = (
+                        " ".join(line.split())
+                        if line.isascii()
+                        else _WS_RE.sub(" ", line).strip()
+                    )
+                    if line:
+                        lines.append(line)
+                    buf = []
+            if selfclose:
+                # inline endtag (only tags with end behavior matter)
+                if tag in _SKIP_TAGS:
+                    if skip_depth:
+                        skip_depth -= 1
+                else:
+                    if tag == "title":
+                        in_title = False
+                        p.title = _collapse("".join(title_buf))
+                    elif tag in h_tags:
+                        if heading_tag == tag:
+                            t = _collapse("".join(heading_buf))
+                            if t:
+                                headings.append((tag, t))
+                            heading_tag = None
+                    elif tag == "a":
+                        if anchor_href is not None:
+                            anchors.append((anchor_href, _collapse("".join(anchor_buf))))
+                            anchor_href = None
+                    elif tag == "body":
+                        if buf:
+                            line = "".join(buf)
+                            line = (
+                                " ".join(line.split())
+                                if line.isascii()
+                                else _WS_RE.sub(" ", line).strip()
+                            )
+                            if line:
+                                lines.append(line)
+                            buf = []
+                        in_body = False
+                    if tag in _BLOCK_TAGS and buf:
+                        line = "".join(buf)
+                        line = (
+                            " ".join(line.split())
+                            if line.isascii()
+                            else _WS_RE.sub(" ", line).strip()
+                        )
+                        if line:
+                            lines.append(line)
+                        buf = []
+            elif tag in _RAWTEXT:
+                # CDATA mode; script/style are _SKIP_TAGS so content drops
+                if lower is None:
+                    lower = html.lower()
+                close = lower.find(f"</{tag}", pos)
+                if close < 0:
+                    pos = n  # unterminated: reference emits no end event
+                else:
+                    gt = find(">", close)
+                    pos = (gt + 1) if gt >= 0 else n
+                    if skip_depth:
+                        skip_depth -= 1
+        elif end_name is not None:
+            tag = end_name.lower()
+            if tag in _SKIP_TAGS:
+                if skip_depth:
+                    skip_depth -= 1
+            else:
+                if tag == "title":
+                    in_title = False
+                    p.title = _collapse("".join(title_buf))
+                elif tag in h_tags:
+                    if heading_tag == tag:
+                        t = _collapse("".join(heading_buf))
+                        if t:
+                            headings.append((tag, t))
+                        heading_tag = None
+                elif tag == "a":
+                    if anchor_href is not None:
+                        anchors.append((anchor_href, _collapse("".join(anchor_buf))))
+                        anchor_href = None
+                elif tag == "body":
+                    if buf:
+                        line = "".join(buf)
+                        line = (
+                            " ".join(line.split())
+                            if line.isascii()
+                            else _WS_RE.sub(" ", line).strip()
+                        )
+                        if line:
+                            lines.append(line)
+                        buf = []
+                    in_body = False
+                if tag in _BLOCK_TAGS and buf:
+                    line = "".join(buf)
+                    line = (
+                        " ".join(line.split())
+                        if line.isascii()
+                        else _WS_RE.sub(" ", line).strip()
+                    )
+                    if line:
+                        lines.append(line)
+                    buf = []
+        # comments/doctype/PI fall through silently
+
+    if buf:
+        line = "".join(buf)
+        line = (
+            " ".join(line.split()) if line.isascii() else _WS_RE.sub(" ", line).strip()
+        )
+        if line:
+            lines.append(line)
+    return p
 
 
 def extract_text_fast(html: bytes | str) -> str:

@@ -5,7 +5,7 @@ import pytest
 
 from marc2rdf_ray.sources.pages import gen_page
 from marc2rdf_ray.stages.extract import _TextAndFields
-from marc2rdf_ray.stages.fast_extract import parse_page_fast
+from marc2rdf_ray.stages.fast_extract import parse_page_fast, parse_page_fused
 
 
 def both(html: str):
@@ -17,12 +17,14 @@ def both(html: str):
 
 def assert_equal(html: str):
     slow, fast = both(html)
-    assert fast.text() == slow.text()
-    assert fast.title == slow.title
-    assert fast.metas == slow.metas
-    assert fast.headings == slow.headings
-    assert fast.anchors == slow.anchors
-    assert fast.html_lang == slow.html_lang
+    fused = parse_page_fused(html)
+    for cand in (fast, fused):
+        assert cand.text() == slow.text()
+        assert cand.title == slow.title
+        assert cand.metas == slow.metas
+        assert cand.headings == slow.headings
+        assert cand.anchors == slow.anchors
+        assert cand.html_lang == slow.html_lang
 
 
 class TestCorpus:
@@ -81,3 +83,4 @@ class TestMalformed:
     def test_no_crash_and_text_matches(self, html):
         slow, fast = both(html)
         assert fast.text() == slow.text()
+        assert parse_page_fused(html).text() == slow.text()

@@ -173,8 +173,8 @@ def test_token_index_matcher_matches_regex_alternation(pages_dir):
     from marc2rdf_ray.stages.link import EntityLinker, build_alias_dict
 
     aliases = build_alias_dict()
-    rx = EntityLinker(aliases)                           # alternation path
-    ti = EntityLinker(aliases, token_index_threshold=0)  # token-index path
+    rx = EntityLinker(aliases, token_index_threshold=10_000)  # alternation
+    ti = EntityLinker(aliases)                           # token-index path
     assert rx.pattern is not None and ti.matcher is not None
 
     table = pq.read_table(os.path.join(pages_dir, "pages.parquet"))
