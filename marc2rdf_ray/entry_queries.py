@@ -716,6 +716,18 @@ def ann_ivf_topk(sf_dir: str):
     return ivf_topk(emb, ids, mat, cents, k=10, nprobe=2)
 
 
+def embeddings_kmeans(sf_dir: str):
+    """Integer-exact Lloyd k-means (ops/ann.py:kmeans_quantized): C=8
+    clusters, 3 iterations, init = vec_id < 8; returns the final
+    (vec_id, cluster) assignment.  Bit-exact vs the unrolled DuckDB
+    recurrence because every step is order-free integer arithmetic."""
+    from .ops.ann import kmeans_quantized
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, assign = kmeans_quantized(emb, n_clusters=8, iterations=3)
+    return assign
+
+
 def embeddings_by_label(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1197,6 +1209,7 @@ QUERIES = {
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "embeddings_kmeans": embeddings_kmeans,
     "embeddings_by_label": embeddings_by_label,
     "reverse_records": reverse_records,
     "distinct_flag_ship_months": distinct_flag_ship_months,
@@ -1885,3 +1898,58 @@ r{i} AS (
 
 
 ORACLE_SQL["doc_pagerank"] = _pagerank_oracle_sql()
+
+
+def _kmeans_oracle_sql(
+    iterations: int = 3, n_clusters: int = 8, dim: int = 64, k_off: int = 4194304
+) -> str:
+    """Unrolled integer Lloyd recurrence (see embeddings_kmeans).  The
+    centroid mean uses the offset trick ``(SUM + COUNT*K) // COUNT - K`` so
+    DuckDB's truncating ``//`` computes floor on the (possibly negative)
+    sums, matching numpy's floor division bit-for-bit."""
+    parts = [f"""
+WITH q AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v FROM q WHERE vec_id < {n_clusters})"""]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(f""",
+d{i} AS (
+  SELECT q.vec_id, c.cid,
+    list_aggregate(list_transform(generate_series(1, {dim}),
+      d -> (q.v[d] - c.v[d]) * (q.v[d] - c.v[d])), 'sum') AS d2
+  FROM q CROSS JOIN c{p} c
+),
+a{i} AS (
+  SELECT vec_id, cid FROM d{i}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+s{i} AS (
+  SELECT a.cid, d.d AS dim,
+         (SUM(q.v[d.d]) + COUNT(*) * {k_off}) // COUNT(*) - {k_off} AS x
+  FROM a{i} a JOIN q USING (vec_id) CROSS JOIN generate_series(1, {dim}) d(d)
+  GROUP BY a.cid, d.d
+),
+c{i} AS (
+  SELECT c{p}.cid, COALESCE(s.v, c{p}.v) AS v
+  FROM c{p} LEFT JOIN (
+    SELECT cid, list(x ORDER BY dim) AS v FROM s{i} GROUP BY cid
+  ) s USING (cid)
+)""")
+    f = iterations + 1
+    parts.append(f""",
+df AS (
+  SELECT q.vec_id, c.cid,
+    list_aggregate(list_transform(generate_series(1, {dim}),
+      d -> (q.v[d] - c.v[d]) * (q.v[d] - c.v[d])), 'sum') AS d2
+  FROM q CROSS JOIN c{iterations} c
+)
+SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM df
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1""")
+    return "".join(parts)
+
+
+ORACLE_SQL["embeddings_kmeans"] = _kmeans_oracle_sql()

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:
@@ -271,3 +272,98 @@ def lsh_topk(
         return t.slice(0, k)
 
     return partial.groupby("qid").map_groups(merge, batch_format="pyarrow")
+
+
+def kmeans_quantized(
+    ds,
+    *,
+    n_clusters: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic integer-exact Lloyd k-means (the trained-quantizer
+    upgrade over ivf_topk's sampled centroids).
+
+    Every step is order-independent integer arithmetic, so the result is
+    bit-identical across numpy, any task-execution order, and the DuckDB
+    oracle that unrolls the same recurrence (entry_queries:
+    ``embeddings_kmeans``):
+
+    - vectors quantize to floor(x * 2^20 + 0.5) int64,
+    - assignment = argmin of integer squared L2 (ties -> lowest cluster id),
+    - update = elementwise floor(sum / count) (empty cluster keeps its
+      previous centroid),
+    - init = the ``n_clusters`` vectors with the smallest ids (at scale:
+      a deterministic sample, broadcast -- structurally identical).
+
+    Scale shape: centroids are O(C*d) driver state broadcast per round via
+    ``ray.put``; each round is ONE ``map_batches`` pass emitting C partial
+    (count, sum-vector) rows per batch -- the classic combiner, no shuffle
+    of the vectors themselves.  Returns (centroids_q int64 (C, d),
+    assignment Dataset (id_col, cluster:int32))."""
+    import ray
+
+    init_tab = (
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b[id_col], n_clusters)),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    init_tab.sort(key=lambda r: r[id_col])
+    cents = _quantize(
+        np.array([r[vec_col] for r in init_tab], dtype=np.float64)
+    )
+    n_clusters = cents.shape[0]
+
+    def make_partial(cents_ref):
+        def partial(b: pa.Table) -> pa.Table:
+            q = ray.get(cents_ref)
+            vq = _quantize(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+            d2 = ((vq[:, None, :] - q[None, :, :]) ** 2).sum(axis=2)
+            cid = np.argmin(d2, axis=1)  # first occurrence = lowest cid
+            counts = np.bincount(cid, minlength=n_clusters)
+            sums = np.zeros((n_clusters, vq.shape[1]), np.int64)
+            np.add.at(sums, cid, vq)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(n_clusters, dtype=np.int32)),
+                    "cnt": pa.array(counts.astype(np.int64)),
+                    "sums": pa.array(list(sums), pa.list_(pa.int64())),
+                }
+            )
+
+        return partial
+
+    for _ in range(iterations):
+        ref = ray.put(cents)
+        parts = ds.map_batches(
+            make_partial(ref), batch_format="pyarrow"
+        ).take_all()
+        counts = np.zeros(n_clusters, np.int64)
+        sums = np.zeros_like(cents)
+        for row in parts:
+            counts[row["cluster"]] += row["cnt"]
+            sums[row["cluster"]] += np.asarray(row["sums"], np.int64)
+        nonempty = counts > 0
+        new = cents.copy()
+        # numpy // floors (matches the oracle's offset-division floor)
+        new[nonempty] = sums[nonempty] // counts[nonempty, None]
+        cents = new
+
+    final_ref = ray.put(cents)
+
+    def assign(b: pa.Table) -> pa.Table:
+        q = ray.get(final_ref)
+        vq = _quantize(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+        d2 = ((vq[:, None, :] - q[None, :, :]) ** 2).sum(axis=2)
+        cid = np.argmin(d2, axis=1)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "cluster": pa.array(cid.astype(np.int32)),
+            }
+        )
+
+    return cents, ds.map_batches(assign, batch_format="pyarrow")

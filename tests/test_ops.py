@@ -498,3 +498,40 @@ class TestTimeJoins:
         assert got == want
         # bounds inclusive on both ends
         assert len(got) == len(out)
+
+
+class TestKMeans:
+    def test_matches_numpy_replay(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.ann import _quantize, kmeans_quantized
+
+        rng = np.random.default_rng(5)
+        n, d, C, iters = 120, 8, 4, 3
+        mat = rng.normal(size=(n, d)).astype(np.float32)
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(n)]
+        )
+        cents, assign = kmeans_quantized(
+            ds, n_clusters=C, iterations=iters
+        )
+        got = dict(
+            zip(*(lambda p: (p["vec_id"], p["cluster"]))(assign.to_pandas()))
+        )
+
+        # single-threaded integer replay
+        vq = _quantize(np.array(mat, np.float64))
+        c = vq[:C].copy()
+        for _ in range(iters):
+            d2 = ((vq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cid = np.argmin(d2, axis=1)
+            for j in range(C):
+                if (cid == j).any():
+                    c[j] = vq[cid == j].sum(axis=0) // (cid == j).sum()
+        d2 = ((vq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        want = np.argmin(d2, axis=1)
+        assert np.array_equal(cents, c)
+        assert all(got[i] == want[i] for i in range(n))
+        # sanity: multiple clusters actually used
+        assert len(set(got.values())) > 1
