@@ -728,6 +728,22 @@ def embeddings_kmeans(sf_dir: str):
     return assign
 
 
+def ann_ivf_trained_topk(sf_dir: str):
+    """IVF-flat top-k over TRAINED coarse lists: centroids come from the
+    integer-exact Lloyd k-means (embeddings_kmeans) instead of sampled
+    vectors; probe/rerank identical to ann_ivf_topk.  The trained
+    centroids are exact integers, so dividing by 2^20 and re-quantizing
+    inside ivf_topk reproduces them bit-for-bit (|c| < 2^21 is exact in
+    float64)."""
+    from .ops.ann import ivf_topk, kmeans_quantized
+
+    ids, mat = _query_vectors(sf_dir)
+    train = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents_q, _ = kmeans_quantized(train, n_clusters=8, iterations=3)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(emb, ids, mat, cents_q / float(1 << 20), k=10, nprobe=2)
+
+
 def embeddings_by_label(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1209,6 +1225,7 @@ QUERIES = {
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "embeddings_kmeans": embeddings_kmeans,
     "embeddings_by_label": embeddings_by_label,
     "reverse_records": reverse_records,
@@ -1900,16 +1917,19 @@ r{i} AS (
 ORACLE_SQL["doc_pagerank"] = _pagerank_oracle_sql()
 
 
-def _kmeans_oracle_sql(
+def _kmeans_ctes(
     iterations: int = 3, n_clusters: int = 8, dim: int = 64, k_off: int = 4194304
 ) -> str:
-    """Unrolled integer Lloyd recurrence (see embeddings_kmeans).  The
-    centroid mean uses the offset trick ``(SUM + COUNT*K) // COUNT - K`` so
-    DuckDB's truncating ``//`` computes floor on the (possibly negative)
-    sums, matching numpy's floor division bit-for-bit."""
+    """Unrolled integer Lloyd recurrence CTE chain ending at
+    ``c{iterations}`` (cid, v) -- shared by the embeddings_kmeans oracle and
+    the trained-IVF oracle.  The centroid mean uses the offset trick
+    ``(SUM + COUNT*K) // COUNT - K`` so DuckDB's truncating ``//`` computes
+    floor on the (possibly negative) sums, matching numpy's floor division
+    bit-for-bit."""
     parts = [f"""
 WITH q AS (
-  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+         list_transform(CAST(embedding AS DOUBLE[]),
          x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS v
   FROM embeddings
 ),
@@ -1939,8 +1959,11 @@ c{i} AS (
     SELECT cid, list(x ORDER BY dim) AS v FROM s{i} GROUP BY cid
   ) s USING (cid)
 )""")
-    f = iterations + 1
-    parts.append(f""",
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql(iterations: int = 3, dim: int = 64) -> str:
+    return _kmeans_ctes(iterations=iterations, dim=dim) + f""",
 df AS (
   SELECT q.vec_id, c.cid,
     list_aggregate(list_transform(generate_series(1, {dim}),
@@ -1948,8 +1971,43 @@ df AS (
   FROM q CROSS JOIN c{iterations} c
 )
 SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM df
-QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1""")
-    return "".join(parts)
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1"""
+
+
+def _ivf_trained_oracle_sql(
+    iterations: int = 3, dim: int = 64, nprobe: int = 2, k: int = 10
+) -> str:
+    """Trained-quantizer IVF: k-means centroids (c{iterations}) as the
+    coarse lists, then the same probe/rerank replay as ann_ivf_topk."""
+    return _kmeans_ctes(iterations=iterations, dim=dim) + f""",
+cent AS (SELECT cid, v AS cq FROM c{iterations}),
+dist AS (
+  SELECT q.vec_id, cent.cid,
+    list_aggregate(list_transform(generate_series(1, {dim}),
+      d -> (q.v[d] - cent.cq[d]) * (q.v[d] - cent.cq[d])), 'sum') AS d2
+  FROM q CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cid FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+qprobe AS (
+  SELECT vec_id AS qid, cid FROM dist WHERE vec_id < 8
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= {nprobe}
+),
+cand AS (
+  SELECT qp.qid, a.vec_id FROM qprobe qp JOIN assign a ON a.cid = qp.cid
+)
+SELECT c.qid, c.vec_id,
+  ROUND(list_cosine_similarity(e.dv, qe.dv), 4) AS score
+FROM cand c
+JOIN q e ON e.vec_id = c.vec_id
+JOIN q qe ON qe.vec_id = c.qid
+QUALIFY row_number() OVER (
+  PARTITION BY c.qid
+  ORDER BY ROUND(list_cosine_similarity(e.dv, qe.dv), 4) DESC, c.vec_id ASC
+) <= {k}"""
 
 
 ORACLE_SQL["embeddings_kmeans"] = _kmeans_oracle_sql()
+ORACLE_SQL["ann_ivf_trained_topk"] = _ivf_trained_oracle_sql()
