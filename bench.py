@@ -133,6 +133,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "dedup_exact",
         "dedup_minhash",
         "ann_brute_topk",
+        "doc_pagerank",
+        "events_asof_join",
+        "embeddings_kmeans",
     ]
     out = {}
     for name in names:

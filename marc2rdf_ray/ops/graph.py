@@ -71,15 +71,23 @@ def pagerank(
     ``iterations`` is fixed (no convergence test): deterministic cost,
     deterministic output, SQL-replayable.
     """
+    n_nodes = nodes_ds.count()
     if num_buckets is None:
+        # size the exchange to the DATA, capped by the cluster: each round
+        # runs two bucketed all-to-alls whose fixed per-task cost dominates
+        # when buckets hold only a few thousand rows (observed 36 s for a
+        # 5k-node graph at 64 buckets vs seconds at 4).  ~50k nodes per
+        # bucket keeps per-bucket Arrow work in the efficient range; the
+        # 2xCPU cap grows with the cluster, so at 1e9+ nodes buckets scale
+        # out exactly as before.
         try:
             import ray
 
-            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+            cpu_cap = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
         except Exception:
-            num_buckets = 16
+            cpu_cap = 16
+        num_buckets = max(4, min(cpu_cap, (n_nodes + 49_999) // 50_000))
 
-    n_nodes = nodes_ds.count()
     if not n_nodes:
         return nodes_ds.map_batches(
             lambda b: pa.table(
@@ -215,6 +223,11 @@ def pagerank(
         return t.append_column("bucket", _bucket_ints(t["key"], num_buckets))
 
     def rank_state(b: pa.Table) -> pa.Table:
+        """Rank rows into exchange 2, PLUS this batch's dangling-mass
+        partial broadcast to every bucket (kind=2): each bucket then sums
+        an identical copy of the global dangling mass locally, so no
+        separate driver-synchronized reduction pass is needed per round
+        (it was a full extra Dataset execution -- half the round's jobs)."""
         t = pa.table(
             {
                 "key": b["node"],
@@ -223,47 +236,53 @@ def pagerank(
                 "kind": pa.array([1] * len(b), pa.int8()),
             }
         )
-        return t.append_column("bucket", _bucket_ints(t["key"], num_buckets))
-
-    def dang_partial(b: pa.Table) -> pa.Table:
-        s = pc.sum(
+        t = t.append_column("bucket", _bucket_ints(t["key"], num_buckets))
+        dang = pc.sum(
             pc.if_else(pc.equal(b["outdeg"], 0), b["r"], pa.scalar(0, pa.int64()))
+        ).as_py() or 0
+        bcast = pa.table(
+            {
+                "key": pa.array([None] * num_buckets, pa.int64()),
+                "c": pa.array([dang] * num_buckets, pa.int64()),
+                "outdeg": pa.array([None] * num_buckets, pa.int64()),
+                "kind": pa.array([2] * num_buckets, pa.int8()),
+                "bucket": pa.array(range(num_buckets), pa.int32()),
+            }
         )
-        return pa.table({"d": pa.array([s.as_py() or 0], pa.int64())})
+        return pa.concat_tables([t, bcast])
 
-    def make_update(share: int):
-        def bucket_update(group: pa.Table) -> pa.Table:
-            t = (
-                group.select(["key", "c", "outdeg"])
-                .group_by(["key"], use_threads=False)
-                .aggregate([("c", "sum"), ("outdeg", "max")])
-                .rename_columns(["node", "in_sum", "outdeg"])
-            )
-            # nodes arriving only via contrib rows (not in the node set)
-            # have null outdeg -- drop them: the node universe is fixed.
-            t = t.filter(pc.is_valid(t["outdeg"]))
-            # exact integer arithmetic (see bucket_contrib note)
-            in_np = (
-                t["in_sum"].combine_chunks().to_numpy(zero_copy_only=False)
-            ).astype(np.int64)
-            r_new = (
-                comp_num * base + damping_num * (in_np + share)
-            ) // damping_den
-            return pa.table(
-                {
-                    "node": t["node"],
-                    "r": pa.array(r_new, pa.int64()),
-                    "outdeg": t["outdeg"],
-                }
-            )
-
-        return bucket_update
+    def bucket_update(group: pa.Table) -> pa.Table:
+        kind = group["kind"]
+        # kind=2 rows: every batch's dangling partial, broadcast here --
+        # their local sum IS the global dangling mass
+        dang = pc.sum(
+            pc.if_else(pc.equal(kind, 2), group["c"], pa.scalar(0, pa.int64()))
+        ).as_py() or 0
+        share = dang // n_nodes
+        g = group.filter(pc.not_equal(kind, 2))
+        t = (
+            g.select(["key", "c", "outdeg"])
+            .group_by(["key"], use_threads=False)
+            .aggregate([("c", "sum"), ("outdeg", "max")])
+            .rename_columns(["node", "in_sum", "outdeg"])
+        )
+        # nodes arriving only via contrib rows (not in the node set)
+        # have null outdeg -- drop them: the node universe is fixed.
+        t = t.filter(pc.is_valid(t["outdeg"]))
+        # exact integer arithmetic (see bucket_contrib note)
+        in_np = (
+            t["in_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        r_new = (comp_num * base + damping_num * (in_np + share)) // damping_den
+        return pa.table(
+            {
+                "node": t["node"],
+                "r": pa.array(r_new, pa.int64()),
+                "outdeg": t["outdeg"],
+            }
+        )
 
     for _ in range(iterations):
-        dang = (
-            ranks.map_batches(dang_partial, batch_format="pyarrow").sum("d") or 0
-        )
-        share = dang // n_nodes
         contribs = (
             edges.map_batches(edge_tag, batch_format="pyarrow")
             .union(ranks.map_batches(rank_tag, batch_format="pyarrow"))
@@ -274,7 +293,7 @@ def pagerank(
             contribs.map_batches(contrib_key, batch_format="pyarrow")
             .union(ranks.map_batches(rank_state, batch_format="pyarrow"))
             .groupby("bucket")
-            .map_groups(make_update(share), batch_format="pyarrow")
+            .map_groups(bucket_update, batch_format="pyarrow")
             .repartition(num_buckets)
             .materialize()
         )
