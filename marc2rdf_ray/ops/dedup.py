@@ -41,6 +41,90 @@ def _log_capped(op: str, bucket, size: int, cap: int) -> None:
     )
 
 
+# -- fine-key grouping without per-group Python ---------------------------
+
+def _coarse_buckets_default() -> int:
+    try:
+        import ray
+
+        return max(4, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    except Exception:  # pragma: no cover
+        return 8
+
+
+def grouped_apply(ds, key_col: str, fn, out_schema: pa.Schema, *,
+                  min_group: int = 2, num_buckets: int | None = None):
+    """``groupby(key).map_groups(fn)`` without the per-fine-group framework
+    cost: ONE coarse hash-bucket shuffle co-locates all rows of each fine
+    key, then a single sorted pass per coarse bucket applies ``fn`` to each
+    key run with >= ``min_group`` rows.  LSH band tables are dominated by
+    singleton buckets (one row per (band, hash)); map_groups invoked
+    Python once per bucket -- ~80k invocations at sf0.1 -- where this
+    invokes it only for the rare multi-member runs."""
+    from ..functions.hashing import bucket_codes
+
+    nb = num_buckets or _coarse_buckets_default()
+
+    def coarse(b: pa.Table) -> pa.Table:
+        return b.append_column("_cb", bucket_codes(b[key_col], nb))
+
+    def per_coarse(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(key_col, "ascending")])
+        keys = t[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        keys = keys.to_numpy(zero_copy_only=False)
+        n = len(keys)
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [n]]).astype(np.int64)
+        outs = []
+        for s, e in zip(starts, ends):
+            if e - s < min_group:
+                continue
+            o = fn(t.slice(s, e - s))
+            if len(o):
+                outs.append(o.select(out_schema.names).cast(out_schema))
+        if not outs:
+            return out_schema.empty_table()
+        return pa.concat_tables(outs)
+
+    return (
+        ds.map_batches(coarse, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(per_coarse, batch_format="pyarrow")
+    )
+
+
+def distinct_first(ds, key_col: str, *, num_buckets: int | None = None):
+    """First row per distinct key, vectorized: coarse-bucket shuffle, then
+    one sort + neighbor-mask pass per bucket (replaces
+    ``groupby(key).map_groups(slice(0,1))`` -- Python once per key)."""
+    from ..functions.hashing import bucket_codes
+
+    nb = num_buckets or _coarse_buckets_default()
+
+    def coarse(b: pa.Table) -> pa.Table:
+        return b.append_column("_cb", bucket_codes(b[key_col], nb))
+
+    def per_coarse(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(key_col, "ascending")])
+        keys = t[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        keys = keys.to_numpy(zero_copy_only=False)
+        if not len(keys):
+            return t.drop_columns(["_cb"])
+        mask = np.concatenate([[True], keys[1:] != keys[:-1]])
+        return t.filter(pa.array(mask)).drop_columns(["_cb"])
+
+    return (
+        ds.map_batches(coarse, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(per_coarse, batch_format="pyarrow")
+    )
+
+
 # -- exact dedup -----------------------------------------------------------
 
 def add_content_hash(batch: pa.Table, col: str = "text") -> pa.Table:
@@ -216,10 +300,15 @@ def minhash_lsh_pairs(
             }
         )
 
-    candidates = (
-        exploded.map_batches(bucket_key, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    pair_schema = pa.schema(
+        [("a", id_type), ("b", id_type), ("est_jaccard", pa.float64())]
+    )
+    candidates = grouped_apply(
+        exploded.map_batches(bucket_key, batch_format="pyarrow"),
+        "bucket",
+        pairs_in_bucket,
+        pair_schema,
     )
     # same pair can surface from multiple bands -> dedup on (a, b)
     from ..stages.canonicalize import local_dedup
@@ -230,10 +319,7 @@ def minhash_lsh_pairs(
         )
         return local_dedup(batch.append_column("pk", k), ["pk"])
 
-    out = candidates.map_batches(key, batch_format="pyarrow")
-    out = out.groupby("pk").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    out = distinct_first(candidates.map_batches(key, batch_format="pyarrow"), "pk")
     return out.drop_columns(["pk"])
 
 
@@ -317,10 +403,15 @@ def simhash_pairs(ds, *, id_col="doc_id", text_col="text", max_hamming: int = 3)
              "hamming": pa.array(d_out, pa.int32())}
         )
 
-    cand = (
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs, batch_format="pyarrow")
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    pair_schema = pa.schema(
+        [("a", id_type), ("b", id_type), ("hamming", pa.int32())]
+    )
+    cand = grouped_apply(
+        sigs.map_batches(explode, batch_format="pyarrow"),
+        "bucket",
+        pairs,
+        pair_schema,
     )
 
     def key(batch: pa.Table) -> pa.Table:
@@ -331,10 +422,7 @@ def simhash_pairs(ds, *, id_col="doc_id", text_col="text", max_hamming: int = 3)
         )
         return local_dedup(batch.append_column("pk", k), ["pk"])
 
-    out = cand.map_batches(key, batch_format="pyarrow")
-    out = out.groupby("pk").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    out = distinct_first(cand.map_batches(key, batch_format="pyarrow"), "pk")
     return out.drop_columns(["pk"])
 
 
@@ -434,10 +522,15 @@ def embedding_dup_pairs(
              "cosine": pa.array(s_out, pa.float64())}
         )
 
-    cand = (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs, batch_format="pyarrow")
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    pair_schema = pa.schema(
+        [("a", id_type), ("b", id_type), ("cosine", pa.float64())]
+    )
+    cand = grouped_apply(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        "bucket",
+        pairs,
+        pair_schema,
     )
 
     # same pair can surface from multiple bands -> dedup on (a, b)
@@ -449,8 +542,5 @@ def embedding_dup_pairs(
         )
         return local_dedup(batch.append_column("pk", k), ["pk"])
 
-    out = cand.map_batches(key, batch_format="pyarrow")
-    out = out.groupby("pk").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    out = distinct_first(cand.map_batches(key, batch_format="pyarrow"), "pk")
     return out.drop_columns(["pk"])
