@@ -482,6 +482,16 @@ def events_error_window(sf_dir: str):
     )
 
 
+def events_value_quantiles(sf_dir: str):
+    """Exact p50/p90/p99 of event value (ops/quantiles.py): per-batch
+    partial histograms, one tiny groupby, integer-rational ranks -- shuffle
+    carries distinct values, never rows."""
+    from .ops.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    return exact_quantiles(ds, "value")
+
+
 def events_sessions(sf_dir: str):
     """Gap-based session windows (30 min) per user -- the custom windowed
     aggregate (ops.windows.sessionize): one shuffle, vectorized per-bucket
@@ -490,6 +500,24 @@ def events_sessions(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
     return sessionize(ds)
+
+
+def docs_sample_deterministic(sf_dir: str):
+    """Deterministic 1-in-8 sample by md5(doc_id) -- the resumable,
+    engine-independent alternative to ds.random_sample (SURVEY §2.7 O8):
+    membership is a pure function of the key, so re-runs, retries and the
+    SQL oracle all select the identical rows."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        keep = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 8 == 0
+            for i in ids
+        ]
+        return b.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
 
 
 def docs_token_stats(sf_dir: str):
@@ -1211,6 +1239,8 @@ QUERIES = {
     "events_json_props": events_json_props,
     "events_asof_join": events_asof_join,
     "events_error_window": events_error_window,
+    "events_value_quantiles": events_value_quantiles,
+    "docs_sample_deterministic": docs_sample_deterministic,
     "events_sessions": events_sessions,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
@@ -1390,6 +1420,24 @@ SELECT p.event_id, p.user_id, p.ts_us,
        e.event_id AS event_id_error, e.ts_us AS ts_us_error
 FROM p JOIN e ON e.user_id = p.user_id
              AND e.ts_us BETWEEN p.ts_us - 86400000000 AND p.ts_us
+""",
+    # deterministic hash sample: membership is a pure function of the key
+    "docs_sample_deterministic": """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 8 = 0
+""",
+    # exact quantiles: value histogram + integer-rational ranks
+    "events_value_quantiles": """
+WITH e AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
+h AS (SELECT v, COUNT(*) AS c FROM e GROUP BY v),
+s AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+nn AS (SELECT COUNT(*) AS n FROM e)
+SELECT CAST(t.num AS DOUBLE) / t.den AS q,
+       (SELECT MIN(v) FROM s
+        WHERE cum >= (t.num * (SELECT n FROM nn) + t.den - 1) // t.den)
+         AS value_cents
+FROM (VALUES (1, 2), (9, 10), (99, 100)) t(num, den)
 """,
     # session windows: lag-gap break flags, running-sum session ids
     "events_sessions": """

@@ -535,3 +535,34 @@ class TestKMeans:
         assert all(got[i] == want[i] for i in range(n))
         # sanity: multiple clusters actually used
         assert len(set(got.values())) > 1
+
+
+class TestQuantiles:
+    def test_matches_numpy_definition(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.quantiles import exact_quantiles
+
+        rng = np.random.default_rng(3)
+        vals = np.round(rng.gamma(2.0, 50.0, size=5000), 2)
+        ds = rd.from_items([{"value": float(v)} for v in vals])
+        out = exact_quantiles(ds, "value").to_pydict()
+        cents = np.sort(np.round(vals * 100).astype(np.int64))
+        n = len(cents)
+        for q, got, (num, den) in zip(
+            out["q"], out["value_cents"], ((1, 2), (9, 10), (99, 100))
+        ):
+            rank = (num * n + den - 1) // den
+            assert got == int(cents[rank - 1])
+            assert q == num / den
+
+    def test_duplicates_and_tiny_inputs(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.quantiles import exact_quantiles
+
+        ds = rd.from_items([{"value": 1.0}] * 7 + [{"value": 2.0}] * 3)
+        out = exact_quantiles(ds, "value").to_pydict()
+        # p50 -> rank 5 -> 100 cents; p90 -> rank 9 -> 200; p99 -> rank 10
+        assert out["value_cents"] == [100, 200, 200]
