@@ -506,7 +506,9 @@ def docs_sample_deterministic(sf_dir: str):
     """Deterministic 1-in-8 sample by md5(doc_id) -- the resumable,
     engine-independent alternative to ds.random_sample (SURVEY §2.7 O8):
     membership is a pure function of the key, so re-runs, retries and the
-    SQL oracle all select the identical rows."""
+    SQL oracle all select the identical rows.  md5-per-key is the
+    SQL-replayability tradeoff; the scale path swaps in the columnar hash
+    (functions/hashing.bucket_codes) and gives up only oracle replay."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
 
     def pick(b: pa.Table) -> pa.Table:
