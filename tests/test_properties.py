@@ -143,3 +143,79 @@ class TestSessionizeProperties:
             r.session_start_us in by_user[r.user_id]
             for r in out.itertuples()
         )
+
+
+class TestProbePositions:
+    """The union-lexsort merge primitive behind asof_join/range_join
+    (ops/joins.py:_probe_positions): for each probe, the count of right
+    rows at-or-before it in (key, time, tie) order must equal the brute
+    count -- including exact ties, duplicate keys, and negative times."""
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 4), st.integers(-5, 5), st.integers(0, 9)),
+            max_size=40,
+        ),
+        st.lists(
+            st.tuples(st.integers(0, 4), st.integers(-5, 5)), max_size=30
+        ),
+        st.booleans(),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_matches_brute_count(self, right, left, left_first):
+        import numpy as np
+
+        from marc2rdf_ray.ops.joins import _probe_positions
+
+        rk = np.array([r[0] for r in right], np.int64)
+        rt = np.array([r[1] for r in right], np.int64)
+        rtie = np.array([r[2] for r in right], np.int64)
+        lk = np.array([l[0] for l in left], np.int64)
+        lt = np.array([l[1] for l in left], np.int64)
+        ltie = np.full(len(left), np.iinfo(np.int64).max, np.int64)
+        got = _probe_positions(rk, rt, rtie, lk, lt, ltie, left_first)
+        for i in range(len(left)):
+            probe = (lk[i], lt[i], ltie[i], 1 if not left_first else 0)
+            want = sum(
+                1
+                for j in range(len(right))
+                if (rk[j], rt[j], rtie[j], 0 if not left_first else 1) <= probe
+            )
+            assert got[i] == want, (i, probe, got[i], want)
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(-4, 4)), max_size=30
+        ),
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(-4, 4)), max_size=25
+        ),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_range_bounds_brute(self, right, left):
+        """range_join's two-probe shape: zero ties on both sides, exclusive
+        lower (left_first=True) and inclusive upper (left_first=False)
+        bound counts must match strict/<= brute counts."""
+        import numpy as np
+
+        from marc2rdf_ray.ops.joins import _probe_positions
+
+        rk = np.array([r[0] for r in right], np.int64)
+        rt = np.array([r[1] for r in right], np.int64)
+        z_r = np.zeros(len(right), np.int64)
+        lk = np.array([l[0] for l in left], np.int64)
+        lt = np.array([l[1] for l in left], np.int64)
+        z_l = np.zeros(len(left), np.int64)
+        lo = _probe_positions(rk, rt, z_r, lk, lt, z_l, left_first=True)
+        hi = _probe_positions(rk, rt, z_r, lk, lt, z_l, left_first=False)
+        for i in range(len(left)):
+            strict = sum(
+                1 for j in range(len(right))
+                if (rk[j], rt[j]) < (lk[i], lt[i])
+            )
+            at_or_before = sum(
+                1 for j in range(len(right))
+                if (rk[j], rt[j]) <= (lk[i], lt[i])
+            )
+            assert lo[i] == strict
+            assert hi[i] == at_or_before
