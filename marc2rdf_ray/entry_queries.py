@@ -446,6 +446,16 @@ def _events_side(sf_dir: str, event_type: str):
     return ds.map_batches(prep, batch_format="pyarrow")
 
 
+def _events_join_buckets(sf_dir: str) -> int:
+    """Bucket count sized to the data from FREE parquet metadata (no Ray
+    execution): ~50k rows per bucket, floor 4, capped 2xCPU by the op --
+    near-empty buckets pay pure fixed task cost (NOTES late-r2)."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    return max(4, n // 50_000 + 1)
+
+
 def events_asof_join(sf_dir: str):
     """As-of join (ops/joins.py): each purchase event matched to the LATEST
     click by the same user at or before the purchase time (ties broken by
@@ -461,6 +471,7 @@ def events_asof_join(sf_dir: str):
         left_cols=["event_id", "user_id", "ts_us"],
         right_cols=["event_id", "ts_us"],
         suffix="_click",
+        num_buckets=_events_join_buckets(sf_dir),
     )
 
 
@@ -479,6 +490,7 @@ def events_error_window(sf_dir: str):
         left_cols=["event_id", "user_id", "ts_us"],
         right_cols=["event_id", "ts_us"],
         suffix="_error",
+        num_buckets=_events_join_buckets(sf_dir),
     )
 
 
