@@ -304,14 +304,21 @@ def kmeans_quantized(
     assignment Dataset (id_col, cluster:int32))."""
     import ray
 
-    init_tab = (
-        ds.map_batches(
-            lambda b: b.filter(pc.less(b[id_col], n_clusters)),
-            batch_format="pyarrow",
+    # init = the n_clusters vectors with the TRUE smallest ids: per-batch
+    # partial top-k by id, then a driver-side merge -- correct for sparse /
+    # offset id spaces, not just dense 0-based ones (ADVICE r2).  Shuffle
+    # volume is O(k) rows per batch.
+    def smallest_ids(b: pa.Table) -> pa.Table:
+        t = pa.table({id_col: b[id_col], vec_col: b[vec_col]})
+        return t.sort_by([(id_col, "ascending")]).slice(0, n_clusters)
+
+    init_tab = ds.map_batches(smallest_ids, batch_format="pyarrow").take_all()
+    if not init_tab:
+        raise ValueError(
+            f"kmeans_quantized: input dataset has no vectors in {vec_col!r}"
         )
-        .take_all()
-    )
     init_tab.sort(key=lambda r: r[id_col])
+    init_tab = init_tab[:n_clusters]
     cents = _quantize(
         np.array([r[vec_col] for r in init_tab], dtype=np.float64)
     )

@@ -64,13 +64,20 @@ def _take_or_null(col, idx: np.ndarray, valid: np.ndarray):
     return pc.take(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col, arr)
 
 
-def _union_prep(ds, *, by, on, tie_col, carry, other_carry, other_types, side, num_buckets, suffix_self, suffix_other):
-    """Project one side into the shared tagged-union schema."""
+def _union_prep(ds, *, by, on, tie_col, carry, other_carry, other_types, side, num_buckets, suffix_self, suffix_other, keep_nulls=False):
+    """Project one side into the shared tagged-union schema.
+
+    ``keep_nulls=True`` (the LEFT/probe side of an outer-style join) passes
+    null-key / null-time rows through to the bucket merge, which emits them
+    unmatched -- SQL LEFT JOIN keeps null-key probe rows (ADVICE r2).
+    Build-side nulls never match and are always dropped."""
     from ..functions.hashing import bucket_codes
 
     def prep(b: pa.Table) -> pa.Table:
         n = len(b)
         cols = {
+            # bucket_codes hashes nulls to a fixed value, so null-key probe
+            # rows all land in one (rare) bucket with a valid bucket id
             "__bucket": bucket_codes(b[by], num_buckets),
             "__side": pa.array(np.full(n, side, np.int8), pa.int8()),
             "__key": b[by],
@@ -86,6 +93,8 @@ def _union_prep(ds, *, by, on, tie_col, carry, other_carry, other_types, side, n
         for c in other_carry:
             cols[suffix_other + c] = pa.nulls(n, other_types[c])
         t = pa.table(cols)
+        if keep_nulls:
+            return t
         # null equality keys / times never match (SQL join semantics)
         return t.filter(
             pc.and_(pc.is_valid(t["__key"]), pc.is_valid(t["__t"]))
@@ -156,6 +165,7 @@ def asof_join(
         left_ds, by=by, on=on, tie_col=None, carry=left_cols,
         other_carry=right_cols, other_types=rtypes, side=1,
         num_buckets=num_buckets, suffix_self="l_", suffix_other="r_",
+        keep_nulls=True,  # LEFT semantics: null-key probes emit unmatched
     )
     right_u = _union_prep(
         right_ds, by=by, on=on, tie_col=tiebreak, carry=right_cols,
@@ -163,17 +173,28 @@ def asof_join(
         num_buckets=num_buckets, suffix_self="r_", suffix_other="l_",
     )
 
+    def _unmatched(left_rows: pa.Table) -> pa.Table:
+        cols = [left_rows["l_" + c] for c in left_cols] + [
+            pa.nulls(len(left_rows), rtypes[c]) for c in right_cols
+        ]
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
     def bucket_merge(group: pa.Table) -> pa.Table:
         left = group.filter(pc.equal(group["__side"], 1))
         right = group.filter(pc.equal(group["__side"], 0))
+        # null-key / null-time probe rows never match but ARE kept (LEFT)
+        probe_ok = pc.and_(pc.is_valid(left["__key"]), pc.is_valid(left["__t"]))
+        left_null = left.filter(pc.invert(probe_ok))
+        left = left.filter(probe_ok)
+        parts = [] if len(left_null) == 0 else [_unmatched(left_null)]
         nl, nr = len(left), len(right)
         if nl == 0:
-            return out_schema.empty_table()
+            return (
+                pa.concat_tables(parts) if parts else out_schema.empty_table()
+            )
         if nr == 0:
-            cols = [left["l_" + c] for c in left_cols] + [
-                pa.nulls(nl, rtypes[c]) for c in right_cols
-            ]
-            return pa.Table.from_arrays(cols, schema=out_schema)
+            parts.append(_unmatched(left))
+            return pa.concat_tables(parts)
         rk, lk = _np(right["__key"]), _np(left["__key"])
         rcode, lcode = _codes(rk, lk)
         rt, lt = _np(right["__t"]), _np(left["__t"])
@@ -188,7 +209,8 @@ def asof_join(
         cols = [left["l_" + c] for c in left_cols] + [
             _take_or_null(right["r_" + c], match, valid) for c in right_cols
         ]
-        return pa.Table.from_arrays(cols, schema=out_schema)
+        parts.append(pa.Table.from_arrays(cols, schema=out_schema))
+        return pa.concat_tables(parts)
 
     return (
         left_u.union(right_u)

@@ -41,9 +41,14 @@ def exact_quantiles(
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
+        from ..functions.numeric import sql_round_i64
+
         col = b[value_col]
         if cents:
-            v = pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+            # SQL tie semantics (half away from zero), matching the
+            # oracle's ROUND(value*100) -- pc.round's default half-to-even
+            # diverges on exact .5 cents (ADVICE r2).
+            v = sql_round_i64(col, 100.0)
         else:
             v = pc.cast(col, pa.int64())
         t = pa.table({"v": v})

@@ -49,13 +49,14 @@ def sessionize(
             num_buckets = 16
 
     def prep(b: pa.Table) -> pa.Table:
+        from ..functions.numeric import sql_round_i64
+
         t = pa.table(
             {
                 "u": b[user_col],
                 "tus": pc.cast(b[ts_col], pa.int64()),
-                "vc": pc.cast(
-                    pc.round(pc.multiply(b[value_col], 100.0)), pa.int64()
-                ),
+                # SQL tie semantics to match the oracle's ROUND(value*100)
+                "vc": sql_round_i64(b[value_col], 100.0),
             }
         )
         return t.append_column(

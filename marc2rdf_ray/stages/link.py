@@ -106,9 +106,14 @@ class _TokenIndexMatcher:
                 end = start + len(cand)
                 if end > n or text[start:end] != cand:
                     continue
-                # trailing \b: char after the match must not continue a word
-                if end < n and _WORDCH.match(text[end]) \
-                        and _WORDCH.match(cand[-1]):
+                # trailing \b holds iff exactly one of (last match char,
+                # next text char) is a word char -- for a word-final alias
+                # the next char must NOT continue a word, and for a
+                # NON-word-final alias (e.g. 'Smith Jr.') \b requires a
+                # word char to FOLLOW (and end-of-text fails) (ADVICE r2).
+                last_w = bool(_WORDCH.match(cand[-1]))
+                nxt_w = end < n and bool(_WORDCH.match(text[end]))
+                if last_w == nxt_w:
                     continue
                 matched_end = end
                 yield cand

@@ -566,3 +566,151 @@ class TestQuantiles:
         out = exact_quantiles(ds, "value").to_pydict()
         # p50 -> rank 5 -> 100 cents; p90 -> rank 9 -> 200; p99 -> rank 10
         assert out["value_cents"] == [100, 200, 200]
+
+    def test_sql_round_tie_semantics(self, ray_session):
+        """ADVICE r2: .5-cent ties must round HALF AWAY FROM ZERO like SQL
+        ROUND (1.125*100 = 112.5 -> 113), not half-to-even (-> 112)."""
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.quantiles import exact_quantiles
+
+        ds = rd.from_items([{"value": 1.125}] * 4)
+        out = exact_quantiles(ds, "value").to_pydict()
+        assert out["value_cents"] == [113, 113, 113]
+
+
+class TestAdviceFixes:
+    def test_sessionize_tie_rounding(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import sessionize
+
+        tab = pa.table(
+            {
+                "user_id": pa.array([1, 1], pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000, 1_700_000_000_000_100],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array([1.125, -1.125], pa.float64()),
+            }
+        )
+        out = sessionize(rd.from_arrow(tab)).to_pandas()
+        # ROUND(112.5) + ROUND(-112.5) = 113 - 113 = 0 in SQL semantics;
+        # half-to-even would give 112 - 112 = 0 too, so test one-sided:
+        tab1 = pa.table(
+            {
+                "user_id": pa.array([1], pa.int64()),
+                "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+                "value": pa.array([1.125], pa.float64()),
+            }
+        )
+        out1 = sessionize(rd.from_arrow(tab1)).to_pandas()
+        assert int(out1["sum_value_cents"].iloc[0]) == 113
+        assert int(out["sum_value_cents"].iloc[0]) == 0
+
+    def test_kmeans_sparse_offset_ids(self, ray_session):
+        """ADVICE r2: init must pick the k smallest ids even when the id
+        space is sparse / offset (no rows with id < n_clusters)."""
+        import numpy as np
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.ann import _quantize, kmeans_quantized
+
+        rng = np.random.default_rng(9)
+        n, d, C, iters = 60, 6, 3, 2
+        mat = rng.normal(size=(n, d)).astype(np.float32)
+        ids = [1000 + 7 * i for i in range(n)]  # sparse, offset
+        ds = rd.from_items(
+            [{"vec_id": ids[i], "embedding": mat[i].tolist()} for i in range(n)]
+        )
+        cents, assign = kmeans_quantized(ds, n_clusters=C, iterations=iters)
+        assert cents.shape == (C, d)
+        # replay: init = vectors with the 3 smallest ids = rows 0..2
+        vq = _quantize(np.array(mat, np.float64))
+        c = vq[:C].copy()
+        for _ in range(iters):
+            d2 = ((vq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cid = np.argmin(d2, axis=1)
+            for j in range(C):
+                if (cid == j).any():
+                    c[j] = vq[cid == j].sum(axis=0) // (cid == j).sum()
+        assert np.array_equal(cents, c)
+
+    def test_kmeans_empty_input_raises(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.ann import kmeans_quantized
+
+        ds = rd.from_items(
+            [{"vec_id": 0, "embedding": [0.0, 1.0]}]
+        ).filter(lambda r: False)
+        with pytest.raises(ValueError, match="no vectors"):
+            kmeans_quantized(ds, n_clusters=2, iterations=1)
+
+    def test_asof_keeps_null_key_probe_rows(self, ray_session):
+        """ADVICE r2: LEFT-join semantics -- null-key/null-time left rows
+        pass through unmatched instead of vanishing."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.joins import asof_join
+
+        left = pa.table(
+            {
+                "lid": pa.array([0, 1, 2, 3], pa.int64()),
+                "k": pa.array([1, None, 1, None], pa.int64()),
+                "t": pa.array([50, 50, None, None], pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "rid": pa.array([7], pa.int64()),
+                "k": pa.array([1], pa.int64()),
+                "t": pa.array([40], pa.int64()),
+            }
+        )
+        out = asof_join(
+            rd.from_arrow(left),
+            rd.from_arrow(right),
+            by="k",
+            on="t",
+            tiebreak="rid",
+            left_cols=["lid"],
+            right_cols=["rid"],
+            num_buckets=3,
+        ).to_pandas()
+        assert len(out) == 4  # all left rows survive
+        got = dict(zip(out["lid"], out["rid_match"]))
+        assert int(got[0]) == 7
+        for lid in (1, 2, 3):
+            assert pd.isna(got[lid])
+
+    def test_jaccard_join_fallback_matches_broadcast(
+        self, ray_session, monkeypatch
+    ):
+        """VERDICT r2 #2: the distributed two-join text attach must equal
+        the byte-budgeted broadcast path exactly."""
+        import pandas as pd
+
+        import marc2rdf_ray.entry_queries as eq
+
+        sf = "/root/testdata/sf0.001"
+
+        def frame(ds):
+            return (
+                ds.to_pandas()
+                .sort_values(["a", "b"])
+                .reset_index(drop=True)[["a", "b", "jaccard"]]
+            )
+
+        want = frame(eq.dedup_jaccard_verified(sf))
+        orig = eq._small_side
+        monkeypatch.setattr(  # force the over-budget join fallback
+            eq, "_small_side", lambda ds, limit_bytes=0: orig(ds, 1)
+        )
+        got = frame(eq.dedup_jaccard_verified(sf))
+        pd.testing.assert_frame_equal(got, want)
