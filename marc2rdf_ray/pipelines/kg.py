@@ -21,7 +21,6 @@ dedup collapses repeats.  Equivalent output, no store.
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import pyarrow as pa
@@ -196,11 +195,19 @@ def run_kg_pipeline(
     raw_checkpoint_dir: Optional[str] = None,
     checkpoint_mode: str = "disk",
     preserve_src_prefixes: Optional[list] = None,
+    filesystem=None,
 ):
     """End-to-end flagship run.  Caller owns the Ray session.
 
     ``pages_path``: parquet path/dir, or an existing pages Dataset.
     Returns the run manifest (counts per output partition).
+
+    ``out_dir`` may be a local path, an ``s3://``-style URI, or paired
+    with an explicit ``filesystem`` -- every checkpoint, marker, sameAs
+    staging and graph-partition write goes through ``pyarrow.fs``
+    (state/fsio.py), so the resume artifacts live where every worker can
+    reach them (VERDICT r2 #1).  The pages INPUT resolves independently
+    (Ray's readers handle URIs natively).
 
     The raw converter output is ALWAYS checkpointed to Parquet (default
     ``<out_dir>/_raw_triples``) before canonicalization.  This is (a) the
@@ -212,12 +219,11 @@ def run_kg_pipeline(
     starve the shuffle tasks on a small cluster.  One extraction pass,
     then cheap parquet re-reads.
     """
-    import shutil
-
     import ray
 
     import ray.data as rd
 
+    from ..state import fsio
     from ..state.manifest import (
         input_signature,
         list_input_files,
@@ -229,11 +235,13 @@ def run_kg_pipeline(
     if alias_dict is None and link:
         alias_dict = build_alias_dict()
 
+    fs, out_dir = fsio.resolve_fs(out_dir, filesystem)
+
     if isinstance(pages_path, str):
         input_paths = [pages_path]
         # resume short-circuit BEFORE any extraction work
         sig = input_signature(list_input_files(pages_path))
-        existing = read_manifest(out_dir)
+        existing = read_manifest(out_dir, filesystem=fs)
         if matches(existing, sig, config.ruleset_hash()):
             return existing
         pages_ds = rd.read_parquet(pages_path, columns=["url", "html"])
@@ -257,7 +265,7 @@ def run_kg_pipeline(
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        ckpt = raw_checkpoint_dir or os.path.join(out_dir, "_raw_triples")
+        ckpt = raw_checkpoint_dir or fsio.join(out_dir, "_raw_triples")
         # crashed-run resume for the EXTRACTION phase: a completion marker
         # (written after write_parquet returns) certifies the checkpoint
         # matches (inputs, rules); a matching marker skips re-extraction
@@ -265,17 +273,12 @@ def run_kg_pipeline(
         ckpt_sig = f"{sig}:{config.ruleset_hash()}" if sig else ""
         marker = ckpt + ".complete"
         ckpt_ok = False
-        if ckpt_sig and os.path.isdir(ckpt):
-            try:
-                with open(marker) as f:
-                    ckpt_ok = f.read().strip() == ckpt_sig
-            except OSError:
-                ckpt_ok = False
+        if ckpt_sig and fsio.isdir(fs, ckpt):
+            text = fsio.read_text(fs, marker)
+            ckpt_ok = text is not None and text.strip() == ckpt_sig
         if not ckpt_ok:
-            if os.path.isdir(ckpt):
-                shutil.rmtree(ckpt)
-            if os.path.exists(marker):
-                os.remove(marker)
+            fsio.rmtree(fs, ckpt)
+            fsio.delete_file(fs, marker)
 
             # checkpoint PARTITIONED on "is this a sameAs-key triple": the
             # sameAs stage then reads only the pk=1 sliver (~1-2% of rows)
@@ -294,13 +297,10 @@ def run_kg_pipeline(
                 )
 
             raw.map_batches(add_pk, batch_format="pyarrow").write_parquet(
-                ckpt, partition_cols=["pk"]
+                ckpt, partition_cols=["pk"], filesystem=fs
             )
             if ckpt_sig:
-                tmp = marker + ".tmp"
-                with open(tmp, "w") as f:
-                    f.write(ckpt_sig)
-                os.replace(tmp, marker)
+                fsio.write_text_atomic(fs, marker, ckpt_sig)
         # STAGE the sameAs closure to parquet instead of union-ing it into
         # the materialize sort: Union(big-read, closure) feeding an
         # all-to-all deadlocks the streaming executor's memory accounting
@@ -311,25 +311,26 @@ def run_kg_pipeline(
         # triples, so the extra parquet round-trip is noise, and it makes
         # the sameAs edges a durable resume artifact like the checkpoint.
         read_dirs = [
-            os.path.join(ckpt, d)
-            for d in sorted(os.listdir(ckpt))
+            fsio.join(ckpt, d)
+            for d in fsio.listdir(fs, ckpt)
             if d.startswith("pk=")
         ] or [ckpt]
-        sameas_dir = os.path.join(out_dir, "_sameas_triples")
-        if os.path.isdir(sameas_dir):
-            shutil.rmtree(sameas_dir)
-        pk1 = os.path.join(ckpt, "pk=1")
-        if os.path.isdir(pk1):
-            key_triples = rd.read_parquet(pk1, columns=TRIPLE_COLS)
+        sameas_dir = fsio.join(out_dir, "_sameas_triples")
+        fsio.rmtree(fs, sameas_dir)
+        pk1 = fsio.join(ckpt, "pk=1")
+        if fsio.isdir(fs, pk1):
+            key_triples = rd.read_parquet(
+                pk1, columns=TRIPLE_COLS, filesystem=fs
+            )
             sameas = symmetry_closure(
                 sameas_by_shared_key(
                     key_triples, sameas_key_pred_for(config)
                 ),
                 dedup=False,  # dedup rides the materialize shuffle
             )
-            sameas.write_parquet(sameas_dir)
-            if os.path.isdir(sameas_dir) and any(
-                f.endswith(".parquet") for f in os.listdir(sameas_dir)
+            sameas.write_parquet(sameas_dir, filesystem=fs)
+            if any(
+                f.endswith(".parquet") for f in fsio.listdir(fs, sameas_dir)
             ):
                 read_dirs.append(sameas_dir)
         # coalesce at the READ (2 blocks/CPU): the sort exchange creates
@@ -342,9 +343,9 @@ def run_kg_pipeline(
         # read_parquet expands a single directory but not directories in a
         # path LIST, so enumerate the files explicitly.
         read_files = [
-            os.path.join(d, f)
+            fsio.join(d, f)
             for d in read_dirs
-            for f in sorted(os.listdir(d))
+            for f in fsio.listdir(fs, d)
             if f.endswith(".parquet")
         ]
         # single linear chain into materialize: read -> prep -> sort ->
@@ -353,6 +354,7 @@ def run_kg_pipeline(
             read_files or read_dirs,
             columns=TRIPLE_COLS,
             override_num_blocks=nblocks,
+            filesystem=fs,
         )
     if checkpoint_mode == "memory":
         # dedup rides the materialize subject-hash shuffle (dedup=True):
@@ -367,4 +369,5 @@ def run_kg_pipeline(
         input_paths=input_paths,
         dedup=True,
         preserve_src_prefixes=preserve_src_prefixes,
+        filesystem=fs,
     )

@@ -291,3 +291,177 @@ def test_token_index_matcher_edge_cases():
         want = [m.group(1) for m in rx.finditer(t)]
         got = list(ti.finditer_aliases(t))
         assert got == want, (t, got, want)
+
+
+def test_token_matcher_nonword_final_alias_boundary():
+    """ADVICE r2: an alias ending in a non-word char (e.g. 'Smith Jr.')
+    only matches where \\b(alias)\\b would -- a word char must FOLLOW."""
+    import re
+
+    from marc2rdf_ray.stages.link import _TokenIndexMatcher
+
+    aliases = ["Smith Jr.", "Smith"]
+    m = _TokenIndexMatcher(aliases)
+    rx = re.compile(
+        r"\b(" + "|".join(re.escape(a) for a in
+                          sorted(aliases, key=len, reverse=True)) + r")\b"
+    )
+    texts = [
+        "met Smith Jr.x today",       # \b after '.' holds before a word char
+        "met Smith Jr. today",        # no \b after '.' -> falls back to Smith
+        "met Smith Jr.",              # end-of-text after '.' -> Smith only
+        "Smith Jr.and Smith Jr. ok",  # one of each
+    ]
+    for text in texts:
+        want = sorted(x.group(1) for x in rx.finditer(text))
+        got = sorted(m.finditer_aliases(text))
+        assert got == want, (text, got, want)
+
+
+def test_preserve_survives_crash_between_delete_and_write(
+    ray_session, pages_dir, tmp_path
+):
+    """ADVICE r2: preserved edges are staged durably (out_dir/_preserved)
+    BEFORE old partitions are deleted; a retry whose partitions were
+    destroyed mid-write recovers them from the sidecar."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from marc2rdf_ray.pipelines.kg import run_kg_pipeline
+    from marc2rdf_ray.stages.materialize import materialize_graph
+
+    out_dir = str(tmp_path / "graph")
+    run_kg_pipeline(pages_dir, out_dir, PipelineConfig())
+
+    # simulate a preserve run that crashed after staging: a sidecar exists,
+    # and every old partition is already gone (worst case)
+    sidecar = os.path.join(out_dir, "_preserved")
+    edge = pa.table(
+        {
+            "subj": ["http://ex.org/doc/1"],
+            "pred": ["http://example.org/depiction"],
+            "obj": ["http://img.example.org/1.jpg"],
+            "obj_kind": ["uri"],
+            "lang": pa.array([None], pa.string()),
+            "src": ["enrich:isbn:999"],
+        }
+    )
+    os.makedirs(sidecar)
+    pq.write_table(edge, os.path.join(sidecar, "part-0.parquet"))
+    # the staging marker is written LAST by a real run; its presence is
+    # what certifies the sidecar as the authoritative preserved snapshot
+    with open(os.path.join(sidecar, "_staged"), "w") as f:
+        f.write("staged")
+    for d in list(os.listdir(out_dir)):
+        if d.startswith("part="):
+            shutil.rmtree(os.path.join(out_dir, d))
+
+    fresh = rd.from_arrow(edge).map_batches(  # stand-in for new triples
+        lambda b: b.set_column(
+            0, "subj", pa.array(["http://ex.org/doc/2"], pa.string())
+        ).set_column(5, "src", pa.array(["page:2"], pa.string())),
+        batch_format="pyarrow",
+    )
+    materialize_graph(
+        fresh, out_dir, ruleset_hash="retry",
+        input_paths=[pages_dir], dedup=True,
+        preserve_src_prefixes=["enrich:"],
+    )
+    rows = []
+    for d in os.listdir(out_dir):
+        if d.startswith("part="):
+            rows += pq.read_table(
+                os.path.join(out_dir, d, "edges.parquet")
+            ).to_pylist()
+    kept = [r for r in rows if r["src"] == "enrich:isbn:999"]
+    assert len(kept) == 1  # recovered from the sidecar, not the partitions
+    assert any(r["src"] == "page:2" for r in rows)
+    assert not os.path.isdir(sidecar)  # cleaned up after a complete run
+
+
+def test_flagship_via_subtree_filesystem(ray_session, pages_dir, tmp_path):
+    """VERDICT r2 #1: every sink/checkpoint/manifest write goes through
+    pyarrow.fs -- a SubTreeFileSystem stands in for a remote root.  Plain
+    open()/os.* against the subtree-relative path would either error or
+    litter CWD; both are asserted against."""
+    import gzip
+
+    from pyarrow import fs as pafs
+
+    from marc2rdf_ray.pipelines.kg import run_kg_pipeline
+
+    root = tmp_path / "remote_root"
+    root.mkdir()
+    subfs = pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem())
+
+    m1 = run_kg_pipeline(pages_dir, "graph", PipelineConfig(), filesystem=subfs)
+    assert m1.triple_count > 0
+    gdir = root / "graph"
+    assert (gdir / "_manifest.json").is_file()
+    assert not os.path.exists("graph")  # nothing leaked to a local path
+    parts = sorted(d for d in os.listdir(gdir) if d.startswith("part="))
+    assert parts
+    for d in parts:
+        assert (gdir / d / "edges.parquet").is_file()
+        assert (gdir / d / "_sig").is_file()
+        with gzip.open(gdir / d / "edges.nt.gz") as f:  # valid single-gzip
+            line = f.readline()
+            assert line.startswith(b"<") and line.rstrip().endswith(b".")
+    # the extraction checkpoint + marker also live under the remote root
+    assert (gdir / "_raw_triples.complete").is_file()
+
+    # resume short-circuit through the injected filesystem
+    m2 = run_kg_pipeline(pages_dir, "graph", PipelineConfig(), filesystem=subfs)
+    assert m2.partition_counts == m1.partition_counts
+
+
+def test_preserve_on_update_via_subtree_filesystem(
+    ray_session, pages_dir, tmp_path
+):
+    """Preserve-on-update (sidecar staging + carry-forward) must work
+    against an injected FileSystem end-to-end."""
+    import pyarrow as pa
+    import ray.data as rd
+    from pyarrow import fs as pafs
+
+    from marc2rdf_ray.stages.materialize import materialize_graph
+
+    root = tmp_path / "bucket"
+    root.mkdir()
+    subfs = pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem())
+
+    def edges_tab(rows):
+        return pa.table(
+            {
+                "subj": pa.array([r[0] for r in rows], pa.string()),
+                "pred": pa.array(["http://example.org/p"] * len(rows),
+                                 pa.string()),
+                "obj": pa.array(["o"] * len(rows), pa.string()),
+                "obj_kind": pa.array(["literal"] * len(rows), pa.string()),
+                "lang": pa.array([None] * len(rows), pa.string()),
+                "src": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+
+    base = rd.from_arrow(
+        edges_tab([("http://ex/1", "page:1"), ("http://ex/2", "enrich:x")])
+    )
+    materialize_graph(base, "g", ruleset_hash="r1",
+                      input_paths=[pages_dir], dedup=True, filesystem=subfs)
+
+    fresh = rd.from_arrow(edges_tab([("http://ex/3", "page:3")]))
+    materialize_graph(fresh, "g", ruleset_hash="r2",
+                      input_paths=[pages_dir], dedup=True,
+                      preserve_src_prefixes=["enrich:"], filesystem=subfs)
+    rows = []
+    gdir = root / "g"
+    for d in os.listdir(gdir):
+        if d.startswith("part="):
+            rows += pq.read_table(str(gdir / d / "edges.parquet")).to_pylist()
+    srcs = {r["src"] for r in rows}
+    assert "enrich:x" in srcs          # carried forward
+    assert "page:3" in srcs            # new content present
+    assert "page:1" not in srcs        # non-preserved old edge replaced
+    assert not (gdir / "_preserved").exists()  # sidecar cleaned up
