@@ -466,6 +466,48 @@ def events_asof_join(sf_dir: str):
     )
 
 
+def _events_side_wide(sf_dir: str, event_type: str):
+    """One event type with the WIDE payload (money + props) attached --
+    input for the row-id-gather as-of variant."""
+    ds = _read(sf_dir, "events")
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], event_type))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "value_cents": sql_round_i64(t["value"], 100.0),
+                "props": t["props"],
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def events_asof_join_wide(sf_dir: str):
+    """Wide-table as-of join (ops/joins.py asof_join_wide): identical
+    match semantics to events_asof_join, but the as-of exchange carries
+    only (user_id, ts_us, event_id) -- the wide payload (money, props)
+    attaches afterwards via two row-id hash joins (VERDICT r2 #6)."""
+    from .ops.joins import asof_join_wide
+
+    return asof_join_wide(
+        _events_side_wide(sf_dir, "purchase"),
+        _events_side_wide(sf_dir, "click"),
+        by="user_id",
+        on="ts_us",
+        tiebreak="event_id",
+        left_id="event_id",
+        right_id="event_id",
+        left_cols=["event_id", "user_id", "ts_us", "value_cents", "props"],
+        right_cols=["event_id", "ts_us", "value_cents", "props"],
+        suffix="_click",
+        num_buckets=_events_join_buckets(sf_dir),
+    )
+
+
 def events_error_window(sf_dir: str):
     """Range join (ops/joins.py): every (purchase, error) pair where the
     same user logged the error in the 24 h up to the purchase (inclusive)."""
@@ -493,6 +535,17 @@ def events_value_quantiles(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["value"])
     return exact_quantiles(ds, "value")
+
+
+def events_value_quantile_bounds(sf_dir: str):
+    """Continuous-domain quantile BOUNDS (ops/quantiles.py
+    exact_quantile_bounds): fixed-width binning caps driver state at
+    O(range / bin_width) regardless of distinct-value count; each rank-q
+    value provably lies in its returned [lo, hi) bin."""
+    from .ops.quantiles import exact_quantile_bounds
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    return exact_quantile_bounds(ds, "value", bin_width=7.5)
 
 
 def events_sessions(sf_dir: str):
@@ -1268,8 +1321,10 @@ QUERIES = {
     "events_top_types": events_top_types,
     "events_json_props": events_json_props,
     "events_asof_join": events_asof_join,
+    "events_asof_join_wide": events_asof_join_wide,
     "events_error_window": events_error_window,
     "events_value_quantiles": events_value_quantiles,
+    "events_value_quantile_bounds": events_value_quantile_bounds,
     "docs_sample_deterministic": docs_sample_deterministic,
     "events_sessions": events_sessions,
     "docs_token_stats": docs_token_stats,
@@ -1440,6 +1495,24 @@ SELECT p.event_id, p.user_id, p.ts_us,
        m.cid AS event_id_click, m.cts AS ts_us_click
 FROM p LEFT JOIN m ON m.pid = p.event_id AND m.rn = 1
 """,
+    # wide as-of join: same matches, wide payload gathered by row id
+    "events_asof_join_wide": """
+WITH p AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                  CAST(ROUND(value * 100) AS BIGINT) AS value_cents, props
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_cents, props
+      FROM events WHERE event_type = 'click'),
+m AS (SELECT p.event_id AS pid, c.event_id AS cid, c.ts_us AS cts,
+             c.value_cents AS cvc, c.props AS cprops,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts_us DESC, c.event_id DESC) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id AND c.ts_us <= p.ts_us)
+SELECT p.event_id, p.user_id, p.ts_us, p.value_cents, p.props,
+       m.cid AS event_id_click, m.cts AS ts_us_click,
+       m.cvc AS value_cents_click, m.cprops AS props_click
+FROM p LEFT JOIN m ON m.pid = p.event_id AND m.rn = 1
+""",
     # range join: (purchase, error) pairs within the preceding 24 h, per user
     "events_error_window": """
 WITH p AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
@@ -1468,6 +1541,22 @@ SELECT CAST(t.num AS DOUBLE) / t.den AS q,
         WHERE cum >= (t.num * (SELECT n FROM nn) + t.den - 1) // t.den)
          AS value_cents
 FROM (VALUES (1, 2), (9, 10), (99, 100)) t(num, den)
+""",
+    # continuous-domain quantile bounds: fixed-width bin histogram
+    "events_value_quantile_bounds": """
+WITH e AS (SELECT CAST(FLOOR(CAST(value AS DOUBLE) / 7.5) AS BIGINT) AS b
+           FROM events),
+h AS (SELECT b, COUNT(*) AS c FROM e GROUP BY b),
+s AS (SELECT b, c, SUM(c) OVER (ORDER BY b) AS cum FROM h),
+nn AS (SELECT COUNT(*) AS n FROM e)
+SELECT CAST(t.num AS DOUBLE) / t.den AS q,
+       x.b * 7.5 AS lo, (x.b + 1) * 7.5 AS hi,
+       CAST(x.c AS BIGINT) AS bin_count
+FROM (VALUES (1, 2), (9, 10), (99, 100)) t(num, den)
+CROSS JOIN LATERAL (
+  SELECT b, c FROM s, nn
+  WHERE cum >= (t.num * nn.n + t.den - 1) // t.den
+  ORDER BY b LIMIT 1) x
 """,
     # session windows: lag-gap break flags, running-sum session ids
     "events_sessions": """

@@ -219,6 +219,96 @@ def asof_join(
     )
 
 
+def asof_join_wide(
+    left_ds,
+    right_ds,
+    *,
+    by: str,
+    on: str,
+    tiebreak: str,
+    left_id: str,
+    right_id: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    suffix: str = "_match",
+    num_buckets: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Wide-table as-of join (VERDICT r2 #6): the bucket exchange carries
+    ONLY the slim (key, time, tiebreak, row-id) projection -- wide payload
+    columns never ship through the as-of shuffle.  Matches are computed by
+    ``asof_join`` on the slim sides, then payloads are attached with two
+    distributed hash joins on the row ids (the post-join gather).
+
+    Row-id contract: ``left_id`` / ``right_id`` must be unique within
+    their tables (they key the gather joins).  Output and semantics match
+    ``asof_join``: left_cols + [c+suffix for c in right_cols], LEFT rows
+    without a match keep nulls.
+
+    Shuffle-volume tradeoff vs ``asof_join``: this pays two extra hash
+    joins but each moves only (ids + selected columns); use it when the
+    carried payload is wide (long strings, many columns), and the plain
+    single-shuffle op when the sides are already slim.
+    """
+    if num_partitions is None:
+        try:
+            import ray
+
+            num_partitions = max(
+                2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2)
+            )
+        except Exception:  # pragma: no cover
+            num_partitions = 8
+
+    def _uniq(cols):
+        seen, out = set(), []
+        for c in cols:
+            if c not in seen:
+                seen.add(c)
+                out.append(c)
+        return out
+
+    rid_match = right_id + "__rid"
+    matches = asof_join(
+        left_ds.select_columns(_uniq([by, on, left_id])),
+        right_ds.select_columns(_uniq([by, on, tiebreak, right_id])),
+        by=by,
+        on=on,
+        tiebreak=tiebreak,
+        left_cols=[left_id],
+        right_cols=[right_id],
+        suffix="__rid",
+        num_buckets=num_buckets,
+    )
+
+    def project_right(b: pa.Table) -> pa.Table:
+        cols = {"__rid": b[right_id]}
+        for c in right_cols:
+            cols[c + suffix] = b[c]
+        return pa.table(cols)
+
+    right_proj = right_ds.select_columns(
+        _uniq([right_id] + right_cols)
+    ).map_batches(project_right, batch_format="pyarrow")
+
+    gathered = (
+        left_ds.select_columns(_uniq(left_cols + [left_id]))
+        .join(  # every left row has a match-table row (LEFT semantics)
+            matches, join_type="inner", num_partitions=num_partitions,
+            on=(left_id,),
+        )
+        .join(  # unmatched rows carry a null rid -> left_outer keeps them
+            right_proj, join_type="left_outer",
+            num_partitions=num_partitions,
+            on=(rid_match,), right_on=("__rid",),
+        )
+    )
+    out_cols = left_cols + [c + suffix for c in right_cols]
+    return gathered.map_batches(
+        lambda b: b.select(out_cols), batch_format="pyarrow"
+    )
+
+
 def range_join(
     left_ds,
     right_ds,
