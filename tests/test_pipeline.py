@@ -465,3 +465,52 @@ def test_preserve_on_update_via_subtree_filesystem(
     assert "page:3" in srcs            # new content present
     assert "page:1" not in srcs        # non-preserved old edge replaced
     assert not (gdir / "_preserved").exists()  # sidecar cleaned up
+
+
+def test_aho_corasick_parity_with_regex_alternation():
+    """VERDICT r2 #9: the AC backend must reproduce the \\b-alternation
+    match stream exactly, including non-word-initial/final aliases the
+    token index rejects, overlaps, and longest-at-start preference."""
+    import re
+
+    from marc2rdf_ray.stages.link import _AhoCorasickMatcher
+
+    aliases = [".NET", "#tag", "Smith Jr.", "Smith", "Jane Smith",
+               "NET", "C", "tag"]
+    ac = _AhoCorasickMatcher(aliases)
+    rx = re.compile(
+        r"\b(" + "|".join(re.escape(a) for a in
+                          sorted(aliases, key=len, reverse=True)) + r")\b"
+    )
+    texts = [
+        "x.NET is not .NET alone",      # \b before '.' needs a word char
+        "met Jane Smith and Smith Jr.x then Smith Jr. left",
+        "a#tag b #tagx c#tag.",
+        "C and NET and x.NETy",
+        "Smith Smith Jr.Smith",
+        "", ".", "NET",
+    ]
+    for text in texts:
+        want = [m.group(1) for m in rx.finditer(text)]
+        got = list(ac.finditer_aliases(text))
+        assert got == want, (text, got, want)
+
+
+def test_entity_linker_backend_selection():
+    from marc2rdf_ray.stages.link import (
+        EntityLinker,
+        _AhoCorasickMatcher,
+        _TokenIndexMatcher,
+    )
+
+    word_initial = {"Alice": [("u:a", 1.0)], "Bob": [("u:b", 1.0)]}
+    mixed = {"Alice": [("u:a", 1.0)], ".NET": [("u:n", 1.0)]}
+    assert isinstance(EntityLinker(word_initial).matcher, _TokenIndexMatcher)
+    assert isinstance(EntityLinker(mixed).matcher, _AhoCorasickMatcher)
+    assert EntityLinker(word_initial, token_index_threshold=10).pattern
+    assert isinstance(
+        EntityLinker(word_initial, backend="ac").matcher, _AhoCorasickMatcher
+    )
+    # linking through the AC path produces mentions
+    hits = EntityLinker(mixed).link_text("Alice ships on x.NET daily")
+    assert {u for u, _ in hits} == {"u:a", "u:n"}
