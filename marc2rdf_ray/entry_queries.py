@@ -616,6 +616,60 @@ def docs_fingerprint(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def docs_top_bigrams(sf_dir: str):
+    """Global top-20 token bigrams (ops/corpus.py top_ngrams): per-batch
+    partial counts -> one groupby-sum -> distributed sort + limit; the
+    vocabulary never lands on the driver."""
+    from .ops.corpus import top_ngrams
+
+    return top_ngrams(
+        _read(sf_dir, "documents", columns=["text"]), n=2, k=20
+    )
+
+
+def docs_decontaminated(sf_dir: str):
+    """Test-set decontamination (ops/corpus.py decontaminate): drop every
+    doc containing any blocked span.  The blocklist -- the 48-char prefix
+    of every 40th doc, standing in for an eval-set -- is a broadcast small
+    side; the filter is vectorized match_substring per span."""
+    from .ops.corpus import decontaminate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def block_spans(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % 40 == 0))
+        s = pc.utf8_slice_codeunits(t["text"], 0, 48)
+        out = pa.table({"s": s})
+        return out.filter(pc.not_equal(pc.coalesce(out["s"], ""), ""))
+
+    # separate read for the blocklist side (never branch one Dataset into
+    # two consumers; NOTES.md) -- it is tiny (1/40th of ids, 48 chars each)
+    blocked = [
+        r["s"]
+        for r in _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(block_spans, batch_format="pyarrow")
+        .take_all()
+    ]
+
+    out = decontaminate(docs, blocked)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+
+
+def docs_per_lang_sample(sf_dir: str):
+    """Per-group quota sample (ops/corpus.py): 10 docs per language,
+    ranked by (md5(doc_id), doc_id) -- the stratified analog of
+    docs_sample_deterministic.  Partial top-quota per batch keeps the
+    shuffle at O(quota) rows per group per batch."""
+    from .ops.corpus import per_group_quota_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return per_group_quota_sample(docs, group_col="lang", id_col="doc_id",
+                                  quota=10)
+
+
 # -- dedup family ----------------------------------------------------------
 
 def _augmented_docs(sf_dir: str, perturb: bool):
@@ -1332,6 +1386,9 @@ QUERIES = {
     "docs_quality": docs_quality,
     "docs_langid": docs_langid,
     "docs_fingerprint": docs_fingerprint,
+    "docs_top_bigrams": docs_top_bigrams,
+    "docs_decontaminated": docs_decontaminated,
+    "docs_per_lang_sample": docs_per_lang_sample,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_jaccard_verified": dedup_jaccard_verified,
@@ -1579,6 +1636,31 @@ SELECT user_id, CAST(MIN(tus) AS BIGINT) AS session_start_us,
        COUNT(*) AS n_events,
        CAST(SUM(vc) AS BIGINT) AS sum_value_cents
 FROM sess GROUP BY user_id, sid
+""",
+    # global top-k token bigrams
+    "docs_top_bigrams": """
+WITH toks AS (SELECT regexp_extract_all(text, '\\S+') AS t FROM documents),
+bi AS (SELECT t[g.i] || ' ' || t[g.i + 1] AS ngram
+       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi GROUP BY ngram
+ORDER BY cnt DESC, ngram LIMIT 20
+""",
+    # test-set decontamination: blocked spans = 48-char prefixes of every
+    # 40th doc; survivors contain none of them
+    "docs_decontaminated": """
+WITH b AS (SELECT substr(text, 1, 48) AS s FROM documents
+           WHERE doc_id % 40 = 0 AND substr(text, 1, 48) <> '')
+SELECT d.doc_id, d.lang FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM b WHERE contains(d.text, b.s))
+""",
+    # stratified deterministic sample: 10 per language by (md5(id), id)
+    "docs_per_lang_sample": """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents) WHERE rn <= 10
 """,
     "docs_token_stats": r"""
 SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,

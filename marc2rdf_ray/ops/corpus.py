@@ -1,0 +1,128 @@
+"""Corpus-level operators a training-data pipeline runs before training:
+vocabulary statistics, test-set decontamination, and per-group quota
+sampling.  All three follow the engine's scale rules: per-batch partial
+combine before any shuffle, broadcast small sides, deterministic
+tie-breaks so a SQL oracle can replay them bit-for-bit.
+
+No analog exists in the reference (it predates LLM data work); these
+generalize its set-op / sampling surface (SURVEY.md §2.7 O7/O8) to the
+documents table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def top_ngrams(ds, *, n: int = 2, k: int = 20, text_col: str = "text"):
+    """Global top-k whitespace-token n-grams -> Dataset (ngram, cnt),
+    sorted (cnt desc, ngram asc), exactly k rows (fewer if the corpus has
+    fewer distinct n-grams).
+
+    Scale shape: each batch counts its n-grams locally (the combiner --
+    shuffle volume is O(distinct n-grams per batch), never O(tokens)),
+    one groupby-sum merges the partials, and the top-k is a distributed
+    sort + limit -- no driver materialization of the vocabulary.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for t in b[text_col].to_pylist():
+            toks = _TOKEN_RE.findall(t or "")
+            counts.update(
+                " ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)
+            )
+        return pa.table(
+            {
+                "ngram": pa.array(list(counts.keys()), pa.string()),
+                "cnt": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(key=["cnt", "ngram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def decontaminate(ds, blocked_spans: list[str], *, text_col: str = "text"):
+    """Drop every document whose text CONTAINS any blocked span -- test-set
+    decontamination by literal overlap.
+
+    The blocklist is the broadcast small side (typical: a few thousand
+    eval-set spans); per batch the filter is one vectorized
+    ``match_substring`` pass per span (C speed), OR-ed into a single keep
+    mask.  Scale path for million-span blocklists (documented, not needed
+    here): hash fixed-width token windows on both sides and anti-join on
+    the window hash -- composes from ops/dedup.py's shingle machinery.
+    """
+    spans = [s for s in blocked_spans if s]
+
+    def keep(b: pa.Table) -> pa.Table:
+        if not spans or len(b) == 0:
+            return b
+        col = b[text_col]
+        hit = None
+        for s in spans:
+            m = pc.match_substring(col, s)
+            hit = m if hit is None else pc.or_(hit, m)
+        return b.filter(pc.invert(pc.fill_null(hit, False)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def per_group_quota_sample(
+    ds, *, group_col: str = "lang", id_col: str = "doc_id", quota: int = 10
+):
+    """Deterministic per-group quota sample: within each group keep the
+    first ``quota`` rows ordered by (md5(id), id) -- the per-stratum analog
+    of the deterministic hash sample (entry_queries
+    ``docs_sample_deterministic``).
+
+    Scale shape: top-``quota`` is associative, so each batch reduces to at
+    most ``quota`` rows PER GROUP before the shuffle; the final per-group
+    selection then sees O(quota x #batches) rows per group, never the
+    group's full population.  Per-row md5 is the documented
+    SQL-replayability tradeoff (the columnar functions/hashing path is the
+    at-scale swap, exactly as in docs_sample_deterministic).
+    """
+
+    def ranked(b: pa.Table, cap: int) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        groups = b[group_col].to_pylist()
+        hs = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        order = sorted(range(len(ids)), key=lambda j: (groups[j], hs[j], ids[j]))
+        keep_idx, run_g, run_n = [], object(), 0
+        for j in order:
+            if groups[j] != run_g:
+                run_g, run_n = groups[j], 0
+            if run_n < cap:
+                keep_idx.append(j)
+                run_n += 1
+        idx = pa.array(np.asarray(sorted(keep_idx), np.int64))
+        return pa.table(
+            {
+                group_col: pc.take(b[group_col], idx),
+                id_col: pc.take(b[id_col], idx),
+            }
+        )
+
+    partials = ds.map_batches(
+        lambda b: ranked(b, quota), batch_format="pyarrow"
+    )
+    return partials.groupby(group_col).map_groups(
+        lambda g: ranked(g, quota), batch_format="pyarrow"
+    )

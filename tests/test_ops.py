@@ -792,3 +792,75 @@ class TestAdviceFixes:
         pd.testing.assert_frame_equal(
             wide[slim.columns.tolist()], slim, check_dtype=False
         )
+
+
+class TestCorpusOps:
+    def test_top_ngrams_matches_counter(self, ray_session):
+        import re
+        from collections import Counter
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import top_ngrams
+
+        texts = [
+            "the cat sat on the mat",
+            "the cat ran",
+            "a cat sat on a mat",
+            "",
+        ]
+        ds = rd.from_items([{"text": t} for t in texts])
+        got = [
+            (r["ngram"], r["cnt"])
+            for r in top_ngrams(ds, n=2, k=5).take_all()
+        ]
+        counts = Counter()
+        for t in texts:
+            toks = re.findall(r"\S+", t)
+            counts.update(
+                " ".join(toks[i:i + 2]) for i in range(len(toks) - 1)
+            )
+        want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert got == want
+
+    def test_decontaminate_drops_matching_docs(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import decontaminate
+
+        docs = [
+            {"doc_id": 1, "text": "clean document body"},
+            {"doc_id": 2, "text": "contains the SECRET EVAL SPAN here"},
+            {"doc_id": 3, "text": "another clean one"},
+        ]
+        out = decontaminate(
+            rd.from_items(docs), ["SECRET EVAL SPAN", ""]
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 3]
+        # empty blocklist is the identity
+        out2 = decontaminate(rd.from_items(docs), []).to_pandas()
+        assert len(out2) == 3
+
+    def test_per_group_quota_sample_deterministic(self, ray_session):
+        import hashlib
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import per_group_quota_sample
+
+        rows = [
+            {"doc_id": i, "lang": ["en", "no", "de"][i % 3]}
+            for i in range(90)
+        ]
+        out = per_group_quota_sample(
+            rd.from_items(rows), group_col="lang", id_col="doc_id", quota=4
+        ).to_pandas()
+        assert len(out) == 12
+        for lang in ("en", "no", "de"):
+            ids = [r["doc_id"] for r in rows if r["lang"] == lang]
+            want = sorted(
+                ids,
+                key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+            )[:4]
+            got = sorted(out[out.lang == lang]["doc_id"].tolist())
+            assert got == sorted(want)
