@@ -135,7 +135,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "ann_brute_topk",
         "doc_pagerank",
         "events_asof_join",
+        "events_asof_join_wide",
         "embeddings_kmeans",
+        "docs_top_bigrams",
+        "dedup_jaccard_verified",
     ]
     out = {}
     for name in names:
