@@ -776,6 +776,68 @@ def dedup_jaccard_verified(sf_dir: str):
     return with_both.map_batches(exact, batch_format="pyarrow")
 
 
+def dedup_minhash_keep(sf_dir: str):
+    """The full near-dup dedup PIPELINE a training run actually consumes,
+    as one composition: MinHash-LSH candidate pairs -> connected components
+    over the pair graph -> keep exactly one doc per duplicate cluster (the
+    min id) plus every unpaired doc.  Output = the deduplicated id set.
+
+    Scale shape: each stage is the already-bucketed operator; the final
+    anti-join broadcasts the (small) drop set via _small_side with a
+    left_outer-join fallback when it exceeds the byte budget."""
+    import ray
+
+    from .ops.dedup import minhash_lsh_pairs
+    from .stages.canonicalize import connected_components
+
+    pairs = minhash_lsh_pairs(_augmented_docs(sf_dir, perturb=True),
+                              threshold=0.7)
+    edges = pairs.map_batches(
+        lambda b: pa.table({"subj": b["a"], "obj": b["b"]}),
+        batch_format="pyarrow",
+    )
+    comp = connected_components(edges, rounds=4)
+    drops = comp.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.filter(pc.not_equal(b["node"], b["root"]))["node"]}
+        ),
+        batch_format="pyarrow",
+    )
+    aug_ids = _augmented_docs(sf_dir, perturb=True).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+    dtab, dmat = _small_side(drops)
+    if dtab is not None:
+        dropped = set(dtab["doc_id"].to_pylist())
+        dref = ray.put(dropped)
+
+        class Keep:
+            def __init__(self):
+                self.drop = ray.get(dref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ids = b["doc_id"].to_pylist()
+                mask = pa.array([i not in self.drop for i in ids])
+                return b.filter(mask)
+
+        return aug_ids.map_batches(Keep, batch_format="pyarrow",
+                                   concurrency=2)
+    marked = dmat.map_batches(
+        lambda b: b.append_column(
+            "__dup", pa.array(np.ones(len(b), np.int8), pa.int8())
+        ),
+        batch_format="pyarrow",
+    )
+    joined = aug_ids.join(
+        marked, join_type="left_outer", num_partitions=_join_nparts(),
+        on=("doc_id",),
+    )
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b["__dup"])).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
 def dedup_simhash(sf_dir: str):
     from .ops.dedup import simhash_pairs
 
@@ -1391,6 +1453,7 @@ QUERIES = {
     "docs_per_lang_sample": docs_per_lang_sample,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
+    "dedup_minhash_keep": dedup_minhash_keep,
     "dedup_jaccard_verified": dedup_jaccard_verified,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
@@ -2260,3 +2323,25 @@ QUALIFY row_number() OVER (
 
 ORACLE_SQL["embeddings_kmeans"] = _kmeans_oracle_sql()
 ORACLE_SQL["ann_ivf_trained_topk"] = _ivf_trained_oracle_sql()
+
+
+# dedup_minhash_keep oracle: composed from the full minhash pair replay --
+# transitive closure (recursive CTE) over the candidate pairs, keep the
+# cluster-min id plus all unpaired ids.
+ORACLE_SQL["dedup_minhash_keep"] = """
+WITH RECURSIVE
+pairs AS MATERIALIZED (SELECT a, b FROM (""" + ORACLE_SQL["dedup_minhash"] + """) mh),
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT x AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT reach.node, e.y FROM reach JOIN edges e ON e.x = reach.r
+),
+roots AS (SELECT node, MIN(r) AS root FROM reach GROUP BY node),
+aug AS (SELECT doc_id FROM documents
+        UNION ALL SELECT doc_id + 1000000 FROM documents)
+SELECT a.doc_id FROM aug a
+WHERE NOT EXISTS (SELECT 1 FROM roots
+                  WHERE roots.node = a.doc_id AND roots.root <> a.doc_id)
+"""
