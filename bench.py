@@ -119,6 +119,71 @@ def cc_microbench(n_edges: int = 1_000_000) -> float:
     return wall
 
 
+def pagerank_microbench(n_edges: int = 1_000_000) -> float:
+    """PageRank (3 iterations) over a synthetic power-law-ish graph:
+    every node i links to i//2 (hub funnel) and to (i*7) % n (scatter) --
+    hot dsts near 0 exercise the per-task combiner."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from marc2rdf_ray.ops.graph import pagerank
+
+    n_nodes = n_edges // 2
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["id"].to_pylist(), np.int64)
+        src = np.concatenate([ids, ids])
+        dst = np.concatenate([ids // 2, (ids * 7) % n_nodes])
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    edges = rd.range(n_nodes).map_batches(gen, batch_format="pyarrow")
+    nodes = rd.range(n_nodes).map_batches(
+        lambda b: pa.table({"node": pa.array(b["id"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    t0 = time.time()
+    n = pagerank(edges, nodes, iterations=3).count()
+    wall = time.time() - t0
+    assert n == n_nodes
+    return wall
+
+
+def big_graph() -> None:
+    """--big-graph: the 10M-edge scale point for the iterative graph ops
+    (connected components + PageRank), one JSON line.  Separate from the
+    per-round default so the driver's bench stays bounded."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    n = int(os.environ.get("M2R_BIG_GRAPH_EDGES", str(10_000_000)))
+    cc = cc_microbench(n)
+    pr = pagerank_microbench(n)
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "10M-edge graph ops (sec)",
+                "n_edges": n,
+                "cc_sec": round(cc, 3),
+                "pagerank3_sec": round(pr, 3),
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     """Representative per-operator timings over the sf tables."""
     from marc2rdf_ray import entry_queries as eq
@@ -136,6 +201,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "doc_pagerank",
         "events_asof_join",
         "events_asof_join_wide",
+        "events_sliding_3h",
+        "events_approx_distinct_users",
         "embeddings_kmeans",
         "docs_top_bigrams",
         "dedup_jaccard_verified",
@@ -297,5 +364,7 @@ def scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--big-graph" in sys.argv:
+        big_graph()
     else:
         main()

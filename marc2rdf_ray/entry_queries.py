@@ -558,6 +558,30 @@ def events_sessions(sf_dir: str):
     return sessionize(ds)
 
 
+def events_sliding_3h(sf_dir: str):
+    """Trailing 3-hour sliding-window aggregate per user (ops.windows
+    .sliding_window): for every hour in which a user has events, the count
+    and integer-cent sum over that hour and the two before it.  One
+    hash-bucket shuffle + one vectorized (lexsort/reduceat/searchsorted)
+    pass per bucket -- the overlapping-window aggregate Ray Data lacks."""
+    from .ops.windows import sliding_window
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return sliding_window(ds, hop_us=3_600_000_000, width_hops=3)
+
+
+def events_approx_distinct_users(sf_dir: str):
+    """HyperLogLog register table (p=10) for the distinct-user count
+    (ops.sketches.hll_registers): per-batch partial register maxima ->
+    one <=1024-rows-per-block groupby-max -- the fixed-size-sketch
+    replacement for the all-to-all exact count-distinct at 100 TB.
+    Feed ops.sketches.hll_estimate for the scalar estimate."""
+    from .ops.sketches import hll_registers
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return hll_registers(ds, "user_id", p=10)
+
+
 def docs_sample_deterministic(sf_dir: str):
     """Deterministic 1-in-8 sample by md5(doc_id) -- the resumable,
     engine-independent alternative to ds.random_sample (SURVEY §2.7 O8):
@@ -1443,6 +1467,8 @@ QUERIES = {
     "events_value_quantile_bounds": events_value_quantile_bounds,
     "docs_sample_deterministic": docs_sample_deterministic,
     "events_sessions": events_sessions,
+    "events_sliding_3h": events_sliding_3h,
+    "events_approx_distinct_users": events_approx_distinct_users,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
     "docs_quality": docs_quality,
@@ -1699,6 +1725,44 @@ SELECT user_id, CAST(MIN(tus) AS BIGINT) AS session_start_us,
        COUNT(*) AS n_events,
        CAST(SUM(vc) AS BIGINT) AS sum_value_cents
 FROM sess GROUP BY user_id, sid
+""",
+    # trailing 3-hop sliding window: hop partials self-joined over the
+    # window range (the oracle's O(W) blowup is fine at sf scale; the Ray
+    # path is the cumsum-difference single pass)
+    "events_sliding_3h": """
+WITH hops AS (
+  SELECT user_id,
+         CAST(FLOOR(CAST(epoch_us(ts) AS BIGINT) / 3600000000.0) AS BIGINT)
+           AS hop,
+         COUNT(*) AS c,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+)
+SELECT a.user_id, a.hop AS window_end_hop,
+       CAST(SUM(b.c) AS BIGINT) AS n_events,
+       CAST(SUM(b.s) AS BIGINT) AS sum_value_cents
+FROM hops a JOIN hops b
+  ON a.user_id = b.user_id AND b.hop BETWEEN a.hop - 2 AND a.hop
+GROUP BY 1, 2
+""",
+    # HyperLogLog registers: md5-derived 64-bit hash, top-10-bit register,
+    # rho = leading zeros of the low 54 bits + 1 via exact integer
+    # bit-length (length of bin())
+    "events_approx_distinct_users": """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) AS hv
+  FROM (SELECT DISTINCT user_id FROM events)
+), r AS (
+  SELECT CAST(hv >> 54 AS BIGINT) AS register,
+         hv & CAST(18014398509481983 AS UBIGINT) AS rest
+  FROM h
+)
+SELECT register,
+       CAST(MAX(54 - CASE WHEN rest = 0 THEN 0
+                          ELSE length(bin(rest)) END + 1) AS BIGINT)
+         AS max_rho
+FROM r GROUP BY register
 """,
     # global top-k token bigrams
     "docs_top_bigrams": """

@@ -1,0 +1,111 @@
+"""Sketch operators: approximate-distinct (HyperLogLog) registers.
+
+The reference counts distinct subjects exactly (SURVEY.md §2.6 A2 /
+tools/isql cleanup counts); at 100 TB an exact count-distinct is an
+all-to-all shuffle of every key.  HyperLogLog replaces it with a
+fixed-size register array: per-batch partial register maxima combine
+associatively, so the shuffle carries at most ``2**p`` rows per block
+regardless of input size -- the canonical sketch shape for Ray Data
+(map_batches partial -> tiny groupby max).
+
+Hashing is md5-derived (same recipe as ops/dedup.py) so the whole
+register computation replays bit-exactly in a DuckDB oracle
+(``'0x'||substr(md5(key),1,16)`` -> UBIGINT, rho via integer bit-length
+on ``bin()``).  The per-row ``hashlib.md5`` here is the documented
+SQL-replayability tradeoff (see docs_sample_deterministic); the scale
+path swaps in the columnar hash (functions/hashing) and gives up only
+oracle replay, not correctness.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+# bias-correction constant for m = 2**p registers (Flajolet et al. 2007)
+_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(int(np.log2(m)), 0.7213 / (1 + 1.079 / m))
+
+
+def hll_registers(ds, key_col: str, *, p: int = 10):
+    """HyperLogLog register table for the distinct count of ``key_col``.
+
+    Returns a Dataset of (register, max_rho): ``register`` = top ``p``
+    bits of the 64-bit md5-derived key hash, ``max_rho`` = max over keys
+    of (leading zeros of the remaining ``64-p`` bits) + 1.  Registers no
+    key maps to are absent (matches the SQL oracle's GROUP BY).
+
+    One tiny shuffle: each batch emits at most ``2**p`` partial rows
+    (register-wise max inside the batch), then a global groupby-max.
+    Feed the result to :func:`hll_estimate` for the cardinality.
+    """
+    rem_bits = 64 - p
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pylist()
+        hv = np.fromiter(
+            (
+                int(hashlib.md5(str(k).encode()).hexdigest()[:16], 16)
+                for k in keys
+            ),
+            np.uint64,
+            count=len(keys),
+        )
+        reg = (hv >> np.uint64(rem_bits)).astype(np.int64)
+        rest = hv & np.uint64((1 << rem_bits) - 1)
+        # rho = leading zeros of the rem_bits-wide value + 1
+        #     = rem_bits - bit_length(rest) + 1   (bit_length(0) == 0)
+        bl = np.zeros(len(rest), np.int64)
+        nz = rest != 0
+        x = rest[nz]
+        # float log2 seeds the bit length; one exact integer check in each
+        # direction repairs any misrounding at power-of-two boundaries
+        b = np.floor(np.log2(x.astype(np.float64))).astype(np.int64) + 1
+        b = np.where(x >> b.astype(np.uint64) != 0, b + 1, b)
+        b = np.where(x >> (b - 1).astype(np.uint64) == 0, b - 1, b)
+        bl[nz] = b
+        rho = rem_bits - bl + 1
+        order = np.lexsort((reg,))
+        reg_s, rho_s = reg[order], rho[order]
+        brk = np.empty(len(reg_s), bool)
+        brk[0:1] = True
+        if len(reg_s) > 1:
+            brk[1:] = reg_s[1:] != reg_s[:-1]
+        starts = np.flatnonzero(brk)
+        return pa.table(
+            {
+                "register": pa.array(reg_s[starts], pa.int64()),
+                "max_rho": pa.array(
+                    np.maximum.reduceat(rho_s, starts), pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("register")
+        .aggregate(Max("max_rho", alias_name="max_rho"))
+    )
+
+
+def hll_estimate(registers: pa.Table, *, p: int = 10) -> float:
+    """Cardinality estimate from a (register, max_rho) table.
+
+    Standard HLL with small-range (linear counting) correction; absent
+    registers count as zero.
+    """
+    m = 1 << p
+    rho = np.zeros(m, np.int64)
+    rho[np.asarray(registers["register"])] = np.asarray(registers["max_rho"])
+    est = _alpha(m) * m * m / np.sum(np.power(2.0, -rho.astype(np.float64)))
+    zeros = int(np.sum(rho == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)

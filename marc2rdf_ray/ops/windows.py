@@ -91,3 +91,103 @@ def sessionize(
         .groupby("bucket")
         .map_groups(sessions, batch_format="pyarrow")
     )
+
+
+def sliding_window(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    hop_us: int = 3_600_000_000,
+    width_hops: int = 3,
+    num_buckets: int | None = None,
+):
+    """Trailing sliding-window aggregate per user: for every ACTIVE hop
+    (a hop in which the user has >=1 event) emit the count and integer-cent
+    sum over the window of ``width_hops`` hops ending at that hop
+    (inclusive) -- the hopping/sliding-window aggregate the reference's
+    harvest windows imply (oaiclient.rb:29-30 from/until) generalized to
+    overlapping windows, which Ray Data lacks natively.
+
+    Composition (a) per SURVEY.md custom-operator rule: ONE hash-bucket
+    shuffle by user, then a single vectorized pass per bucket -- lexsort,
+    reduceat to per-(user,hop) partials, and a searchsorted trailing-window
+    cumsum difference.  No Python per event, per user, or per hop.
+
+    Partitioning assumption: all events of one user land in one bucket
+    task (hash(user) % B); bucket count scales with the cluster and a
+    single user's hop count is bounded by the time range, so per-bucket
+    memory is O(events/B).
+
+    Output: (user_id, window_end_hop, n_events, sum_value_cents), where
+    ``window_end_hop`` = floor(epoch_us / hop_us).
+    """
+    from ..functions.hashing import bucket_codes
+
+    if num_buckets is None:
+        try:
+            import ray
+
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_buckets = 16
+
+    def prep(b: pa.Table) -> pa.Table:
+        from ..functions.numeric import sql_round_i64
+
+        t = pa.table(
+            {
+                "u": b[user_col],
+                "tus": pc.cast(b[ts_col], pa.int64()),
+                "vc": sql_round_i64(b[value_col], 100.0),
+            }
+        )
+        return t.append_column(
+            "bucket", bucket_codes(pc.cast(t["u"], pa.string()), num_buckets)
+        )
+
+    def windows(group: pa.Table) -> pa.Table:
+        u = np.asarray(group["u"].to_numpy(zero_copy_only=False), np.int64)
+        tus = np.asarray(group["tus"].to_numpy(zero_copy_only=False), np.int64)
+        vc = np.asarray(group["vc"].to_numpy(zero_copy_only=False), np.int64)
+        hop = tus // hop_us  # int64 floor division == oracle's float floor
+        order = np.lexsort((hop, u))
+        u, hop, vc = u[order], hop[order], vc[order]
+        # collapse to per-(user, hop) partials
+        brk = np.empty(len(u), bool)
+        brk[0:1] = True
+        if len(u) > 1:
+            brk[1:] = (u[1:] != u[:-1]) | (hop[1:] != hop[:-1])
+        starts = np.flatnonzero(brk)
+        gu, ghop = u[starts], hop[starts]
+        gcnt = np.diff(np.append(starts, len(u))).astype(np.int64)
+        gsum = np.add.reduceat(vc, starts)
+        # trailing window via searchsorted on a per-user-disjoint key space:
+        # users are separated by > width so a window never crosses users
+        hop_idx = ghop - ghop.min()
+        span = int(hop_idx.max()) + width_hops + 1
+        ubrk = np.empty(len(gu), bool)
+        ubrk[0:1] = True
+        if len(gu) > 1:
+            ubrk[1:] = gu[1:] != gu[:-1]
+        urank = np.cumsum(ubrk) - 1
+        keys = urank * span + hop_idx  # strictly increasing
+        lo = np.searchsorted(keys, keys - (width_hops - 1), side="left")
+        ccnt = np.concatenate([[0], np.cumsum(gcnt)])
+        csum = np.concatenate([[0], np.cumsum(gsum)])
+        idx = np.arange(len(keys))
+        return pa.table(
+            {
+                "user_id": pa.array(gu, pa.int64()),
+                "window_end_hop": pa.array(ghop, pa.int64()),
+                "n_events": pa.array(ccnt[idx + 1] - ccnt[lo], pa.int64()),
+                "sum_value_cents": pa.array(csum[idx + 1] - csum[lo], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(windows, batch_format="pyarrow")
+    )

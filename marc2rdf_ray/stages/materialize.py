@@ -102,6 +102,14 @@ def write_sorted_partition(
     # src last reproduces the group_by path's min(src) pick exactly
     # (nulls sort last; Arrow's min skips nulls).
     data = group.drop_columns([PART_COL])
+    # decode the dictionary-encoded exchange columns (see prep) -- the
+    # sort, dedup mask and NT formatter all work on plain strings
+    for c in data.column_names:
+        if pa.types.is_dictionary(data[c].type):
+            i = data.column_names.index(c)
+            data = data.set_column(
+                i, c, pc.cast(data[c], data[c].type.value_type)
+            )
     sort_cols = [c for c in TRIPLE_KEY_COLS if c in data.column_names]
     other_cols = [c for c in data.column_names if c not in sort_cols]
     data = data.sort_by([(c, "ascending") for c in sort_cols + other_cols])
@@ -365,7 +373,27 @@ def materialize_graph(
 
             keys = [c for c in TRIPLE_KEY_COLS if c in b.column_names]
             b = local_dedup(b, keys)
-        return add_partition_column(b, num_partitions)
+        b = add_partition_column(b, num_partitions)
+        # dictionary-encode the low-cardinality columns through the
+        # exchange (~15% of the shuffle bytes at 200k pages -- a handful of
+        # distinct predicates repeated per row otherwise ship as full
+        # strings); the writer task decodes before its sort.  NOT `lang`:
+        # it is null-heavy (nulls already cost ~0 bytes) and an all-null
+        # batch yields a null-bearing dictionary, which Arrow's
+        # unify_dictionaries rejects inside Ray's sort-merge ("Cannot yet
+        # unify dictionaries with nulls").
+        for c in ("pred", "obj_kind") if dict_encode else ():
+            if c in b.column_names and not pa.types.is_dictionary(b[c].type):
+                i = b.column_names.index(c)
+                b = b.set_column(
+                    i, c, pc.dictionary_encode(b[c].combine_chunks())
+                )
+        return b
+
+    # A/B toggle evaluated on the DRIVER and captured in the prep closure
+    # (workers never see the env var): M2R_NO_DICT_ENCODE=1 ships plain
+    # strings through the exchange, for interleaved benchmarking.
+    dict_encode = os.environ.get("M2R_NO_DICT_ENCODE") != "1"
 
     # NOTE deliberately NO repartition() here: a repartition feeding the
     # sort exchange stacks two all-to-all operators, each buffering the

@@ -864,3 +864,115 @@ class TestCorpusOps:
             )[:4]
             got = sorted(out[out.lang == lang]["doc_id"].tolist())
             assert got == sorted(want)
+
+
+class TestSlidingWindow:
+    def test_matches_naive(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import sliding_window
+
+        rng = np.random.RandomState(7)
+        n = 2000
+        users = rng.randint(0, 25, n)
+        base = 1_700_000_000_000_000
+        ts = base + rng.randint(0, 3600_000_000 * 40, n)
+        vals = np.round(rng.uniform(0, 100, n), 2)
+        tab = pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+        hop, width = 3_600_000_000, 3
+        out = (
+            sliding_window(rd.from_arrow(tab), hop_us=hop, width_hops=width)
+            .to_pandas()
+            .sort_values(["user_id", "window_end_hop"])
+            .reset_index(drop=True)
+        )
+        # brute force
+        import collections
+
+        cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+        hops = ts // hop
+        per = collections.defaultdict(lambda: [0, 0])  # (u,hop)->[cnt,sum]
+        for u, h, c in zip(users, hops, cents):
+            per[(u, h)][0] += 1
+            per[(u, h)][1] += c
+        want = {}
+        for (u, h) in per:
+            cnt = sum(per.get((u, h - d), [0, 0])[0] for d in range(width))
+            s = sum(per.get((u, h - d), [0, 0])[1] for d in range(width))
+            want[(u, h)] = (cnt, s)
+        assert len(out) == len(want)
+        for row in out.itertuples():
+            assert want[(row.user_id, row.window_end_hop)] == (
+                row.n_events,
+                row.sum_value_cents,
+            ), (row.user_id, row.window_end_hop)
+
+    def test_window_never_crosses_users(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import sliding_window
+
+        # two users in adjacent hops: each window must only see its own user
+        tab = pa.table(
+            {
+                "user_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(
+                    [3_600_000_000 * 10, 3_600_000_000 * 11], pa.timestamp("us")
+                ),
+                "value": pa.array([1.0, 2.0], pa.float64()),
+            }
+        )
+        out = (
+            sliding_window(rd.from_arrow(tab), width_hops=3)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["n_events"]) == [1, 1]
+        assert list(out["sum_value_cents"]) == [100, 200]
+
+
+class TestHllSketch:
+    def test_registers_match_reference_and_estimate(self, ray_session):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.sketches import hll_estimate, hll_registers
+
+        p = 10
+        n_distinct = 5000
+        keys = np.repeat(np.arange(n_distinct, dtype=np.int64), 2)  # dups
+        ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+        regs = hll_registers(ds, "k", p=p).to_pandas()
+        # pure-Python reference
+        want = {}
+        for k in set(keys.tolist()):
+            hv = int(hashlib.md5(str(k).encode()).hexdigest()[:16], 16)
+            reg = hv >> (64 - p)
+            rest = hv & ((1 << (64 - p)) - 1)
+            rho = (64 - p) - rest.bit_length() + 1
+            want[reg] = max(want.get(reg, 0), rho)
+        got = dict(zip(regs["register"], regs["max_rho"]))
+        assert got == want
+        est = hll_estimate(
+            pa.table(
+                {
+                    "register": pa.array(regs["register"], pa.int64()),
+                    "max_rho": pa.array(regs["max_rho"], pa.int64()),
+                }
+            ),
+            p=p,
+        )
+        assert abs(est - n_distinct) / n_distinct < 0.1
