@@ -582,6 +582,37 @@ def events_approx_distinct_users(sf_dir: str):
     return hll_registers(ds, "user_id", p=10)
 
 
+def events_user_cms_counts(sf_dir: str):
+    """Count-min-sketch (depth 4 x width 1024) estimated event counts for
+    users 0..49 (ops.sketches.cms_counts): each batch ships at most
+    depth*width partial counter rows, never its keys -- the bounded-memory
+    heavy-hitter counter for unbounded key spaces.  Estimates are exact
+    upper bounds; bit-exact vs the SQL replay including collisions."""
+    from .ops.sketches import cms_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return cms_counts(ds, "user_id", probes=range(50), depth=4, width=1024)
+
+
+def docs_bloom_prefilter(sf_dir: str):
+    """Bloom-filter pre-filter (512 bits, 3 hashes) for a doc-id blocklist
+    (every 37th doc): flagged rows = blocklist hits PLUS deterministic
+    false positives (ops.sketches.bloom_flag) -- the broadcast-compact
+    stand-in for shipping the full blocked-key set to every task.  The
+    blocklist itself is a driver-side single-column read (blocklists are
+    the canonical small side)."""
+    import pyarrow.parquet as pq
+
+    from .ops.sketches import bloom_flag
+
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    blocked = [i for i in ids if i % 37 == 0]
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return bloom_flag(ds, "doc_id", blocked, m_bits=512, k=3)
+
+
 def docs_sample_deterministic(sf_dir: str):
     """Deterministic 1-in-8 sample by md5(doc_id) -- the resumable,
     engine-independent alternative to ds.random_sample (SURVEY §2.7 O8):
@@ -1469,6 +1500,8 @@ QUERIES = {
     "events_sessions": events_sessions,
     "events_sliding_3h": events_sliding_3h,
     "events_approx_distinct_users": events_approx_distinct_users,
+    "events_user_cms_counts": events_user_cms_counts,
+    "docs_bloom_prefilter": docs_bloom_prefilter,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
     "docs_quality": docs_quality,
@@ -1763,6 +1796,55 @@ SELECT register,
                           ELSE length(bin(rest)) END + 1) AS BIGINT)
          AS max_rho
 FROM r GROUP BY register
+""",
+    # count-min sketch: depth x width counter grid from md5-derived
+    # buckets, probe estimate = min over rows
+    "events_user_cms_counts": """
+WITH rows_(r) AS (VALUES (0), (1), (2), (3)),
+g AS (
+  SELECT r.r AS row,
+         CAST(CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR)
+                                        || CAST(user_id AS VARCHAR)), 1, 16))
+                   AS UBIGINT) % 1024 AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM events, rows_ r GROUP BY 1, 2
+),
+probes AS (SELECT CAST(x AS VARCHAR) AS key FROM generate_series(0, 49) t(x)),
+pb AS (
+  SELECT p.key, r.r AS row,
+         CAST(CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || p.key), 1, 16))
+                   AS UBIGINT) % 1024 AS BIGINT) AS bucket
+  FROM probes p, rows_ r
+)
+SELECT pb.key, CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS cms_count
+FROM pb LEFT JOIN g ON g.row = pb.row AND g.bucket = pb.bucket
+GROUP BY pb.key
+""",
+    # Bloom prefilter: k md5-derived bit positions per key; flagged = all
+    # k positions set by the blocklist (false positives replay too)
+    "docs_bloom_prefilter": """
+WITH js(j) AS (VALUES (0), (1), (2)),
+blocked AS (SELECT CAST(doc_id AS VARCHAR) AS key FROM documents
+            WHERE doc_id % 37 = 0),
+bits AS (
+  SELECT DISTINCT
+         CAST(CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || b.key), 1, 16))
+                   AS UBIGINT) % 512 AS BIGINT) AS pos
+  FROM blocked b, js j
+),
+hits AS (
+  SELECT d.doc_id, d.lang,
+         COUNT(*) FILTER (WHERE b.pos IS NOT NULL) AS nhit
+  FROM documents d
+  CROSS JOIN js j
+  LEFT JOIN bits b
+    ON b.pos = CAST(CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR)
+                                             || CAST(d.doc_id AS VARCHAR)),
+                                         1, 16))
+                         AS UBIGINT) % 512 AS BIGINT)
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang FROM hits WHERE nhit = 3
 """,
     # global top-k token bigrams
     "docs_top_bigrams": """

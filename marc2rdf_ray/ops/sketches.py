@@ -109,3 +109,116 @@ def hll_estimate(registers: pa.Table, *, p: int = 10) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+def _md5_u64(keys, salt: str = "") -> np.ndarray:
+    """md5-derived 64-bit hashes of ``keys`` (any values; str()-ed), with an
+    optional salt prefix -- the oracle-replayable hash family shared by the
+    sketch ops (DuckDB: ``'0x'||substr(md5(salt||key),1,16)`` -> UBIGINT)."""
+    return np.fromiter(
+        (
+            int(hashlib.md5((salt + str(k)).encode()).hexdigest()[:16], 16)
+            for k in keys
+        ),
+        np.uint64,
+        count=len(keys),
+    )
+
+
+def cms_counts(ds, key_col: str, probes, *, depth: int = 4, width: int = 1024):
+    """Count-min-sketch estimated counts for the ``probes`` keys.
+
+    The sketch is a depth x width counter grid: row ``r`` buckets each key
+    by ``md5(str(r) || key) % width``; a key's estimate is the MIN over
+    rows of its bucket counter -- an upper bound on the true count with
+    bounded memory (depth*width counters) regardless of key cardinality.
+
+    Shuffle-safety: each batch emits at most depth*width partial rows
+    ((row, bucket) partial counts combined inside the batch), then one
+    tiny groupby-sum -- the input never ships its keys anywhere.  The
+    probe lookup is driver-side over the depth*width result (a few KB).
+
+    Returns a pyarrow Table (key: string, cms_count: int64) over the probe
+    keys, deterministic and bit-exact vs the SQL oracle.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pylist()
+        rows_out, buckets_out, counts_out = [], [], []
+        for r in range(depth):
+            hv = _md5_u64(keys, salt=str(r))
+            bucket = (hv % np.uint64(width)).astype(np.int64)
+            bc = np.bincount(bucket, minlength=width)
+            nz = np.flatnonzero(bc)
+            rows_out.append(np.full(len(nz), r, np.int64))
+            buckets_out.append(nz.astype(np.int64))
+            counts_out.append(bc[nz].astype(np.int64))
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows_out), pa.int64()),
+                "bucket": pa.array(np.concatenate(buckets_out), pa.int64()),
+                "cnt": pa.array(np.concatenate(counts_out), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["row", "bucket"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_arrow_refs()
+    )
+    import ray
+
+    grid = pa.concat_tables([ray.get(r) for r in grid])
+    counters = np.zeros((depth, width), np.int64)
+    counters[
+        np.asarray(grid["row"]), np.asarray(grid["bucket"])
+    ] = np.asarray(grid["cnt"])
+    probes = [str(p_) for p_ in probes]
+    est = np.full(len(probes), np.iinfo(np.int64).max, np.int64)
+    for r in range(depth):
+        hv = _md5_u64(probes, salt=str(r))
+        est = np.minimum(est, counters[r, (hv % np.uint64(width)).astype(np.int64)])
+    return pa.table(
+        {
+            "key": pa.array(probes, pa.string()),
+            "cms_count": pa.array(est, pa.int64()),
+        }
+    )
+
+
+def bloom_flag(ds, key_col: str, blocked, *, m_bits: int = 1 << 16, k: int = 4):
+    """Flag rows whose ``key_col`` hits a Bloom filter built from the
+    ``blocked`` keys -- the broadcast-compact pre-filter for distributed
+    anti-joins: the filter ships m_bits/8 bytes to every task instead of
+    the full blocked-key set, at the cost of deterministic false
+    positives (callers verify flagged rows against the exact set).
+
+    Bit positions are md5-derived (``md5(str(j) || key) % m_bits`` for
+    j in 0..k-1) so the flagged set -- INCLUDING false positives -- is a
+    pure function of (blocked, m_bits, k) and replays bit-exactly in the
+    SQL oracle.  Per-row md5 is the documented SQL-replayability tradeoff;
+    the scale path swaps in the columnar hash (functions/hashing).
+
+    Returns ``ds`` filtered to flagged rows.
+    """
+    bits = np.zeros(m_bits, bool)
+    blocked = [str(b) for b in blocked]
+    for j in range(k):
+        hv = _md5_u64(blocked, salt=str(j))
+        bits[(hv % np.uint64(m_bits)).astype(np.int64)] = True
+    import ray
+
+    bits_ref = ray.put(bits)
+
+    def flag(b: pa.Table) -> pa.Table:
+        bt = ray.get(bits_ref)
+        keys = b[key_col].to_pylist()
+        hit = np.ones(len(keys), bool)
+        for j in range(k):
+            hv = _md5_u64(keys, salt=str(j))
+            hit &= bt[(hv % np.uint64(m_bits)).astype(np.int64)]
+        return b.filter(pa.array(hit, pa.bool_()))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

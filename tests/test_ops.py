@@ -976,3 +976,83 @@ class TestHllSketch:
             p=p,
         )
         assert abs(est - n_distinct) / n_distinct < 0.1
+
+
+class TestCmsAndBloom:
+    def test_cms_upper_bound_and_replay(self, ray_session):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.sketches import cms_counts
+
+        rng = np.random.RandomState(3)
+        keys = rng.zipf(1.5, 5000) % 200  # skewed counts over 200 keys
+        ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+        depth, width = 4, 256
+        probes = list(range(20))
+        out = cms_counts(ds, "k", probes, depth=depth, width=width)
+        got = dict(zip(out["key"].to_pylist(), out["cms_count"].to_pylist()))
+        # pure-Python replay
+        import collections
+
+        grid = [collections.Counter() for _ in range(depth)]
+        for k in keys.tolist():
+            for r in range(depth):
+                hv = int(
+                    hashlib.md5((str(r) + str(k)).encode()).hexdigest()[:16], 16
+                )
+                grid[r][hv % width] += 1
+        exact = collections.Counter(int(k) for k in keys)
+        for p in probes:
+            want = min(
+                grid[r][
+                    int(
+                        hashlib.md5(
+                            (str(r) + str(p)).encode()
+                        ).hexdigest()[:16],
+                        16,
+                    )
+                    % width
+                ]
+                for r in range(depth)
+            )
+            assert got[str(p)] == want
+            assert got[str(p)] >= exact[p]  # CMS never undercounts
+
+    def test_bloom_superset_and_replay(self, ray_session):
+        import hashlib
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.sketches import bloom_flag
+
+        ids = list(range(400))
+        blocked = [i for i in ids if i % 23 == 0]
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+        m_bits, k = 256, 3
+        out = bloom_flag(ds, "doc_id", blocked, m_bits=m_bits, k=k)
+        got = sorted(out.to_pandas()["doc_id"].tolist())
+        # pure-Python replay (includes any false positives)
+        bits = set()
+        for b in blocked:
+            for j in range(k):
+                hv = int(
+                    hashlib.md5((str(j) + str(b)).encode()).hexdigest()[:16], 16
+                )
+                bits.add(hv % m_bits)
+        want = [
+            i
+            for i in ids
+            if all(
+                int(hashlib.md5((str(j) + str(i)).encode()).hexdigest()[:16], 16)
+                % m_bits
+                in bits
+                for j in range(k)
+            )
+        ]
+        assert got == want
+        assert set(blocked) <= set(got)  # no false negatives, ever
