@@ -613,6 +613,17 @@ def docs_bloom_prefilter(sf_dir: str):
     return bloom_flag(ds, "doc_id", blocked, m_bits=512, k=3)
 
 
+def docs_weighted_sample(sf_dir: str):
+    """Deterministic per-language Bernoulli mix (ops.corpus
+    .weighted_sample): keep 25% of 'en', 75% of 'no', 100% of everything
+    else -- membership a pure function of md5(doc_id), so the mix is
+    resumable and nested (tightening a weight yields a subset)."""
+    from .ops.corpus import weighted_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return weighted_sample(ds, {"en": 0.25, "no": 0.75})
+
+
 def docs_sample_deterministic(sf_dir: str):
     """Deterministic 1-in-8 sample by md5(doc_id) -- the resumable,
     engine-independent alternative to ds.random_sample (SURVEY §2.7 O8):
@@ -1502,6 +1513,7 @@ QUERIES = {
     "events_approx_distinct_users": events_approx_distinct_users,
     "events_user_cms_counts": events_user_cms_counts,
     "docs_bloom_prefilter": docs_bloom_prefilter,
+    "docs_weighted_sample": docs_weighted_sample,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
     "docs_quality": docs_quality,
@@ -1702,6 +1714,14 @@ SELECT p.event_id, p.user_id, p.ts_us,
        e.event_id AS event_id_error, e.ts_us AS ts_us_error
 FROM p JOIN e ON e.user_id = p.user_id
              AND e.ts_us BETWEEN p.ts_us - 86400000000 AND p.ts_us
+""",
+    # weighted Bernoulli mix: md5(id) mod 2^32 under a per-group threshold
+    "docs_weighted_sample": """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < CASE lang WHEN 'en' THEN 1073741824
+                  WHEN 'no' THEN 3221225472
+                  ELSE 4294967296 END
 """,
     # deterministic hash sample: membership is a pure function of the key
     "docs_sample_deterministic": """

@@ -126,3 +126,50 @@ def per_group_quota_sample(
     return partials.groupby(group_col).map_groups(
         lambda g: ranked(g, quota), batch_format="pyarrow"
     )
+
+
+def weighted_sample(
+    ds,
+    weights: dict,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    default_weight: float = 1.0,
+):
+    """Deterministic Bernoulli downsampling with per-group keep
+    probabilities -- the corpus-MIXING primitive (upweight rare sources,
+    downsample dominant ones): a row survives iff
+    ``md5(id) mod 2^32 < floor(weight * 2^32)``.
+
+    Membership is a pure function of (id, weight), so retries, resumed
+    runs and the SQL oracle keep the identical rows -- and the sample
+    composes with itself: tightening a weight yields a SUBSET of the
+    previous sample (nested samples, the property A/B data ablations
+    need).  Stateless vectorized filter; no shuffle.  Per-row md5 is the
+    documented SQL-replayability tradeoff (functions/hashing is the
+    columnar at-scale swap).
+    """
+    thresholds = {
+        g: min(1 << 32, int(float(w) * (1 << 32))) for g, w in weights.items()
+    }
+    default_thr = min(1 << 32, int(float(default_weight) * (1 << 32)))
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        groups = b[group_col].to_pylist()
+        hv = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                for i in ids
+            ),
+            np.int64,
+            count=len(ids),
+        )
+        thr = np.fromiter(
+            (thresholds.get(g, default_thr) for g in groups),
+            np.int64,
+            count=len(groups),
+        )
+        return b.filter(pa.array(hv < thr, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

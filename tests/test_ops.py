@@ -1056,3 +1056,50 @@ class TestCmsAndBloom:
         ]
         assert got == want
         assert set(blocked) <= set(got)  # no false negatives, ever
+
+
+class TestWeightedSample:
+    def test_rates_nesting_and_replay(self, ray_session):
+        import hashlib
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import weighted_sample
+
+        n = 4000
+        langs = ["en", "no", "de"]
+        tab = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "lang": pa.array([langs[i % 3] for i in range(n)]),
+            }
+        )
+        ds = rd.from_arrow(tab)
+        out = weighted_sample(ds, {"en": 0.25, "no": 0.75}).to_pandas()
+        # pure-Python replay
+        def kept(i, w):
+            return int(
+                hashlib.md5(str(i).encode()).hexdigest()[:8], 16
+            ) < int(w * (1 << 32))
+
+        want = [
+            (i, langs[i % 3])
+            for i in range(n)
+            if kept(i, {"en": 0.25, "no": 0.75}.get(langs[i % 3], 1.0))
+        ]
+        got = sorted(zip(out["doc_id"], out["lang"]))
+        assert got == want
+        # empirical rates near the weights
+        import collections
+
+        cnt = collections.Counter(out["lang"])
+        assert abs(cnt["en"] / (n / 3) - 0.25) < 0.05
+        assert abs(cnt["no"] / (n / 3) - 0.75) < 0.05
+        n_de = sum(1 for i in range(n) if i % 3 == 2)
+        assert cnt["de"] == n_de  # default weight 1.0 keeps everything
+        # nesting: a tighter weight selects a SUBSET
+        tight = weighted_sample(ds, {"en": 0.1, "no": 0.75}).to_pandas()
+        assert set(tight[tight.lang == "en"]["doc_id"]) <= set(
+            out[out.lang == "en"]["doc_id"]
+        )
