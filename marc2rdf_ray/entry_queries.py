@@ -613,6 +613,17 @@ def docs_bloom_prefilter(sf_dir: str):
     return bloom_flag(ds, "doc_id", blocked, m_bits=512, k=3)
 
 
+def events_type_value_quantiles(sf_dir: str):
+    """Exact per-event-type value quantiles (median, p90) --
+    ops.quantiles.grouped_quantiles: histogram partials collapse per
+    batch, ONE groupby-shuffle, per-group rank selection in the task
+    (driver state zero, unlike the ungrouped op's O(#distinct) pull)."""
+    from .ops.quantiles import grouped_quantiles
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantiles(ds, "event_type", "value")
+
+
 def docs_weighted_sample(sf_dir: str):
     """Deterministic per-language Bernoulli mix (ops.corpus
     .weighted_sample): keep 25% of 'en', 75% of 'no', 100% of everything
@@ -1514,6 +1525,7 @@ QUERIES = {
     "events_user_cms_counts": events_user_cms_counts,
     "docs_bloom_prefilter": docs_bloom_prefilter,
     "docs_weighted_sample": docs_weighted_sample,
+    "events_type_value_quantiles": events_type_value_quantiles,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
     "docs_quality": docs_quality,
@@ -1714,6 +1726,20 @@ SELECT p.event_id, p.user_id, p.ts_us,
        e.event_id AS event_id_error, e.ts_us AS ts_us_error
 FROM p JOIN e ON e.user_id = p.user_id
              AND e.ts_us BETWEEN p.ts_us - 86400000000 AND p.ts_us
+""",
+    # per-group exact quantiles: per-type histogram + integer-rational ranks
+    "events_type_value_quantiles": """
+WITH e AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+           FROM events),
+h AS (SELECT event_type, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+s AS (SELECT event_type, v,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum FROM h),
+nn AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1)
+SELECT nn.event_type, CAST(t.num AS DOUBLE) / t.den AS q,
+       (SELECT MIN(v) FROM s
+        WHERE s.event_type = nn.event_type
+          AND cum >= (t.num * nn.n + t.den - 1) // t.den) AS value_cents
+FROM nn, (VALUES (1, 2), (9, 10)) t(num, den)
 """,
     # weighted Bernoulli mix: md5(id) mod 2^32 under a per-group threshold
     "docs_weighted_sample": """

@@ -157,3 +157,78 @@ def exact_quantile_bounds(
             "bin_count": pa.array(bc, pa.int64()),
         }
     )
+
+
+def grouped_quantiles(
+    ds,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple = ((1, 2), (9, 10)),
+    *,
+    cents: bool = True,
+):
+    """Exact PER-GROUP quantiles -> Dataset of (group, q, value_cents).
+
+    Same integer-exact rank machinery as :func:`exact_quantiles`, but the
+    histogram never reaches the driver: per-batch (group, value) count
+    partials collapse duplicates before ONE groupby-shuffle, and each
+    group's task merges its partials and selects ranks locally -- fully
+    distributed, driver state zero, shuffle volume O(#distinct
+    (group, value) pairs per batch).
+
+    Partitioning assumption (custom-operator rule): one group's distinct
+    values fit one task -- bounded by the value domain (cents), not the
+    row count, exactly as in the ungrouped op.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..functions.numeric import sql_round_i64
+
+        col = b[value_col]
+        v = sql_round_i64(col, 100.0) if cents else pc.cast(col, pa.int64())
+        t = pa.table({"g": b[group_col], "v": v})
+        g = (
+            t.group_by(["g", "v"], use_threads=False)
+            .aggregate([("v", "count")])
+            .rename_columns(["g", "v", "cnt"])
+        )
+        return pa.table(
+            {"g": g["g"], "v": g["v"], "cnt": pc.cast(g["cnt"], pa.int64())}
+        )
+
+    gtype = ds.schema().types[ds.schema().names.index(group_col)]
+
+    def select(group: pa.Table) -> pa.Table:
+        vals = np.asarray(group["v"].to_numpy(zero_copy_only=False), np.int64)
+        cnts = np.asarray(group["cnt"].to_numpy(zero_copy_only=False), np.int64)
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        # merge duplicate values across partials
+        brk = np.empty(len(vals), bool)
+        brk[0:1] = True
+        if len(vals) > 1:
+            brk[1:] = vals[1:] != vals[:-1]
+        starts = np.flatnonzero(brk)
+        uvals = vals[starts]
+        ucnts = np.add.reduceat(cnts, starts)
+        cum = np.cumsum(ucnts)
+        n = int(cum[-1])
+        qs, out = [], []
+        for num, den in quantiles:
+            qs.append(num / den)
+            rank = (num * n + den - 1) // den  # ceil, integer-exact
+            out.append(int(uvals[np.searchsorted(cum, rank, side="left")]))
+        gval = group["g"][0]
+        return pa.table(
+            {
+                group_col: pa.array([gval.as_py()] * len(qs), gtype),
+                "q": pa.array(qs, pa.float64()),
+                "value_cents": pa.array(out, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(select, batch_format="pyarrow")
+    )

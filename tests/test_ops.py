@@ -1103,3 +1103,37 @@ class TestWeightedSample:
         assert set(tight[tight.lang == "en"]["doc_id"]) <= set(
             out[out.lang == "en"]["doc_id"]
         )
+
+
+class TestGroupedQuantiles:
+    def test_matches_numpy_per_group(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.quantiles import grouped_quantiles
+
+        rng = np.random.RandomState(11)
+        n = 5000
+        groups = np.array(["a", "b", "c"])[rng.randint(0, 3, n)]
+        vals = np.round(rng.uniform(0, 50, n), 2)
+        tab = pa.table(
+            {
+                "event_type": pa.array(groups),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+        qs = ((1, 2), (9, 10))
+        out = (
+            grouped_quantiles(rd.from_arrow(tab), "event_type", "value", qs)
+            .to_pandas()
+            .set_index(["event_type", "q"])["value_cents"]
+            .to_dict()
+        )
+        cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+        for g in ("a", "b", "c"):
+            gv = np.sort(cents[groups == g])
+            ng = len(gv)
+            for num, den in qs:
+                rank = (num * ng + den - 1) // den
+                assert out[(g, num / den)] == gv[rank - 1], (g, num, den)
