@@ -624,6 +624,17 @@ def events_type_value_quantiles(sf_dir: str):
     return grouped_quantiles(ds, "event_type", "value")
 
 
+def docs_packed_sequences(sf_dir: str):
+    """Streaming sequence packing at budget=512 tokens (ops.corpus
+    .pack_streaming): a distributed two-phase prefix sum assigns every doc
+    its global token start_offset and pack_id; driver state is one
+    64-entry bucket-offset table."""
+    from .ops.corpus import pack_streaming
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_streaming(ds, 512)
+
+
 def docs_weighted_sample(sf_dir: str):
     """Deterministic per-language Bernoulli mix (ops.corpus
     .weighted_sample): keep 25% of 'en', 75% of 'no', 100% of everything
@@ -1525,6 +1536,7 @@ QUERIES = {
     "events_user_cms_counts": events_user_cms_counts,
     "docs_bloom_prefilter": docs_bloom_prefilter,
     "docs_weighted_sample": docs_weighted_sample,
+    "docs_packed_sequences": docs_packed_sequences,
     "events_type_value_quantiles": events_type_value_quantiles,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
@@ -1740,6 +1752,19 @@ SELECT nn.event_type, CAST(t.num AS DOUBLE) / t.den AS q,
         WHERE s.event_type = nn.event_type
           AND cum >= (t.num * nn.n + t.den - 1) // t.den) AS value_cents
 FROM nn, (VALUES (1, 2), (9, 10)) t(num, den)
+""",
+    # streaming packing: global token prefix sum in doc_id order, cut every 512
+    "docs_packed_sequences": """
+WITH c AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS BIGINT)
+                      AS n_tokens
+           FROM documents),
+o AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS start_offset
+      FROM c)
+SELECT doc_id, n_tokens, start_offset, start_offset // 512 AS pack_id FROM o
 """,
     # weighted Bernoulli mix: md5(id) mod 2^32 under a per-group threshold
     "docs_weighted_sample": """

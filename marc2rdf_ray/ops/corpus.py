@@ -128,6 +128,103 @@ def per_group_quota_sample(
     )
 
 
+def pack_streaming(
+    ds,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Streaming sequence packing (GPT-style): concatenate every doc's
+    whitespace-token stream in ``id_col`` order and cut a training
+    sequence every ``budget`` tokens.  Returns a Dataset of
+    ``(id, n_tokens, start_offset, pack_id)`` where ``start_offset`` is
+    the number of tokens before the doc in the global stream and
+    ``pack_id = start_offset // budget`` is the sequence its first token
+    lands in.
+
+    A global prefix sum, distributed as two phases: (1) per-batch token
+    counts collapse into per-id-range-bucket partials (``n_buckets`` rows
+    per batch -- the combiner), a tiny groupby-sum brings ``n_buckets``
+    rows to the driver, which computes exclusive bucket offsets (O(K)
+    driver state, never O(rows)); (2) ONE groupby-shuffle on the bucket
+    key, each task sorts its bucket by id and adds local exclusive cumsum
+    to the bucket offset.  Token counting is one vectorized
+    ``count_substring_regex`` pass per phase (recomputed rather than
+    shuffled -- counts are cheaper to redo than to ship with the text).
+
+    Partitioning assumption (custom-operator rule): one id-range bucket's
+    rows fit one task; buckets are contiguous id ranges so the prefix
+    composes.
+    """
+    from ray.data.aggregate import Sum
+
+    max_id = int(ds.max(id_col))
+    width = max(1, (max_id + n_buckets) // n_buckets)
+
+    def counted(b: pa.Table) -> pa.Table:
+        n = pc.fill_null(
+            pc.count_substring_regex(
+                pc.fill_null(b[text_col], ""), r"\S+"
+            ),
+            0,
+        )
+        ids = b[id_col]
+        return pa.table(
+            {
+                "id": pc.cast(ids, pa.int64()),
+                "bucket": pc.cast(
+                    pc.floor(pc.divide(pc.cast(ids, pa.float64()), width)),
+                    pa.int64(),
+                ),
+                "n_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    counts = ds.map_batches(counted, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["bucket", "n_tokens"])
+            .group_by("bucket", use_threads=False)
+            .aggregate([("n_tokens", "sum")])
+        )
+        return g.rename_columns(["bucket", "cnt"])
+
+    tiny = (
+        counts.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    offsets, run = {}, 0
+    for row in sorted(tiny, key=lambda r: r["bucket"]):
+        offsets[int(row["bucket"])] = run
+        run += int(row["cnt"])
+
+    def assign(group: pa.Table) -> pa.Table:
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        cnt = group["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, cnt = ids[order], cnt[order]
+        excl = np.concatenate(([0], np.cumsum(cnt)[:-1])) + offsets[
+            int(group["bucket"][0].as_py())
+        ]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(cnt, pa.int64()),
+                "start_offset": pa.array(excl, pa.int64()),
+                "pack_id": pa.array(excl // budget, pa.int64()),
+            }
+        )
+
+    return counts.groupby("bucket").map_groups(
+        assign, batch_format="pyarrow"
+    )
+
+
 def weighted_sample(
     ds,
     weights: dict,

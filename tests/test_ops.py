@@ -1105,6 +1105,38 @@ class TestWeightedSample:
         )
 
 
+class TestPackStreaming:
+    def test_matches_serial_prefix_sum(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import pack_streaming
+
+        rng = np.random.RandomState(7)
+        ids = np.arange(0, 600, 3)  # sparse id space
+        texts = [
+            " ".join(f"t{j}" for j in range(rng.randint(0, 40)))
+            for _ in ids
+        ]
+        texts[5] = ""  # zero-token doc
+        tab = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                        "text": pa.array(texts)})
+        out = (
+            pack_streaming(rd.from_arrow(tab).repartition(7), 50,
+                           n_buckets=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        cnt = np.array([len(t.split()) for t in texts], np.int64)
+        start = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        assert (out["doc_id"].to_numpy() == ids).all()
+        assert (out["n_tokens"].to_numpy() == cnt).all()
+        assert (out["start_offset"].to_numpy() == start).all()
+        assert (out["pack_id"].to_numpy() == start // 50).all()
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
