@@ -635,6 +635,15 @@ def docs_packed_sequences(sf_dir: str):
     return pack_streaming(ds, 512)
 
 
+def docs_chunked(sf_dir: str):
+    """Fixed-width (160-codepoint) chunking (ops.corpus.chunk_text):
+    stateless vectorized flat-map, one slice kernel per chunk index."""
+    from .ops.corpus import chunk_text
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_text(ds, 160)
+
+
 def docs_weighted_sample(sf_dir: str):
     """Deterministic per-language Bernoulli mix (ops.corpus
     .weighted_sample): keep 25% of 'en', 75% of 'no', 100% of everything
@@ -1537,6 +1546,7 @@ QUERIES = {
     "docs_bloom_prefilter": docs_bloom_prefilter,
     "docs_weighted_sample": docs_weighted_sample,
     "docs_packed_sequences": docs_packed_sequences,
+    "docs_chunked": docs_chunked,
     "events_type_value_quantiles": events_type_value_quantiles,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
@@ -1765,6 +1775,15 @@ o AS (SELECT doc_id, n_tokens,
                  AS BIGINT) AS start_offset
       FROM c)
 SELECT doc_id, n_tokens, start_offset, start_offset // 512 AS pack_id FROM o
+""",
+    # fixed-width codepoint chunking: substr every 160 chars, empty docs drop
+    "docs_chunked": """
+WITH g AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+n AS (SELECT doc_id, t,
+             CAST(ceil(length(t) / 160.0) AS BIGINT) AS nc FROM g)
+SELECT doc_id, s.k AS chunk_id, substr(t, CAST(s.k * 160 + 1 AS BIGINT), 160) AS chunk
+FROM n, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS k) s
+WHERE nc > 0
 """,
     # weighted Bernoulli mix: md5(id) mod 2^32 under a per-group threshold
     "docs_weighted_sample": """

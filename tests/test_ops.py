@@ -1137,6 +1137,33 @@ class TestPackStreaming:
         assert (out["pack_id"].to_numpy() == start // 50).all()
 
 
+class TestChunkText:
+    def test_matches_python_slicing(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import chunk_text
+
+        texts = ["abcdefghij", "åøæ日本語xy", "", None, "12345"]
+        tab = pa.table(
+            {"doc_id": pa.array(range(5), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+        out = (
+            chunk_text(rd.from_arrow(tab).repartition(3), 4)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        want = []
+        for i, t in enumerate(texts):
+            t = t or ""
+            for k in range(0, len(t), 4):
+                want.append((i, k // 4, t[k: k + 4]))
+        got = list(out.itertuples(index=False, name=None))
+        assert got == want
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
