@@ -644,6 +644,16 @@ def docs_chunked(sf_dir: str):
     return chunk_text(ds, 160)
 
 
+def docs_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 tf-idf terms (ops.corpus.tfidf_top_terms): per-batch
+    df partials -> one vocab-sized groupby -> broadcast idf dict built
+    once per actor; scoring stays inside each doc's own batch."""
+    from .ops.corpus import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3)
+
+
 def docs_weighted_sample(sf_dir: str):
     """Deterministic per-language Bernoulli mix (ops.corpus
     .weighted_sample): keep 25% of 'en', 75% of 'no', 100% of everything
@@ -1547,6 +1557,7 @@ QUERIES = {
     "docs_weighted_sample": docs_weighted_sample,
     "docs_packed_sequences": docs_packed_sequences,
     "docs_chunked": docs_chunked,
+    "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "events_type_value_quantiles": events_type_value_quantiles,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
@@ -1784,6 +1795,25 @@ n AS (SELECT doc_id, t,
 SELECT doc_id, s.k AS chunk_id, substr(t, CAST(s.k * 160 + 1 AS BIGINT), 160) AS chunk
 FROM n, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS k) s
 WHERE nc > 0
+""",
+    # per-doc top-3 tf-idf: quantized score, term-asc tie-break
+    "docs_tfidf_top_terms": """
+WITH toks AS (SELECT doc_id,
+                     unnest(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM toks GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf,
+             CAST(FLOOR(tf.tf * LN(nn.n * 1.0 / df.df) * 10000 + 0.5)
+                  AS BIGINT) AS score_q
+      FROM tf, df, nn WHERE tf.term = df.term),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_q DESC, term) AS rn
+      FROM s)
+SELECT doc_id, term, tf, score_q FROM r WHERE rn <= 3
 """,
     # weighted Bernoulli mix: md5(id) mod 2^32 under a per-group threshold
     "docs_weighted_sample": """

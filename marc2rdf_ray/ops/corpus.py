@@ -281,6 +281,149 @@ def chunk_text(
     return ds.map_batches(chunks, batch_format="pyarrow")
 
 
+def tfidf_top_terms(
+    ds,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_budget: int = 256 << 20,
+):
+    """Per-document top-``k`` whitespace terms by tf-idf -> Dataset of
+    ``(id, term, tf, score_q)`` with ``score_q = floor(tf * ln(N/df) *
+    1e4 + 0.5)`` (quantized so the SQL oracle replays the float compare
+    bit-for-bit); ties at the cut broken by term ascending.
+
+    Scale shape: document frequency is a per-batch distinct-term partial
+    (the combiner -- shuffle volume O(distinct terms per batch)) merged by
+    ONE groupby-sum into a vocab-sized table.  When that table fits
+    ``broadcast_budget`` it is ``ray.put`` ONCE and every scoring task
+    reads it zero-copy (an actor pool builds the term->idf dict once per
+    actor, not per batch); scoring then happens inside the doc's own
+    batch -- no second shuffle.  Vocabularies over budget fall back to the
+    distributed path: a (doc, term, tf) dataset joined to df on term, then
+    one groupby(doc) top-k.
+    """
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    n_docs = ds.count()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for t in b[text_col].to_pylist():
+            counts.update(set(_TOKEN_RE.findall(t or "")))
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "df": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    df_ds = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .materialize()
+    )
+
+    def top_rows(doc_ids, texts, lnidf):
+        from collections import Counter
+
+        ids_o, term_o, tf_o, sc_o = [], [], [], []
+        for i, t in zip(doc_ids, texts):
+            tf = Counter(_TOKEN_RE.findall(t or ""))
+            scored = sorted(
+                (
+                    (-int(math.floor(c * lnidf(w) * 10000 + 0.5)), w, c)
+                    for w, c in tf.items()
+                ),
+            )[:k]
+            for neg, w, c in scored:
+                ids_o.append(i)
+                term_o.append(w)
+                tf_o.append(c)
+                sc_o.append(-neg)
+        return pa.table(
+            {
+                id_col: pa.array(ids_o, pa.int64()),
+                "term": pa.array(term_o, pa.string()),
+                "tf": pa.array(tf_o, pa.int64()),
+                "score_q": pa.array(sc_o, pa.int64()),
+            }
+        )
+
+    if df_ds.size_bytes() <= broadcast_budget:
+        df_ref = ray.put(pa.concat_tables(ray.get(df_ds.to_arrow_refs())))
+
+        class Score:
+            def __init__(self):
+                t = ray.get(df_ref)
+                dfv = t["df"].to_numpy(zero_copy_only=False)
+                ln = np.log(n_docs * 1.0 / dfv)
+                self.lnidf = dict(zip(t["term"].to_pylist(), ln.tolist()))
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                return top_rows(
+                    b[id_col].to_pylist(),
+                    b[text_col].to_pylist(),
+                    self.lnidf.__getitem__,
+                )
+
+        return ds.map_batches(
+            Score, batch_format="pyarrow", concurrency=(1, 8)
+        )
+
+    # distributed fallback: tf rows joined to df on term, top-k per doc
+    def tf_rows(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids_o, term_o, tf_o = [], [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            for w, c in Counter(_TOKEN_RE.findall(t or "")).items():
+                ids_o.append(i)
+                term_o.append(w)
+                tf_o.append(c)
+        return pa.table(
+            {
+                id_col: pa.array(ids_o, pa.int64()),
+                "term": pa.array(term_o, pa.string()),
+                "tf": pa.array(tf_o, pa.int64()),
+            }
+        )
+
+    nparts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    joined = ds.map_batches(tf_rows, batch_format="pyarrow").join(
+        df_ds, join_type="inner", num_partitions=nparts, on=("term",)
+    )
+
+    def group_topk(g: pa.Table) -> pa.Table:
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = g["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sc = np.floor(tf * np.log(n_docs * 1.0 / dfv) * 10000 + 0.5).astype(
+            np.int64
+        )
+        terms = g["term"].to_pylist()
+        order = sorted(range(len(sc)), key=lambda j: (-sc[j], terms[j]))[:k]
+        idx = pa.array(np.asarray(order, np.int64))
+        return pa.table(
+            {
+                id_col: pc.take(g[id_col], idx),
+                "term": pc.take(g["term"], idx),
+                "tf": pc.take(g["tf"], idx),
+                "score_q": pc.take(pa.array(sc), idx),
+            }
+        )
+
+    return joined.groupby(id_col).map_groups(
+        group_topk, batch_format="pyarrow"
+    )
+
+
 def weighted_sample(
     ds,
     weights: dict,

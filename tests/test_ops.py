@@ -1164,6 +1164,61 @@ class TestChunkText:
         assert got == want
 
 
+class TestTfidfTopTerms:
+    def _corpus(self):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        vocab = [f"w{j}" for j in range(30)]
+        texts = [
+            " ".join(vocab[rng.randint(0, 30)] for _ in range(rng.randint(1, 60)))
+            for _ in range(40)
+        ]
+        texts[7] = ""
+        return texts
+
+    def _serial(self, texts, k=3):
+        import math
+        from collections import Counter
+
+        n = len(texts)
+        df: Counter = Counter()
+        for t in texts:
+            df.update(set(t.split()))
+        want = []
+        for i, t in enumerate(texts):
+            tf = Counter(t.split())
+            rows = sorted(
+                (
+                    (-math.floor(c * math.log(n * 1.0 / df[w]) * 10000 + 0.5), w, c)
+                    for w, c in tf.items()
+                )
+            )[:k]
+            want += [(i, w, c, -neg) for neg, w, c in rows]
+        return sorted(want)
+
+    def test_broadcast_and_join_paths_match_serial(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import tfidf_top_terms
+
+        texts = self._corpus()
+        tab = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts)}
+        )
+        want = self._serial(texts)
+        for budget in (256 << 20, 1):  # broadcast path, then join fallback
+            out = tfidf_top_terms(
+                rd.from_arrow(tab).repartition(5),
+                k=3,
+                broadcast_budget=budget,
+            ).to_pandas()
+            got = sorted(map(tuple, out.itertuples(index=False, name=None)))
+            assert got == want, f"budget={budget}"
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
