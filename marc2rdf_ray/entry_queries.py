@@ -1325,6 +1325,35 @@ def doc_pagerank(sf_dir: str):
     )
 
 
+def graph_triangles(sf_dir: str):
+    """Exact triangle count (ops/graph.py:triangle_count, compact-forward:
+    distinct -> degree-rank orient -> wedge emit -> one bucketed hash-join
+    match) over the same deterministic md5 link graph as doc_pagerank."""
+    from .ops.graph import triangle_count
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for i in b["doc_id"].to_pylist():
+            for k in range(i % 4):
+                src.append(i)
+                dst.append(
+                    int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16)
+                    % n
+                )
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    cnt = triangle_count(docs.map_batches(edges, batch_format="pyarrow"))
+    return pa.table({"triangles": pa.array([cnt], pa.int64())})
+
+
 def top_orders_per_segment(sf_dir: str):
     """Per-group top-k: 3 priciest orders per market segment.  Small side
     broadcast once (byte-budgeted), ds.join fallback at scale."""
@@ -1583,6 +1612,7 @@ QUERIES = {
     "distinct_flag_ship_months": distinct_flag_ship_months,
     "doc_components": doc_components,
     "doc_pagerank": doc_pagerank,
+    "graph_triangles": graph_triangles,
     "top_orders_per_segment": top_orders_per_segment,
     "similar_docs": similar_docs,
     "docs_enriched_labels": docs_enriched_labels,
@@ -2493,6 +2523,23 @@ r{i} AS (
 
 
 ORACLE_SQL["doc_pagerank"] = _pagerank_oracle_sql()
+
+# triangles of the undirected simple md5 link graph: ordered 3-way self-join
+ORACLE_SQL["graph_triangles"] = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+e0 AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM edges WHERE src <> dst GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+FROM e0 a JOIN e0 b ON b.u = a.v JOIN e0 c ON c.u = a.u AND c.v = b.v
+"""
 
 
 def _kmeans_ctes(

@@ -1219,6 +1219,41 @@ class TestTfidfTopTerms:
             assert got == want, f"budget={budget}"
 
 
+class TestTriangleCount:
+    def test_matches_bruteforce_both_orientations(self, ray_session):
+        import itertools
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import triangle_count
+
+        rng = np.random.RandomState(5)
+        n, m = 60, 400
+        src = rng.randint(0, n, m)
+        dst = rng.randint(0, n, m)
+        # hub node, self loops, reverse duplicates
+        src = np.concatenate([src, np.zeros(30, int), dst[:50], np.arange(10)])
+        dst = np.concatenate([dst, rng.randint(0, n, 30), src[:50],
+                              np.arange(10)])
+        tab = pa.table({"src": pa.array(src, pa.int64()),
+                        "dst": pa.array(dst, pa.int64())})
+        adj = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+        nodes = sorted({x for e in adj for x in e})
+        want = sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if (a, b) in adj and (b, c) in adj and (a, c) in adj
+        )
+        ds = rd.from_arrow(tab).repartition(6)
+        assert triangle_count(ds, num_buckets=8) == want
+        # degree table over budget -> id-rank orientation, same count
+        assert (
+            triangle_count(ds, num_buckets=8, degree_budget=0) == want
+        )
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
