@@ -654,6 +654,21 @@ def docs_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(ds, k=3)
 
 
+def docs_redacted(sf_dir: str):
+    """PII scrub (ops.corpus.redact): emails -> [EMAIL], 4+-digit runs ->
+    [NUM]; one RE2 kernel per pattern per batch, no Python rows."""
+    from .ops.corpus import redact
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return redact(
+        ds,
+        [
+            (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+            (r"[0-9]{4,}", "[NUM]"),
+        ],
+    )
+
+
 def docs_weighted_sample(sf_dir: str):
     """Deterministic per-language Bernoulli mix (ops.corpus
     .weighted_sample): keep 25% of 'en', 75% of 'no', 100% of everything
@@ -1587,6 +1602,7 @@ QUERIES = {
     "docs_packed_sequences": docs_packed_sequences,
     "docs_chunked": docs_chunked,
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
+    "docs_redacted": docs_redacted,
     "events_type_value_quantiles": events_type_value_quantiles,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
@@ -1844,6 +1860,16 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                    ORDER BY score_q DESC, term) AS rn
       FROM s)
 SELECT doc_id, term, tf, score_q FROM r WHERE rn <= 3
+""",
+    # PII scrub: chained RE2 regexp_replace, global flag
+    "docs_redacted": """
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(COALESCE(text, ''),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '[EMAIL]', 'g'),
+           '[0-9]{4,}', '[NUM]', 'g') AS text
+FROM documents
 """,
     # weighted Bernoulli mix: md5(id) mod 2^32 under a per-group threshold
     "docs_weighted_sample": """

@@ -424,6 +424,32 @@ def tfidf_top_terms(
     )
 
 
+def redact(
+    ds,
+    patterns: list,
+    *,
+    text_col: str = "text",
+    out_col: str = "text",
+):
+    """Scrub PII-shaped spans: apply ``(regex, replacement)`` pairs in
+    order to ``text_col`` (emails, phone-ish digit runs, ...).  Stateless
+    vectorized map -- one ``replace_substring_regex`` (RE2, C++) kernel
+    call per pattern per batch, never a Python row loop.  Both Arrow and
+    DuckDB run RE2, so the SQL oracle (chained ``regexp_replace(..,
+    'g')``) replays byte-for-byte.
+    """
+
+    def scrub(b: pa.Table) -> pa.Table:
+        col = pc.fill_null(b[text_col], "")
+        for rx, repl in patterns:
+            col = pc.replace_substring_regex(col, rx, repl)
+        if out_col in b.column_names:
+            b = b.drop_columns([out_col])
+        return b.append_column(out_col, col)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 def weighted_sample(
     ds,
     weights: dict,

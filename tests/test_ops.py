@@ -1254,6 +1254,34 @@ class TestTriangleCount:
         )
 
 
+class TestRedact:
+    def test_email_and_number_scrub(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import redact
+
+        texts = [
+            "mail me at bob.smith+x@ex-ample.co.uk or call 12345678",
+            "year 1999 and 123 stay partial: 123 kept, 4567 goes",
+            None,
+        ]
+        tab = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        out = (
+            redact(rd.from_arrow(tab),
+                   [(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                     "[EMAIL]"),
+                    (r"[0-9]{4,}", "[NUM]")])
+            .to_pandas().sort_values("doc_id")["text"].tolist()
+        )
+        assert out == [
+            "mail me at [EMAIL] or call [NUM]",
+            "year [NUM] and 123 stay partial: 123 kept, [NUM] goes",
+            "",
+        ]
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
