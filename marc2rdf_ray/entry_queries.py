@@ -669,6 +669,15 @@ def docs_redacted(sf_dir: str):
     )
 
 
+def docs_repetition(sf_dir: str):
+    """Gopher-style repetition signals (ops.textstats.repetition_batch):
+    integer top-token fraction per doc; stateless vectorized map."""
+    from .ops.textstats import repetition_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
+
+
 def docs_weighted_sample(sf_dir: str):
     """Deterministic per-language Bernoulli mix (ops.corpus
     .weighted_sample): keep 25% of 'en', 75% of 'no', 100% of everything
@@ -1603,6 +1612,7 @@ QUERIES = {
     "docs_chunked": docs_chunked,
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "docs_redacted": docs_redacted,
+    "docs_repetition": docs_repetition,
     "events_type_value_quantiles": events_type_value_quantiles,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
@@ -1870,6 +1880,26 @@ SELECT doc_id,
                '[EMAIL]', 'g'),
            '[0-9]{4,}', '[NUM]', 'g') AS text
 FROM documents
+""",
+    # repetition signals: integer top-token fraction
+    "docs_repetition": """
+WITH toks AS (SELECT doc_id,
+                     unnest(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+       FROM toks GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+               CAST(MAX(c) AS BIGINT) AS top_token_cnt
+        FROM tf GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.distinct_tokens, 0) AS distinct_tokens,
+       COALESCE(a.top_token_cnt, 0) AS top_token_cnt,
+       CAST(CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0
+            ELSE (a.top_token_cnt * 1000000) // a.n_tokens END
+            AS BIGINT) AS rep_ppm
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """,
     # weighted Bernoulli mix: md5(id) mod 2^32 under a per-group threshold
     "docs_weighted_sample": """

@@ -144,3 +144,35 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             ),
         }
     )
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per doc, all integers so the SQL
+    oracle replays exactly: token count, distinct-token count, the top
+    token's count, and ``rep_ppm = floor(top_cnt * 1e6 / n_tokens)`` (the
+    fraction of mass in the single most frequent token -- high values flag
+    degenerate/boilerplate docs).  Zero-token docs emit 0s.  Stateless
+    per-batch map; the per-doc Counter is bounded by the doc's own
+    vocabulary (docs arrive one per row, so no cross-batch state)."""
+    from collections import Counter
+
+    ids = batch["doc_id"].to_pylist()
+    nt, nd, top, ppm = [], [], [], []
+    for t in batch["text"].to_pylist():
+        toks = _TOKEN_RE.findall(t or "")
+        c = Counter(toks)
+        n = len(toks)
+        m = max(c.values()) if c else 0
+        nt.append(n)
+        nd.append(len(c))
+        top.append(m)
+        ppm.append((m * 1_000_000) // n if n else 0)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "distinct_tokens": pa.array(nd, pa.int64()),
+            "top_token_cnt": pa.array(top, pa.int64()),
+            "rep_ppm": pa.array(ppm, pa.int64()),
+        }
+    )

@@ -1282,6 +1282,28 @@ class TestRedact:
         ]
 
 
+class TestRepetitionStats:
+    def test_counts_and_ppm(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.textstats import repetition_batch
+
+        tab = pa.table(
+            {"doc_id": pa.array([0, 1, 2], pa.int64()),
+             "text": pa.array(["a a a b", "", "x y z"], pa.string())}
+        )
+        out = (
+            rd.from_arrow(tab)
+            .map_batches(repetition_batch, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id")
+        )
+        assert out["n_tokens"].tolist() == [4, 0, 3]
+        assert out["distinct_tokens"].tolist() == [2, 0, 3]
+        assert out["top_token_cnt"].tolist() == [3, 0, 1]
+        assert out["rep_ppm"].tolist() == [750000, 0, 333333]
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
