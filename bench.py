@@ -206,6 +206,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "embeddings_kmeans",
         "docs_top_bigrams",
         "dedup_jaccard_verified",
+        "docs_packed_sequences",
+        "docs_tfidf_top_terms",
+        "events_type_value_quantiles",
+        "graph_triangles",
     ]
     out = {}
     for name in names:

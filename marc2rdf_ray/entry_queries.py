@@ -678,6 +678,18 @@ def docs_repetition(sf_dir: str):
     return ds.map_batches(repetition_batch, batch_format="pyarrow")
 
 
+def docs_split(sf_dir: str):
+    """Deterministic 75/12.5/12.5 train/val/test split (ops.corpus
+    .hash_split): md5(id) mod 2^32 under cumulative bounds; binary-exact
+    fractions so the bounds are integer literals both sides."""
+    from .ops.corpus import hash_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return hash_split(
+        ds, [("train", 0.75), ("val", 0.125), ("test", 0.125)]
+    )
+
+
 def docs_weighted_sample(sf_dir: str):
     """Deterministic per-language Bernoulli mix (ops.corpus
     .weighted_sample): keep 25% of 'en', 75% of 'no', 100% of everything
@@ -1613,6 +1625,7 @@ QUERIES = {
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "docs_redacted": docs_redacted,
     "docs_repetition": docs_repetition,
+    "docs_split": docs_split,
     "events_type_value_quantiles": events_type_value_quantiles,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
@@ -1900,6 +1913,16 @@ SELECT d.doc_id,
             ELSE (a.top_token_cnt * 1000000) // a.n_tokens END
             AS BIGINT) AS rep_ppm
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+""",
+    # deterministic split: md5(id) mod 2^32 under cumulative integer bounds
+    "docs_split": """
+SELECT doc_id, lang,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) < 3221225472 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) < 3758096384 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
 """,
     # weighted Bernoulli mix: md5(id) mod 2^32 under a per-group threshold
     "docs_weighted_sample": """

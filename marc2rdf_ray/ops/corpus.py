@@ -424,6 +424,47 @@ def tfidf_top_terms(
     )
 
 
+def hash_split(
+    ds,
+    fractions: list,
+    *,
+    id_col: str = "doc_id",
+):
+    """Deterministic train/val/test assignment: ``md5(id) mod 2^32`` falls
+    into cumulative ``(label, fraction)`` ranges (fractions must sum to
+    <= 1; the remainder gets the LAST label).  Like
+    :func:`weighted_sample`, membership is a pure function of the id --
+    retries, resumed runs, other engines and the SQL oracle assign the
+    identical split, and tightening a fraction moves a prefix-stable
+    subset between splits.  Stateless map, no shuffle.  Per-row md5 is the
+    documented SQL-replayability tradeoff (functions/hashing is the
+    columnar at-scale swap).
+    """
+    bounds, labels, acc = [], [], 0
+    for label, frac in fractions:
+        acc += float(frac)
+        bounds.append(min(1 << 32, int(acc * (1 << 32))))
+        labels.append(label)
+    bounds[-1] = 1 << 32  # remainder -> last label
+    np_bounds = np.asarray(bounds, np.int64)
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        hv = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                for i in ids
+            ),
+            np.int64,
+            count=len(ids),
+        )
+        idx = np.searchsorted(np_bounds, hv, side="right")
+        lab = pa.array([labels[j] for j in idx], pa.string())
+        return b.append_column("split", lab)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def redact(
     ds,
     patterns: list,

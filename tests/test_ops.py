@@ -1304,6 +1304,29 @@ class TestRepetitionStats:
         assert out["rep_ppm"].tolist() == [750000, 0, 333333]
 
 
+class TestHashSplit:
+    def test_deterministic_and_exhaustive(self, ray_session):
+        import hashlib
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import hash_split
+
+        tab = pa.table({"doc_id": pa.array(range(400), pa.int64())})
+        fr = [("train", 0.75), ("val", 0.125), ("test", 0.125)]
+        out = (
+            hash_split(rd.from_arrow(tab).repartition(4), fr)
+            .to_pandas().set_index("doc_id")["split"].to_dict()
+        )
+        b1, b2 = int(0.75 * (1 << 32)), int(0.875 * (1 << 32))
+        for i in range(400):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            want = "train" if h < b1 else ("val" if h < b2 else "test")
+            assert out[i] == want, i
+        assert set(out.values()) == {"train", "val", "test"}
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
