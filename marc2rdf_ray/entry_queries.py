@@ -1061,6 +1061,16 @@ def ann_brute_topk(sf_dir: str):
     return brute_topk(emb, ids, mat, k=10)
 
 
+def embeddings_knn_graph(sf_dir: str):
+    """Exact cosine 2-NN graph (ops/ann.py:knn_graph): blocked-GEMM
+    self-join streaming sorted corpus blocks against each batch with a
+    running top-k -- worker memory O(batch x block), never O(n^2)."""
+    from .ops.ann import knn_graph
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_graph(emb, k=2)
+
+
 def ann_lsh_topk(sf_dir: str):
     """LSH top-k whose candidate generation (integer-quantized md5-sign
     hyperplane buckets + hamming<=1 multi-probe) is REPLAYED by the DuckDB
@@ -1642,6 +1652,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "ann_brute_topk": ann_brute_topk,
+    "embeddings_knn_graph": embeddings_knn_graph,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
@@ -2382,6 +2393,20 @@ QUALIFY row_number() OVER (
 SELECT 'http://data.example.org/doc/' || CAST(doc_id AS VARCHAR) AS subj,
        t.tag
 FROM documents CROSS JOIN (VALUES ('id'), ('lang'), ('meta')) AS t(tag)
+""",
+    # exact 2-NN self-join graph: ties by neighbor id ascending
+    "embeddings_knn_graph": """
+SELECT a.vec_id AS qid, b.vec_id AS nbr,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4)
+           AS score
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id <> b.vec_id
+QUALIFY row_number() OVER (
+  PARTITION BY a.vec_id
+  ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) DESC,
+           b.vec_id ASC) <= 2
 """,
     "ann_brute_topk": """
 WITH q AS (

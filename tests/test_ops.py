@@ -1327,6 +1327,40 @@ class TestHashSplit:
         assert set(out.values()) == {"train", "val", "test"}
 
 
+class TestKnnGraph:
+    def test_matches_serial_bruteforce(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.ann import knn_graph
+
+        rng = np.random.RandomState(9)
+        n, d = 50, 8
+        mat = rng.randn(n, d)
+        mat[17] = mat[3]  # exact duplicate -> cosine tie, id-asc break
+        tab = pa.table(
+            {"vec_id": pa.array(range(n), pa.int64()),
+             "embedding": pa.array([list(map(float, r)) for r in mat])}
+        )
+        out = (
+            knn_graph(rd.from_arrow(tab).repartition(5), k=2)
+            .to_pandas()
+        )
+        u = mat / np.linalg.norm(mat, axis=1)[:, None]
+        sims = u @ u.T
+        np.fill_diagonal(sims, -np.inf)
+        want = set()
+        for i in range(n):
+            order = sorted(range(n), key=lambda j: (-sims[i, j], j))[:2]
+            for j in order:
+                want.add((i, j, round(float(sims[i, j]), 4)))
+        got = set(map(tuple, out.itertuples(index=False, name=None)))
+        assert got == want
+        # duplicate rows are each other's top neighbor at score 1.0
+        assert (3, 17, 1.0) in got and (17, 3, 1.0) in got
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
