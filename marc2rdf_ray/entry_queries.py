@@ -721,6 +721,18 @@ def docs_sample_deterministic(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def events_running_totals(sf_dir: str):
+    """Per-user cumulative count + cents (ops.windows.running_totals):
+    the SQL window-function shape as one shuffle + a segmented-cumsum
+    pass per bucket."""
+    from .ops.windows import running_totals
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return running_totals(ds)
+
+
 def docs_token_stats(sf_dir: str):
     from .ops.textstats import token_stats_batch
 
@@ -1637,6 +1649,7 @@ QUERIES = {
     "docs_repetition": docs_repetition,
     "docs_split": docs_split,
     "events_type_value_quantiles": events_type_value_quantiles,
+    "events_running_totals": events_running_totals,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
     "docs_quality": docs_quality,
@@ -1978,6 +1991,19 @@ CROSS JOIN LATERAL (
   ORDER BY b LIMIT 1) x
 """,
     # session windows: lag-gap break flags, running-sum session ids
+    # per-user cumulative window aggregate, (ts, id) total order
+    "events_running_totals": """
+WITH e AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+)
+SELECT event_id, user_id, ts_us,
+       CAST(COUNT(*) OVER w AS BIGINT) AS running_cnt,
+       CAST(SUM(vc) OVER w AS BIGINT) AS running_cents
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS UNBOUNDED PRECEDING)
+""",
     "events_sessions": """
 WITH e AS (
   SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus,

@@ -191,3 +191,83 @@ def sliding_window(
         .groupby("bucket")
         .map_groups(windows, batch_format="pyarrow")
     )
+
+
+def running_totals(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_buckets: int | None = None,
+):
+    """Per-key cumulative window aggregate -- SQL's ``SUM(v) OVER
+    (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`` -- as a
+    distributed operator: one shuffle (hash(key) % B), then a single
+    lexsort + segmented-cumsum pass per bucket (no Python per event or per
+    key).  Emits (id, key, ts_us, running_cnt, running_cents); money on
+    integer cents with SQL ROUND tie semantics, so the oracle replays
+    bit-for-bit.  Ties within a key at one timestamp resolve by id.
+
+    Partitioning assumption (custom-operator rule): one key's rows fit
+    one task (the sessionize/sliding_window assumption; keys are users,
+    so the per-key row count is human-bounded)."""
+    from ..functions.hashing import bucket_codes
+    from ..functions.numeric import sql_round_i64
+
+    if num_buckets is None:
+        try:
+            import ray
+
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_buckets = 16
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "id": pc.cast(b[id_col], pa.int64()),
+                "u": b[user_col],
+                "tus": pc.cast(b[ts_col], pa.int64()),
+                "vc": sql_round_i64(b[value_col], 100.0),
+            }
+        )
+        return t.append_column(
+            "bucket", bucket_codes(pc.cast(t["u"], pa.string()), num_buckets)
+        )
+
+    def cumulate(group: pa.Table) -> pa.Table:
+        u = group["u"].to_numpy(zero_copy_only=False)
+        tus = group["tus"].to_numpy(zero_copy_only=False)
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        vc = group["vc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, tus, u))
+        u, tus, ids, vc = u[order], tus[order], ids[order], vc[order]
+        brk = np.empty(len(u), bool)
+        brk[:1] = True
+        if len(u) > 1:
+            brk[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(brk)
+        cum_v = np.cumsum(vc)
+        cum_n = np.arange(1, len(u) + 1, dtype=np.int64)
+        # subtract the running total just before each key's first row
+        base_v = np.concatenate(([0], cum_v))[starts]
+        base_n = np.concatenate(([0], cum_n))[starts]
+        seg = np.repeat(np.arange(len(starts)), np.diff(
+            np.append(starts, len(u))))
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "ts_us": pa.array(tus, pa.int64()),
+                "running_cnt": pa.array(cum_n - base_n[seg], pa.int64()),
+                "running_cents": pa.array(cum_v - base_v[seg], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cumulate, batch_format="pyarrow")
+    )

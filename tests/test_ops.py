@@ -1361,6 +1361,53 @@ class TestKnnGraph:
         assert (3, 17, 1.0) in got and (17, 3, 1.0) in got
 
 
+class TestRunningTotals:
+    def test_matches_pandas_window(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import running_totals
+
+        rng = np.random.RandomState(4)
+        n = 800
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.randint(0, 40, n).astype(np.int64),
+                "ts": pd.to_datetime(
+                    rng.randint(0, 10**6, n) * 1000, unit="us"
+                ),
+                "value": np.round(rng.uniform(0, 30, n), 2),
+            }
+        )
+        # timestamp ties inside a user to exercise the id tie-break
+        df.loc[1, ["user_id", "ts"]] = df.loc[0, ["user_id", "ts"]]
+        tab = pa.Table.from_pandas(df, preserve_index=False)
+        # the real events table is timestamp[us] (TESTDATA.md)
+        idx = tab.column_names.index("ts")
+        tab = tab.set_column(
+            idx, "ts", tab["ts"].cast(pa.timestamp("us"))
+        )
+        out = (
+            running_totals(rd.from_arrow(tab).repartition(6))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        w = df.assign(
+            ts_us=df.ts.astype("int64") // 1000,
+            vc=np.floor(df.value * 100 + 0.5).astype(np.int64),
+        ).sort_values(["user_id", "ts_us", "event_id"])
+        w["running_cnt"] = w.groupby("user_id").cumcount() + 1
+        w["running_cents"] = w.groupby("user_id")["vc"].cumsum()
+        w = w.sort_values("event_id").reset_index(drop=True)
+        assert (out["running_cnt"] == w["running_cnt"]).all()
+        assert (out["running_cents"] == w["running_cents"]).all()
+        assert (out["ts_us"] == w["ts_us"]).all()
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
