@@ -419,6 +419,8 @@ def knn_graph(
             best_i = np.full((nq, 0), 0, np.int64)
             for ref in self.blocks:
                 t = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+                if t.num_rows == 0:  # sort can emit empty blocks
+                    continue
                 cids = np.asarray(t[id_col].to_pylist(), np.int64)
                 cmat = _unit(np.array(t[vec_col].to_pylist()))
                 sims = qmat @ cmat.T  # (nq, nc)

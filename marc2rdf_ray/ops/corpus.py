@@ -358,7 +358,12 @@ def tfidf_top_terms(
         )
 
     if df_ds.size_bytes() <= broadcast_budget:
-        df_ref = ray.put(pa.concat_tables(ray.get(df_ds.to_arrow_refs())))
+        # promote: groupby emits zero-column blocks for empty partitions
+        df_ref = ray.put(
+            pa.concat_tables(
+                ray.get(df_ds.to_arrow_refs()), promote_options="default"
+            )
+        )
 
         class Score:
             def __init__(self):

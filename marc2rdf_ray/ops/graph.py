@@ -441,7 +441,10 @@ def triangle_count(
     )
 
     if deg_ds.size_bytes() <= degree_budget:
-        deg_tbl = pa.concat_tables(ray.get(deg_ds.to_arrow_refs()))
+        # promote: groupby emits zero-column blocks for empty partitions
+        deg_tbl = pa.concat_tables(
+            ray.get(deg_ds.to_arrow_refs()), promote_options="default"
+        )
         nodes_np = deg_tbl["node"].to_numpy(zero_copy_only=False)
         degs_np = deg_tbl["deg"].to_numpy(zero_copy_only=False)
         o = np.argsort(nodes_np, kind="stable")  # searchsorted needs order
