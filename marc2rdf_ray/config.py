@@ -38,6 +38,10 @@ class PipelineConfig:
     # None => adaptive: materialize_graph sizes partition count from input
     # bytes so each partition-write task stays within a memory budget
     num_output_partitions: Optional[int] = None
+    # >1 => sharded materialize (spill-cap loop): S sequential passes over
+    # contiguous partition-id ranges, ~1/S object-store footprint each,
+    # at the cost of re-reading the pruned checkpoint S times
+    materialize_shards: int = 1
 
     def __post_init__(self):
         if self.mapping is None:

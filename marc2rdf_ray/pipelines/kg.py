@@ -370,4 +370,5 @@ def run_kg_pipeline(
         dedup=True,
         preserve_src_prefixes=preserve_src_prefixes,
         filesystem=fs,
+        shards=config.materialize_shards,
     )

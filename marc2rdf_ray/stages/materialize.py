@@ -209,6 +209,7 @@ def materialize_graph(
     target_partition_bytes: int = 128 << 20,
     preserve_src_prefixes: list[str] | None = None,
     filesystem=None,
+    shards: int = 1,
 ) -> RunManifest:
     """Write the edge table partitioned+sorted; returns the run manifest.
 
@@ -247,6 +248,18 @@ def materialize_graph(
     ``num_partitions=None`` => adaptive via ``choose_num_partitions``
     (input-byte-scaled; fixed constants stop being valid the moment the
     input grows 1000x).
+
+    ``shards > 1``: the SPILL-CAP loop.  The single subject-hash exchange
+    buffers the whole edge table in the object store; when a deployment
+    must bound that (e.g. the 2M-page bench spills ~47 GB), the write
+    runs as ``shards`` sequential passes, pass ``s`` keeping only
+    partition ids in its contiguous range -- each pass shuffles ~1/S of
+    the data, so peak object-store footprint drops by S at the cost of
+    re-reading the (columnar, pruned) input S times.  Partition content
+    is byte-identical to the unsharded run (the partition id is a pure
+    function of subj), the manifest is written once at the end, and the
+    per-partition ``_sig`` markers make the loop crash-resumable
+    mid-shard exactly like the unsharded path.
     """
     fs, out_dir = fsio.resolve_fs(out_dir, filesystem)
 
@@ -403,14 +416,31 @@ def materialize_graph(
     # blocks coalesce at the SOURCE instead (read_parquet
     # override_num_blocks -- see pipelines/kg.py), which costs nothing and
     # keeps exactly one all-to-all in this pipeline.
-    parted = triples_ds.map_batches(prep, batch_format="pyarrow")
-    counts_ds = parted.groupby(PART_COL).map_groups(
-        lambda g: write_sorted_partition(
-            g, out_dir, dedup=dedup, run_sig=run_sig, fs=fs
-        ),
-        batch_format="pyarrow",
-    )
-    counts = {str(r["part"]): r["rows"] for r in counts_ds.take_all()}
+    shards = max(1, min(int(shards), num_partitions))
+    counts: dict[str, int] = {}
+    for s in range(shards):
+        lo = s * num_partitions // shards
+        hi = (s + 1) * num_partitions // shards
+
+        def shard_prep(b: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            b = prep(b)
+            if shards == 1:
+                return b
+            col = b[PART_COL]
+            return b.filter(
+                pc.and_(pc.greater_equal(col, lo), pc.less(col, hi))
+            )
+
+        parted = triples_ds.map_batches(shard_prep, batch_format="pyarrow")
+        counts_ds = parted.groupby(PART_COL).map_groups(
+            lambda g: write_sorted_partition(
+                g, out_dir, dedup=dedup, run_sig=run_sig, fs=fs
+            ),
+            batch_format="pyarrow",
+        )
+        counts.update(
+            {str(r["part"]): r["rows"] for r in counts_ds.take_all()}
+        )
 
     manifest = RunManifest(
         input_signature=sig,

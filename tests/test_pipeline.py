@@ -514,3 +514,28 @@ def test_entity_linker_backend_selection():
     # linking through the AC path produces mentions
     hits = EntityLinker(mixed).link_text("Alice ships on x.NET daily")
     assert {u for u, _ in hits} == {"u:a", "u:n"}
+
+
+def test_sharded_materialize_byte_identical(ray_session, pages_dir, tmp_path):
+    """shards>1 (the spill-cap loop) must produce byte-identical partition
+    content and the same manifest as the unsharded run."""
+    import gzip
+
+    from marc2rdf_ray.pipelines.kg import run_kg_pipeline
+
+    base = str(tmp_path / "graph_1shard")
+    sharded = str(tmp_path / "graph_3shards")
+    m1 = run_kg_pipeline(pages_dir, base, PipelineConfig())
+    m3 = run_kg_pipeline(
+        pages_dir, sharded, PipelineConfig(materialize_shards=3)
+    )
+    assert m3.triple_count == m1.triple_count
+    assert m3.partition_counts == m1.partition_counts
+    parts = sorted(p for p in os.listdir(base) if p.startswith("part="))
+    assert parts == sorted(
+        p for p in os.listdir(sharded) if p.startswith("part=")
+    )
+    for p in parts:
+        a = gzip.open(os.path.join(base, p, "edges.nt.gz"), "rb").read()
+        b = gzip.open(os.path.join(sharded, p, "edges.nt.gz"), "rb").read()
+        assert a == b, p
