@@ -1412,6 +1412,34 @@ def graph_triangles(sf_dir: str):
     return pa.table({"triangles": pa.array([cnt], pa.int64())})
 
 
+def graph_degree_histogram(sf_dir: str):
+    """Degree distribution of the md5 link graph (ops/graph.py:
+    degree_histogram): bucketed distinct edges -> degree partials ->
+    histogram partials, all combiner-first."""
+    from .ops.graph import degree_histogram
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for i in b["doc_id"].to_pylist():
+            for k in range(i % 4):
+                src.append(i)
+                dst.append(
+                    int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16)
+                    % n
+                )
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    return degree_histogram(docs.map_batches(edges, batch_format="pyarrow"))
+
+
 def top_orders_per_segment(sf_dir: str):
     """Per-group top-k: 3 priciest orders per market segment.  Small side
     broadcast once (byte-budgeted), ds.join fallback at scale."""
@@ -1676,6 +1704,7 @@ QUERIES = {
     "doc_components": doc_components,
     "doc_pagerank": doc_pagerank,
     "graph_triangles": graph_triangles,
+    "graph_degree_histogram": graph_degree_histogram,
     "top_orders_per_segment": top_orders_per_segment,
     "similar_docs": similar_docs,
     "docs_enriched_labels": docs_enriched_labels,
@@ -2669,6 +2698,26 @@ e0 AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
        FROM edges WHERE src <> dst GROUP BY 1, 2)
 SELECT CAST(COUNT(*) AS BIGINT) AS triangles
 FROM e0 a JOIN e0 b ON b.u = a.v JOIN e0 c ON c.u = a.u AND c.v = b.v
+"""
+
+# degree distribution of the same simple graph
+ORACLE_SQL["graph_degree_histogram"] = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+e0 AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM edges WHERE src <> dst GROUP BY 1, 2),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        GROUP BY 1)
+SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1
 """
 
 

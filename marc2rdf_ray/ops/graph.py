@@ -588,3 +588,90 @@ def triangle_count(
 
     counts = both.groupby("kb").map_groups(match, batch_format="pyarrow")
     return int(counts.sum("n") or 0)
+
+
+def degree_histogram(
+    edges_ds,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int | None = None,
+):
+    """Degree distribution of the undirected simple graph -> Dataset
+    ``(degree, n_nodes)`` -- the first thing anyone profiles about a graph
+    (skew tells you whether hub defenses like triangle_count's degree
+    orientation matter).
+
+    Three partial-combine exchanges, all metadata-sized after the first:
+    canonical distinct edges (bucketed by low endpoint, in-task sort+mask
+    like triangle_count), per-batch degree partials -> groupby-sum, then
+    per-batch histogram partials -> groupby-sum.  Driver state zero.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if num_buckets is None:
+        num_buckets = max(4, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def distinct_uv(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        first = np.empty(len(u), bool)
+        first[:1] = True
+        if len(u) > 1:
+            first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        return pa.table(
+            {"u": pa.array(u[first], pa.int64()),
+             "v": pa.array(v[first], pa.int64())}
+        )
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        n = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        nodes, cnts = np.unique(n, return_counts=True)
+        return pa.table(
+            {"node": pa.array(nodes, pa.int64()),
+             "deg": pa.array(cnts, pa.int64())}
+        )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        degs, cnts = np.unique(
+            b["deg"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"degree": pa.array(degs, pa.int64()),
+             "n_nodes": pa.array(cnts, pa.int64())}
+        )
+
+    return (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_uv, batch_format="pyarrow")
+        .map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("deg", alias_name="deg"))
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("degree")
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
+    )

@@ -1408,6 +1408,35 @@ class TestRunningTotals:
         assert (out["ts_us"] == w["ts_us"]).all()
 
 
+class TestDegreeHistogram:
+    def test_matches_bruteforce(self, ray_session):
+        from collections import Counter
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import degree_histogram
+
+        rng = np.random.RandomState(2)
+        src = rng.randint(0, 40, 300)
+        dst = rng.randint(0, 40, 300)
+        tab = pa.table({"src": pa.array(src, pa.int64()),
+                        "dst": pa.array(dst, pa.int64())})
+        adj = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+        deg: Counter = Counter()
+        for u, v in adj:
+            deg[u] += 1
+            deg[v] += 1
+        want = sorted(Counter(deg.values()).items())
+        out = (
+            degree_histogram(rd.from_arrow(tab).repartition(4),
+                             num_buckets=6)
+            .to_pandas().sort_values("degree")
+        )
+        assert list(map(tuple, out.itertuples(index=False, name=None))) == want
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
