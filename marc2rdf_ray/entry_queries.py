@@ -733,6 +733,18 @@ def events_running_totals(sf_dir: str):
     return running_totals(ds)
 
 
+def events_percentile_ranks(sf_dir: str):
+    """Per-type integer percentile rank for every event (ops.quantiles
+    .percentile_ranks): one histogram groupby broadcast back; rows never
+    shuffle."""
+    from .ops.quantiles import percentile_ranks
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "event_type", "value"]
+    )
+    return percentile_ranks(ds, "event_type", "value")
+
+
 def docs_token_stats(sf_dir: str):
     from .ops.textstats import token_stats_batch
 
@@ -1678,6 +1690,7 @@ QUERIES = {
     "docs_split": docs_split,
     "events_type_value_quantiles": events_type_value_quantiles,
     "events_running_totals": events_running_totals,
+    "events_percentile_ranks": events_percentile_ranks,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
     "docs_quality": docs_quality,
@@ -2020,6 +2033,18 @@ CROSS JOIN LATERAL (
   ORDER BY b LIMIT 1) x
 """,
     # session windows: lag-gap break flags, running-sum session ids
+    # per-type strict-rank percentile: (RANK()-1) * 1e6 // group size
+    "events_percentile_ranks": """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+           FROM events)
+SELECT event_id, event_type, value_cents,
+       CAST((RANK() OVER (PARTITION BY event_type ORDER BY value_cents)
+             - 1) * 1000000
+            // COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+           AS pct_ppm
+FROM e
+""",
     # per-user cumulative window aggregate, (ts, id) total order
     "events_running_totals": """
 WITH e AS (

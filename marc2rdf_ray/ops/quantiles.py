@@ -232,3 +232,89 @@ def grouped_quantiles(
         .groupby("g")
         .map_groups(select, batch_format="pyarrow")
     )
+
+
+def percentile_ranks(
+    ds,
+    group_col: str,
+    value_col: str,
+    *,
+    id_col: str = "event_id",
+    cents: bool = True,
+):
+    """Integer-exact per-group percentile rank for EVERY row:
+    ``pct_ppm = (#rows in the group with a strictly smaller value) * 1e6
+    // group size`` -- the window-function ``RANK() - 1`` shape without a
+    global per-group sort.
+
+    Two passes, no wide shuffle: (1) per-batch (group, value) histogram
+    partials collapse into ONE groupby whose output -- the per-group
+    cumulative histogram -- is O(#distinct (group, value)) driver state
+    (bounded by the quantized cents domain, the exact_quantiles bound)
+    and broadcasts via ``ray.put``; (2) a stateless map looks every row's
+    strict-rank count up with one ``searchsorted`` per group per batch.
+    Rows never move; only the histogram does.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..functions.numeric import sql_round_i64
+
+        col = b[value_col]
+        v = sql_round_i64(col, 100.0) if cents else pc.cast(col, pa.int64())
+        t = pa.table({"g": b[group_col], "v": v})
+        g = (
+            t.group_by(["g", "v"], use_threads=False)
+            .aggregate([("v", "count")])
+            .rename_columns(["g", "v", "cnt"])
+        )
+        return pa.table(
+            {"g": g["g"], "v": g["v"], "cnt": pc.cast(g["cnt"], pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    by_group: dict = {}
+    for r in hist:
+        by_group.setdefault(r["g"], []).append((int(r["v"]), int(r["cnt"])))
+    lut = {}
+    for g, pairs in by_group.items():
+        pairs.sort()
+        vals = np.asarray([p[0] for p in pairs], np.int64)
+        cnts = np.asarray([p[1] for p in pairs], np.int64)
+        cum = np.concatenate(([0], np.cumsum(cnts)))  # cum[i] = #rows < vals[i]
+        lut[g] = (vals, cum, int(cum[-1]))
+    lut_ref = ray.put(lut)
+
+    def rank(b: pa.Table) -> pa.Table:
+        from ..functions.numeric import sql_round_i64
+
+        table = ray.get(lut_ref)
+        col = b[value_col]
+        v = (
+            sql_round_i64(col, 100.0) if cents else pc.cast(col, pa.int64())
+        ).to_numpy(zero_copy_only=False)
+        groups = b[group_col].to_pylist()
+        out = np.empty(len(v), np.int64)
+        # one searchsorted per DISTINCT group in the batch, not per row
+        garr = np.asarray(groups, object)
+        for g in set(groups):
+            vals, cum, n = table[g]
+            m = garr == g
+            idx = np.searchsorted(vals, v[m], side="left")
+            out[m] = cum[idx] * 1_000_000 // n
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                group_col: b[group_col],
+                "value_cents": pa.array(v, pa.int64()),
+                "pct_ppm": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rank, batch_format="pyarrow")

@@ -1437,6 +1437,40 @@ class TestDegreeHistogram:
         assert list(map(tuple, out.itertuples(index=False, name=None))) == want
 
 
+class TestPercentileRanks:
+    def test_matches_strict_rank(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.quantiles import percentile_ranks
+
+        rng = np.random.RandomState(6)
+        n = 2000
+        types = np.array(["a", "b"])[rng.randint(0, 2, n)]
+        vals = np.round(rng.uniform(0, 20, n), 2)
+        tab = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+        out = (
+            percentile_ranks(
+                rd.from_arrow(tab).repartition(5), "event_type", "value"
+            )
+            .to_pandas().set_index("event_id")
+        )
+        cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+        for g in ("a", "b"):
+            gv = cents[types == g]
+            ng = len(gv)
+            for i in np.flatnonzero(types == g)[:200]:
+                want = int((gv < cents[i]).sum()) * 1_000_000 // ng
+                assert out.loc[i, "pct_ppm"] == want, i
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
