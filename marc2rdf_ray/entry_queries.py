@@ -1095,6 +1095,22 @@ def embeddings_knn_graph(sf_dir: str):
     return knn_graph(emb, k=2)
 
 
+def embeddings_knn_graph_ivf(sf_dir: str):
+    """IVF-bucketed approximate 2-NN graph (ops/ann.py:knn_graph_ivf), the
+    self-join scale path: members ship once, queries nprobe times, no
+    corpus broadcast; centroids = embeddings with vec_id < 16."""
+    import pyarrow.parquet as pq
+
+    from .ops.ann import knn_graph_ivf
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(pc.less(pc.field("vec_id"), 16)).sort_by("vec_id")
+    cents = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_graph_ivf(emb, cents, k=2, nprobe=2)
+
+
 def ann_lsh_topk(sf_dir: str):
     """LSH top-k whose candidate generation (integer-quantized md5-sign
     hyperplane buckets + hamming<=1 multi-probe) is REPLAYED by the DuckDB
@@ -1707,6 +1723,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "ann_brute_topk": ann_brute_topk,
     "embeddings_knn_graph": embeddings_knn_graph,
+    "embeddings_knn_graph_ivf": embeddings_knn_graph_ivf,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
@@ -2487,6 +2504,41 @@ QUALIFY row_number() OVER (
   ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                   CAST(b.embedding AS DOUBLE[])) DESC,
            b.vec_id ASC) <= 2
+""",
+    # IVF self-join kNN graph: full replay of assignment + probing + rerank
+    "embeddings_knn_graph_ivf": """
+WITH qv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < 16
+), dist AS (
+  SELECT qv.vec_id, cent.cid,
+    list_aggregate(list_transform(generate_series(1, 64),
+      d -> (qv.q[d] - cent.cq[d]) * (qv.q[d] - cent.cq[d])), 'sum') AS d2
+  FROM qv CROSS JOIN cent
+), assign AS (
+  SELECT vec_id, cid FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+), qprobe AS (
+  SELECT vec_id AS qid, cid FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= 2
+), cand AS (
+  SELECT DISTINCT qp.qid, a.vec_id
+  FROM qprobe qp JOIN assign a ON a.cid = qp.cid
+  WHERE a.vec_id <> qp.qid
+)
+SELECT c.qid, c.vec_id,
+  ROUND(list_cosine_similarity(e.v, qe.v), 4) AS score
+FROM cand c
+JOIN qv e ON e.vec_id = c.vec_id
+JOIN qv qe ON qe.vec_id = c.qid
+QUALIFY row_number() OVER (
+  PARTITION BY c.qid
+  ORDER BY ROUND(list_cosine_similarity(e.v, qe.v), 4) DESC,
+           c.vec_id ASC) <= 2
 """,
     "ann_brute_topk": """
 WITH q AS (

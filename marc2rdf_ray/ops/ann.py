@@ -453,3 +453,121 @@ def knn_graph(
 
     return ds.map_batches(Scorer, batch_format="pyarrow",
                           concurrency=(1, 8))
+
+
+def knn_graph_ivf(
+    ds,
+    centroid_mat: np.ndarray,
+    k: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+):
+    """IVF-bucketed approximate kNN GRAPH -- the self-join SCALE PATH for
+    :func:`knn_graph` (whose blocked GEMM is exact but O(n^2) compute).
+    Every vector joins its own cell as a member and probes its ``nprobe``
+    nearest cells as a query; candidates are cell-mates only, so compute
+    drops from n^2 to ~n^2*nprobe/C for C balanced cells.
+
+    Cell assignment is the integer-quantized L2 argmin of
+    :func:`ivf_topk` (bit-identical across numpy and the SQL oracle).
+    Two bucketed exchanges, no broadcast of the corpus:
+
+    1. shuffle on the CELL id -- member rows ship once, query rows
+       ``nprobe`` times (volume O(n * (1+nprobe) * d)); each cell's task
+       runs one queries x members GEMM and emits per-query partial top-k
+       (members pre-sorted by id so stable argsort keeps id-asc ties);
+    2. shuffle on the QUERY id merges partials to the final top-k
+       (rounded-score desc, id asc -- the ann-family merge convention).
+
+    Recall vs the exact graph is fixture-tested (tests/test_ops.py); the
+    oracle replays assignment + probing + rerank in full.
+    """
+    import ray
+
+    cq = _quantize(np.asarray(centroid_mat, np.float64))  # (C, d)
+    cref = ray.put(cq)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        raw = np.array(batch[vec_col].to_pylist(), np.float64)
+        d2 = ((_quantize(raw)[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        # members: own cell (argmin -> lowest cid on ties)
+        own = np.argmin(d2, axis=1).astype(np.int64)
+        # queries: nprobe nearest cells, ties -> lower cid
+        order = np.lexsort(
+            (np.tile(np.arange(c.shape[0]), (len(ids), 1)), d2)
+        )[:, :nprobe]
+        out_ids = np.concatenate([ids, np.repeat(ids, nprobe)])
+        out_cell = np.concatenate([own, order.ravel()])
+        kind = np.concatenate(
+            [np.zeros(len(ids), np.int8), np.ones(len(ids) * nprobe, np.int8)]
+        )
+        vecs = batch[vec_col]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        take = pa.array(
+            np.concatenate(
+                [np.arange(len(ids)), np.repeat(np.arange(len(ids)), nprobe)]
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "id": pa.array(out_ids, pa.int64()),
+                "cell": pa.array(out_cell, pa.int64()),
+                "kind": pa.array(kind),
+                "vec": vecs.take(take),
+            }
+        )
+
+    def cell_topk(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        vecs = np.array(group["vec"].to_pylist(), np.float64)
+        msel = kind == 0
+        qsel = ~msel
+        if not msel.any() or not qsel.any():
+            return pa.table(
+                {"qid": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        mids, mvecs = ids[msel], vecs[msel]
+        o = np.argsort(mids, kind="stable")  # id-asc tie discipline
+        mids, mvecs = mids[o], mvecs[o]
+        qids, qvecs = ids[qsel], vecs[qsel]
+        sims = _unit(qvecs) @ _unit(mvecs).T
+        sims[qids[:, None] == mids[None, :]] = -np.inf  # self
+        m = min(k, sims.shape[1])
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :m]
+        rows = np.arange(len(qids))[:, None]
+        sc = sims[rows, top].ravel()
+        keep = np.isfinite(sc)
+        return pa.table(
+            {
+                "qid": pa.array(np.repeat(qids, m)[keep], pa.int64()),
+                "vec_id": pa.array(mids[top].ravel()[keep], pa.int64()),
+                "score": pa.array(np.round(sc[keep], 4), pa.float64()),
+            }
+        )
+
+    partial = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(cell_topk, batch_format="pyarrow")
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        # candidates can arrive via several probed cells -> dedup first
+        t = group.group_by(
+            ["qid", "vec_id"], use_threads=False
+        ).aggregate([("score", "max")]).rename_columns(
+            ["qid", "vec_id", "score"]
+        )
+        t = t.sort_by([("score", "descending"), ("vec_id", "ascending")])
+        return t.slice(0, k)
+
+    return partial.groupby("qid").map_groups(merge, batch_format="pyarrow")

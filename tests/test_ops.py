@@ -1471,6 +1471,38 @@ class TestPercentileRanks:
                 assert out.loc[i, "pct_ppm"] == want, i
 
 
+class TestKnnGraphIvf:
+    def test_recall_vs_exact(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.ann import knn_graph, knn_graph_ivf
+
+        rng = np.random.RandomState(12)
+        n, d, C = 120, 16, 10
+        # clustered data so IVF cells are meaningful
+        centers = rng.randn(C, d) * 3
+        mat = centers[rng.randint(0, C, n)] + rng.randn(n, d) * 0.4
+        tab = pa.table(
+            {"vec_id": pa.array(range(n), pa.int64()),
+             "embedding": pa.array([list(map(float, r)) for r in mat])}
+        )
+        ds = rd.from_arrow(tab).repartition(4)
+        exact = {
+            (r.qid, r.nbr)
+            for r in knn_graph(ds, k=2).to_pandas().itertuples()
+        }
+        approx = knn_graph_ivf(
+            ds, mat[:C], k=2, nprobe=3
+        ).to_pandas()
+        got = {(r.qid, r.vec_id) for r in approx.itertuples()}
+        # every query answered, and decent recall on clustered data
+        assert len({q for q, _ in got}) == n
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.7, recall
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
