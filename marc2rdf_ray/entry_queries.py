@@ -745,6 +745,18 @@ def events_percentile_ranks(sf_dir: str):
     return percentile_ranks(ds, "event_type", "value")
 
 
+def events_user_type_pivot(sf_dir: str):
+    """Per-user event-type count pivot (ops.windows.pivot_counts): the
+    conditional-aggregation wide shape; combiner partials -> one groupby."""
+    from .ops.windows import pivot_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_counts(
+        ds, "user_id", "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
 def docs_token_stats(sf_dir: str):
     from .ops.textstats import token_stats_batch
 
@@ -1707,6 +1719,7 @@ QUERIES = {
     "events_type_value_quantiles": events_type_value_quantiles,
     "events_running_totals": events_running_totals,
     "events_percentile_ranks": events_percentile_ranks,
+    "events_user_type_pivot": events_user_type_pivot,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
     "docs_quality": docs_quality,
@@ -2061,6 +2074,16 @@ SELECT event_id, event_type, value_cents,
             // COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
            AS pct_ppm
 FROM e
+""",
+    # pivot: one count column per event type
+    "events_user_type_pivot": """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY user_id
 """,
     # per-user cumulative window aggregate, (ts, id) total order
     "events_running_totals": """

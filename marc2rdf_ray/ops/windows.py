@@ -271,3 +271,57 @@ def running_totals(
         .groupby("bucket")
         .map_groups(cumulate, batch_format="pyarrow")
     )
+
+
+def pivot_counts(
+    ds,
+    key_col: str,
+    cat_col: str,
+    categories: list,
+):
+    """Pivot / wide aggregation: one row per key with an int64 count
+    column per category (SQL's ``SUM(CASE WHEN cat = c THEN 1 END)``
+    conditional-aggregation shape).  ``categories`` is the fixed, known
+    output schema -- the pivot contract; unseen categories are dropped.
+
+    Combiner-first: each batch collapses to its local (key, cat) counts
+    (an Arrow group_by -- shuffle volume O(distinct keys x |categories|)
+    per batch, never O(rows)), ONE groupby(key) merges partials, and the
+    widening is a vectorized per-group searchsorted scatter."""
+
+    cats = list(categories)
+    cat_idx = {c: j for j, c in enumerate(cats)}
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = (
+            pa.table({"k": b[key_col], "c": b[cat_col]})
+            .group_by(["k", "c"], use_threads=False)
+            .aggregate([("c", "count")])
+            .rename_columns(["k", "c", "cnt"])
+        )
+        keep = pc.is_in(t["c"], value_set=pa.array(cats))
+        t = t.filter(pc.fill_null(keep, False))
+        return pa.table(
+            {"k": t["k"], "c": t["c"], "cnt": pc.cast(t["cnt"], pa.int64())}
+        )
+
+    ktype = ds.schema().types[ds.schema().names.index(key_col)]
+
+    def widen(group: pa.Table) -> pa.Table:
+        ks = group["k"].to_numpy(zero_copy_only=False)
+        cs = group["c"].to_pylist()
+        cn = group["cnt"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ks, return_inverse=True)
+        out = np.zeros((len(uk), len(cats)), np.int64)
+        cidx = np.fromiter((cat_idx[c] for c in cs), np.int64, count=len(cs))
+        np.add.at(out, (inv, cidx), cn)
+        cols = {key_col: pa.array(uk.tolist(), ktype)}
+        for j, c in enumerate(cats):
+            cols[str(c)] = pa.array(out[:, j], pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(widen, batch_format="pyarrow")
+    )

@@ -1503,6 +1503,37 @@ class TestKnnGraphIvf:
         assert recall >= 0.7, recall
 
 
+class TestPivotCounts:
+    def test_matches_pandas_crosstab(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import pivot_counts
+
+        rng = np.random.RandomState(8)
+        n = 1000
+        df = pd.DataFrame(
+            {
+                "user_id": rng.randint(0, 50, n).astype(np.int64),
+                "event_type": np.array(["a", "b", "c"])[rng.randint(0, 3, n)],
+            }
+        )
+        out = (
+            pivot_counts(
+                rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+                .repartition(5),
+                "user_id", "event_type", ["a", "b", "c"],
+            )
+            .to_pandas().set_index("user_id").sort_index()
+        )
+        want = pd.crosstab(df.user_id, df.event_type).reindex(
+            columns=["a", "b", "c"], fill_value=0
+        )
+        assert (out[["a", "b", "c"]].values == want.values).all()
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
