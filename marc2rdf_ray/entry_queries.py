@@ -757,6 +757,18 @@ def events_user_type_pivot(sf_dir: str):
     )
 
 
+def events_user_type_melted(sf_dir: str):
+    """Pivot then unpivot (ops.windows.unpivot): the melt flat-map over
+    the wide table -- (user_id, variable, value) incl. explicit zeros."""
+    from .ops.windows import unpivot
+
+    wide = events_user_type_pivot(sf_dir)
+    return unpivot(
+        wide, ["user_id"],
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
 def docs_token_stats(sf_dir: str):
     from .ops.textstats import token_stats_batch
 
@@ -1720,6 +1732,7 @@ QUERIES = {
     "events_running_totals": events_running_totals,
     "events_percentile_ranks": events_percentile_ranks,
     "events_user_type_pivot": events_user_type_pivot,
+    "events_user_type_melted": events_user_type_melted,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
     "docs_quality": docs_quality,
@@ -2084,6 +2097,18 @@ SELECT user_id,
        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events GROUP BY user_id
+""",
+    # melt of the pivot: every (user, type) pair incl. zero counts
+    "events_user_type_melted": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t(variable) AS (VALUES ('click'), ('error'), ('purchase'),
+                        ('signup'), ('view')),
+c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2)
+SELECT u.user_id, t.variable,
+       CAST(COALESCE(c.cnt, 0) AS BIGINT) AS value
+FROM u CROSS JOIN t
+LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.variable
 """,
     # per-user cumulative window aggregate, (ts, id) total order
     "events_running_totals": """

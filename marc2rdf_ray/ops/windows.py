@@ -325,3 +325,38 @@ def pivot_counts(
         .groupby("k")
         .map_groups(widen, batch_format="pyarrow")
     )
+
+
+def unpivot(
+    ds,
+    key_cols: list,
+    value_cols: list,
+    *,
+    var_col: str = "variable",
+    val_col: str = "value",
+):
+    """Unpivot / melt -- the inverse of :func:`pivot_counts`: each input
+    row becomes ``len(value_cols)`` rows of (keys..., variable, value).
+    Stateless vectorized flat-map (one take + column concat per batch, no
+    Python rows, no shuffle); value columns must share one Arrow type.
+    """
+    vcols = list(value_cols)
+
+    def melt(b: pa.Table) -> pa.Table:
+        n = len(b)
+        idx = pa.array(np.tile(np.arange(n), len(vcols)), pa.int64())
+        cols = {k: pc.take(b[k], idx) for k in key_cols}
+        cols[var_col] = pa.array(
+            np.repeat(np.asarray(vcols, object), n).tolist(), pa.string()
+        )
+        vals = [
+            b[c].combine_chunks()
+            if isinstance(b[c], pa.ChunkedArray) else b[c]
+            for c in vcols
+        ]
+        cols[val_col] = pa.concat_arrays(
+            [v if isinstance(v, pa.Array) else v.combine_chunks() for v in vals]
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

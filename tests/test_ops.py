@@ -1534,6 +1534,31 @@ class TestPivotCounts:
         assert (out[["a", "b", "c"]].values == want.values).all()
 
 
+class TestUnpivot:
+    def test_melt_roundtrip(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import unpivot
+
+        tab = pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "a": pa.array([10, 20], pa.int64()),
+                "b": pa.array([30, 40], pa.int64()),
+            }
+        )
+        out = (
+            unpivot(rd.from_arrow(tab), ["k"], ["a", "b"])
+            .to_pandas().sort_values(["k", "variable"])
+            .reset_index(drop=True)
+        )
+        got = list(out.itertuples(index=False, name=None))
+        assert got == [
+            (1, "a", 10), (1, "b", 30), (2, "a", 20), (2, "b", 40)
+        ]
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
