@@ -1435,6 +1435,45 @@ def doc_pagerank(sf_dir: str):
     )
 
 
+def doc_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank (ops/graph.py:pagerank(seed_fn=...)): teleport
+    + dangling mass to the seed set doc_id % 10 == 0; membership is a pure
+    function of the id so no per-node flag ships through the exchanges."""
+    from .ops.graph import pagerank
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+    n_seeds = (n + 9) // 10  # |{0, 10, ...} ∩ [0, n)| for dense 0-based ids
+
+    def edges(b: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for i in b["doc_id"].to_pylist():
+            for k in range(i % 4):
+                src.append(i)
+                dst.append(
+                    int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16)
+                    % n
+                )
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": pc.cast(b["doc_id"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return pagerank(
+        docs.map_batches(edges, batch_format="pyarrow"),
+        nodes,
+        iterations=5,
+        seed_fn=lambda ids: ids % 10 == 0,
+        n_seeds=n_seeds,
+    )
+
+
 def graph_triangles(sf_dir: str):
     """Exact triangle count (ops/graph.py:triangle_count, compact-forward:
     distinct -> degree-rank orient -> wedge emit -> one bucketed hash-join
@@ -1759,6 +1798,7 @@ QUERIES = {
     "distinct_flag_ship_months": distinct_flag_ship_months,
     "doc_components": doc_components,
     "doc_pagerank": doc_pagerank,
+    "doc_pagerank_personalized": doc_pagerank_personalized,
     "graph_triangles": graph_triangles,
     "graph_degree_histogram": graph_degree_histogram,
     "top_orders_per_segment": top_orders_per_segment,
@@ -2807,6 +2847,66 @@ r{i} AS (
 
 
 ORACLE_SQL["doc_pagerank"] = _pagerank_oracle_sql()
+
+
+def _ppr_oracle_sql(
+    iterations: int = 5,
+    scale: int = 10**12,
+    dnum: int = 85,
+    dden: int = 100,
+    seed_sql: str = "node % 10 = 0",
+) -> str:
+    """Unrolled PERSONALIZED PageRank recurrence: teleport + dangling mass
+    to the seed set only (ops/graph.py:pagerank(seed_fn=...))."""
+    comp = dden - dnum
+    parts = [f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+edges AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+ns AS (SELECT COUNT(*) AS s FROM nodes WHERE {seed_sql}),
+b AS (SELECT node,
+             CASE WHEN {seed_sql} THEN (SELECT {scale} // s FROM ns)
+                  ELSE 0 END AS bb
+      FROM nodes),
+r0 AS (SELECT node, bb AS r FROM b)"""]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(f""",
+dang{i} AS (
+  SELECT COALESCE(SUM(r.r), 0) // (SELECT s FROM ns) AS share
+  FROM r{p} r LEFT JOIN outdeg o ON r.node = o.src
+  WHERE o.src IS NULL
+),
+insum{i} AS (
+  SELECT e.dst AS node, SUM(r.r // o.d) AS in_sum
+  FROM edges e
+  JOIN r{p} r ON r.node = e.src
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT b.node,
+         CAST(({comp} * b.bb
+               + {dnum} * (COALESCE(s.in_sum, 0)
+                           + CASE WHEN b.bb > 0
+                                  THEN (SELECT share FROM dang{i})
+                                  ELSE 0 END)) // {dden}
+              AS BIGINT) AS r
+  FROM b LEFT JOIN insum{i} s ON s.node = b.node
+)""")
+    parts.append(f"\nSELECT node, r AS rank FROM r{iterations}")
+    return "".join(parts)
+
+
+ORACLE_SQL["doc_pagerank_personalized"] = _ppr_oracle_sql()
 
 # triangles of the undirected simple md5 link graph: ordered 3-way self-join
 ORACLE_SQL["graph_triangles"] = """

@@ -62,6 +62,8 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     num_buckets: int | None = None,
+    seed_fn=None,
+    n_seeds: int | None = None,
 ):
     """PageRank over ``edges_ds`` (src:int64, dst:int64; parallel edges
     count twice) for the node set ``nodes_ds`` (node:int64, one row per
@@ -70,6 +72,16 @@ def pagerank(
 
     ``iterations`` is fixed (no convergence test): deterministic cost,
     deterministic output, SQL-replayable.
+
+    PERSONALIZED variant: pass ``seed_fn`` (a vectorized numpy predicate
+    ``int64[n] -> bool[n]``) and ``n_seeds`` (its population count over
+    the node set) -- teleport mass and the dangling redistribution then go
+    ONLY to seed nodes (``base_v = scale // n_seeds`` for seeds, else 0).
+    Seed membership being a pure function of the node id is what keeps
+    the exchange slim: every task recomputes the mask locally instead of
+    shipping a per-node flag through both exchanges each round.  The
+    recurrence stays order-free integer arithmetic, so the SQL oracle
+    (``doc_pagerank_personalized``) replays it bit-for-bit.
     """
     n_nodes = nodes_ds.count()
     if num_buckets is None:
@@ -97,6 +109,10 @@ def pagerank(
         )
     base = scale // n_nodes
     comp_num = damping_den - damping_num
+    if seed_fn is not None:
+        if not n_seeds:
+            raise ValueError("personalized pagerank needs n_seeds >= 1")
+        seed_base = scale // n_seeds
 
     # -- static: edges bucketed by src, with a per-batch combiner assist --
     def edge_prep(b: pa.Table) -> pa.Table:
@@ -137,10 +153,15 @@ def pagerank(
             .aggregate([("cnt", "sum")])
             .rename_columns(["node", "outdeg"])
         )
+        if seed_fn is None:
+            r0 = np.full(len(t), base, np.int64)
+        else:
+            nn = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
+            r0 = np.where(seed_fn(nn.astype(np.int64)), seed_base, 0)
         return pa.table(
             {
                 "node": t["node"],
-                "r": pa.array([base] * len(t), pa.int64()),
+                "r": pa.array(r0, pa.int64()),
                 "outdeg": pc.cast(t["outdeg"], pa.int64()),
             }
         )
@@ -258,7 +279,7 @@ def pagerank(
         dang = pc.sum(
             pc.if_else(pc.equal(kind, 2), group["c"], pa.scalar(0, pa.int64()))
         ).as_py() or 0
-        share = dang // n_nodes
+        share = dang // (n_seeds if seed_fn is not None else n_nodes)
         g = group.filter(pc.not_equal(kind, 2))
         t = (
             g.select(["key", "c", "outdeg"])
@@ -273,7 +294,18 @@ def pagerank(
         in_np = (
             t["in_sum"].combine_chunks().to_numpy(zero_copy_only=False)
         ).astype(np.int64)
-        r_new = (comp_num * base + damping_num * (in_np + share)) // damping_den
+        if seed_fn is None:
+            r_new = (
+                comp_num * base + damping_num * (in_np + share)
+            ) // damping_den
+        else:
+            nn = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
+            m = seed_fn(nn.astype(np.int64))
+            base_v = np.where(m, seed_base, 0)
+            share_v = np.where(m, share, 0)
+            r_new = (
+                comp_num * base_v + damping_num * (in_np + share_v)
+            ) // damping_den
         return pa.table(
             {
                 "node": t["node"],
@@ -312,24 +344,38 @@ def pagerank_reference(
     scale: int = 10**12,
     damping_num: int = 85,
     damping_den: int = 100,
+    seeds: set | None = None,
 ) -> dict[int, int]:
     """Single-threaded replay of the exact integer recurrence (the
-    differential-test oracle; also documents the contract)."""
+    differential-test oracle; also documents the contract).  ``seeds``
+    switches to the personalized variant (teleport + dangling mass to
+    seeds only)."""
     n = len(nodes)
-    base = scale // n
     comp = damping_den - damping_num
+    if seeds is None:
+        base_of = dict.fromkeys(nodes, scale // n)
+        share_den = n
+    else:
+        sb = scale // len(seeds)
+        base_of = {v: (sb if v in seeds else 0) for v in nodes}
+        share_den = len(seeds)
     outdeg: dict[int, int] = {v: 0 for v in nodes}
     for s, _ in edges:
         outdeg[s] += 1
-    r = {v: base for v in nodes}
+    r = dict(base_of)
     for _ in range(iterations):
         dang = sum(rv for v, rv in r.items() if outdeg[v] == 0)
-        share = dang // n
+        share = dang // share_den
         in_sum = {v: 0 for v in nodes}
         for s, d in edges:
             in_sum[d] += r[s] // outdeg[s]
         r = {
-            v: (comp * base + damping_num * (in_sum[v] + share)) // damping_den
+            v: (
+                comp * base_of[v]
+                + damping_num
+                * (in_sum[v] + (share if base_of[v] else 0))
+            )
+            // damping_den
             for v in nodes
         }
     return r

@@ -393,6 +393,39 @@ class TestPageRank:
         assert len(got) == len(nodes)
         assert dict(zip(got["node"], got["rank"])) == want
 
+    def test_personalized_matches_reference_replay(self, ray_session):
+        import random
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import pagerank, pagerank_reference
+
+        rng = random.Random(11)
+        nodes = list(range(60))
+        edges = [(i, 0) for i in range(1, 30)]
+        edges += [(i, i + 1) for i in range(30, 40)]
+        edges += [(rng.randrange(50), rng.randrange(60)) for _ in range(80)]
+        edges = [(s, d) for s, d in edges if s < 50]
+        seeds = {v for v in nodes if v % 10 == 0}
+        got = (
+            pagerank(
+                rd.from_items([{"src": s, "dst": d} for s, d in edges]),
+                rd.from_items([{"node": v} for v in nodes]),
+                iterations=4,
+                num_buckets=8,
+                seed_fn=lambda ids: ids % 10 == 0,
+                n_seeds=len(seeds),
+            )
+            .to_pandas()
+        )
+        want = pagerank_reference(edges, nodes, iterations=4, seeds=seeds)
+        assert dict(zip(got["node"], got["rank"])) == want
+        # non-seed nodes with no in-links have exactly zero rank
+        in_linked = {d for _, d in edges}
+        zeros = [v for v in nodes if v not in seeds and v not in in_linked]
+        gd = dict(zip(got["node"], got["rank"]))
+        assert zeros and all(gd[v] == 0 for v in zeros)
+
     def test_rank_mass_conserved_and_hub_wins(self, ray_session):
         import ray.data as rd
 
