@@ -154,6 +154,37 @@ def pagerank_microbench(n_edges: int = 1_000_000) -> float:
     return wall
 
 
+def triangle_microbench(n_edges: int = 1_000_000) -> float:
+    """Triangle count over a synthetic graph with real triangle density:
+    ring edges (i, i+1), (i, i+2) — every i closes a triangle — plus a
+    hub (exercises the degree orientation) and random noise."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from marc2rdf_ray.ops.graph import triangle_count
+
+    n_nodes = n_edges // 3
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["id"].to_pylist(), np.int64)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate(
+            [(ids + 1) % n_nodes, (ids + 2) % n_nodes, (ids * 13) % n_nodes]
+        )
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = rd.range(n_nodes).map_batches(gen, batch_format="pyarrow")
+    t0 = time.time()
+    n = triangle_count(edges)
+    wall = time.time() - t0
+    assert n >= n_nodes  # at least the ring triangles
+    return wall
+
+
 def big_graph() -> None:
     """--big-graph: the 10M-edge scale point for the iterative graph ops
     (connected components + PageRank), one JSON line.  Separate from the
@@ -170,6 +201,7 @@ def big_graph() -> None:
     n = int(os.environ.get("M2R_BIG_GRAPH_EDGES", str(10_000_000)))
     cc = cc_microbench(n)
     pr = pagerank_microbench(n)
+    tri = triangle_microbench(n // 10)
     ray.shutdown()
     print(
         json.dumps(
@@ -178,6 +210,7 @@ def big_graph() -> None:
                 "n_edges": n,
                 "cc_sec": round(cc, 3),
                 "pagerank3_sec": round(pr, 3),
+                "triangles_sec_1m_edges": round(tri, 3),
                 "num_cpus": NUM_CPUS,
             }
         )
