@@ -1400,16 +1400,13 @@ def doc_components(sf_dir: str):
     return connected_components(edges, rounds=3)
 
 
-def doc_pagerank(sf_dir: str):
-    """Integer-exact PageRank (ops/graph.py:pagerank) over a deterministic
-    md5-derived link graph on the documents table: doc i emits (i % 4)
-    out-links, target_k = int(md5("{i}:{k}")[:8], 16) % N; docs with
-    doc_id % 4 == 0 are dangling.  5 fixed iterations, damping 85/100,
-    ranks in 1e-12 units -- every step is order-independent integer
-    arithmetic, so the DuckDB oracle (unrolled recurrence) matches
-    bit-for-bit."""
-    from .ops.graph import pagerank
-
+def _md5_link_graph(sf_dir: str):
+    """The shared deterministic md5-derived link graph over documents:
+    doc i emits (i % 4) out-links, target_k = int(md5("{i}:{k}")[:8],
+    16) % N (docs with doc_id % 4 == 0 are dangling).  Returns
+    ``(edges_ds, nodes_ds, n)``.  Every graph query (pagerank,
+    personalized pagerank, triangles, degree histogram) runs on this
+    graph so their oracles share one edge CTE."""
     docs = _read(sf_dir, "documents", columns=["doc_id"])
     n = docs.count()
 
@@ -1430,9 +1427,18 @@ def doc_pagerank(sf_dir: str):
         lambda b: pa.table({"node": pc.cast(b["doc_id"], pa.int64())}),
         batch_format="pyarrow",
     )
-    return pagerank(
-        docs.map_batches(edges, batch_format="pyarrow"), nodes, iterations=5
-    )
+    return docs.map_batches(edges, batch_format="pyarrow"), nodes, n
+
+
+def doc_pagerank(sf_dir: str):
+    """Integer-exact PageRank (ops/graph.py:pagerank) over the
+    _md5_link_graph.  5 fixed iterations, damping 85/100, ranks in 1e-12
+    units -- every step is order-independent integer arithmetic, so the
+    DuckDB oracle (unrolled recurrence) matches bit-for-bit."""
+    from .ops.graph import pagerank
+
+    edges, nodes, _ = _md5_link_graph(sf_dir)
+    return pagerank(edges, nodes, iterations=5)
 
 
 def doc_pagerank_personalized(sf_dir: str):
@@ -1441,32 +1447,10 @@ def doc_pagerank_personalized(sf_dir: str):
     function of the id so no per-node flag ships through the exchanges."""
     from .ops.graph import pagerank
 
-    docs = _read(sf_dir, "documents", columns=["doc_id"])
-    n = docs.count()
+    edges, nodes, n = _md5_link_graph(sf_dir)
     n_seeds = (n + 9) // 10  # |{0, 10, ...} ∩ [0, n)| for dense 0-based ids
-
-    def edges(b: pa.Table) -> pa.Table:
-        src, dst = [], []
-        for i in b["doc_id"].to_pylist():
-            for k in range(i % 4):
-                src.append(i)
-                dst.append(
-                    int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16)
-                    % n
-                )
-        return pa.table(
-            {
-                "src": pa.array(src, pa.int64()),
-                "dst": pa.array(dst, pa.int64()),
-            }
-        )
-
-    nodes = docs.map_batches(
-        lambda b: pa.table({"node": pc.cast(b["doc_id"], pa.int64())}),
-        batch_format="pyarrow",
-    )
     return pagerank(
-        docs.map_batches(edges, batch_format="pyarrow"),
+        edges,
         nodes,
         iterations=5,
         seed_fn=lambda ids: ids % 10 == 0,
@@ -1480,26 +1464,8 @@ def graph_triangles(sf_dir: str):
     match) over the same deterministic md5 link graph as doc_pagerank."""
     from .ops.graph import triangle_count
 
-    docs = _read(sf_dir, "documents", columns=["doc_id"])
-    n = docs.count()
-
-    def edges(b: pa.Table) -> pa.Table:
-        src, dst = [], []
-        for i in b["doc_id"].to_pylist():
-            for k in range(i % 4):
-                src.append(i)
-                dst.append(
-                    int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16)
-                    % n
-                )
-        return pa.table(
-            {
-                "src": pa.array(src, pa.int64()),
-                "dst": pa.array(dst, pa.int64()),
-            }
-        )
-
-    cnt = triangle_count(docs.map_batches(edges, batch_format="pyarrow"))
+    edges, _, _ = _md5_link_graph(sf_dir)
+    cnt = triangle_count(edges)
     return pa.table({"triangles": pa.array([cnt], pa.int64())})
 
 
@@ -1509,26 +1475,8 @@ def graph_degree_histogram(sf_dir: str):
     histogram partials, all combiner-first."""
     from .ops.graph import degree_histogram
 
-    docs = _read(sf_dir, "documents", columns=["doc_id"])
-    n = docs.count()
-
-    def edges(b: pa.Table) -> pa.Table:
-        src, dst = [], []
-        for i in b["doc_id"].to_pylist():
-            for k in range(i % 4):
-                src.append(i)
-                dst.append(
-                    int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16)
-                    % n
-                )
-        return pa.table(
-            {
-                "src": pa.array(src, pa.int64()),
-                "dst": pa.array(dst, pa.int64()),
-            }
-        )
-
-    return degree_histogram(docs.map_batches(edges, batch_format="pyarrow"))
+    edges, _, _ = _md5_link_graph(sf_dir)
+    return degree_histogram(edges)
 
 
 def top_orders_per_segment(sf_dir: str):
