@@ -769,6 +769,15 @@ def events_user_type_melted(sf_dir: str):
     )
 
 
+def events_funnel(sf_dir: str):
+    """view -> click -> purchase funnel per user (ops.windows.funnel):
+    one shuffle, one vectorized reduceat pass per step."""
+    from .ops.windows import funnel
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel(ds, ["view", "click", "purchase"])
+
+
 def docs_token_stats(sf_dir: str):
     from .ops.textstats import token_stats_batch
 
@@ -1720,6 +1729,7 @@ QUERIES = {
     "events_percentile_ranks": events_percentile_ranks,
     "events_user_type_pivot": events_user_type_pivot,
     "events_user_type_melted": events_user_type_melted,
+    "events_funnel": events_funnel,
     "docs_token_stats": docs_token_stats,
     "docs_lang_histogram": docs_lang_histogram,
     "docs_quality": docs_quality,
@@ -2097,6 +2107,28 @@ SELECT u.user_id, t.variable,
        CAST(COALESCE(c.cnt, 0) AS BIGINT) AS value
 FROM u CROSS JOIN t
 LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.variable
+""",
+    # funnel: earliest view -> click -> purchase chain per user
+    "events_funnel": """
+WITH e AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus
+           FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+u AS (SELECT DISTINCT user_id FROM e),
+s1 AS (SELECT user_id, MIN(tus) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.tus) AS t2
+       FROM e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.tus >= s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.tus) AS t3
+       FROM e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.tus >= s2.t2 GROUP BY 1)
+SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS steps_completed
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
 """,
     # per-user cumulative window aggregate, (ts, id) total order
     "events_running_totals": """

@@ -360,3 +360,102 @@ def unpivot(
         return pa.table(cols)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def funnel(
+    ds,
+    steps: list,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_buckets: int | None = None,
+):
+    """Ordered-sequence (funnel) analysis: for every user, the earliest
+    chain ``steps[0] -> steps[1] -> ...`` where each step's event occurs
+    at-or-after the previous step's matched event.  Emits one row per
+    user: ``(user, steps_completed, t1..tK)`` with the matched timestamps
+    (µs, null from the first missed step on).
+
+    One shuffle (hash(user) % B); inside each bucket, one pass PER STEP,
+    each fully vectorized: rows of the step's type sorted by (user, ts),
+    a per-row validity mask ``ts >= prev_step_ts[user]``, and
+    ``np.minimum.reduceat`` over user segments picks each user's first
+    valid event -- no Python per user or per event.
+
+    Partitioning assumption (custom-operator rule): one user's events fit
+    one task, as in sessionize/running_totals."""
+    from ..functions.hashing import bucket_codes
+
+    if num_buckets is None:
+        try:
+            import ray
+
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_buckets = 16
+    step_list = list(steps)
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b[type_col], value_set=pa.array(step_list))
+        t = pa.table(
+            {
+                "u": b[user_col],
+                "tus": pc.cast(b[ts_col], pa.int64()),
+                "st": b[type_col],
+            }
+        ).filter(pc.fill_null(keep, False))
+        return t.append_column(
+            "bucket", bucket_codes(pc.cast(t["u"], pa.string()), num_buckets)
+        )
+
+    def chain(group: pa.Table) -> pa.Table:
+        u = group["u"].to_numpy(zero_copy_only=False)
+        tus = group["tus"].to_numpy(zero_copy_only=False)
+        st = np.asarray(group["st"].to_pylist(), object)
+        users = np.unique(u)
+        uidx = {int(x): j for j, x in enumerate(users)}
+        # chain start: the first step may match anywhere in time
+        prev = np.full(len(users), np.iinfo(np.int64).min, np.int64)
+        prev_valid = np.ones(len(users), bool)
+        out_ts = []
+        for s in step_list:
+            m = st == s
+            su = u[m]
+            stus = tus[m]
+            order = np.lexsort((stus, su))
+            su, stus = su[order], stus[order]
+            srow_user = np.fromiter(
+                (uidx[int(x)] for x in su), np.int64, count=len(su)
+            )
+            valid = prev_valid[srow_user] & (stus >= prev[srow_user])
+            masked = np.where(valid, stus, np.iinfo(np.int64).max)
+            cur = np.full(len(users), np.iinfo(np.int64).max, np.int64)
+            if len(su):
+                brk = np.empty(len(su), bool)
+                brk[:1] = True
+                brk[1:] = su[1:] != su[:-1]
+                starts = np.flatnonzero(brk)
+                mins = np.minimum.reduceat(masked, starts)
+                cur[srow_user[starts]] = mins
+            got = cur != np.iinfo(np.int64).max
+            prev = cur
+            prev_valid = got
+            out_ts.append((cur, got))
+        done = np.zeros(len(users), np.int64)
+        cols = {user_col: pa.array(users, pa.int64())}
+        for j, (ts_arr, got) in enumerate(out_ts):
+            # got is monotone: matching step j requires step j-1 matched
+            done += got.astype(np.int64)
+            cols[f"t{j + 1}"] = pa.array(
+                [int(v) if h else None for v, h in zip(ts_arr, got)],
+                pa.int64(),
+            )
+        cols["steps_completed"] = pa.array(done, pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(chain, batch_format="pyarrow")
+    )

@@ -1592,6 +1592,64 @@ class TestUnpivot:
         ]
 
 
+class TestFunnel:
+    def test_matches_serial_chain(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import funnel
+
+        rng = np.random.RandomState(13)
+        n = 1500
+        df = pd.DataFrame(
+            {
+                "user_id": rng.randint(0, 60, n).astype(np.int64),
+                "event_type": np.array(["view", "click", "purchase", "other"])[
+                    rng.randint(0, 4, n)
+                ],
+                "ts": pd.to_datetime(
+                    rng.randint(0, 10**7, n) * 1000, unit="us"
+                ),
+            }
+        )
+        tab = pa.Table.from_pandas(df, preserve_index=False)
+        idx = tab.column_names.index("ts")
+        tab = tab.set_column(idx, "ts", tab["ts"].cast(pa.timestamp("us")))
+        out = (
+            funnel(rd.from_arrow(tab).repartition(6),
+                   ["view", "click", "purchase"])
+            .to_pandas().set_index("user_id").sort_index()
+        )
+        df["tus"] = df.ts.astype("int64") // 1000
+        seen_users = sorted(
+            df[df.event_type.isin(["view", "click", "purchase"])]
+            .user_id.unique()
+        )
+        assert list(out.index) == seen_users
+        for uid in seen_users:
+            g = df[df.user_id == uid]
+
+            def first_at_or_after(typ, t0):
+                c = g[(g.event_type == typ) & (g.tus >= t0)]
+                return int(c.tus.min()) if len(c) else None
+
+            t1 = first_at_or_after("view", -(10**18))
+            t2 = first_at_or_after("click", t1) if t1 is not None else None
+            t3 = (
+                first_at_or_after("purchase", t2)
+                if t2 is not None else None
+            )
+            want_done = 3 if t3 else (2 if t2 else (1 if t1 else 0))
+            row = out.loc[uid]
+            assert row["steps_completed"] == want_done, uid
+            for name, want in (("t1", t1), ("t2", t2), ("t3", t3)):
+                got = row[name]
+                assert (pd.isna(got) and want is None) or got == want, (
+                    uid, name)
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
