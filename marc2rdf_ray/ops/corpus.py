@@ -225,6 +225,48 @@ def pack_streaming(
     )
 
 
+def chunk_batch(
+    b: pa.Table, width: int, *, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Per-batch kernel of :func:`chunk_text` (module-level so the
+    hypothesis invariants test it without a Ray session): one
+    ``utf8_slice_codeunits`` call PER CHUNK INDEX over the shrinking mask
+    of docs long enough to reach it -- the inner loop runs
+    ``ceil(max_len/width)`` times per batch regardless of row count."""
+    txt = pc.fill_null(b[text_col], "")
+    nchars = pc.utf8_length(txt)
+    max_len = pc.max(nchars).as_py() or 0
+    ids = b[id_col]
+    parts = []
+    for k in range((max_len + width - 1) // width):
+        mask = pc.greater(nchars, k * width)
+        sub_txt = pc.utf8_slice_codeunits(
+            txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt,
+            k * width,
+            (k + 1) * width,
+        )
+        t = pa.table(
+            {
+                id_col: ids,
+                "chunk_id": pa.array(
+                    np.full(len(b), k, np.int64), pa.int64()
+                ),
+                "chunk": sub_txt,
+            }
+        ).filter(mask)
+        parts.append(t)
+    if not parts:
+        return pa.table(
+            {
+                id_col: pa.array([], ids.type),
+                "chunk_id": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.string()),
+            }
+        )
+    return pa.concat_tables(parts)
+
+
 def chunk_text(
     ds,
     width: int,
@@ -236,49 +278,15 @@ def chunk_text(
     context-window prep step (rows out: ``(id, chunk_id, chunk)``; docs
     with empty/null text emit no rows).
 
-    Stateless flat-map: one ``utf8_slice_codeunits`` kernel call PER CHUNK
-    INDEX (not per row) over the shrinking mask of docs long enough to
-    reach it, so the inner loop runs ``ceil(max_len/width)`` times per
-    batch regardless of row count.  Arrow slices on codepoints, matching
-    SQL ``substr`` (parity pinned by the ``docs_chunked`` oracle).  No
-    shuffle; output row count is data-dependent but bounded by
-    ``total_chars/width + rows`` per batch.
+    Stateless flat-map over :func:`chunk_batch`.  Arrow slices on
+    codepoints, matching SQL ``substr`` (parity pinned by the
+    ``docs_chunked`` oracle).  No shuffle; output row count is
+    data-dependent but bounded by ``total_chars/width + rows`` per batch.
     """
-
-    def chunks(b: pa.Table) -> pa.Table:
-        txt = pc.fill_null(b[text_col], "")
-        nchars = pc.utf8_length(txt)
-        max_len = pc.max(nchars).as_py() or 0
-        ids = b[id_col]
-        parts = []
-        for k in range((max_len + width - 1) // width):
-            mask = pc.greater(nchars, k * width)
-            sub_txt = pc.utf8_slice_codeunits(
-                txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt,
-                k * width,
-                (k + 1) * width,
-            )
-            t = pa.table(
-                {
-                    id_col: ids,
-                    "chunk_id": pa.array(
-                        np.full(len(b), k, np.int64), pa.int64()
-                    ),
-                    "chunk": sub_txt,
-                }
-            ).filter(mask)
-            parts.append(t)
-        if not parts:
-            return pa.table(
-                {
-                    id_col: pa.array([], ids.type),
-                    "chunk_id": pa.array([], pa.int64()),
-                    "chunk": pa.array([], pa.string()),
-                }
-            )
-        return pa.concat_tables(parts)
-
-    return ds.map_batches(chunks, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: chunk_batch(b, width, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+    )
 
 
 def tfidf_top_terms(

@@ -219,3 +219,36 @@ class TestProbePositions:
             )
             assert lo[i] == strict
             assert hi[i] == at_or_before
+
+
+class TestChunkBatchProperties:
+    """chunk_batch (ops/corpus.py) invariants on arbitrary unicode text."""
+
+    @given(st.lists(st.text(max_size=50), max_size=8), st.integers(1, 7))
+    @settings(max_examples=150, deadline=None)
+    def test_concat_roundtrip_and_bounds(self, texts, width):
+        import pyarrow as pa
+
+        from marc2rdf_ray.ops.corpus import chunk_batch
+
+        b = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = chunk_batch(b, width)
+        by_doc = {}
+        for i, cid, chunk in zip(
+            out["doc_id"].to_pylist(),
+            out["chunk_id"].to_pylist(),
+            out["chunk"].to_pylist(),
+        ):
+            by_doc.setdefault(i, []).append((cid, chunk))
+        for i, t in enumerate(texts):
+            got = sorted(by_doc.get(i, []))
+            # chunk ids are dense 0..k-1; concat reproduces the text
+            assert [c for c, _ in got] == list(range(len(got)))
+            assert "".join(ch for _, ch in got) == t
+            # every chunk is non-empty and at most width codepoints
+            assert all(0 < len(ch) <= width for _, ch in got)
