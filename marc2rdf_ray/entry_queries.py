@@ -690,6 +690,33 @@ def docs_split(sf_dir: str):
     )
 
 
+def dedup_incremental_windows(sf_dir: str):
+    """Cross-window exact dedup (ops.dedup.incremental_dedup): documents
+    split into two windows by doc_id parity arrive in sequence against a
+    fresh durable state dir; the union of both windows' survivors equals
+    the global dedup with window-1 precedence."""
+    import tempfile
+
+    from .ops.dedup import incremental_dedup
+
+    state = tempfile.mkdtemp(prefix="m2r_dedup_state_")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def parity(b: pa.Table, want: int) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 2 == want))
+
+    k1 = incremental_dedup(
+        docs.map_batches(lambda b: parity(b, 0), batch_format="pyarrow"),
+        state, "w1",
+    )
+    k2 = incremental_dedup(
+        docs.map_batches(lambda b: parity(b, 1), batch_format="pyarrow"),
+        state, "w2",
+    )
+    return k1.union(k2)
+
+
 def docs_weighted_sample(sf_dir: str):
     """Deterministic per-language Bernoulli mix (ops.corpus
     .weighted_sample): keep 25% of 'en', 75% of 'no', 100% of everything
@@ -1739,6 +1766,7 @@ QUERIES = {
     "docs_decontaminated": docs_decontaminated,
     "docs_per_lang_sample": docs_per_lang_sample,
     "dedup_exact": dedup_exact,
+    "dedup_incremental_windows": dedup_incremental_windows,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_keep": dedup_minhash_keep,
     "dedup_jaccard_verified": dedup_jaccard_verified,
@@ -2334,6 +2362,20 @@ WITH RECURSIVE s AS (
 )
 SELECT doc_id, CAST(h % 9223372036854775808 AS BIGINT) AS fingerprint
 FROM f WHERE pos = length(str)
+""",
+    # cross-window dedup: window-1 (even ids) precedence over window 2
+    "dedup_incremental_windows": """
+WITH d AS (SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents),
+w1 AS (SELECT h, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM d WHERE doc_id % 2 = 0 GROUP BY h),
+w2 AS (SELECT h, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM d WHERE doc_id % 2 = 1 GROUP BY h),
+w2k AS (SELECT w2.h, w2.doc_id, w2.cnt
+        FROM w2 LEFT JOIN w1 ON w1.h = w2.h WHERE w1.h IS NULL)
+SELECT h AS content_hash, doc_id, cnt FROM w1
+UNION ALL SELECT h, doc_id, cnt FROM w2k
 """,
     "dedup_exact": """
 WITH aug AS (

@@ -544,3 +544,120 @@ def embedding_dup_pairs(
 
     out = distinct_first(cand.map_batches(key, batch_format="pyarrow"), "pk")
     return out.drop_columns(["pk"])
+
+
+def incremental_dedup(
+    ds,
+    state_dir: str,
+    window_id: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_budget: int = 256 << 20,
+    filesystem=None,
+):
+    """Cross-WINDOW exact dedup with durable state -- the continuous-crawl
+    shape: each arriving window keeps only documents whose content was
+    never seen in ANY previous window, and appends its own new hashes to
+    the state.  Returns a Dataset of ``(content_hash, id, cnt)`` -- the
+    window's surviving representatives (within-window duplicates already
+    collapsed to the min id by :func:`exact_dedup_groups`).
+
+    State = append-only parquet under ``state_dir`` (all IO through
+    pyarrow.fs, so the state can live on S3/GCS), ONE SUBDIR PER WINDOW
+    written tmp+rename with a ``_done`` marker LAST: a crashed run never
+    corrupts earlier windows, and re-running a committed ``window_id`` is
+    a no-op filter against existing state (idempotent resume -- the rerun
+    returns the same survivors because its own hashes were only committed
+    if the previous attempt finished).
+
+    Membership test: the state's hash column broadcasts via ``ray.put``
+    when under ``broadcast_budget`` (one vectorized ``is_in`` per batch);
+    bigger states fall back to a distributed left-outer join on the hash
+    with a null-marker filter (the anti-join shape).  State volume is one
+    32-byte hash per distinct document ever seen -- ~3 TB per 100 TB of
+    unique text, squarely in join territory and why the fallback exists.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..state import fsio
+
+    fs, sdir = fsio.resolve_fs(state_dir, filesystem)
+    fsio.makedirs(fs, sdir)
+    win_dir = fsio.join(sdir, f"win={window_id}")
+    done_marker = fsio.join(win_dir, "_done")
+    committed = fsio.exists(fs, done_marker)
+
+    prior_files = []
+    for d in fsio.listdir(fs, sdir):
+        if not d.startswith("win=") or (committed and d == f"win={window_id}"):
+            # a committed rerun must not anti-join against its own hashes
+            continue
+        wd = fsio.join(sdir, d)
+        if not fsio.exists(fs, fsio.join(wd, "_done")):
+            continue  # uncommitted (crashed) window: ignore its partials
+        prior_files.extend(
+            f for f in fsio.list_files_recursive(fs, wd)
+            if f.endswith(".parquet")
+        )
+
+    window = exact_dedup_groups(ds, id_col, text_col)
+
+    if prior_files:
+        state = rd.read_parquet(
+            prior_files, columns=["content_hash"], filesystem=fs
+        ).materialize()
+        if state.size_bytes() <= broadcast_budget:
+            seen = pa.concat_tables(
+                ray.get(state.to_arrow_refs()), promote_options="default"
+            )["content_hash"].combine_chunks()
+            seen_ref = ray.put(seen)
+
+            def drop_seen(b: pa.Table) -> pa.Table:
+                s = ray.get(seen_ref)
+                hit = pc.is_in(b["content_hash"], value_set=s)
+                return b.filter(pc.invert(pc.fill_null(hit, False)))
+
+            window = window.map_batches(drop_seen, batch_format="pyarrow")
+        else:
+            marked = state.map_batches(
+                lambda b: pa.table(
+                    {
+                        "content_hash": b["content_hash"],
+                        "_seen": pa.array(
+                            np.ones(len(b), np.int8), pa.int8()
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            nparts = max(
+                2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2)
+            )
+            window = (
+                window.join(
+                    marked,
+                    join_type="left_outer",
+                    num_partitions=nparts,
+                    on=("content_hash",),
+                )
+                .map_batches(
+                    lambda b: b.filter(
+                        pc.is_null(b["_seen"])
+                    ).drop_columns(["_seen"]),
+                    batch_format="pyarrow",
+                )
+            )
+
+    kept = window.materialize()
+    if not committed:
+        # marker-LAST commit: a crash mid-write leaves win_dir without
+        # _done, so the next attempt rmtree's and rewrites it; readers
+        # only ever see marker-certified windows.
+        fsio.rmtree(fs, win_dir)
+        kept.map_batches(
+            lambda b: b.select(["content_hash"]), batch_format="pyarrow"
+        ).write_parquet(win_dir, filesystem=fs)
+        fsio.write_text_atomic(fs, done_marker, "done")
+    return kept

@@ -1650,6 +1650,49 @@ class TestFunnel:
                     uid, name)
 
 
+class TestIncrementalDedup:
+    def _win(self, ids, texts):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array(ids, pa.int64()),
+                 "text": pa.array(texts, pa.string())}
+            )
+        )
+
+    def test_cross_window_state(self, ray_session, tmp_path):
+        import os
+
+        from marc2rdf_ray.ops.dedup import incremental_dedup
+
+        state = str(tmp_path / "dedup_state")
+        # window 1: one internal dup
+        k1 = incremental_dedup(
+            self._win([0, 1, 2], ["aa", "bb", "aa"]), state, "w1"
+        ).to_pandas()
+        assert sorted(k1["doc_id"]) == [0, 1]  # 'aa' kept once (min id)
+        # window 2: one cross-window dup ('bb'), one new
+        k2 = incremental_dedup(
+            self._win([10, 11], ["bb", "cc"]), state, "w2"
+        ).to_pandas()
+        assert sorted(k2["doc_id"]) == [11]
+        # committed rerun of w2 is idempotent (same survivors)
+        k2b = incremental_dedup(
+            self._win([10, 11], ["bb", "cc"]), state, "w2"
+        ).to_pandas()
+        assert sorted(k2b["doc_id"]) == [11]
+        # crashed window (dir without _done marker) is ignored as state
+        os.makedirs(os.path.join(state, "win=crashed"), exist_ok=True)
+        # window 3 via the JOIN fallback path (budget 0): dups vs w1+w2
+        k3 = incremental_dedup(
+            self._win([20, 21, 22], ["cc", "dd", "aa"]), state, "w3",
+            broadcast_budget=0,
+        ).to_pandas()
+        assert sorted(k3["doc_id"]) == [21]
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
