@@ -243,6 +243,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_tfidf_top_terms",
         "events_type_value_quantiles",
         "graph_triangles",
+        "events_funnel",
+        "embeddings_knn_graph",
+        "dedup_incremental_windows",
     ]
     out = {}
     for name in names:
