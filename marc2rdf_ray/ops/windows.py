@@ -397,14 +397,16 @@ def funnel(
     step_list = list(steps)
 
     def prep(b: pa.Table) -> pa.Table:
-        keep = pc.is_in(b[type_col], value_set=pa.array(step_list))
+        # step name -> dense int code up front: every bucket-side compare
+        # is then pure int numpy (no per-row string work downstream)
+        code = pc.index_in(b[type_col], value_set=pa.array(step_list))
         t = pa.table(
             {
                 "u": b[user_col],
                 "tus": pc.cast(b[ts_col], pa.int64()),
-                "st": b[type_col],
+                "st": pc.cast(code, pa.int32()),
             }
-        ).filter(pc.fill_null(keep, False))
+        ).filter(pc.is_valid(code))
         return t.append_column(
             "bucket", bucket_codes(pc.cast(t["u"], pa.string()), num_buckets)
         )
@@ -412,22 +414,21 @@ def funnel(
     def chain(group: pa.Table) -> pa.Table:
         u = group["u"].to_numpy(zero_copy_only=False)
         tus = group["tus"].to_numpy(zero_copy_only=False)
-        st = np.asarray(group["st"].to_pylist(), object)
+        st = group["st"].to_numpy(zero_copy_only=False)
         users = np.unique(u)
-        uidx = {int(x): j for j, x in enumerate(users)}
         # chain start: the first step may match anywhere in time
         prev = np.full(len(users), np.iinfo(np.int64).min, np.int64)
         prev_valid = np.ones(len(users), bool)
         out_ts = []
-        for s in step_list:
+        for s in range(len(step_list)):
             m = st == s
             su = u[m]
             stus = tus[m]
             order = np.lexsort((stus, su))
             su, stus = su[order], stus[order]
-            srow_user = np.fromiter(
-                (uidx[int(x)] for x in su), np.int64, count=len(su)
-            )
+            # users is sorted (np.unique), so the id -> dense index map is
+            # one searchsorted, not a Python dict lookup per row
+            srow_user = np.searchsorted(users, su)
             valid = prev_valid[srow_user] & (stus >= prev[srow_user])
             masked = np.where(valid, stus, np.iinfo(np.int64).max)
             cur = np.full(len(users), np.iinfo(np.int64).max, np.int64)
