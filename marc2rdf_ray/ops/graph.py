@@ -525,52 +525,67 @@ def triangle_count(
     oriented = dedup.map_batches(orient, batch_format="pyarrow").materialize()
 
     def wedges(g: pa.Table) -> pa.Table:
+        """Emit all head pairs per tail with NO Python per tail: one
+        segmented id-sort applies the cap, one segmented rank-sort fixes
+        pair orientation, and the all-pairs indices come from a single
+        repeat/arange construction over every segment at once (the
+        ops/joins.py range_join pattern, segment-generalized)."""
         tails = g["tail"].to_numpy(zero_copy_only=False)
         heads = g["head"].to_numpy(zero_copy_only=False)
-        order = np.argsort(tails, kind="stable")
+        d = ray.get(deg_ref) if deg_ref is not None else None
+        # 1) cap per tail on the id-sorted order (same pick as np.sort[:cap])
+        order = np.lexsort((heads, tails))
         tails, heads = tails[order], heads[order]
         brk = np.empty(len(tails), bool)
         brk[:1] = True
         if len(tails) > 1:
             brk[1:] = tails[1:] != tails[:-1]
+        seg_of = np.cumsum(brk) - 1
         starts = np.flatnonzero(brk)
-        ends = np.append(starts[1:], len(tails))
-        d = ray.get(deg_ref) if deg_ref is not None else None
-        outs_a, outs_b = [], []
-        for s, e in zip(starts, ends):
-            hs = heads[s:e]
-            if len(hs) > max_out:
-                _g = int(tails[s])
-                logging.getLogger(__name__).warning(
-                    "triangle_count: tail %d truncated %d -> %d heads; "
-                    "wedges beyond the cap are dropped", _g, len(hs), max_out
-                )
-                hs = np.sort(hs)[:max_out]
-            if len(hs) < 2:
-                continue
-            # order heads by rank so emitted pairs match edge orientation
-            if d is not None:
-                dh = d["deg"][np.searchsorted(d["node"], hs)]
-                o = np.lexsort((hs, dh))
-            else:
-                o = np.argsort(hs, kind="stable")
-            hs = hs[o]
-            m = len(hs)
-            ia = np.repeat(np.arange(m - 1), np.arange(m - 1, 0, -1))
-            start_j = ia + 1
-            offs = np.concatenate(
-                ([0], np.cumsum(np.arange(m - 1, 0, -1)))
-            )[:-1]
-            jb = np.arange(len(ia)) - offs[ia] + start_j
-            outs_a.append(hs[ia])
-            outs_b.append(hs[jb])
-        if not outs_a:
+        local = np.arange(len(tails)) - starts[seg_of]
+        over = np.flatnonzero(
+            np.append(starts[1:], len(tails)) - starts > max_out
+        )
+        for si in over:  # rare by construction; logged, never silent
+            logging.getLogger(__name__).warning(
+                "triangle_count: tail %d truncated %d -> %d heads; "
+                "wedges beyond the cap are dropped",
+                int(tails[starts[si]]),
+                int((np.append(starts[1:], len(tails)) - starts)[si]),
+                max_out,
+            )
+        keep = local < max_out
+        tails, heads, seg_of = tails[keep], heads[keep], seg_of[keep]
+        # 2) order heads by rank WITHIN each tail (pairs must match the
+        #    oriented edge direction)
+        if d is not None:
+            dh = d["deg"][np.searchsorted(d["node"], heads)]
+            order = np.lexsort((heads, dh, seg_of))
+        else:
+            order = np.lexsort((heads, seg_of))
+        heads, seg_of = heads[order], seg_of[order]
+        # 3) segmented all-pairs: element e (local pos p in a segment of
+        #    size m) is the FIRST member of (m - 1 - p) pairs
+        brk2 = np.empty(len(seg_of), bool)
+        brk2[:1] = True
+        if len(seg_of) > 1:
+            brk2[1:] = seg_of[1:] != seg_of[:-1]
+        starts2 = np.flatnonzero(brk2)
+        sizes = np.diff(np.append(starts2, len(seg_of)))
+        seg_idx = np.cumsum(brk2) - 1
+        local2 = np.arange(len(seg_of)) - starts2[seg_idx]
+        counts = sizes[seg_idx] - 1 - local2  # pairs led by each element
+        total = int(counts.sum())
+        if total == 0:
             return pa.table(
                 {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                  "cnt": pa.array([], pa.int64())}
             )
-        a = np.concatenate(outs_a)
-        bb = np.concatenate(outs_b)
+        a_idx = np.repeat(np.arange(len(seg_of)), counts)
+        excl = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        b_idx = a_idx + 1 + (np.arange(total) - excl[a_idx])
+        a = heads[a_idx]
+        bb = heads[b_idx]
         # per-task combiner: collapse repeated (a, b) wedge pairs
         order = np.lexsort((bb, a))
         a, bb = a[order], bb[order]
