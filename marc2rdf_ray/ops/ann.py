@@ -21,6 +21,33 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def vecs_to_matrix(col) -> np.ndarray:
+    """Columnar ``list<float>`` -> ``(n, d)`` float64 with NO per-row
+    Python: flatten the list child buffer and reshape when the lists are
+    rectangular (this table's schema always is); ragged or null-bearing
+    input falls back to ``to_pylist``.  Values are bit-identical to the
+    fallback, so every ANN oracle is unaffected."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    try:
+        if n and col.null_count == 0:
+            lens = pc.list_value_length(col)
+            lo = pc.min_max(lens).as_py()
+            if lo["min"] == lo["max"] and lo["min"] is not None:
+                d = int(lo["min"])
+                flat = pc.list_flatten(col)
+                if flat.null_count == 0 and len(flat) == n * d:
+                    return (
+                        flat.to_numpy(zero_copy_only=False)
+                        .astype(np.float64, copy=False)
+                        .reshape(n, d)
+                    )
+    except Exception:  # pragma: no cover - defensive fallback
+        pass
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
 def _unit(mat: np.ndarray) -> np.ndarray:
     mat = np.asarray(mat, dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
@@ -47,7 +74,7 @@ class _BruteScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col].to_pylist())
-        mat = _unit(np.array(batch[self.vec_col].to_pylist()))
+        mat = _unit(vecs_to_matrix(batch[self.vec_col]))
         sims = mat @ self.qmat  # (n, nq)
         k = min(self.k, len(ids))
         out_q, out_id, out_s = [], [], []
@@ -167,7 +194,7 @@ def ivf_topk(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch[id_col].to_pylist())
-            raw = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            raw = vecs_to_matrix(batch[vec_col])
             d2 = ((_quantize(raw)[:, None, :] - self.cq[None, :, :]) ** 2).sum(axis=2)
             cid = np.argmin(d2, axis=1)  # first occurrence = lowest cid
             mat = _unit(raw)
@@ -248,7 +275,7 @@ def lsh_topk(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch[id_col].to_pylist())
-            mat = _unit(np.array(batch[vec_col].to_pylist()))
+            mat = _unit(vecs_to_matrix(batch[vec_col]))
             buckets = bucket_of(mat)
             out_q, out_id, out_s = [], [], []
             for i, b in enumerate(buckets):
@@ -327,7 +354,7 @@ def kmeans_quantized(
     def make_partial(cents_ref):
         def partial(b: pa.Table) -> pa.Table:
             q = ray.get(cents_ref)
-            vq = _quantize(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+            vq = _quantize(vecs_to_matrix(b[vec_col]))
             d2 = ((vq[:, None, :] - q[None, :, :]) ** 2).sum(axis=2)
             cid = np.argmin(d2, axis=1)  # first occurrence = lowest cid
             counts = np.bincount(cid, minlength=n_clusters)
@@ -363,7 +390,7 @@ def kmeans_quantized(
 
     def assign(b: pa.Table) -> pa.Table:
         q = ray.get(final_ref)
-        vq = _quantize(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+        vq = _quantize(vecs_to_matrix(b[vec_col]))
         d2 = ((vq[:, None, :] - q[None, :, :]) ** 2).sum(axis=2)
         cid = np.argmin(d2, axis=1)
         return pa.table(
@@ -412,7 +439,7 @@ def knn_graph(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             qids = np.asarray(batch[id_col].to_pylist(), np.int64)
-            qmat = _unit(np.array(batch[vec_col].to_pylist()))
+            qmat = _unit(vecs_to_matrix(batch[vec_col]))
             nq = len(qids)
             kk = k
             best_s = np.full((nq, 0), 0.0)
@@ -422,7 +449,7 @@ def knn_graph(
                 if t.num_rows == 0:  # sort can emit empty blocks
                     continue
                 cids = np.asarray(t[id_col].to_pylist(), np.int64)
-                cmat = _unit(np.array(t[vec_col].to_pylist()))
+                cmat = _unit(vecs_to_matrix(t[vec_col]))
                 sims = qmat @ cmat.T  # (nq, nc)
                 sims[qids[:, None] == cids[None, :]] = -np.inf  # self
                 m = min(kk, sims.shape[1])
@@ -492,7 +519,7 @@ def knn_graph_ivf(
     def emit(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
         ids = np.asarray(batch[id_col].to_pylist(), np.int64)
-        raw = np.array(batch[vec_col].to_pylist(), np.float64)
+        raw = vecs_to_matrix(batch[vec_col])
         d2 = ((_quantize(raw)[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         # members: own cell (argmin -> lowest cid on ties)
         own = np.argmin(d2, axis=1).astype(np.int64)
@@ -526,7 +553,7 @@ def knn_graph_ivf(
     def cell_topk(group: pa.Table) -> pa.Table:
         kind = group["kind"].to_numpy(zero_copy_only=False)
         ids = group["id"].to_numpy(zero_copy_only=False)
-        vecs = np.array(group["vec"].to_pylist(), np.float64)
+        vecs = vecs_to_matrix(group["vec"])
         msel = kind == 0
         qsel = ~msel
         if not msel.any() or not qsel.any():
