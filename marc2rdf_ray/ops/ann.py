@@ -179,9 +179,13 @@ def ivf_topk(
     qd2 = assign(qq)
     # nprobe nearest lists per query, ties -> lower centroid id
     order = np.lexsort((np.tile(np.arange(cq.shape[0]), (len(qq), 1)), qd2))
-    probe_sets = [set(order[i, :nprobe].tolist()) for i in range(len(qq))]
+    # (nq, C) boolean probe matrix: membership per batch row is then one
+    # vectorized gather, never a Python `in` per row
+    probe_mask = np.zeros((len(qq), cq.shape[0]), bool)
+    for qi in range(len(qq)):
+        probe_mask[qi, order[qi, :nprobe]] = True
     ref = ray.put(
-        {"qid": list(query_ids), "mat": qmat, "probe": probe_sets, "cq": cq}
+        {"qid": list(query_ids), "mat": qmat, "probe": probe_mask, "cq": cq}
     )
 
     class Scorer:
@@ -200,8 +204,7 @@ def ivf_topk(
             mat = _unit(raw)
             out_q, out_id, out_s = [], [], []
             for qi, qid in enumerate(self.qids):
-                probe = self.probe[qi]
-                sel = np.array([c in probe for c in cid])
+                sel = self.probe[qi][cid]
                 if not sel.any():
                     continue
                 sims = mat[sel] @ self.qunit[qi]
@@ -264,7 +267,14 @@ def lsh_topk(
                 for bit in bits:
                     flip |= 1 << bit
                 probe.setdefault(int(b) ^ flip, []).append(qi)
-    ref = ray.put({"qid": list(query_ids), "mat": qmat, "probe": probe})
+    # per-query sorted probe-bucket arrays: candidate selection per batch
+    # is then one np.isin per query, never a Python dict probe per row
+    probe_by_q = [[] for _ in query_ids]
+    for b, qis in probe.items():
+        for qi in qis:
+            probe_by_q[qi].append(b)
+    probe_arrs = [np.unique(np.asarray(bs, np.int64)) for bs in probe_by_q]
+    ref = ray.put({"qid": list(query_ids), "mat": qmat, "probe": probe_arrs})
 
     class Scorer:
         def __init__(self):
@@ -278,12 +288,15 @@ def lsh_topk(
             mat = _unit(vecs_to_matrix(batch[vec_col]))
             buckets = bucket_of(mat)
             out_q, out_id, out_s = [], [], []
-            for i, b in enumerate(buckets):
-                for qi in self.probe.get(int(b), ()):
-                    s = float(mat[i] @ self.qunit[qi])
-                    out_q.append(int(self.qids[qi]))
-                    out_id.append(int(ids[i]))
-                    out_s.append(round(s, 4))
+            for qi, qid in enumerate(self.qids):
+                sel = np.isin(buckets, self.probe[qi])
+                if not sel.any():
+                    continue
+                sims = mat[sel] @ self.qunit[qi]
+                for i, s in zip(ids[sel], sims):
+                    out_q.append(int(qid))
+                    out_id.append(int(i))
+                    out_s.append(round(float(s), 4))
             return pa.table(
                 {
                     "qid": pa.array(out_q, pa.int64()),
