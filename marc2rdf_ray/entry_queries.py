@@ -594,6 +594,46 @@ def events_user_cms_counts(sf_dir: str):
     return cms_counts(ds, "user_id", probes=range(50), depth=4, width=1024)
 
 
+def events_heavy_users(sf_dir: str):
+    """Heavy hitters via CMS prefilter + exact verify: candidate users =
+    CMS estimate >= T (an upper bound, so the candidate set is a SUPERSET
+    -- no false negatives); only candidate rows enter the exact groupby,
+    whose HAVING trims CMS false positives.  T = (13 * total) // (10 *
+    n_users), integer both sides.  The final answer equals the plain
+    HAVING query (the oracle); the sketch stage's own arithmetic is
+    certified by `events_user_cms_counts`."""
+    from ray.data.aggregate import Count
+
+    from .ops.sketches import cms_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    total = ds.count()
+    users = sorted(ds.unique("user_id"))  # probe list: driver-side small
+    thr = (13 * total) // (10 * len(users))
+    est = cms_counts(ds, "user_id", probes=users)
+    cand = {
+        int(k)
+        for k, c in zip(est["key"].to_pylist(), est["cms_count"].to_pylist())
+        if c >= thr
+    }
+    cand_arr = pa.array(sorted(cand), pa.int64())
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.fill_null(pc.is_in(b["user_id"], value_set=cand_arr), False)
+        )
+
+    exact = (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="cnt"))
+    )
+    return exact.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["cnt"], thr)),
+        batch_format="pyarrow",
+    )
+
+
 def docs_bloom_prefilter(sf_dir: str):
     """Bloom-filter pre-filter (512 bits, 3 hashes) for a doc-id blocklist
     (every 37th doc): flagged rows = blocklist hits PLUS deterministic
@@ -1743,6 +1783,7 @@ QUERIES = {
     "events_sliding_3h": events_sliding_3h,
     "events_approx_distinct_users": events_approx_distinct_users,
     "events_user_cms_counts": events_user_cms_counts,
+    "events_heavy_users": events_heavy_users,
     "docs_bloom_prefilter": docs_bloom_prefilter,
     "docs_weighted_sample": docs_weighted_sample,
     "docs_packed_sequences": docs_packed_sequences,
@@ -2232,6 +2273,14 @@ FROM r GROUP BY register
 """,
     # count-min sketch: depth x width counter grid from md5-derived
     # buckets, probe estimate = min over rows
+    # heavy hitters: exact-verified, so the oracle is the plain HAVING
+    "events_heavy_users": """
+WITH t AS (SELECT COUNT(*) AS total,
+                  COUNT(DISTINCT user_id) AS nu FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY user_id
+HAVING COUNT(*) >= (SELECT (13 * total) // (10 * nu) FROM t)
+""",
     "events_user_cms_counts": """
 WITH rows_(r) AS (VALUES (0), (1), (2), (3)),
 g AS (

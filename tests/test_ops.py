@@ -1693,6 +1693,36 @@ class TestIncrementalDedup:
         assert sorted(k3["doc_id"]) == [21]
 
 
+class TestHeavyUsers:
+    def test_skewed_corpus_end_to_end(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from marc2rdf_ray.entry_queries import events_heavy_users
+
+        rng = np.random.RandomState(21)
+        # 3 hot users (300 events each) + 60 cold users (~10 each)
+        hot = np.repeat([1001, 1002, 1003], 300)
+        cold = rng.randint(0, 60, 600)
+        users = np.concatenate([hot, cold])
+        rng.shuffle(users)
+        pq.write_table(
+            pa.table({"user_id": pa.array(users, pa.int64())}),
+            str(tmp_path / "events.parquet"),
+        )
+        out = events_heavy_users(str(tmp_path)).to_pandas()
+        total, nu = len(users), len(np.unique(users))
+        thr = (13 * total) // (10 * nu)
+        want = {
+            int(u): int((users == u).sum())
+            for u in np.unique(users)
+            if (users == u).sum() >= thr
+        }
+        assert dict(zip(out["user_id"], out["cnt"])) == want
+        assert set(want) == {1001, 1002, 1003}
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
