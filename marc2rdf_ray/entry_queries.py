@@ -466,6 +466,26 @@ def events_asof_join(sf_dir: str):
     )
 
 
+def events_asof_join_forward(sf_dir: str):
+    """Forward as-of join (ops/joins.py asof_join(direction="forward")):
+    each purchase matched to the EARLIEST click at or after it (ties by
+    smallest click event_id); no later click -> nulls."""
+    from .ops.joins import asof_join
+
+    return asof_join(
+        _events_side(sf_dir, "purchase"),
+        _events_side(sf_dir, "click"),
+        by="user_id",
+        on="ts_us",
+        tiebreak="event_id",
+        left_cols=["event_id", "user_id", "ts_us"],
+        right_cols=["event_id", "ts_us"],
+        suffix="_click",
+        num_buckets=_events_join_buckets(sf_dir),
+        direction="forward",
+    )
+
+
 def _events_side_wide(sf_dir: str, event_type: str):
     """One event type with the WIDE payload (money + props) attached --
     input for the row-id-gather as-of variant."""
@@ -1775,6 +1795,7 @@ QUERIES = {
     "events_json_props": events_json_props,
     "events_asof_join": events_asof_join,
     "events_asof_join_wide": events_asof_join_wide,
+    "events_asof_join_forward": events_asof_join_forward,
     "events_error_window": events_error_window,
     "events_value_quantiles": events_value_quantiles,
     "events_value_quantile_bounds": events_value_quantile_bounds,
@@ -1972,6 +1993,20 @@ m AS (SELECT p.event_id AS pid, c.event_id AS cid, c.ts_us AS cts,
              row_number() OVER (PARTITION BY p.event_id
                                 ORDER BY c.ts_us DESC, c.event_id DESC) AS rn
       FROM p JOIN c ON c.user_id = p.user_id AND c.ts_us <= p.ts_us)
+SELECT p.event_id, p.user_id, p.ts_us,
+       m.cid AS event_id_click, m.cts AS ts_us_click
+FROM p LEFT JOIN m ON m.pid = p.event_id AND m.rn = 1
+""",
+    # forward as-of: earliest click at-or-after, ties smallest id
+    "events_asof_join_forward": """
+WITH p AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events WHERE event_type = 'click'),
+m AS (SELECT p.event_id AS pid, c.event_id AS cid, c.ts_us AS cts,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts_us ASC, c.event_id ASC) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id AND c.ts_us >= p.ts_us)
 SELECT p.event_id, p.user_id, p.ts_us,
        m.cid AS event_id_click, m.cts AS ts_us_click
 FROM p LEFT JOIN m ON m.pid = p.event_id AND m.rn = 1

@@ -139,16 +139,26 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_match",
     num_buckets: int | None = None,
+    direction: str = "backward",
 ):
     """For each left row, the single right row with the same ``by`` key and
     the greatest ``on`` <= left ``on`` (ties broken by greatest
     ``tiebreak``); LEFT-join semantics -- unmatched left rows keep nulls in
     the right columns.  Returns left_cols + [c+suffix for c in right_cols].
 
+    ``direction="forward"`` mirrors the match: the SMALLEST ``on`` >= left
+    ``on``, ties broken by smallest ``tiebreak`` (the standard
+    backward/forward as-of pair).  Implemented by negating the time and
+    tiebreak axes through the SAME bucket-merge machinery -- zero extra
+    code paths to keep correct (output columns carry the original,
+    un-negated values).
+
     ``on`` must cast to int64 (timestamps join at microsecond precision);
     ``tiebreak`` must be an integer column unique within (by, on) ties for
     full determinism.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     if num_buckets is None:
         num_buckets = _default_buckets()
     rschema = right_ds.schema()
@@ -172,6 +182,22 @@ def asof_join(
         other_carry=left_cols, other_types=ltypes, side=0,
         num_buckets=num_buckets, suffix_self="r_", suffix_other="l_",
     )
+
+    if direction == "forward":
+        # negate the sort axes: greatest(-t) = smallest t, greatest(-tie)
+        # = smallest tie; nulls stay null (negate is null-preserving)
+        def _neg(b: pa.Table) -> pa.Table:
+            for c in ("__t", "__tie"):
+                if c not in b.column_names:
+                    continue  # probe side carries no tiebreak
+                i = b.column_names.index(c)
+                b = b.set_column(
+                    i, c, pc.multiply(b[c], pa.scalar(-1, pa.int64()))
+                )
+            return b
+
+        left_u = left_u.map_batches(_neg, batch_format="pyarrow")
+        right_u = right_u.map_batches(_neg, batch_format="pyarrow")
 
     def _unmatched(left_rows: pa.Table) -> pa.Table:
         cols = [left_rows["l_" + c] for c in left_cols] + [

@@ -1723,6 +1723,58 @@ class TestHeavyUsers:
         assert set(want) == {1001, 1002, 1003}
 
 
+class TestAsofForward:
+    def test_matches_naive_forward(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.joins import asof_join
+
+        rng = np.random.RandomState(17)
+        nl, nr = 200, 300
+        left = pa.table(
+            {
+                "event_id": pa.array(range(nl), pa.int64()),
+                "user_id": pa.array(rng.randint(0, 12, nl), pa.int64()),
+                "ts_us": pa.array(rng.randint(0, 1000, nl), pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "event_id": pa.array(range(1000, 1000 + nr), pa.int64()),
+                "user_id": pa.array(rng.randint(0, 12, nr), pa.int64()),
+                # duplicate timestamps to exercise the tiebreak
+                "ts_us": pa.array(rng.randint(0, 500, nr), pa.int64()),
+            }
+        )
+        out = (
+            asof_join(
+                rd.from_arrow(left).repartition(4),
+                rd.from_arrow(right).repartition(3),
+                by="user_id", on="ts_us", tiebreak="event_id",
+                left_cols=["event_id", "user_id", "ts_us"],
+                right_cols=["event_id", "ts_us"],
+                direction="forward",
+                num_buckets=5,
+            )
+            .to_pandas().set_index("event_id").sort_index()
+        )
+        r = right.to_pandas()
+        for i in range(nl):
+            u, t = left["user_id"][i].as_py(), left["ts_us"][i].as_py()
+            cand = r[(r.user_id == u) & (r.ts_us >= t)]
+            row = out.loc[i]
+            if len(cand):
+                cand = cand.sort_values(["ts_us", "event_id"]).iloc[0]
+                assert row["event_id_match"] == cand["event_id"], i
+                assert row["ts_us_match"] == cand["ts_us"], i
+            else:
+                import pandas as pd
+
+                assert pd.isna(row["event_id_match"]), i
+
+
 class TestGroupedQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import numpy as np
