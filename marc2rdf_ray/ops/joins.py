@@ -259,6 +259,7 @@ def asof_join_wide(
     suffix: str = "_match",
     num_buckets: int | None = None,
     num_partitions: int | None = None,
+    direction: str = "backward",
 ):
     """Wide-table as-of join (VERDICT r2 #6): the bucket exchange carries
     ONLY the slim (key, time, tiebreak, row-id) projection -- wide payload
@@ -305,6 +306,7 @@ def asof_join_wide(
         right_cols=[right_id],
         suffix="__rid",
         num_buckets=num_buckets,
+        direction=direction,
     )
 
     def project_right(b: pa.Table) -> pa.Table:

@@ -825,6 +825,24 @@ class TestAdviceFixes:
         pd.testing.assert_frame_equal(
             wide[slim.columns.tolist()], slim, check_dtype=False
         )
+        # forward direction plumbs through the wide variant identically
+        slim_f = asof_join(
+            mk(left), mk(right),
+            by="k", on="t", tiebreak="rid",
+            left_cols=["lid", "note"], right_cols=["rid", "payload"],
+            num_buckets=4, direction="forward",
+        ).to_pandas().sort_values("lid").reset_index(drop=True)
+        wide_f = asof_join_wide(
+            mk(left), mk(right),
+            by="k", on="t", tiebreak="rid",
+            left_id="lid", right_id="rid",
+            left_cols=["lid", "note"], right_cols=["rid", "payload"],
+            num_buckets=4, num_partitions=3, direction="forward",
+        ).to_pandas().sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            wide_f[slim_f.columns.tolist()], slim_f, check_dtype=False
+        )
+        assert not slim_f["rid_match"].equals(slim["rid_match"])
 
 
 class TestCorpusOps:
