@@ -754,7 +754,16 @@ def dedup_incremental_windows(sf_dir: str):
     """Cross-window exact dedup (ops.dedup.incremental_dedup): documents
     split into two windows by doc_id parity arrive in sequence against a
     fresh durable state dir; the union of both windows' survivors equals
-    the global dedup with window-1 precedence."""
+    the global dedup with window-1 precedence.
+
+    The throwaway state dir is DRIVER-LOCAL scratch -- fine here because
+    this single-node demo both writes and reads it from one machine; a
+    real multi-node deployment passes ``incremental_dedup`` a shared
+    path/filesystem (S3/NFS via state/fsio) instead, exactly as its
+    docstring prescribes (ADVICE r3).  Cleaned up before returning (the
+    survivors are materialized in the object store, so the union below
+    never re-reads the state dir)."""
+    import shutil
     import tempfile
 
     from .ops.dedup import incremental_dedup
@@ -766,14 +775,17 @@ def dedup_incremental_windows(sf_dir: str):
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         return b.filter(pa.array(ids % 2 == want))
 
-    k1 = incremental_dedup(
-        docs.map_batches(lambda b: parity(b, 0), batch_format="pyarrow"),
-        state, "w1",
-    )
-    k2 = incremental_dedup(
-        docs.map_batches(lambda b: parity(b, 1), batch_format="pyarrow"),
-        state, "w2",
-    )
+    try:
+        k1 = incremental_dedup(
+            docs.map_batches(lambda b: parity(b, 0), batch_format="pyarrow"),
+            state, "w1",
+        )
+        k2 = incremental_dedup(
+            docs.map_batches(lambda b: parity(b, 1), batch_format="pyarrow"),
+            state, "w2",
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
     return k1.union(k2)
 
 

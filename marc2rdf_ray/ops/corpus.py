@@ -381,10 +381,24 @@ def tfidf_top_terms(
                 self.lnidf = dict(zip(t["term"].to_pylist(), ln.tolist()))
 
             def __call__(self, b: pa.Table) -> pa.Table:
+                def lnidf(w, _d=self.lnidf):
+                    # a term in the scoring pass but not the df pass means
+                    # the input changed between the two reads of ds; fail
+                    # with a diagnosable error, not a worker KeyError
+                    # (ADVICE r3)
+                    v = _d.get(w)
+                    if v is None:
+                        raise ValueError(
+                            f"tfidf_top_terms: term {w!r} absent from the "
+                            "document-frequency pass -- did the input "
+                            "files change between the two reads of ds?"
+                        )
+                    return v
+
                 return top_rows(
                     b[id_col].to_pylist(),
                     b[text_col].to_pylist(),
-                    self.lnidf.__getitem__,
+                    lnidf,
                 )
 
         return ds.map_batches(

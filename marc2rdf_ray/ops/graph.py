@@ -389,11 +389,22 @@ def triangle_count(
     num_buckets: int | None = None,
     degree_budget: int = 256 << 20,
     max_out: int = 4096,
+    strict: bool = False,
+    with_truncation: bool = False,
 ):
     """Exact triangle count of the UNDIRECTED simple graph underlying an
     edge table (self-loops and duplicate/reverse edges collapse first).
     Returns a plain int -- the only driver state is the final O(#buckets)
     count reduction.
+
+    Truncation is never silent OR invisible (ADVICE r3): a tail whose
+    fan-out exceeds ``max_out`` drops wedges beyond the cap, which makes
+    the count a LOWER bound.  ``strict=True`` raises in the worker the
+    moment any tail is capped (fail fast instead of undercount);
+    ``with_truncation=True`` returns ``(count, truncated_tails)`` so
+    callers can detect the undercount programmatically -- the truncation
+    tally rides the existing wedge exchange as ``kind=2`` rows, no extra
+    pass.
 
     The compact-forward algorithm, expressed as three bucketed exchanges:
 
@@ -546,6 +557,13 @@ def triangle_count(
         over = np.flatnonzero(
             np.append(starts[1:], len(tails)) - starts > max_out
         )
+        if len(over) and strict:
+            raise ValueError(
+                f"triangle_count(strict=True): {len(over)} tail(s) exceed "
+                f"max_out={max_out} (first: tail "
+                f"{int(tails[starts[over[0]]])}); the count would be an "
+                "undercount -- raise max_out or drop strict"
+            )
         for si in over:  # rare by construction; logged, never silent
             logging.getLogger(__name__).warning(
                 "triangle_count: tail %d truncated %d -> %d heads; "
@@ -554,6 +572,7 @@ def triangle_count(
                 int((np.append(starts[1:], len(tails)) - starts)[si]),
                 max_out,
             )
+        n_trunc = len(over)
         keep = local < max_out
         tails, heads, seg_of = tails[keep], heads[keep], seg_of[keep]
         # 2) order heads by rank WITHIN each tail (pairs must match the
@@ -578,8 +597,10 @@ def triangle_count(
         total = int(counts.sum())
         if total == 0:
             return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "cnt": pa.array([], pa.int64())}
+                {"a": pa.array([0] * min(n_trunc, 1), pa.int64()),
+                 "b": pa.array([0] * min(n_trunc, 1), pa.int64()),
+                 "cnt": pa.array([n_trunc] * min(n_trunc, 1), pa.int64()),
+                 "trunc": pa.array([1] * min(n_trunc, 1), pa.int8())}
             )
         a_idx = np.repeat(np.arange(len(seg_of)), counts)
         excl = np.concatenate(([0], np.cumsum(counts)))[:-1]
@@ -595,11 +616,19 @@ def triangle_count(
             first[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
         starts2 = np.flatnonzero(first)
         cnts = np.diff(np.append(starts2, len(a)))
+        out_a, out_b, out_c = a[starts2], bb[starts2], cnts
+        tr = np.zeros(len(out_a), np.int8)
+        if n_trunc:  # one tally row per task; rides the same exchange
+            out_a = np.append(out_a, 0)
+            out_b = np.append(out_b, 0)
+            out_c = np.append(out_c, n_trunc)
+            tr = np.append(tr, np.int8(1))
         return pa.table(
             {
-                "a": pa.array(a[starts2], pa.int64()),
-                "b": pa.array(bb[starts2], pa.int64()),
-                "cnt": pa.array(cnts, pa.int64()),
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "cnt": pa.array(out_c, pa.int64()),
+                "trunc": pa.array(tr, pa.int8()),
             }
         )
 
@@ -610,10 +639,13 @@ def triangle_count(
     def key_cand(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy(zero_copy_only=False)
         bb = b["b"].to_numpy(zero_copy_only=False)
+        # wedge rows -> kind=1; truncation tally rows -> kind=2
+        tr = b["trunc"].to_numpy(zero_copy_only=False)
+        kind = np.where(tr == 1, np.int8(2), np.int8(1))
         return pa.table(
             {
                 "a": b["a"], "b": b["b"], "cnt": b["cnt"],
-                "kind": pa.array(np.ones(len(b), np.int8)),
+                "kind": pa.array(kind, pa.int8()),
                 "kb": pa.array(((a * P + bb) % num_buckets).astype(np.int32)),
             }
         )
@@ -638,17 +670,26 @@ def triangle_count(
         kind = g["kind"]
         c = g.filter(pc.equal(kind, 1))
         e = g.filter(pc.equal(kind, 0))
+        tr = pc.sum(g.filter(pc.equal(kind, 2))["cnt"]).as_py() or 0
         if len(c) == 0 or len(e) == 0:
-            return pa.table({"n": pa.array([0], pa.int64())})
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "trunc": pa.array([int(tr)], pa.int64())})
         j = c.select(["a", "b", "cnt"]).join(
             e.select(["a", "b"]), keys=["a", "b"], join_type="inner",
             use_threads=False,
         )
         total = pc.sum(j["cnt"]).as_py() or 0
-        return pa.table({"n": pa.array([int(total)], pa.int64())})
+        return pa.table({"n": pa.array([int(total)], pa.int64()),
+                         "trunc": pa.array([int(tr)], pa.int64())})
 
-    counts = both.groupby("kb").map_groups(match, batch_format="pyarrow")
-    return int(counts.sum("n") or 0)
+    counts = both.groupby("kb").map_groups(
+        match, batch_format="pyarrow"
+    ).materialize()
+    total = int(counts.sum("n") or 0)
+    truncated_tails = int(counts.sum("trunc") or 0)
+    if with_truncation:
+        return total, truncated_tails
+    return total
 
 
 def degree_histogram(

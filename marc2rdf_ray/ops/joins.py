@@ -267,10 +267,13 @@ def asof_join_wide(
     ``asof_join`` on the slim sides, then payloads are attached with two
     distributed hash joins on the row ids (the post-join gather).
 
-    Row-id contract: ``left_id`` / ``right_id`` must be unique within
-    their tables (they key the gather joins).  Output and semantics match
-    ``asof_join``: left_cols + [c+suffix for c in right_cols], LEFT rows
-    without a match keep nulls.
+    Row-id contract: ``left_id`` / ``right_id`` must be unique AND
+    NON-NULL within their tables (they key the gather joins; a null id
+    cannot be hash-joined, so a null ``left_id`` row would silently
+    vanish from the output where ``asof_join`` keeps it -- ADVICE r3).
+    Both columns are validated per batch and a null id fails loudly.
+    Output and semantics match ``asof_join``: left_cols + [c+suffix for
+    c in right_cols], LEFT rows without a match keep nulls.
 
     Shuffle-volume tradeoff vs ``asof_join``: this pays two extra hash
     joins but each moves only (ids + selected columns); use it when the
@@ -309,7 +312,17 @@ def asof_join_wide(
         direction=direction,
     )
 
+    def _check_ids(b: pa.Table, col: str, side: str) -> pa.Table:
+        if b[col].null_count:
+            raise ValueError(
+                f"asof_join_wide: {side} row-id column {col!r} contains "
+                f"{b[col].null_count} null(s); row-ids must be unique and "
+                "non-null (a null id cannot be gathered by the hash join)"
+            )
+        return b
+
     def project_right(b: pa.Table) -> pa.Table:
+        _check_ids(b, right_id, "right")
         cols = {"__rid": b[right_id]}
         for c in right_cols:
             cols[c + suffix] = b[c]
@@ -321,6 +334,9 @@ def asof_join_wide(
 
     gathered = (
         left_ds.select_columns(_uniq(left_cols + [left_id]))
+        .map_batches(
+            lambda b: _check_ids(b, left_id, "left"), batch_format="pyarrow"
+        )
         .join(  # every left row has a match-table row (LEFT semantics)
             matches, join_type="inner", num_partitions=num_partitions,
             on=(left_id,),

@@ -313,8 +313,21 @@ def materialize_graph(
 
         # staging is certified by the marker written LAST (a crash DURING
         # staging leaves no marker; the old partitions are still intact at
-        # that point, so restaging from them is correct)
-        if not (fsio.isdir(fs, sidecar_dir) and fsio.exists(fs, staged_marker)):
+        # that point, so restaging from them is correct).  The marker is
+        # STAMPED with the (inputs, rules, prefixes) triple the snapshot
+        # was staged for (ADVICE r3): a crash between write_manifest and
+        # the final sidecar rmtree leaves the sidecar behind, and a LATER
+        # run with different inputs must restage from the now-current
+        # partitions (which may hold newer enrichment edges) instead of
+        # resurrecting the stale snapshot.  A retry of the SAME run keeps
+        # reusing it -- that is the crash-durability the sidecar exists for.
+        stage_stamp = f"{sig}:{ruleset_hash}:p={','.join(prefixes)}"
+        marker_ok = (
+            fsio.isdir(fs, sidecar_dir)
+            and (fsio.read_text(fs, staged_marker) or "").strip()
+            == stage_stamp
+        )
+        if not marker_ok:
             fsio.rmtree(fs, sidecar_dir)
             # fresh staging: extract from the (still intact) old partitions
             part_files = []
@@ -338,7 +351,7 @@ def materialize_graph(
                 staged.write_parquet(sidecar_dir, filesystem=fs)
             else:
                 fsio.makedirs(fs, sidecar_dir)  # empty = staged, nothing kept
-            fsio.write_text_atomic(fs, staged_marker, "staged")
+            fsio.write_text_atomic(fs, staged_marker, stage_stamp)
         sidecar_files = fsio.list_files_recursive(fs, sidecar_dir)
         if sidecar_files:
             # read LAZILY off the durable sidecar (never a driver pull);

@@ -1825,3 +1825,119 @@ class TestGroupedQuantiles:
             for num, den in qs:
                 rank = (num * ng + den - 1) // den
                 assert out[(g, num / den)] == gv[rank - 1], (g, num, den)
+
+
+class TestAdviceR3Fixes:
+    def test_triangle_truncation_flag_and_strict(self, ray_session):
+        """ADVICE r3: a capped tail must be programmatically visible --
+        with_truncation reports the tally, strict raises in the worker."""
+        import itertools
+
+        import pytest
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import triangle_count
+
+        # K6: every node has degree 5; max_out=2 forces truncation
+        nodes = range(6)
+        pairs = list(itertools.combinations(nodes, 2))
+        tab = pa.table(
+            {
+                "src": pa.array([a for a, _ in pairs], pa.int64()),
+                "dst": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+        ds = rd.from_arrow(tab)
+        full, tr0 = triangle_count(ds, num_buckets=4, with_truncation=True)
+        assert full == 20 and tr0 == 0
+        n, tr = triangle_count(
+            ds, num_buckets=4, max_out=2, with_truncation=True
+        )
+        assert tr > 0 and n < 20  # undercount is now detectable
+        # plain int return is unchanged for existing callers
+        assert triangle_count(ds, num_buckets=4) == 20
+        with pytest.raises(Exception, match="max_out"):
+            triangle_count(ds, num_buckets=4, max_out=2, strict=True)
+
+    def test_asof_wide_rejects_null_row_ids(self, ray_session):
+        """ADVICE r3: a null left_id would silently drop the row from the
+        inner gather join; the op must fail loudly instead."""
+        import pytest
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.joins import asof_join_wide
+
+        left = pa.table(
+            {
+                "user_id": pa.array([1, 1], pa.int64()),
+                "ts": pa.array([10, 20], pa.int64()),
+                "lid": pa.array([1, None], pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "user_id": pa.array([1], pa.int64()),
+                "ts": pa.array([5], pa.int64()),
+                "rid": pa.array([1], pa.int64()),
+                "val": pa.array([7.0], pa.float64()),
+            }
+        )
+        with pytest.raises(Exception, match="non-null"):
+            asof_join_wide(
+                rd.from_arrow(left),
+                rd.from_arrow(right),
+                by="user_id",
+                on="ts",
+                tiebreak="rid",
+                left_id="lid",
+                right_id="rid",
+                left_cols=["lid", "ts"],
+                right_cols=["val"],
+            ).take_all()
+
+    def test_tfidf_missing_term_is_diagnosable(self, ray_session):
+        """ADVICE r3: a term absent from the df pass raises a ValueError
+        naming the term, not a bare KeyError deep in a worker."""
+        import pytest
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import tfidf_top_terms
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["alpha beta", "beta gamma"], pa.string()),
+            }
+        )
+        out = tfidf_top_terms(rd.from_arrow(docs), k=2).take_all()
+        assert len(out) == 4  # healthy path unchanged
+
+        class Mutating:
+            """Dataset stand-in whose second read returns different text."""
+
+            def __init__(self, inner):
+                self.inner = inner
+                self.reads = 0
+
+            def __getattr__(self, name):
+                return getattr(self.inner, name)
+
+            def map_batches(self, fn, **kw):
+                self.reads += 1
+                if self.reads == 1:
+                    return self.inner.map_batches(fn, **kw)
+                swapped = self.inner.map_batches(
+                    lambda b: pa.table(
+                        {
+                            "doc_id": b["doc_id"],
+                            "text": pa.array(
+                                ["NEWTERM"] * len(b), pa.string()
+                            ),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+                return swapped.map_batches(fn, **kw)
+
+        with pytest.raises(Exception, match="NEWTERM"):
+            tfidf_top_terms(Mutating(rd.from_arrow(docs)), k=1).take_all()

@@ -350,10 +350,15 @@ def test_preserve_survives_crash_between_delete_and_write(
     )
     os.makedirs(sidecar)
     pq.write_table(edge, os.path.join(sidecar, "part-0.parquet"))
-    # the staging marker is written LAST by a real run; its presence is
-    # what certifies the sidecar as the authoritative preserved snapshot
+    # the staging marker is written LAST by a real run; it certifies the
+    # sidecar as the authoritative preserved snapshot FOR THIS RUN -- the
+    # stamp carries (inputs, rules, prefixes) so a stale sidecar from a
+    # different run is restaged instead of resurrected (ADVICE r3)
+    from marc2rdf_ray.state.manifest import input_signature, list_input_files
+
+    stamp = f"{input_signature(list_input_files(pages_dir))}:retry:p=enrich:"
     with open(os.path.join(sidecar, "_staged"), "w") as f:
-        f.write("staged")
+        f.write(stamp)
     for d in list(os.listdir(out_dir)):
         if d.startswith("part="):
             shutil.rmtree(os.path.join(out_dir, d))
@@ -379,6 +384,81 @@ def test_preserve_survives_crash_between_delete_and_write(
     assert len(kept) == 1  # recovered from the sidecar, not the partitions
     assert any(r["src"] == "page:2" for r in rows)
     assert not os.path.isdir(sidecar)  # cleaned up after a complete run
+
+
+def test_stale_sidecar_from_other_run_is_restaged(ray_session, tmp_path):
+    """ADVICE r3: a leftover _preserved sidecar whose stamp does not match
+    the current run (crash between write_manifest and the final cleanup,
+    then inputs changed) must be RESTAGED from the now-current partitions
+    -- not resurrected, which would drop enrichment edges written since."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from marc2rdf_ray.stages.materialize import materialize_graph
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pq.write_table(
+        pa.table({"x": pa.array([1], pa.int64())}), in_dir / "x.parquet"
+    )
+    out_dir = str(tmp_path / "graph")
+
+    def edge_tab(subj, obj, src):
+        return pa.table(
+            {
+                "subj": pa.array([subj], pa.string()),
+                "pred": pa.array(["http://example.org/depiction"], pa.string()),
+                "obj": pa.array([obj], pa.string()),
+                "obj_kind": pa.array(["uri"], pa.string()),
+                "lang": pa.array([None], pa.string()),
+                "src": pa.array([src], pa.string()),
+            }
+        )
+
+    # run 1: current partitions hold an enrichment edge worth preserving
+    current = rd.from_arrow(
+        pa.concat_tables(
+            [
+                edge_tab("http://ex.org/doc/1", "http://o/1", "page:1"),
+                edge_tab("http://ex.org/doc/1", "http://o/2", "enrich:current"),
+            ]
+        )
+    )
+    materialize_graph(
+        current, out_dir, ruleset_hash="v1",
+        input_paths=[str(in_dir)], dedup=True,
+    )
+
+    # plant a STALE sidecar from some other (crashed) run
+    sidecar = os.path.join(out_dir, "_preserved")
+    os.makedirs(sidecar)
+    pq.write_table(
+        edge_tab("http://ex.org/doc/9", "http://o/9", "enrich:stale"),
+        os.path.join(sidecar, "part-0.parquet"),
+    )
+    with open(os.path.join(sidecar, "_staged"), "w") as f:
+        f.write("some-other-run-stamp")
+
+    # run 2 (changed rules): must restage from the CURRENT partitions
+    fresh = rd.from_arrow(
+        edge_tab("http://ex.org/doc/2", "http://o/3", "page:2")
+    )
+    materialize_graph(
+        fresh, out_dir, ruleset_hash="v2",
+        input_paths=[str(in_dir)], dedup=True,
+        preserve_src_prefixes=["enrich:"],
+    )
+    srcs = set()
+    for d in os.listdir(out_dir):
+        if d.startswith("part="):
+            srcs.update(
+                pq.read_table(
+                    os.path.join(out_dir, d, "edges.parquet")
+                )["src"].to_pylist()
+            )
+    assert "enrich:current" in srcs  # restaged from partitions
+    assert "enrich:stale" not in srcs  # stale snapshot not resurrected
+    assert "page:2" in srcs
 
 
 def test_flagship_via_subtree_filesystem(ray_session, pages_dir, tmp_path):
