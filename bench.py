@@ -246,6 +246,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_funnel",
         "embeddings_knn_graph",
         "dedup_incremental_windows",
+        "corpus_flagship_docs",
     ]
     out = {}
     for name in names:

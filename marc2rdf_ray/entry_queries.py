@@ -19,6 +19,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from .config import PipelineConfig
 from .functions.numeric import sql_round_i64
@@ -1450,6 +1451,81 @@ def kg_flagship_edges(sf_dir: str):
         return pa.concat_tables([pq.read_table(p) for p in parts])
 
 
+def corpus_flagship_docs(sf_dir: str):
+    """The LLM-corpus flagship pipeline (pipelines/corpus.py) end-to-end
+    with a FULL DuckDB oracle (VERDICT r3 next-round #1): exact dedup ->
+    MinHash+LSH near-dup removal (connected components) -> language-ID
+    filter -> test-set decontamination -> PII redaction -> token count ->
+    deterministic hash split -> per-split pack offsets -> id-range
+    partitioned materialize with checkpoints + manifest.  The partitions
+    are read back, so every value the oracle checks went through the real
+    checkpointed pipeline, including the partition write.
+
+    Corpus = documents (UNION) exact copies at +1e6 (UNION) perturbed
+    copies at +2e6 (last word dropped): the exact copies certify the
+    dedup stage, the perturbed ones the near-dup stage.  Blocked spans =
+    the 48-char prefix of every 40th doc (the docs_decontaminated
+    recipe)."""
+    import os
+    import tempfile
+
+    from .pipelines.corpus import CorpusConfig, run_corpus_pipeline
+
+    def shifted(delta: int, perturb: bool):
+        # separate read per branch: never fan one Dataset into multiple
+        # consumers (NOTES.md executor trap)
+        base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def shift(b: pa.Table) -> pa.Table:
+            texts = b["text"].to_pylist()
+            if perturb:
+                texts = [" ".join((t or "").split()[:-1]) for t in texts]
+            return pa.table(
+                {
+                    "doc_id": pc.cast(
+                        pc.add(b["doc_id"], pa.scalar(delta)), pa.int64()
+                    ),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+
+        return base.map_batches(shift, batch_format="pyarrow")
+
+    aug = _read(sf_dir, "documents", columns=["doc_id", "text"]).union(
+        shifted(1000000, False), shifted(2000000, True)
+    )
+
+    def block_spans(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % 40 == 0))
+        s = pc.utf8_slice_codeunits(t["text"], 0, 48)
+        out = pa.table({"s": s})
+        return out.filter(pc.not_equal(pc.coalesce(out["s"], ""), ""))
+
+    spans = [
+        r["s"]
+        for r in _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(block_spans, batch_format="pyarrow")
+        .take_all()
+    ]
+
+    cfg = CorpusConfig(
+        min_tokens=20, blocked_spans=tuple(sorted(spans)), num_partitions=16
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        in_dir = os.path.join(tmp, "docs")
+        aug.write_parquet(in_dir)
+        out = os.path.join(tmp, "clean")
+        run_corpus_pipeline(in_dir, out, cfg)
+        parts = sorted(
+            os.path.join(out, d, "docs.parquet")
+            for d in os.listdir(out)
+            if d.startswith("part=")
+        )
+        tab = pa.concat_tables(pq.read_table(p) for p in parts)
+    return tab
+
+
 def reverse_records(sf_dir: str):
     """M20 reverse conversion: edges -> field records, flattened to
     (subj, tag) rows for the oracle."""
@@ -1798,6 +1874,7 @@ QUERIES = {
     "kg_sameas_docs": kg_sameas_docs,
     "kg_flagship_docs": kg_flagship_docs,
     "kg_flagship_edges": kg_flagship_edges,
+    "corpus_flagship_docs": corpus_flagship_docs,
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_segment": revenue_by_segment,
     "customers_without_big_orders": customers_without_big_orders,
@@ -2761,9 +2838,11 @@ QUALIFY row_number() OVER (
 }
 
 
-def _langid_oracle_sql() -> str:
-    """Generated from ops.textstats._LANG_PROFILES so the oracle and the
-    operator share one source of truth for profiles and weights."""
+def _langid_ctes_over(src: str) -> str:
+    """Language-ID CTE chain (prof -> lt -> sc -> best -> lid(doc_id,
+    lang_pred)) parameterized on the input relation; generated from
+    ops.textstats._LANG_PROFILES so the oracles and the operator share one
+    source of truth for profiles and weights."""
     from .ops.textstats import _LANG_PROFILES
 
     rows = []
@@ -2772,42 +2851,38 @@ def _langid_oracle_sql() -> str:
             esc = tri.replace("'", "''")
             rows.append(f"('{lang}', '{esc}', {len(tris) - i})")
     values = ",\n ".join(rows)
-    return f"""
-WITH prof(lang, tri, w) AS (VALUES
+    return f"""prof(lang, tri, w) AS (VALUES
  {values}
-), t AS (
+), lt AS (
   SELECT doc_id, ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS s
-  FROM documents
+  FROM {src}
 ), sc AS (
-  SELECT t.doc_id, prof.lang,
-    SUM(((length(t.s) - length(replace(t.s, prof.tri, ''))) / 3) * prof.w) AS score
-  FROM t CROSS JOIN prof
-  GROUP BY t.doc_id, prof.lang
+  SELECT lt.doc_id, prof.lang,
+    SUM(((length(lt.s) - length(replace(lt.s, prof.tri, ''))) / 3) * prof.w) AS score
+  FROM lt CROSS JOIN prof
+  GROUP BY lt.doc_id, prof.lang
 ), best AS (
   SELECT doc_id, lang, score,
     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
   FROM sc
+), lid AS (
+  SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+  FROM best WHERE rn = 1
+)"""
+
+
+ORACLE_SQL["docs_langid"] = (
+    "WITH " + _langid_ctes_over("documents")
+    + "\nSELECT doc_id, lang_pred FROM lid"
 )
-SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
-FROM best WHERE rn = 1
-"""
 
-
-ORACLE_SQL["docs_langid"] = _langid_oracle_sql()
-
-# shared MinHash CTE pipeline (aug -> shingles -> signatures -> bands ->
-# candidates -> estimated jaccard); two oracles select different tails
-_MINHASH_CTES = r"""
-WITH aug AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000,
-    CASE WHEN length(regexp_extract_all(text, '\S+')) <= 1 THEN ''
-         ELSE array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1,
-              length(regexp_extract_all(text, '\S+')) - 1), ' ') END
-  FROM documents
-), toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS tk FROM aug
+# shared MinHash CTE pipeline (src -> shingles -> signatures -> bands ->
+# candidates -> estimated jaccard), parameterized on the input relation so
+# the dedup oracles AND the corpus flagship oracle share one replica of the
+# signature arithmetic (ops/dedup.py MinHasher).
+def _minhash_ctes_over(src: str) -> str:
+    return rf"""toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS tk FROM {src}
 ), shingles AS (
   SELECT doc_id,
     CASE WHEN length(tk) = 0 THEN CAST([] AS VARCHAR[])
@@ -2853,6 +2928,18 @@ WITH aug AS (
   GROUP BY c.a, c.b
 )
 """
+
+# the dedup_* oracles run over the perturbed-augmented corpus
+_MINHASH_CTES = r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+    CASE WHEN length(regexp_extract_all(text, '\S+')) <= 1 THEN ''
+         ELSE array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1,
+              length(regexp_extract_all(text, '\S+')) - 1), ' ') END
+  FROM documents
+), """ + _minhash_ctes_over("aug")
 
 ORACLE_SQL["dedup_minhash"] = (
     _MINHASH_CTES + "SELECT a, b, ej AS est_jaccard FROM est WHERE ej >= 0.7"
@@ -3180,3 +3267,100 @@ SELECT a.doc_id FROM aug a
 WHERE NOT EXISTS (SELECT 1 FROM roots
                   WHERE roots.node = a.doc_id AND roots.root <> a.doc_id)
 """
+
+
+def _corpus_flagship_oracle_sql() -> str:
+    """The full corpus-flagship chain in SQL, composed from the shared
+    parameterized CTE generators (_minhash_ctes_over, _langid_ctes_over)
+    so the oracle replays the exact arithmetic of every stage:
+    aug corpus -> md5 exact dedup (min id) -> MinHash candidates ->
+    recursive-CTE connected components -> near-dup drop -> langid filter ->
+    decontaminate -> redact -> token count -> min-token filter -> md5
+    split -> per-split pack offsets (window prefix sum, CAST to BIGINT --
+    DuckDB window SUM over BIGINT yields HUGEINT)."""
+    return (
+        r"""
+WITH RECURSIVE
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000,
+    CASE WHEN length(regexp_extract_all(text, '\S+')) <= 1 THEN ''
+         ELSE array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1,
+              length(regexp_extract_all(text, '\S+')) - 1), ' ') END
+  FROM documents
+),
+dk AS (SELECT MIN(doc_id) AS doc_id FROM corpus
+       GROUP BY md5(COALESCE(text, ''))),
+d1 AS (SELECT c.doc_id, c.text FROM corpus c JOIN dk USING (doc_id)),
+"""
+        + _minhash_ctes_over("d1")
+        + r""",
+prs AS (SELECT a, b FROM est WHERE ej >= 0.7),
+edg AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+nds AS (SELECT DISTINCT x AS node FROM edg),
+reach AS (
+  SELECT node, node AS r FROM nds
+  UNION
+  SELECT reach.node, e.y FROM reach JOIN edg e ON e.x = reach.r
+),
+roots AS (SELECT node, MIN(r) AS root FROM reach GROUP BY node),
+d2 AS (
+  SELECT d1.doc_id, d1.text FROM d1
+  WHERE NOT EXISTS (SELECT 1 FROM roots
+                    WHERE roots.node = d1.doc_id
+                      AND roots.root <> d1.doc_id)
+),
+"""
+        + _langid_ctes_over("d2")
+        + r""",
+spans AS (SELECT substr(text, 1, 48) AS s FROM documents
+          WHERE doc_id % 40 = 0 AND substr(text, 1, 48) <> ''),
+d3 AS (
+  SELECT d2.doc_id, d2.text, lid.lang_pred
+  FROM d2 JOIN lid USING (doc_id)
+  WHERE lid.lang_pred <> 'und'
+    AND NOT EXISTS (SELECT 1 FROM spans WHERE contains(d2.text, spans.s))
+),
+red AS (
+  SELECT doc_id, lang_pred,
+    regexp_replace(
+        regexp_replace(COALESCE(text, ''),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+            '[EMAIL]', 'g'),
+        '[0-9]{4,}', '[NUM]', 'g') AS text
+  FROM d3
+),
+tok AS (
+  SELECT doc_id, lang_pred, text,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM red
+),
+d4 AS (SELECT * FROM tok WHERE n_tokens >= 20),
+spl AS (
+  SELECT *,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) < 3221225472 THEN 'train'
+         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) < 3758096384 THEN 'val'
+         ELSE 'test' END AS split
+  FROM d4
+),
+packed AS (
+  SELECT doc_id, text, lang_pred, n_tokens, split,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+        PARTITION BY split ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS start_offset
+  FROM spl
+)
+SELECT doc_id, text, lang_pred, n_tokens, split, start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS pack_id
+FROM packed
+"""
+    )
+
+
+ORACLE_SQL["corpus_flagship_docs"] = _corpus_flagship_oracle_sql()

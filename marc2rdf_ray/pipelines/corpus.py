@@ -1,0 +1,570 @@
+"""The LLM-corpus flagship pipeline: the training-data lifecycle as ONE
+resumable, manifest-checkpointed chain (VERDICT r3 next-round #1).
+
+    read_parquet(documents)
+      -> exact dedup            (content-hash shuffle; keep min-id row)
+      -> MinHash+LSH near-dup   (banded candidates -> connected components
+                                 -> drop non-roots)
+      -> langid filter + decontaminate + PII redaction + token count +
+         deterministic hash split   (ONE fused stateless map)
+      -> pack + materialize     (id-range partition shuffle; per-split
+                                 token prefix sums assign pack offsets
+                                 inside the partition writer)
+
+Every training-data operator here already exists and is oracle-green
+individually (ops/dedup.py, ops/textstats.py, ops/corpus.py); what a
+100-TB user actually runs is the CHAIN, so this module gives the chain
+the same engineering the KG flagship has (pipelines/kg.py:186-374 is the
+template; the reference analog is the composed daily lifecycle,
+scheduler.rb:327-350 -- harvest -> convert -> update -> enrich as one
+scheduled unit, not four ad-hoc scripts):
+
+- **Stage checkpoints with signature markers.** The two expensive stages
+  (the content-hash dedup shuffle and the MinHash candidate generation)
+  each checkpoint to Parquet under ``out_dir`` with a completion marker
+  written LAST carrying (input signature, config hash); a crashed run
+  resumes from the last certified checkpoint instead of re-shuffling.
+- **One all-to-all at a time, never stacked.** Each shuffle's output is
+  staged to parquet before the next begins (the union->all-to-all
+  executor wedge documented in pipelines/kg.py:304-312 applies here
+  unchanged).
+- **Partition-level resume on the final write.** Output partitions are
+  contiguous doc-id ranges, each written tmp+rename with an atomic
+  ``_sig`` marker LAST; a retry of the identical run skips finished
+  partitions.  Pack offsets are a pure function of (inputs, config), so
+  resumed partitions are byte-identical.
+- **Manifest short-circuit.** A matching ``_manifest.json`` (same inputs,
+  same config) returns immediately, exactly like ``materialize_graph``.
+
+Scale notes (the 100-TB shapes, per stage):
+- exact dedup carries full rows through ONE coarse content-hash bucket
+  shuffle -- dedup rides the shuffle that must happen anyway to co-locate
+  equal texts; no separate keep-set join.
+- near-dup candidates come from the banded/bucketed/capped LSH operator
+  (ops/dedup.py); only the (tiny) drop list crosses back, broadcast under
+  ``broadcast_budget`` with a distributed anti-join fallback.
+- the fused prep map is stateless and vectorized (RE2 kernels for
+  redaction/decontamination, one count_substring_regex for tokens); text
+  crosses exactly one more exchange after it (the final id-range
+  partition write).
+- pack offsets are a distributed two-phase prefix sum: a per-(split,
+  bucket) token-sum combiner brings O(#splits x #partitions) rows to the
+  driver; the writer task adds the local cumulative sum.  Driver state is
+  O(K), never O(rows) (ops/corpus.py pack_streaming, fused into the
+  materialize shuffle so packing costs NO extra exchange).
+
+All IO (checkpoints, markers, partitions, manifest) goes through
+``pyarrow.fs`` (state/fsio.py) so the artifacts live where every worker
+can reach them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..state import fsio
+from ..state.manifest import (
+    RunManifest,
+    input_signature,
+    list_input_files,
+    read_manifest,
+    write_manifest,
+)
+
+DEFAULT_REDACT_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"[0-9]{4,}", "[NUM]"),
+)
+
+CLEAN_COLS = ["doc_id", "text", "lang_pred", "n_tokens", "split"]
+OUT_COLS = CLEAN_COLS + ["start_offset", "pack_id"]
+
+
+@dataclass
+class CorpusConfig:
+    """Everything that determines the output -- hashed into every marker,
+    so changing any knob recomputes from the first affected artifact."""
+
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    # near-dup knobs (ops/dedup.py minhash_lsh_pairs)
+    minhash_threshold: float = 0.7
+    num_perm: int = 64
+    bands: int = 16
+    ngram: int = 3
+    cc_rounds: int = 4
+    # filters (applied to the REDACTED text for tokens -- what training sees)
+    min_tokens: int = 20
+    drop_und: bool = True             # drop language-ID 'und' docs
+    langs: Optional[tuple] = None     # optional lang_pred allowlist
+    blocked_spans: tuple = ()         # decontamination literals
+    redact_patterns: tuple = DEFAULT_REDACT_PATTERNS
+    split_fractions: tuple = (
+        ("train", 0.75), ("val", 0.125), ("test", 0.125)
+    )
+    pack_budget: int = 512            # tokens per packed training sequence
+    num_partitions: Optional[int] = None  # None => 2 x CPU, floor 16
+    broadcast_budget: int = 256 << 20
+
+    def config_hash(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _split_bounds(fractions) -> tuple:
+    """Cumulative md5-range bounds; remainder goes to the LAST label
+    (ops/corpus.py hash_split semantics, shared here so the pipeline and
+    the standalone op assign identical splits)."""
+    bounds, labels, acc = [], [], 0.0
+    for label, frac in fractions:
+        acc += float(frac)
+        bounds.append(min(1 << 32, int(acc * (1 << 32))))
+        labels.append(label)
+    bounds[-1] = 1 << 32
+    return np.asarray(bounds, np.int64), labels
+
+
+def _stage_marker_ok(fs, marker: str, stamp: str) -> bool:
+    return (fsio.read_text(fs, marker) or "").strip() == stamp
+
+
+def _commit_stage(fs, marker: str, stamp: str) -> None:
+    fsio.write_text_atomic(fs, marker, stamp)
+
+
+def _parquet_files(fs, d: str) -> list:
+    return [f for f in fsio.list_files_recursive(fs, d)]
+
+
+def exact_dedup_rows(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                     num_buckets: int | None = None):
+    """Keep the min-id row per distinct text, CARRYING the full row:
+    one coarse content-hash bucket shuffle co-locates every copy, then a
+    vectorized (hash, id) sort + neighbor mask keeps the first.
+
+    Unlike ops.dedup.exact_dedup (which reduces to a keep-id set and
+    needs a join to recover rows), the dedup here rides the shuffle that
+    must happen anyway -- the right shape when the surviving TEXT is the
+    product.  md5 hex keys keep the SQL oracle replay
+    (ops/dedup.py md5_u64 rationale)."""
+    from ..functions.hashing import bucket_codes
+    from ..ops.dedup import _coarse_buckets_default, add_content_hash
+
+    nb = num_buckets or _coarse_buckets_default()
+
+    def coarse(b: pa.Table) -> pa.Table:
+        b = add_content_hash(b, text_col)
+        return b.append_column("_cb", bucket_codes(b["content_hash"], nb))
+
+    def per_coarse(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("content_hash", "ascending"), (id_col, "ascending")]
+        )
+        keys = t["content_hash"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        keys = keys.to_numpy(zero_copy_only=False)
+        if not len(keys):
+            return t.drop_columns(["_cb", "content_hash"])
+        mask = np.concatenate([[True], keys[1:] != keys[:-1]])
+        return t.filter(pa.array(mask)).drop_columns(["_cb", "content_hash"])
+
+    return (
+        ds.map_batches(coarse, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(per_coarse, batch_format="pyarrow")
+    )
+
+
+def _prep_fn(config: CorpusConfig):
+    """The fused stateless map: langid -> lang filter -> decontaminate ->
+    redact -> token count -> min-token filter -> split assign.  One pass,
+    vectorized kernels wherever Arrow has one; returns CLEAN_COLS."""
+    from ..ops.textstats import detect_lang
+
+    id_col, text_col = config.id_col, config.text_col
+    spans = tuple(s for s in config.blocked_spans if s)
+    patterns = tuple(config.redact_patterns)
+    np_bounds, labels = _split_bounds(config.split_fractions)
+    allow = set(config.langs) if config.langs else None
+    drop_und = config.drop_und
+    min_tokens = config.min_tokens
+
+    def prep(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "lang_pred": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "split": pa.array([], pa.string()),
+                }
+            )
+        txt = pc.fill_null(b[text_col], "")
+        # language ID (ops/textstats.py profile heuristic, per doc)
+        lang = pa.array([detect_lang(t) for t in txt.to_pylist()], pa.string())
+        b = pa.table({"doc_id": pc.cast(b[id_col], pa.int64()), "_t": txt,
+                      "lang_pred": lang})
+        keep = None
+        if drop_und:
+            keep = pc.not_equal(b["lang_pred"], "und")
+        if allow is not None:
+            m = pc.is_in(b["lang_pred"],
+                         value_set=pa.array(sorted(allow), pa.string()))
+            keep = m if keep is None else pc.and_(keep, m)
+        if keep is not None:
+            b = b.filter(keep)
+        # decontaminate on the RAW text (eval spans leak pre-redaction)
+        if spans and len(b):
+            hit = None
+            for s in spans:
+                m = pc.match_substring(b["_t"], s)
+                hit = m if hit is None else pc.or_(hit, m)
+            b = b.filter(pc.invert(pc.fill_null(hit, False)))
+        # PII redaction (RE2 kernels, ops/corpus.py redact semantics)
+        col = b["_t"]
+        for rx, repl in patterns:
+            col = pc.replace_substring_regex(col, rx, repl)
+        # token count over the redacted text -- what training consumes
+        n = pc.cast(
+            pc.fill_null(pc.count_substring_regex(col, r"\S+"), 0),
+            pa.int64(),
+        )
+        # deterministic split (ops/corpus.py hash_split semantics)
+        ids = b["doc_id"].to_pylist()
+        hv = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                for i in ids
+            ),
+            np.int64,
+            count=len(ids),
+        )
+        idx = np.searchsorted(np_bounds, hv, side="right")
+        out = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": col,
+                "lang_pred": b["lang_pred"],
+                "n_tokens": n,
+                "split": pa.array([labels[j] for j in idx], pa.string()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["n_tokens"], min_tokens))
+
+    return prep
+
+
+def _write_corpus_partition(
+    group: pa.Table, out_dir: str, fs, *, run_sig: str,
+    offsets: dict, pack_budget: int,
+) -> pa.Table:
+    """Per-partition writer: sort by doc_id, add per-split pack offsets
+    (bucket base + local cumulative sum), write docs.parquet tmp+rename,
+    stats json, then the ``_sig`` marker LAST (materialize_graph's
+    partition-resume protocol, stages/materialize.py:47-94)."""
+    part = int(group["_bucket"][0].as_py())
+    pdir = fsio.join(out_dir, f"part={part:05d}")
+    sig_path = fsio.join(pdir, "_sig")
+    stats_path = fsio.join(pdir, "_stats.json")
+    if run_sig and (fsio.read_text(fs, sig_path) or "").strip() == run_sig:
+        text = fsio.read_text(fs, stats_path)
+        if text:
+            st = json.loads(text)
+            return pa.table(
+                {
+                    "part": pa.array([part], pa.int32()),
+                    "rows": pa.array([int(st["rows"])], pa.int64()),
+                    "tokens": pa.array([int(st["tokens"])], pa.int64()),
+                }
+            )
+    data = group.drop_columns(["_bucket"]).sort_by([("doc_id", "ascending")])
+    n = len(data)
+    toks = data["n_tokens"].to_numpy(zero_copy_only=False)
+    splits = np.asarray(data["split"].to_pylist(), object)
+    start = np.zeros(n, np.int64)
+    for s in set(splits.tolist()):
+        m = splits == s
+        local = np.concatenate(([0], np.cumsum(toks[m])[:-1]))
+        start[m] = local + offsets.get((s, part), 0)
+    data = data.append_column(
+        "start_offset", pa.array(start, pa.int64())
+    ).append_column("pack_id", pa.array(start // pack_budget, pa.int64()))
+
+    fsio.makedirs(fs, pdir)
+    pq_path = fsio.join(pdir, "docs.parquet")
+    if fsio.is_local(fs):
+        tmp = fsio.join(pdir, ".docs.parquet.tmp")
+        pq.write_table(data, tmp, filesystem=fs)
+        fs.move(tmp, pq_path)
+    else:  # object store: single PUT is atomic (fsio contract)
+        pq.write_table(data, pq_path, filesystem=fs)
+    total_tokens = int(toks.sum()) if n else 0
+    fsio.write_text_atomic(
+        fs, stats_path, json.dumps({"rows": n, "tokens": total_tokens})
+    )
+    if run_sig:  # marker LAST: presence certifies a complete partition
+        fsio.write_text_atomic(fs, sig_path, run_sig)
+    return pa.table(
+        {
+            "part": pa.array([part], pa.int32()),
+            "rows": pa.array([n], pa.int64()),
+            "tokens": pa.array([total_tokens], pa.int64()),
+        }
+    )
+
+
+def run_corpus_pipeline(
+    docs_path,
+    out_dir: str,
+    config: Optional[CorpusConfig] = None,
+    *,
+    filesystem=None,
+) -> RunManifest:
+    """End-to-end corpus run.  Caller owns the Ray session.
+
+    ``docs_path``: parquet path/dir with (id_col, text_col) columns.
+    Returns the run manifest (per-partition row counts; token totals in
+    ``extra``).  Output layout: ``part=NNNNN/docs.parquet`` sorted by
+    doc_id with columns ``doc_id, text (redacted), lang_pred, n_tokens,
+    split, start_offset, pack_id``; partitions are contiguous doc-id
+    ranges so packed sequences compose across partitions in id order.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..ops.dedup import minhash_lsh_pairs
+    from ..stages.canonicalize import connected_components
+
+    config = config or CorpusConfig()
+    fs, out_dir = fsio.resolve_fs(out_dir, filesystem)
+    fsio.makedirs(fs, out_dir)
+
+    sig = input_signature(list_input_files(docs_path))
+    cfg_hash = config.config_hash()
+    stamp = f"{sig}:{cfg_hash}"
+
+    existing = read_manifest(out_dir, filesystem=fs)
+    if (
+        existing is not None
+        and existing.input_signature == sig
+        and existing.ruleset_hash == cfg_hash
+    ):
+        return existing
+
+    id_col, text_col = config.id_col, config.text_col
+
+    # ---- stage 1: exact dedup -> _deduped checkpoint -------------------
+    dedup_dir = fsio.join(out_dir, "_deduped")
+    dedup_marker = dedup_dir + ".complete"
+    if not _stage_marker_ok(fs, dedup_marker, stamp):
+        fsio.rmtree(fs, dedup_dir)
+        fsio.delete_file(fs, dedup_marker)
+        ds = rd.read_parquet(docs_path, columns=[id_col, text_col])
+        exact_dedup_rows(ds, id_col=id_col, text_col=text_col).write_parquet(
+            dedup_dir, filesystem=fs
+        )
+        _commit_stage(fs, dedup_marker, stamp)
+    dedup_files = _parquet_files(fs, dedup_dir)
+
+    # ---- stage 2: near-dup drop list -> _drops checkpoint --------------
+    drops_dir = fsio.join(out_dir, "_drops")
+    drops_marker = drops_dir + ".complete"
+    if not _stage_marker_ok(fs, drops_marker, stamp):
+        fsio.rmtree(fs, drops_dir)
+        fsio.delete_file(fs, drops_marker)
+        deduped = rd.read_parquet(dedup_files, filesystem=fs)
+        pairs = minhash_lsh_pairs(
+            deduped,
+            id_col=id_col,
+            text_col=text_col,
+            num_perm=config.num_perm,
+            bands=config.bands,
+            threshold=config.minhash_threshold,
+            ngram=config.ngram,
+        )
+        edges = pairs.map_batches(
+            lambda b: pa.table({"subj": b["a"], "obj": b["b"]}),
+            batch_format="pyarrow",
+        )
+        comp = connected_components(edges, rounds=config.cc_rounds)
+        drops = comp.map_batches(
+            lambda b: pa.table(
+                {id_col: b.filter(pc.not_equal(b["node"], b["root"]))["node"]}
+            ),
+            batch_format="pyarrow",
+        )
+        drops.write_parquet(drops_dir, filesystem=fs)
+        _commit_stage(fs, drops_marker, stamp)
+    drop_files = _parquet_files(fs, drops_dir)
+
+    # ---- stage 3: anti-join drops + fused prep -> _clean checkpoint ----
+    clean_dir = fsio.join(out_dir, "_clean")
+    clean_marker = clean_dir + ".complete"
+    if not _stage_marker_ok(fs, clean_marker, stamp):
+        fsio.rmtree(fs, clean_dir)
+        fsio.delete_file(fs, clean_marker)
+        deduped = rd.read_parquet(dedup_files, filesystem=fs)
+        if drop_files:
+            drops_ds = rd.read_parquet(drop_files, filesystem=fs).materialize()
+            if drops_ds.size_bytes() <= config.broadcast_budget:
+                tabs = [
+                    t for t in ray.get(drops_ds.to_arrow_refs()) if t.num_rows
+                ]
+                dropped = (
+                    pa.concat_tables(tabs, promote_options="default")[id_col]
+                    .combine_chunks()
+                    if tabs
+                    else pa.array([], pa.int64())
+                )
+                dref = ray.put(dropped)
+
+                def drop_seen(b: pa.Table) -> pa.Table:
+                    hit = pc.is_in(b[id_col], value_set=ray.get(dref))
+                    return b.filter(pc.invert(pc.fill_null(hit, False)))
+
+                deduped = deduped.map_batches(
+                    drop_seen, batch_format="pyarrow"
+                )
+            else:  # distributed anti-join (the 100-TB drop-list path)
+                marked = drops_ds.map_batches(
+                    lambda b: b.append_column(
+                        "_dup", pa.array(np.ones(len(b), np.int8), pa.int8())
+                    ),
+                    batch_format="pyarrow",
+                )
+                nparts = max(
+                    2,
+                    min(64, int(ray.cluster_resources().get("CPU", 8)) // 2),
+                )
+                deduped = deduped.join(
+                    marked, join_type="left_outer",
+                    num_partitions=nparts, on=(id_col,),
+                ).map_batches(
+                    lambda b: b.filter(
+                        pc.is_null(b["_dup"])
+                    ).drop_columns(["_dup"]),
+                    batch_format="pyarrow",
+                )
+        deduped.map_batches(
+            _prep_fn(config), batch_format="pyarrow"
+        ).write_parquet(clean_dir, filesystem=fs)
+        _commit_stage(fs, clean_marker, stamp)
+    clean_files = _parquet_files(fs, clean_dir)
+
+    # ---- stage 4: pack offsets (two-phase prefix sum) + materialize ----
+    if config.num_partitions is not None:
+        num_partitions = int(config.num_partitions)
+    else:
+        num_partitions = max(
+            16, int(ray.cluster_resources().get("CPU", 8)) * 2
+        )
+    run_sig = f"{stamp}:{num_partitions}"
+
+    nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    slim = rd.read_parquet(
+        clean_files, columns=["doc_id", "n_tokens", "split"],
+        override_num_blocks=nblocks, filesystem=fs,
+    )
+    max_id = slim.max("doc_id")
+    if max_id is None:  # empty corpus: manifest only
+        manifest = RunManifest(
+            input_signature=sig, ruleset_hash=cfg_hash,
+            num_partitions=num_partitions, triple_count=0,
+            partition_counts={}, extra={"total_tokens": 0},
+        )
+        write_manifest(out_dir, manifest, filesystem=fs)
+        return manifest
+    width = max(1, (int(max_id) + num_partitions) // num_partitions)
+
+    def counted(b: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.floor(
+                pc.divide(pc.cast(b["doc_id"], pa.float64()), width)
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {"split": b["split"], "bucket": bucket, "n": b["n_tokens"]}
+        )
+        g = (
+            t.group_by(["split", "bucket"], use_threads=False)
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["split", "bucket", "n"])
+
+    from ray.data.aggregate import Sum
+
+    tiny = (
+        slim.map_batches(counted, batch_format="pyarrow")
+        .groupby(["split", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # O(#splits x #partitions) driver state
+    )
+    offsets: dict = {}
+    runs: dict = {}
+    for row in sorted(tiny, key=lambda r: (r["split"], r["bucket"])):
+        key = (row["split"], int(row["bucket"]))
+        offsets[key] = runs.get(row["split"], 0)
+        runs[row["split"]] = offsets[key] + int(row["n"])
+
+    # drop stale partitions (same protocol as materialize_graph)
+    for d in fsio.listdir(fs, out_dir):
+        if not d.startswith("part="):
+            continue
+        text = fsio.read_text(fs, fsio.join(out_dir, d, "_sig"))
+        if text is None or text.strip() != run_sig:
+            fsio.rmtree(fs, fsio.join(out_dir, d))
+
+    full = rd.read_parquet(
+        clean_files, columns=CLEAN_COLS,
+        override_num_blocks=nblocks, filesystem=fs,
+    )
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pc.cast(
+                pc.floor(
+                    pc.divide(pc.cast(b["doc_id"], pa.float64()), width)
+                ),
+                pa.int32(),
+            ),
+        )
+
+    counts_ds = (
+        full.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: _write_corpus_partition(
+                g, out_dir, fs, run_sig=run_sig, offsets=offsets,
+                pack_budget=config.pack_budget,
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    rows_by_part: dict = {}
+    tokens_total = 0
+    for r in counts_ds.take_all():
+        rows_by_part[str(r["part"])] = int(r["rows"])
+        tokens_total += int(r["tokens"])
+
+    manifest = RunManifest(
+        input_signature=sig,
+        ruleset_hash=cfg_hash,
+        num_partitions=num_partitions,
+        triple_count=sum(rows_by_part.values()),
+        partition_counts=rows_by_part,
+        extra={"total_tokens": tokens_total, "id_width": width},
+    )
+    write_manifest(out_dir, manifest, filesystem=fs)
+    return manifest

@@ -1,0 +1,235 @@
+"""End-to-end tests for the LLM-corpus flagship pipeline
+(pipelines/corpus.py): chain output invariants, serial replay of the pack
+offsets, manifest short-circuit, stage-checkpoint + partition-level crash
+resume, and config-change recompute."""
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from marc2rdf_ray.pipelines.corpus import (
+    CorpusConfig,
+    run_corpus_pipeline,
+    _split_bounds,
+)
+
+_GLUE = ["the", "and", "of", "in", "it", "is"]  # 'en' trigram signal
+
+
+def _doc_text(i: int, extra: str = "") -> str:
+    """Distinct English-scored doc: unique tokens interleaved with glue
+    words, so every 3-token shingle contains a doc-unique token (zero
+    cross-doc Jaccard -- only the deliberate near-dup copies pair)."""
+    toks = []
+    for k in range(24):
+        toks.append(f"v{i}w{k}")
+        toks.append(_GLUE[k % len(_GLUE)])
+    if extra:
+        toks.insert(24, extra)
+    return " ".join(toks)
+
+
+def _mk_docs(path: str) -> str:
+    """Deterministic corpus exercising every stage:
+    - ids 0..19: distinct long English docs (survive everything)
+    - ids 100..104: EXACT copies of 0..4      (exact-dedup fodder)
+    - ids 200..204: near-dup copies of 0..4   (minhash fodder; last word
+      dropped)
+    - id 300: too short (min_tokens filter)
+    - id 301: no latin trigrams ('und' langid filter)
+    - id 302: contains the blocked span      (decontamination filter)
+    - id 303: has an email + long digit run  (redaction, survives)
+    """
+    rows = []
+    for i in range(20):
+        rows.append((i, _doc_text(i)))
+    for i in range(5):
+        rows.append((100 + i, rows[i][1]))
+    for i in range(5):
+        rows.append((200 + i, " ".join(rows[i][1].split()[:-1])))
+    rows.append((300, "tiny doc"))
+    rows.append((301, " ".join(["零一二三四五六七八九"] * 25)))
+    rows.append((302, _doc_text(302, "BLOCKED-SPAN-LITERAL")))
+    rows.append((303, _doc_text(303, "bob@example.com ref 123456789")))
+    tab = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(tab, os.path.join(path, "docs.parquet"))
+    return path
+
+
+def _cfg(**kw) -> CorpusConfig:
+    kw.setdefault("blocked_spans", ("BLOCKED-SPAN-LITERAL",))
+    kw.setdefault("num_partitions", 8)
+    kw.setdefault("min_tokens", 20)
+    return CorpusConfig(**kw)
+
+
+def _read_out(out_dir: str) -> pa.Table:
+    parts = sorted(
+        os.path.join(out_dir, d, "docs.parquet")
+        for d in os.listdir(out_dir)
+        if d.startswith("part=")
+    )
+    return pa.concat_tables(pq.read_table(p) for p in parts)
+
+
+def _part_mtimes(out_dir: str) -> dict:
+    return {
+        d: os.path.getmtime(os.path.join(out_dir, d, "docs.parquet"))
+        for d in os.listdir(out_dir)
+        if d.startswith("part=")
+    }
+
+
+def test_chain_semantics_and_pack_replay(ray_session, tmp_path):
+    docs = _mk_docs(str(tmp_path / "docs"))
+    out = str(tmp_path / "out")
+    m = run_corpus_pipeline(docs, out, _cfg())
+    tab = _read_out(out)
+    ids = set(tab["doc_id"].to_pylist())
+
+    # exact dups: min id survives
+    assert not ids & {100, 101, 102, 103, 104}
+    # near dups: connected-component root (min id) survives
+    assert not ids & {200, 201, 202, 203, 204}
+    assert {0, 1, 2, 3, 4} <= ids
+    # filters
+    assert 300 not in ids  # min_tokens
+    assert 301 not in ids  # langid 'und'
+    assert 302 not in ids  # decontaminated
+    assert 303 in ids      # redacted, not dropped
+    row = tab.filter(
+        pa.compute.equal(tab["doc_id"], 303)
+    ).to_pylist()[0]
+    assert "[EMAIL]" in row["text"] and "[NUM]" in row["text"]
+    assert "bob@example.com" not in row["text"]
+    assert row["lang_pred"] == "en"
+
+    # split assignment replays hash_split exactly
+    bounds, labels = _split_bounds(
+        (("train", 0.75), ("val", 0.125), ("test", 0.125))
+    )
+    for r in tab.to_pylist():
+        hv = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        assert r["split"] == labels[int(np.searchsorted(bounds, hv, "right"))]
+
+    # pack offsets == serial per-split prefix sum in id order
+    rows = sorted(tab.to_pylist(), key=lambda r: r["doc_id"])
+    run: dict = {}
+    for r in rows:
+        want = run.get(r["split"], 0)
+        assert r["start_offset"] == want, r
+        assert r["pack_id"] == want // 512
+        run[r["split"]] = want + r["n_tokens"]
+
+    # manifest bookkeeping
+    assert m.triple_count == len(tab)
+    assert m.extra["total_tokens"] == sum(r["n_tokens"] for r in rows)
+    assert sum(m.partition_counts.values()) == len(tab)
+
+    # partitions are contiguous id ranges, sorted within
+    width = m.extra["id_width"]
+    for d in os.listdir(out):
+        if not d.startswith("part="):
+            continue
+        part = int(d.split("=")[1])
+        t = pq.read_table(os.path.join(out, d, "docs.parquet"))
+        pids = t["doc_id"].to_pylist()
+        assert pids == sorted(pids)
+        assert all(i // width == part for i in pids)
+
+
+def test_manifest_short_circuit_and_partition_resume(ray_session, tmp_path):
+    docs = _mk_docs(str(tmp_path / "docs"))
+    out = str(tmp_path / "out")
+    cfg = _cfg()
+    m1 = run_corpus_pipeline(docs, out, cfg)
+    before = _part_mtimes(out)
+    tab1 = _read_out(out)
+
+    # identical rerun: manifest match returns without touching anything
+    m2 = run_corpus_pipeline(docs, out, cfg)
+    assert m2.partition_counts == m1.partition_counts
+    assert _part_mtimes(out) == before
+
+    # crash between partition writes and manifest: delete the manifest,
+    # rerun -- _sig-matching partitions are SKIPPED (mtime unchanged),
+    # output identical
+    os.remove(os.path.join(out, "_manifest.json"))
+    m3 = run_corpus_pipeline(docs, out, cfg)
+    assert m3.partition_counts == m1.partition_counts
+    assert _part_mtimes(out) == before
+    assert _read_out(out).equals(tab1)
+
+
+def test_stage_checkpoint_resume_after_partial_crash(ray_session, tmp_path):
+    """Kill the run after stage 2 (near-dup drops committed): the rerun
+    must reuse the _deduped and _drops checkpoints (mtimes unchanged) and
+    rebuild only _clean + partitions."""
+    docs = _mk_docs(str(tmp_path / "docs"))
+    out = str(tmp_path / "out")
+    cfg = _cfg()
+    m1 = run_corpus_pipeline(docs, out, cfg)
+    tab1 = _read_out(out)
+
+    def stage_mtimes(d):
+        sd = os.path.join(out, d)
+        return {
+            f: os.path.getmtime(os.path.join(sd, f)) for f in os.listdir(sd)
+        }
+
+    ded_before = stage_mtimes("_deduped")
+    drops_before = stage_mtimes("_drops")
+
+    # simulate the crash: everything after stage 2 is gone
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "_clean"))
+    os.remove(os.path.join(out, "_clean.complete"))
+    os.remove(os.path.join(out, "_manifest.json"))
+    for d in list(os.listdir(out)):
+        if d.startswith("part="):
+            shutil.rmtree(os.path.join(out, d))
+
+    m2 = run_corpus_pipeline(docs, out, cfg)
+    assert stage_mtimes("_deduped") == ded_before  # checkpoint reused
+    assert stage_mtimes("_drops") == drops_before
+    assert m2.partition_counts == m1.partition_counts
+    assert _read_out(out).equals(tab1)
+
+    # an UNCOMMITTED stage (marker missing) is rebuilt, not trusted
+    os.remove(os.path.join(out, "_drops.complete"))
+    os.remove(os.path.join(out, "_manifest.json"))
+    m3 = run_corpus_pipeline(docs, out, cfg)
+    assert stage_mtimes("_drops") != drops_before
+    assert m3.partition_counts == m1.partition_counts
+
+
+def test_config_change_recomputes_from_scratch(ray_session, tmp_path):
+    docs = _mk_docs(str(tmp_path / "docs"))
+    out = str(tmp_path / "out")
+    m1 = run_corpus_pipeline(docs, out, _cfg())
+    ids1 = set(_read_out(out)["doc_id"].to_pylist())
+
+    # relaxing the filters admits the short doc and the 'und' doc; the
+    # changed config hash must miss every stage marker and recompute
+    m2 = run_corpus_pipeline(docs, out, _cfg(min_tokens=2, drop_und=False))
+    ids2 = set(_read_out(out)["doc_id"].to_pylist())
+    assert {300, 301} <= ids2 and not {300, 301} & ids1
+    assert m2.ruleset_hash != m1.ruleset_hash
+
+    # no stale partitions from the previous run survive
+    manifest = json.loads(open(os.path.join(out, "_manifest.json")).read())
+    live = {f"part={int(k):05d}" for k in manifest["partition_counts"]}
+    on_disk = {d for d in os.listdir(out) if d.startswith("part=")}
+    assert on_disk == live
