@@ -1018,38 +1018,54 @@ def dedup_jaccard_verified(sf_dir: str):
     oracle."""
     import ray
 
-    from .ops.dedup import minhash_lsh_pairs, ngram_jaccard
+    from .ops.dedup import minhash_lsh_pairs, word_ngrams
 
     aug = _augmented_docs(sf_dir, perturb=True)
     pairs = minhash_lsh_pairs(aug, threshold=0.7)
     ttab, tmat = _small_side(aug)
 
-    def jaccard_cols(a_texts, b_texts, a_col, b_col) -> pa.Table:
-        j = [
-            ngram_jaccard(x or "", y or "")
-            for x, y in zip(a_texts, b_texts)
-        ]
-        return pa.table(
-            {"a": a_col, "b": b_col, "jaccard": pa.array(j, pa.float64())}
-        )
+    def set_jaccard(sa: frozenset, sb: frozenset) -> float:
+        # ngram_jaccard semantics on precomputed shingle sets
+        if not sa and not sb:
+            return 1.0
+        if not sa or not sb:
+            return 0.0
+        return len(sa & sb) / len(sa | sb)
 
     if ttab is not None:
         tref = ray.put(ttab)
 
         class ExactJaccard:
+            """Shingle sets are MEMOIZED per actor (id -> frozenset): a hot
+            near-dup cluster of d docs appears in O(d^2) candidate pairs,
+            and re-shingling the raw text per pair made this the slowest
+            contract query (VERDICT r3 nit #1 / next-round #4).  The cache
+            is bounded by the broadcast corpus the actor already holds."""
+
             def __init__(self):
                 t = ray.get(tref)
                 self.texts = dict(
                     zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
                 )
+                self._sh: dict = {}
+
+            def shingles(self, i) -> frozenset:
+                s = self._sh.get(i)
+                if s is None:
+                    s = frozenset(word_ngrams(self.texts.get(i, "") or ""))
+                    self._sh[i] = s
+                return s
 
             def __call__(self, b: pa.Table) -> pa.Table:
                 a_ids = b["a"].to_pylist()
                 b_ids = b["b"].to_pylist()
-                return jaccard_cols(
-                    [self.texts.get(x, "") for x in a_ids],
-                    [self.texts.get(y, "") for y in b_ids],
-                    b["a"], b["b"],
+                j = [
+                    set_jaccard(self.shingles(x), self.shingles(y))
+                    for x, y in zip(a_ids, b_ids)
+                ]
+                return pa.table(
+                    {"a": b["a"], "b": b["b"],
+                     "jaccard": pa.array(j, pa.float64())}
                 )
 
         return pairs.map_batches(ExactJaccard, batch_format="pyarrow",
@@ -1067,10 +1083,21 @@ def dedup_jaccard_verified(sf_dir: str):
     )
 
     def exact(b: pa.Table) -> pa.Table:
-        # first join leaves 'text'; the second suffixes its copy '_tb'
+        # first join leaves 'text'; the second suffixes its copy '_tb'.
+        # Shingle once per unique doc id PER BATCH (same memoization as
+        # the broadcast path, scoped to the batch since the join path
+        # never holds the corpus).
         ta = b["text"] if "text" in b.column_names else b["text_ta"]
-        return jaccard_cols(
-            ta.to_pylist(), b["text_tb"].to_pylist(), b["a"], b["b"]
+        a_ids, b_ids = b["a"].to_pylist(), b["b"].to_pylist()
+        memo: dict = {}
+        for ids, texts in ((a_ids, ta.to_pylist()),
+                           (b_ids, b["text_tb"].to_pylist())):
+            for i, t in zip(ids, texts):
+                if i not in memo:
+                    memo[i] = frozenset(word_ngrams(t or ""))
+        j = [set_jaccard(memo[x], memo[y]) for x, y in zip(a_ids, b_ids)]
+        return pa.table(
+            {"a": b["a"], "b": b["b"], "jaccard": pa.array(j, pa.float64())}
         )
 
     return with_both.map_batches(exact, batch_format="pyarrow")
