@@ -2016,3 +2016,92 @@ class TestHotKeyGuard:
         pd.testing.assert_frame_equal(
             out.astype(np.int64), want.astype(np.int64)
         )
+
+
+class TestPluggableDecoders:
+    def test_injected_decoder_replaces_raise(self, ray_session):
+        """VERDICT r3 #3: with an injected decoder the stub raise path is
+        gone, and the injected callable's answer flows through the same
+        actor-pool plumbing (including the None -> decode_ok=False path)."""
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.multimodal import (
+            DecodeStub,
+            FrameSampleStub,
+            ResizeStub,
+            synth_media_table,
+        )
+
+        media = synth_media_table(12, kinds=("image",))
+        ds = rd.from_arrow(media)
+
+        def toy_decoder(payload):
+            if payload and payload[0] % 2 == 0:
+                return (len(payload) % 100, 17)
+            return None  # decode failure path
+
+        out = ds.map_batches(
+            DecodeStub,
+            fn_constructor_kwargs={"decoder": toy_decoder},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=2,
+        ).to_pandas().set_index("media_id")
+        for r in media.to_pylist():
+            want = toy_decoder(r["payload"])
+            got = out.loc[r["media_id"]]
+            if want is None:
+                assert not got["decode_ok"] and got["width"] == 0
+            else:
+                assert got["decode_ok"]
+                assert (got["width"], got["height"]) == want
+
+        def toy_resizer(payload, target):
+            return bytes(target[0] % 256) + (payload or b"")[:4]
+
+        rz = ds.map_batches(
+            ResizeStub,
+            fn_constructor_kwargs={"resizer": toy_resizer, "target": (32, 32)},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=2,
+        ).take_all()
+        import hashlib as hl
+
+        by_id = {r["media_id"]: r for r in rz}
+        for r in media.to_pylist():
+            want = hl.md5(toy_resizer(r["payload"], (32, 32))).hexdigest()
+            assert by_id[r["media_id"]]["resized_md5"] == want
+
+        def toy_prober(payload):
+            if not payload:
+                return None
+            return (6, 100)  # 6 frames, 100ms apart
+
+        fr = rd.from_arrow(media).map_batches(
+            FrameSampleStub,
+            fn_constructor_kwargs={"prober": toy_prober, "stride": 2},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=2,
+        ).take_all()
+        assert len(fr) == 12 * 3  # frames 0, 2, 4 per media row
+        assert {(r["frame_idx"], r["frame_ts_ms"]) for r in fr} == {
+            (0, 0), (2, 200), (4, 400)
+        }
+
+    def test_pil_factories_raise_clearly_without_pillow(self):
+        import pytest
+
+        from marc2rdf_ray.ops.multimodal import pil_decoder, pil_resizer
+
+        try:
+            import PIL  # noqa: F401
+
+            pytest.skip("Pillow unexpectedly present")
+        except ImportError:
+            pass
+        with pytest.raises(ImportError, match="decoder=callable"):
+            pil_decoder()
+        with pytest.raises(ImportError, match="resizer=callable"):
+            pil_resizer()
