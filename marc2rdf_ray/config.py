@@ -40,8 +40,12 @@ class PipelineConfig:
     num_output_partitions: Optional[int] = None
     # >1 => sharded materialize (spill-cap loop): S sequential passes over
     # contiguous partition-id ranges, ~1/S object-store footprint each,
-    # at the cost of re-reading the pruned checkpoint S times
-    materialize_shards: int = 1
+    # at the cost of re-reading the pruned checkpoint S times.
+    # 0 (default) => AUTO: materialize_graph sizes the pass count from
+    # estimated exchange bytes vs the cluster's object-store capacity
+    # (stages/materialize.choose_shards), so an input that would spill
+    # shards itself without the caller knowing the spill point.
+    materialize_shards: int = 0
 
     def __post_init__(self):
         if self.mapping is None:

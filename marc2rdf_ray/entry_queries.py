@@ -558,6 +558,66 @@ def events_value_quantiles(sf_dir: str):
     return exact_quantiles(ds, "value")
 
 
+def events_value_quantile_sketch(sf_dir: str):
+    """Approximate quantiles via the mergeable MRL sketch
+    (ops.quantiles.MRLSketch -- the O(k log n)-state scale path for
+    unbounded domains, VERDICT r3 #7), CERTIFIED against the sketch's
+    PROVEN worst-case rank-error bound: the query recomputes the exact
+    value histogram (the check's exact pass; the sketch itself never
+    needs it), derives each sketch answer's true rank interval, and
+    returns ``(q, value_cents_exact, within_bound)``.  The oracle
+    recomputes the exact quantiles in SQL and asserts within_bound --
+    so a sketch whose answer drifts outside its own guarantee turns the
+    row red.  Exact ops remain the correctness path."""
+    from ray.data.aggregate import Sum
+
+    from .ops.quantiles import sketch_quantiles
+
+    qs = ((1, 2), (9, 10), (99, 100))
+    ds = _read(sf_dir, "events", columns=["value"])
+    sk_tab, n, bound = sketch_quantiles(ds, "value", qs, k=256)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = sql_round_i64(b["value"], 100.0)
+        g = (
+            pa.table({"v": v})
+            .group_by(["v"], use_threads=False)
+            .aggregate([("v", "count")])
+            .rename_columns(["v", "cnt"])
+        )
+        return pa.table({"v": g["v"], "cnt": pc.cast(g["cnt"], pa.int64())})
+
+    hist = (
+        _read(sf_dir, "events", columns=["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    vals = np.array([r["v"] for r in hist], np.int64)
+    cnts = np.array([r["cnt"] for r in hist], np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.concatenate(([0], np.cumsum(cnts)))
+
+    q_out, exact_out, ok_out = [], [], []
+    for (num, den), sk_v in zip(qs, sk_tab["value_cents"].to_pylist()):
+        target = (num * n + den - 1) // den
+        i = int(np.searchsorted(cum[1:], target, side="left"))
+        exact_out.append(int(vals[i]))
+        lo = int(cum[np.searchsorted(vals, sk_v, side="left")])   # < sk_v
+        hi = int(cum[np.searchsorted(vals, sk_v, side="right")])  # <= sk_v
+        ok_out.append(lo <= target + bound and hi >= target - bound)
+        q_out.append(num / den)
+    return pa.table(
+        {
+            "q": pa.array(q_out, pa.float64()),
+            "value_cents_exact": pa.array(exact_out, pa.int64()),
+            "within_bound": pa.array(ok_out, pa.bool_()),
+        }
+    )
+
+
 def events_value_quantile_bounds(sf_dir: str):
     """Continuous-domain quantile BOUNDS (ops/quantiles.py
     exact_quantile_bounds): fixed-width binning caps driver state at
@@ -1915,6 +1975,7 @@ QUERIES = {
     "events_error_window": events_error_window,
     "events_value_quantiles": events_value_quantiles,
     "events_value_quantile_bounds": events_value_quantile_bounds,
+    "events_value_quantile_sketch": events_value_quantile_sketch,
     "docs_sample_deterministic": docs_sample_deterministic,
     "events_sessions": events_sessions,
     "events_sliding_3h": events_sliding_3h,
@@ -3391,3 +3452,20 @@ FROM packed
 
 
 ORACLE_SQL["corpus_flagship_docs"] = _corpus_flagship_oracle_sql()
+
+
+# sketch certification: the exact quantiles replay in SQL (the same CTE
+# chain as events_value_quantiles); within_bound must be TRUE -- a sketch
+# outside its own proven rank-error bound turns this row red.
+ORACLE_SQL["events_value_quantile_sketch"] = """
+WITH e AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
+h AS (SELECT v, COUNT(*) AS c FROM e GROUP BY v),
+s AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+nn AS (SELECT COUNT(*) AS n FROM e)
+SELECT CAST(t.num AS DOUBLE) / t.den AS q,
+       (SELECT MIN(v) FROM s
+        WHERE cum >= (t.num * (SELECT n FROM nn) + t.den - 1) // t.den)
+         AS value_cents_exact,
+       CAST(1 AS BOOLEAN) AS within_bound
+FROM (VALUES (1, 2), (9, 10), (99, 100)) t(num, den)
+"""

@@ -1,0 +1,355 @@
+"""Windowed incremental graph merge (VERDICT r3 #6): fold a NEW window of
+pages into an existing materialized graph, recomputing ONLY the partitions
+whose content changes -- the reference's daily harvest->convert->update
+cycle (scheduler.rb:327-350) re-expressed as partition-level recompute.
+
+Exactness argument (why the merged graph is byte-identical to a full run
+over all windows' pages):
+
+- Conversion is deterministic per page and windows only ADD pages, so the
+  non-sameAs content of an existing partition is exactly the dedup of all
+  PRIOR windows' raw triples for that subject range; union-ing the new
+  window's raw triples and re-deduping yields the full-run set (min(src)
+  recomputes correctly because min is associative).
+- sameAs is NOT monotone across windows: the star canon is the group-MIN
+  subject, so a new window can re-root an existing identifier cluster
+  (J4, stages/canonicalize.py:102-113).  The merge therefore recomputes
+  the closure GLOBALLY from the pk=1 checkpoint slivers of every window
+  (~1-2% of rows -- this is exactly why the raw checkpoint is partitioned
+  on the sameAs-key predicate, pipelines/kg.py:283-297), DROPS all old
+  sameAs rows in touched partitions, and re-adds the new closure.
+- Touched partitions = partitions receiving new raw triples UNION
+  partitions where the recomputed closure differs from the stored sameAs
+  edges (detected distributedly: per-partition distinct row-hash set
+  comparison, one small shuffle -- never a driver pull of the edge sets).
+
+Untouched partitions keep their files byte-for-byte (mtime unchanged);
+only their ``_sig`` marker is re-stamped to the merged run's signature.
+The merge is IDEMPOTENT: re-running after a partial crash re-merges
+touched partitions to the same content (dedup of a superset that already
+contains the target set is the target set), so no staging sidecar is
+needed beyond the read/overwrite isolation copy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import PipelineConfig
+from ..state import fsio
+from ..state.manifest import (
+    RunManifest,
+    input_signature,
+    list_input_files,
+    read_manifest,
+    write_manifest,
+)
+from ..vocab import OWL_SAMEAS
+
+TRIPLE_COLS = ["subj", "pred", "obj", "obj_kind", "lang", "src"]
+
+
+def _win_id(sig: str) -> str:
+    return sig[:12]
+
+
+def merge_window_into_graph(
+    new_pages_path: str,
+    out_dir: str,
+    config: PipelineConfig | None = None,
+    *,
+    alias_dict=None,
+    link: bool = True,
+    filesystem=None,
+) -> RunManifest:
+    """Fold ``new_pages_path`` (a new harvest window) into the graph at
+    ``out_dir`` (produced by ``run_kg_pipeline`` or a previous merge).
+    Returns the merged manifest.  Caller owns the Ray session.
+
+    Requires the base run's raw checkpoint (``_raw_triples``) to still be
+    present -- it is the durable source of the sameAs key sliver; each
+    merged window adds its own ``_raw_win=<id>`` checkpoint beside it.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..stages.canonicalize import (
+        sameas_by_shared_key,
+        symmetry_closure,
+    )
+    from ..stages.link import build_alias_dict
+    from ..stages.materialize import write_sorted_partition
+    from .kg import extract_triples, sameas_key_pred_for
+
+    config = config or PipelineConfig()
+    fs, out_dir = fsio.resolve_fs(out_dir, filesystem)
+
+    existing = read_manifest(out_dir, filesystem=fs)
+    if existing is None:
+        raise ValueError(
+            f"no existing graph manifest under {out_dir}; run the full "
+            "pipeline first, then merge windows into it"
+        )
+    num_partitions = existing.num_partitions
+
+    win_sig = input_signature(list_input_files(new_pages_path))
+    wid = _win_id(win_sig)
+    windows = dict(existing.extra.get("window_sigs", {}))
+
+    # idempotent re-run of an already-merged window
+    if (
+        windows.get(wid) == win_sig
+        and existing.ruleset_hash == config.ruleset_hash()
+    ):
+        return existing
+    windows[wid] = win_sig
+    merged_sig = hashlib.sha256(
+        (existing.input_signature + "|" + "|".join(
+            f"{k}:{v}" for k, v in sorted(windows.items())
+        )).encode()
+    ).hexdigest()[:16]
+    run_sig = (
+        f"{merged_sig}:{config.ruleset_hash()}:{num_partitions}:merge"
+    )
+
+    # ---- 1) extract + checkpoint the new window's raw triples ----------
+    win_ckpt = fsio.join(out_dir, f"_raw_win={wid}")
+    marker = win_ckpt + ".complete"
+    ckpt_sig = f"{win_sig}:{config.ruleset_hash()}"
+    if (fsio.read_text(fs, marker) or "").strip() != ckpt_sig:
+        fsio.rmtree(fs, win_ckpt)
+        fsio.delete_file(fs, marker)
+        if alias_dict is None and link:
+            alias_dict = build_alias_dict()
+        pages = rd.read_parquet(new_pages_path, columns=["url", "html"])
+        raw = extract_triples(pages, config, alias_dict if link else None)
+        key_pred = sameas_key_pred_for(config)
+
+        def add_pk(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "pk",
+                pc.cast(pc.equal(b["pred"], pa.scalar(key_pred)), pa.int8()),
+            )
+
+        raw.map_batches(add_pk, batch_format="pyarrow").write_parquet(
+            win_ckpt, partition_cols=["pk"], filesystem=fs
+        )
+        fsio.write_text_atomic(fs, marker, ckpt_sig)
+
+    # ---- 2) global sameAs closure from ALL windows' pk=1 slivers -------
+    sliver_files = []
+    for d in fsio.listdir(fs, out_dir):
+        if d == "_raw_triples" or d.startswith("_raw_win="):
+            pk1 = fsio.join(out_dir, d, "pk=1")
+            if fsio.isdir(fs, pk1):
+                sliver_files.extend(fsio.list_files_recursive(fs, pk1))
+    closure_dir = fsio.join(out_dir, "_merge_sameas")
+    fsio.rmtree(fs, closure_dir)
+    have_closure = False
+    if sliver_files:
+        key_triples = rd.read_parquet(
+            sliver_files, columns=TRIPLE_COLS, filesystem=fs
+        )
+        closure = symmetry_closure(
+            sameas_by_shared_key(key_triples, sameas_key_pred_for(config)),
+            dedup=False,  # dedup rides the partition rewrite
+        )
+        closure.write_parquet(closure_dir, filesystem=fs)
+        have_closure = any(
+            f.endswith(".parquet") for f in fsio.listdir(fs, closure_dir)
+        )
+
+    # ---- 3) touched-partition detection --------------------------------
+    from ..functions.hashing import bucket_codes
+
+    def parts_of(b: pa.Table) -> pa.Table:
+        codes = bucket_codes(b["subj"], num_partitions)
+        return pa.table({"part": pc.unique(codes)})
+
+    win_files = [
+        f
+        for f in fsio.list_files_recursive(fs, win_ckpt)
+        if f.endswith(".parquet")
+    ]
+    touched = set(
+        r["part"]
+        for r in rd.read_parquet(win_files, columns=["subj"], filesystem=fs)
+        .map_batches(parts_of, batch_format="pyarrow")
+        .take_all()
+    )
+
+    part_dirs = sorted(
+        d for d in fsio.listdir(fs, out_dir) if d.startswith("part=")
+    )
+    old_files = {
+        int(d.split("=")[1]): fsio.join(out_dir, d, "edges.parquet")
+        for d in part_dirs
+    }
+
+    # sameAs delta: per-partition distinct row-hash sets, old vs new, ONE
+    # small shuffle -- the edge sets never reach the driver.
+    def keyed(b: pa.Table, side: int) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "h": pa.array([], pa.string()),
+                    "side": pa.array([], pa.int8()),
+                }
+            )
+        b = b.filter(pc.equal(b["pred"], pa.scalar(OWL_SAMEAS)))
+        key = pc.binary_join_element_wise(b["subj"], b["obj"], "\x1f")
+        return pa.table(
+            {
+                "part": bucket_codes(b["subj"], num_partitions),
+                "h": key,
+                "side": pa.array(np.full(len(b), side, np.int8), pa.int8()),
+            }
+        )
+
+    def delta(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        h = group["h"].to_pylist()
+        old = {x for x, s in zip(h, side) if s == 0}
+        new = {x for x, s in zip(h, side) if s == 1}
+        if old == new:
+            return pa.table({"part": pa.array([], pa.int32())})
+        return pa.table(
+            {"part": pa.array([int(group["part"][0].as_py())], pa.int32())}
+        )
+
+    sides = []
+    if old_files:
+        sides.append(
+            rd.read_parquet(
+                sorted(old_files.values()),
+                columns=["subj", "pred", "obj"],
+                filesystem=fs,
+            ).map_batches(lambda b: keyed(b, 0), batch_format="pyarrow")
+        )
+    if have_closure:
+        sides.append(
+            rd.read_parquet(closure_dir, filesystem=fs).map_batches(
+                lambda b: keyed(b, 1), batch_format="pyarrow"
+            )
+        )
+    if sides:
+        both = sides[0] if len(sides) == 1 else sides[0].union(sides[1])
+        touched |= {
+            int(r["part"])
+            for r in both.groupby("part")
+            .map_groups(delta, batch_format="pyarrow")
+            .take_all()
+        }
+    touched &= set(range(num_partitions))
+
+    # ---- 4) rewrite touched partitions ----------------------------------
+    # isolation copy: the rewrite READS old partition files it is about to
+    # OVERWRITE; stage the touched files aside first so reader tasks never
+    # race the writer's rename.
+    stage_dir = fsio.join(out_dir, "_merge_stage")
+    fsio.rmtree(fs, stage_dir)
+    staged_files = []
+    if touched:
+        fsio.makedirs(fs, stage_dir)
+        for p in sorted(touched):
+            src = old_files.get(p)
+            if src is None or not fsio.isfile(fs, src):
+                continue
+            dst = fsio.join(stage_dir, f"part-{p:05d}.parquet")
+            with fs.open_input_stream(src) as r, fs.open_output_stream(
+                dst, compression=None
+            ) as w:
+                while True:
+                    chunk = r.read(1 << 22)
+                    if not chunk:
+                        break
+                    w.write(chunk)
+            staged_files.append(dst)
+
+    counts = dict(existing.partition_counts)
+    if touched:
+        tlist = pa.array(sorted(touched), pa.int32())
+
+        def in_touched(b: pa.Table, drop_sameas: bool) -> pa.Table:
+            if len(b) == 0:
+                return b.select(
+                    [c for c in TRIPLE_COLS if c in b.column_names]
+                )
+            b = b.select(TRIPLE_COLS)
+            if drop_sameas:
+                b = b.filter(
+                    pc.not_equal(b["pred"], pa.scalar(OWL_SAMEAS))
+                )
+            codes = bucket_codes(b["subj"], num_partitions)
+            b = b.append_column("part", codes)
+            return b.filter(pc.is_in(b["part"], value_set=tlist))
+
+        pieces = []
+        if staged_files:
+            # old content, sameAs rows dropped (replaced by the closure)
+            pieces.append(
+                rd.read_parquet(staged_files, filesystem=fs).map_batches(
+                    lambda b: in_touched(b, True), batch_format="pyarrow"
+                )
+            )
+        pieces.append(
+            rd.read_parquet(
+                win_files, columns=TRIPLE_COLS, filesystem=fs
+            ).map_batches(
+                lambda b: in_touched(b, False), batch_format="pyarrow"
+            )
+        )
+        if have_closure:
+            pieces.append(
+                rd.read_parquet(closure_dir, filesystem=fs).map_batches(
+                    lambda b: in_touched(b, False), batch_format="pyarrow"
+                )
+            )
+        merged = pieces[0]
+        for p in pieces[1:]:
+            merged = merged.union(p)
+        counts_ds = merged.groupby("part").map_groups(
+            lambda g: write_sorted_partition(
+                g, out_dir, dedup=True, run_sig=run_sig, fs=fs
+            ),
+            batch_format="pyarrow",
+        )
+        written = set()
+        for r in counts_ds.take_all():
+            counts[str(r["part"])] = int(r["rows"])
+            written.add(int(r["part"]))
+        # a touched partition whose merged content is EMPTY (its only rows
+        # were sameAs edges the new closure dropped) emits no group: drop
+        # the stale directory instead of leaving old data behind
+        for p in touched - written:
+            fsio.rmtree(fs, fsio.join(out_dir, f"part={p:05d}"))
+            counts.pop(str(p), None)
+
+    # ---- 5) re-stamp untouched partitions, write merged manifest -------
+    for p, f in old_files.items():
+        if p not in touched:
+            fsio.write_text_atomic(
+                fs, fsio.join(out_dir, f"part={p:05d}", "_sig"), run_sig
+            )
+    fsio.rmtree(fs, stage_dir)
+
+    manifest = RunManifest(
+        input_signature=merged_sig,
+        ruleset_hash=config.ruleset_hash(),
+        num_partitions=num_partitions,
+        triple_count=sum(counts.values()),
+        partition_counts=counts,
+        extra={
+            **existing.extra,
+            "window_sigs": windows,
+            "touched_partitions": sorted(int(p) for p in touched),
+        },
+    )
+    write_manifest(out_dir, manifest, filesystem=fs)
+    return manifest

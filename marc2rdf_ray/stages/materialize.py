@@ -175,6 +175,36 @@ def write_sorted_partition(
 
 _PARTITION_EXPANSION = 3.0  # triples bytes ~ pages-parquet bytes x this
 
+# Exchange-footprint expansion, measured on the flagship corpus: the
+# subject-hash sort exchange buffered ~80 GB (33.7 GB object store full +
+# ~47 GB spilled, BASELINE.md) for 13 GB of input pages parquet at 2M
+# pages => ~6.2x.  Used by choose_shards to auto-cap spill.
+_EXCHANGE_EXPANSION = 6.0
+_EXCHANGE_BUDGET_FRACTION = 0.6  # of object_store_memory per shard pass
+
+
+def choose_shards(input_bytes: int, num_partitions: int) -> int:
+    """Auto spill-cap (VERDICT r3 #2): pick the sharded-materialize pass
+    count so ONE pass's exchange fits in ~60% of the object store,
+    instead of requiring the caller to know that e.g. 2M pages spills
+    ~47 GB.  Estimate = input bytes x the measured exchange expansion;
+    calibration check against the measured ladder: 1.3 GB (200k pages)
+    -> 1 pass, 13 GB (2M) -> 4 (the empirically zero-spill setting),
+    26 GB (4M) -> 8 (ditto).  Never exceeds num_partitions; returns 1
+    when the store size or input size is unknown."""
+    try:
+        import ray
+
+        store = float(ray.cluster_resources().get("object_store_memory", 0))
+    except Exception:  # pragma: no cover
+        store = 0.0
+    if store <= 0 or input_bytes <= 0:
+        return 1
+    budget = store * _EXCHANGE_BUDGET_FRACTION
+    est = input_bytes * _EXCHANGE_EXPANSION
+    need = int(-(-est // budget))
+    return max(1, min(need, num_partitions))
+
 
 def choose_num_partitions(
     input_bytes: int, target_partition_bytes: int = 128 << 20
@@ -209,7 +239,7 @@ def materialize_graph(
     target_partition_bytes: int = 128 << 20,
     preserve_src_prefixes: list[str] | None = None,
     filesystem=None,
-    shards: int = 1,
+    shards: int = 0,
 ) -> RunManifest:
     """Write the edge table partitioned+sorted; returns the run manifest.
 
@@ -242,8 +272,9 @@ def materialize_graph(
     files behind for globbing consumers.  Directories whose marker DOES
     match (a crashed run of the identical job) survive and their
     sort+write is skipped -- partition-level resume.  Windowed/incremental
-    runs must target their own out_dir (and merge explicitly), never
-    append into a previous run's directory.
+    runs go through ``pipelines.incremental.merge_window_into_graph``
+    (partition-level merge: only changed partitions rewrite), never by
+    appending into a previous run's directory.
 
     ``num_partitions=None`` => adaptive via ``choose_num_partitions``
     (input-byte-scaled; fixed constants stop being valid the moment the
@@ -260,6 +291,13 @@ def materialize_graph(
     function of subj), the manifest is written once at the end, and the
     per-partition ``_sig`` markers make the loop crash-resumable
     mid-shard exactly like the unsharded path.
+
+    ``shards = 0`` (the default) => AUTO via :func:`choose_shards`: the
+    pass count is sized from the input bytes x the measured exchange
+    expansion vs this cluster's ``object_store_memory`` (VERDICT r3 #2)
+    -- small inputs keep the single-pass plan, inputs that would spill
+    pick S > 1 without the caller knowing the spill point.  An explicit
+    ``shards >= 1`` is always honored verbatim.
     """
     fs, out_dir = fsio.resolve_fs(out_dir, filesystem)
 
@@ -271,15 +309,15 @@ def materialize_graph(
     if sig and matches(existing, sig, ruleset_hash):
         return existing
 
+    in_bytes = 0
+    for f in files:
+        try:
+            in_fs, in_path = fsio.resolve_fs(f)
+            info = in_fs.get_file_info(in_path)
+            in_bytes += info.size or 0
+        except OSError:
+            pass
     if num_partitions is None:
-        in_bytes = 0
-        for f in files:
-            try:
-                in_fs, in_path = fsio.resolve_fs(f)
-                info = in_fs.get_file_info(in_path)
-                in_bytes += info.size or 0
-            except OSError:
-                pass
         num_partitions = choose_num_partitions(in_bytes, target_partition_bytes)
 
     # Carry preserved edges forward BEFORE the old partitions are dropped.
@@ -429,6 +467,8 @@ def materialize_graph(
     # blocks coalesce at the SOURCE instead (read_parquet
     # override_num_blocks -- see pipelines/kg.py), which costs nothing and
     # keeps exactly one all-to-all in this pipeline.
+    if not shards:  # 0/None => auto spill-cap sizing (VERDICT r3 #2)
+        shards = choose_shards(in_bytes, num_partitions)
     shards = max(1, min(int(shards), num_partitions))
     counts: dict[str, int] = {}
     for s in range(shards):

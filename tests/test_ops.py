@@ -2105,3 +2105,91 @@ class TestPluggableDecoders:
             pil_decoder()
         with pytest.raises(ImportError, match="resizer=callable"):
             pil_resizer()
+
+
+class TestMRLSketch:
+    def test_rank_error_within_proven_bound(self):
+        """Property: for random data, random batch splits and merge
+        orders, every quantile answer's true rank stays within the
+        sketch's own error_bound() -- the documented MRL guarantee."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from marc2rdf_ray.ops.quantiles import MRLSketch
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            st.lists(
+                st.integers(min_value=-10**6, max_value=10**6),
+                min_size=1,
+                max_size=4000,
+            ),
+            st.integers(min_value=1, max_value=7),
+            st.randoms(use_true_random=False),
+        )
+        def check(values, n_parts, rng):
+            k = 64
+            parts = [values[i::n_parts] for i in range(n_parts)]
+            rng.shuffle(parts)
+            sketches = [MRLSketch(k).add_many(p) for p in parts if p]
+            merged = sketches[0]
+            for s in sketches[1:]:
+                merged.merge(s)
+            assert merged.n == len(values)
+            bound = merged.error_bound()
+            arr = np.sort(np.asarray(values, np.int64))
+            for num, den in ((1, 2), (9, 10), (99, 100)):
+                v = merged.quantile(num, den)
+                target = (num * len(arr) + den - 1) // den
+                lo = int(np.searchsorted(arr, v, side="left"))
+                hi = int(np.searchsorted(arr, v, side="right"))
+                assert lo <= target + bound and hi >= target - bound, (
+                    v, target, bound, lo, hi,
+                )
+
+        check()
+
+    def test_compact_state_and_roundtrip(self):
+        """State stays O(k log(n/k)) values and the array serialization
+        rebuilds an equivalent sketch."""
+        import numpy as np
+
+        from marc2rdf_ray.ops.quantiles import MRLSketch
+
+        rng = np.random.RandomState(3)
+        sk = MRLSketch(128)
+        n = 200_000
+        for i in range(20):
+            sk.add_many(rng.randint(0, 10**9, n // 20))
+        stored = sum(len(b) for b in sk.levels)
+        assert stored < 2 * 128 * (len(sk.levels) + 1)  # O(k log) values
+        assert sk.n == n
+        vals, lvls, total = sk.to_arrays()
+        back = MRLSketch.from_arrays(vals, lvls, total, 128)
+        assert back.n == sk.n
+        for num, den in ((1, 2), (99, 100)):
+            assert back.quantile(num, den) == sk.quantile(num, den)
+
+    def test_sketch_quantiles_dataset_op(self, ray_session):
+        """The distributed op: answers land within the returned bound of
+        the numpy exact answer on a skewed corpus."""
+        import numpy as np
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.quantiles import sketch_quantiles
+
+        rng = np.random.RandomState(11)
+        vals = np.round(np.exp(rng.randn(50_000) * 2) * 10, 2)  # heavy tail
+        tab = pa.table({"value": pa.array(vals, pa.float64())})
+        out, n, bound = sketch_quantiles(
+            rd.from_arrow(tab).repartition(8), "value", k=256
+        )
+        assert n == len(vals)
+        cents = np.sort(np.floor(vals * 100 + 0.5).astype(np.int64))
+        for q, v in zip(out["q"].to_pylist(), out["value_cents"].to_pylist()):
+            target = int(np.ceil(q * n))
+            lo = int(np.searchsorted(cents, v, side="left"))
+            hi = int(np.searchsorted(cents, v, side="right"))
+            assert lo <= target + bound and hi >= target - bound
+        # the bound itself is small relative to n (useful, not vacuous)
+        assert bound < 0.05 * n

@@ -619,3 +619,90 @@ def test_sharded_materialize_byte_identical(ray_session, pages_dir, tmp_path):
         a = gzip.open(os.path.join(base, p, "edges.nt.gz"), "rb").read()
         b = gzip.open(os.path.join(sharded, p, "edges.nt.gz"), "rb").read()
         assert a == b, p
+
+
+def test_choose_shards_calibration(ray_session):
+    """VERDICT r3 #2: auto spill-cap -- small inputs single-pass, inputs
+    whose estimated exchange exceeds the store budget pick S>1, explicit
+    partition caps honored."""
+    import ray
+
+    from marc2rdf_ray.stages.materialize import (
+        _EXCHANGE_BUDGET_FRACTION,
+        _EXCHANGE_EXPANSION,
+        choose_shards,
+    )
+
+    store = ray.cluster_resources()["object_store_memory"]
+    budget = store * _EXCHANGE_BUDGET_FRACTION
+    assert choose_shards(0, 512) == 1
+    assert choose_shards(1 << 20, 512) == 1
+    big = int(budget * 3.5 / _EXCHANGE_EXPANSION)
+    assert choose_shards(big, 512) == 4
+    assert choose_shards(big, 2) == 2  # never exceeds num_partitions
+
+
+def test_incremental_window_merge_equals_full_run(ray_session, tmp_path):
+    """VERDICT r3 #6: merging a second harvest window into an existing
+    graph must equal the single full run over both windows' pages, while
+    rewriting ONLY the partitions whose content changed (mtime check on
+    the untouched ones)."""
+    import pyarrow.parquet as _pq
+
+    from marc2rdf_ray.pipelines.incremental import merge_window_into_graph
+    from marc2rdf_ray.pipelines.kg import run_kg_pipeline
+    from marc2rdf_ray.sources.pages import synthesize_pages
+
+    w1 = tmp_path / "w1"
+    w2 = tmp_path / "w2"
+    full = tmp_path / "full"
+    for d, start, n in ((w1, 0, 120), (w2, 120, 6), (full, 0, 126)):
+        d.mkdir()
+        _pq.write_table(
+            synthesize_pages(n, seed=42, start=start),
+            os.path.join(d, "pages.parquet"),
+        )
+
+    inc_out = str(tmp_path / "graph_inc")
+    full_out = str(tmp_path / "graph_full")
+    P = 64
+
+    run_kg_pipeline(str(w1), inc_out, PipelineConfig(), num_partitions=P)
+    before = {
+        d: os.path.getmtime(os.path.join(inc_out, d, "edges.parquet"))
+        for d in os.listdir(inc_out)
+        if d.startswith("part=")
+    }
+    m = merge_window_into_graph(str(w2), inc_out, PipelineConfig())
+    run_kg_pipeline(str(full), full_out, PipelineConfig(), num_partitions=P)
+
+    def read_parts(out):
+        parts = {}
+        for d in os.listdir(out):
+            if d.startswith("part="):
+                t = _pq.read_table(os.path.join(out, d, "edges.parquet"))
+                parts[d] = sorted(
+                    map(tuple, zip(*[t[c].to_pylist() for c in t.column_names]))
+                )
+        return parts
+
+    inc_parts = read_parts(inc_out)
+    full_parts = read_parts(full_out)
+    assert set(inc_parts) == set(full_parts)
+    for d in full_parts:
+        assert inc_parts[d] == full_parts[d], f"partition {d} diverged"
+    assert m.triple_count == sum(len(v) for v in inc_parts.values())
+
+    touched = {f"part={p:05d}" for p in m.extra["touched_partitions"]}
+    assert touched and touched != set(before)  # some partitions untouched
+    for d, t0 in before.items():
+        if d not in touched and d in inc_parts:
+            assert os.path.getmtime(
+                os.path.join(inc_out, d, "edges.parquet")
+            ) == t0, f"untouched partition {d} was rewritten"
+
+    # idempotent re-merge of a committed window: manifest short-circuit
+    mt = os.path.getmtime(os.path.join(inc_out, "_manifest.json"))
+    m2 = merge_window_into_graph(str(w2), inc_out, PipelineConfig())
+    assert m2.triple_count == m.triple_count
+    assert os.path.getmtime(os.path.join(inc_out, "_manifest.json")) == mt
