@@ -32,6 +32,26 @@ _ATTR_RE = re.compile(
     r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
 )
 
+# dispatch-specialized tag patterns (VERDICT r3 #9): the hot loop first
+# looks at the character AFTER '<' and matches only the one pattern that
+# can apply, instead of walking the 6-branch _TAG_RE alternation and
+# extracting a 4-group tuple for every tag.  Byte-identical match
+# semantics by construction: the alternation's branches are mutually
+# exclusive on that same character ('!', '?', '/', letter, other), and
+# the per-branch patterns below are copied verbatim from _TAG_RE.
+_START_RE = re.compile(
+    r"<([a-zA-Z][-a-zA-Z0-9:._]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>",
+    re.S,
+)
+_END_RE = re.compile(r"</\s*([a-zA-Z][-a-zA-Z0-9:._]*)[^>]*>")
+_MISC_RE = re.compile(
+    r"<!--.*?(?:-->|\Z)"
+    r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"
+    r"|<![^>]*>"
+    r"|<\?[^>]*>",
+    re.S,
+)
+
 _RAWTEXT = {"script", "style"}
 
 
@@ -177,7 +197,9 @@ def parse_page_fused(html: str) -> _ParsedPage:
     n = len(html)
     lower = None
     find = html.find
-    tag_match = _TAG_RE.match
+    start_match = _START_RE.match
+    end_match = _END_RE.match
+    misc_match = _MISC_RE.match
     h_tags = ("h1", "h2", "h3")
 
     while pos < n:
@@ -202,9 +224,25 @@ def parse_page_fused(html: str) -> _ParsedPage:
                     buf.append(data)
         if lt < 0:
             break
-        m = tag_match(html, lt)
-        e = lt + 1 if m is None else m.end()
-        if e - lt == 1:  # stray '<': emitted as data
+        # dispatch on the char after '<' -- only ONE specialized pattern
+        # can apply, so the hot path skips the full _TAG_RE alternation
+        # and its 4-group extraction (semantics identical; see _START_RE)
+        c = html[lt + 1] if lt + 1 < n else ""
+        start_name = end_name = None
+        attr_raw = selfclose = ""
+        if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+            m = start_match(html, lt)
+            if m is not None:
+                start_name, attr_raw, selfclose = m.group(1, 2, 3)
+        elif c == "/":
+            m = end_match(html, lt)
+            if m is not None:
+                end_name = m.group(1)
+        elif c == "!" or c == "?":
+            m = misc_match(html, lt)
+        else:
+            m = None
+        if m is None:  # stray '<': emitted as data
             if not skip_depth:
                 if in_title:
                     title_buf.append("<")
@@ -215,10 +253,9 @@ def parse_page_fused(html: str) -> _ParsedPage:
                         anchor_buf.append("<")
                     if in_body:
                         buf.append("<")
-            pos = e
+            pos = lt + 1
             continue
-        end_name, start_name, attr_raw, selfclose = m.group(1, 2, 3, 4)
-        pos = e
+        pos = m.end()
         if start_name is not None:
             tag = start_name.lower()
             if tag == "html" and attr_raw and not attr_raw.isspace():
