@@ -96,12 +96,32 @@ def cc_microbench(n_edges: int = 1_000_000) -> float:
 
     from marc2rdf_ray.stages.canonicalize import connected_components
 
+    # M2R_BIG_GRAPH_INTS=1: int64 node ids instead of "n<id>" URI-style
+    # strings -- the 100M-edge point's working set (pairs + per-round
+    # staged exchanges) exceeds this single node's spill disk with string
+    # ids (~2x the bytes); integer ids are the realistic doc-graph shape
+    # at that scale and exercise the identical operator code path.
+    int_ids = os.environ.get("M2R_BIG_GRAPH_INTS") == "1"
+
     def gen(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["id"].to_pylist(), np.int64)
         roots = ids // 10 * 10
+        chain = ids[(ids % 500 == 0) & (ids > 0)]
+        if int_ids:
+            subj, obj = roots, ids
+            extra_s, extra_o = chain - 500, chain
+            return pa.table(
+                {
+                    "subj": pa.array(
+                        np.concatenate([subj, extra_s]), pa.int64()
+                    ),
+                    "obj": pa.array(
+                        np.concatenate([obj, extra_o]), pa.int64()
+                    ),
+                }
+            )
         subj = np.char.add("n", roots.astype(str))
         obj = np.char.add("n", ids.astype(str))
-        chain = ids[(ids % 500 == 0) & (ids > 0)]
         extra_s = np.char.add("n", (chain - 500).astype(str))
         extra_o = np.char.add("n", chain.astype(str))
         return pa.table(
