@@ -1018,6 +1018,39 @@ def docs_decontaminated(sf_dir: str):
     )
 
 
+def docs_boilerplate_removed(sf_dir: str):
+    """Line-level boilerplate removal (ops.corpus.remove_boilerplate_lines
+    -- the C4/CCNet web-pipeline operator): docs are recut into 8-token
+    lines wrapped in a shared nav header + footer line; every line
+    occurring in >= 10 distinct docs (the injected boilerplate) is
+    dropped, the doc's remaining lines rejoin in order.  The oracle
+    replays split -> per-line distinct-doc counts -> threshold ->
+    reassemble exactly."""
+    from .ops.corpus import remove_boilerplate_lines
+
+    HEADER = "nav home products about contact login"
+    FOOTER = "copyright example site all rights reserved"
+
+    def build(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b["text"].to_pylist():
+            toks = (t or "").split()
+            lines = (
+                [HEADER]
+                + [" ".join(toks[k: k + 8]) for k in range(0, len(toks), 8)]
+                + [FOOTER]
+            )
+            out.append("\n".join(lines))
+        return pa.table(
+            {"doc_id": b["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    aug = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        build, batch_format="pyarrow"
+    )
+    return remove_boilerplate_lines(aug, min_docs=10)
+
+
 def docs_per_lang_sample(sf_dir: str):
     """Per-group quota sample (ops/corpus.py): 10 docs per language,
     ranked by (md5(doc_id), doc_id) -- the stratified analog of
@@ -2004,6 +2037,7 @@ QUERIES = {
     "docs_top_bigrams": docs_top_bigrams,
     "docs_decontaminated": docs_decontaminated,
     "docs_per_lang_sample": docs_per_lang_sample,
+    "docs_boilerplate_removed": docs_boilerplate_removed,
     "dedup_exact": dedup_exact,
     "dedup_incremental_windows": dedup_incremental_windows,
     "dedup_minhash": dedup_minhash,
@@ -3468,4 +3502,39 @@ SELECT CAST(t.num AS DOUBLE) / t.den AS q,
          AS value_cents_exact,
        CAST(1 AS BOOLEAN) AS within_bound
 FROM (VALUES (1, 2), (9, 10), (99, 100)) t(num, den)
+"""
+
+
+# line-level boilerplate removal: split -> per-line DISTINCT-doc counts ->
+# threshold -> in-order reassemble, replayed exactly (parallel unnest
+# zips the line with its ordinal; empty results keep the doc with '')
+ORACLE_SQL["docs_boilerplate_removed"] = r"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS tk
+  FROM documents
+), built AS (
+  SELECT doc_id,
+    ['nav home products about contact login']
+    || list_transform(
+         generate_series(1, (length(tk) + 7) // 8),
+         k -> array_to_string(list_slice(tk, (k - 1) * 8 + 1, k * 8), ' '))
+    || ['copyright example site all rights reserved'] AS ls
+  FROM base
+), lines AS (
+  SELECT doc_id,
+         unnest(ls) AS line,
+         unnest(generate_series(1, length(ls))) AS idx
+  FROM built
+), hot AS (
+  SELECT line FROM (
+    SELECT line, COUNT(DISTINCT doc_id) AS c FROM lines GROUP BY line
+  ) WHERE c >= 10
+), kept AS (
+  SELECT doc_id, line, idx FROM lines
+  WHERE line NOT IN (SELECT line FROM hot)
+)
+SELECT b.doc_id,
+       COALESCE(string_agg(k.line, chr(10) ORDER BY k.idx), '') AS text
+FROM built b LEFT JOIN kept k USING (doc_id)
+GROUP BY b.doc_id
 """

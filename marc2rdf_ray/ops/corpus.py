@@ -563,3 +563,115 @@ def weighted_sample(
         return b.filter(pa.array(hv < thr, pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def remove_boilerplate_lines(
+    ds,
+    *,
+    min_docs: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_budget: int = 256 << 20,
+):
+    """Line-level boilerplate removal (the C4/CCNet web-pipeline shape):
+    drop every LINE that occurs in at least ``min_docs`` DISTINCT
+    documents (nav bars, cookie banners, footers), keeping each doc's
+    remaining lines in order.  Returns ``(id, text)`` with the scrubbed
+    text (possibly empty -- the row is kept).
+
+    Scale shape: phase 1 counts each line once per doc per batch (an
+    Arrow group_by collapses within-doc repeats, then a per-line distinct
+    partial -- shuffle volume O(distinct lines per batch), never
+    O(lines)); ONE groupby-sum yields per-line doc counts; lines at or
+    over the threshold are the (small -- boilerplate is by definition
+    repetitive, so the hot set is tiny relative to the corpus) broadcast
+    side under ``broadcast_budget``.  Phase 2 is a stateless vectorized
+    map: split -> flatten -> ``is_in`` mask -> rebuild the list offsets
+    with a bincount -> one ``binary_join_element_wise``-free
+    ``pc.binary_join`` per batch.  Over-budget hot sets fall back to a
+    distributed join on the line (documented; composes from the
+    incremental_dedup anti-join pattern).
+
+    Determinism: line identity is the raw line string; the SQL oracle
+    (``docs_boilerplate_removed``) replays the split/count/filter/
+    reassemble chain exactly.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        col = pc.fill_null(b[text_col], "")
+        split = pc.split_pattern(col, "\n")
+        flat = pc.list_flatten(split)
+        parents = pc.list_parent_indices(split)
+        t = pa.table({"d": parents, "line": flat})
+        # count each line once per doc: collapse within-doc repeats first
+        per_doc = t.group_by(["d", "line"], use_threads=False).aggregate([])
+        g = (
+            per_doc.group_by(["line"], use_threads=False)
+            .aggregate([("line", "count")])
+            .rename_columns(["line", "cnt"])
+        )
+        return pa.table(
+            {"line": g["line"], "cnt": pc.cast(g["cnt"], pa.int64())}
+        )
+
+    hot_ds = (
+        ds.map_batches(line_partial, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["cnt"], min_docs)
+            ).select(["line"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    if hot_ds.size_bytes() > broadcast_budget:
+        raise ValueError(
+            "boilerplate line set exceeds the broadcast budget "
+            f"({hot_ds.size_bytes()} > {broadcast_budget}); raise min_docs "
+            "or the budget -- a hot set this large means the threshold is "
+            "matching the corpus body, not boilerplate.  (The distributed "
+            "alternative is an anti-join of exploded (doc, idx, line) rows "
+            "on line, the incremental_dedup fallback shape.)"
+        )
+    tabs = [t for t in ray.get(hot_ds.to_arrow_refs()) if t.num_rows]
+    hot = (
+        pa.concat_tables(tabs, promote_options="default")["line"]
+        .combine_chunks()
+        if tabs
+        else pa.array([], pa.string())
+    )
+    hot_ref = ray.put(hot)
+
+    def scrub(b: pa.Table) -> pa.Table:
+        hot_lines = ray.get(hot_ref)
+        col = pc.fill_null(b[text_col], "")
+        split = pc.split_pattern(col, "\n")
+        flat = pc.list_flatten(split)
+        parents = pc.list_parent_indices(split).to_numpy(
+            zero_copy_only=False
+        )
+        keep = pc.invert(
+            pc.fill_null(pc.is_in(flat, value_set=hot_lines), False)
+        )
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        kept_flat = flat.filter(keep)
+        counts = np.bincount(parents[keep_np], minlength=len(b))
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        rebuilt = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            kept_flat.combine_chunks()
+            if isinstance(kept_flat, pa.ChunkedArray)
+            else kept_flat,
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                text_col: pc.binary_join(rebuilt, "\n"),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

@@ -113,6 +113,11 @@ class CorpusConfig:
     pack_budget: int = 512            # tokens per packed training sequence
     num_partitions: Optional[int] = None  # None => 2 x CPU, floor 16
     broadcast_budget: int = 256 << 20
+    # 0 => AUTO spill cap for the text-carrying dedup exchange
+    # (stages/materialize.choose_shards over the input bytes); >=1 is
+    # honored verbatim.  Corpora whose dedup exchange would overflow the
+    # object store shard themselves into S sequential passes.
+    dedup_shards: int = 0
 
     def config_hash(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True, default=str)
@@ -145,7 +150,8 @@ def _parquet_files(fs, d: str) -> list:
 
 
 def exact_dedup_rows(ds, *, id_col: str = "doc_id", text_col: str = "text",
-                     num_buckets: int | None = None):
+                     num_buckets: int | None = None,
+                     bucket_range: tuple | None = None):
     """Keep the min-id row per distinct text, CARRYING the full row:
     one coarse content-hash bucket shuffle co-locates every copy, then a
     vectorized (hash, id) sort + neighbor mask keeps the first.
@@ -154,7 +160,15 @@ def exact_dedup_rows(ds, *, id_col: str = "doc_id", text_col: str = "text",
     needs a join to recover rows), the dedup here rides the shuffle that
     must happen anyway -- the right shape when the surviving TEXT is the
     product.  md5 hex keys keep the SQL oracle replay
-    (ops/dedup.py md5_u64 rationale)."""
+    (ops/dedup.py md5_u64 rationale).
+
+    ``bucket_range=(lo, hi)``: keep only rows whose coarse bucket falls
+    in [lo, hi) -- the SHARD filter of the spill-cap loop (the
+    materialize_graph ``shards`` pattern applied to the text-carrying
+    dedup exchange): pass s of S shuffles ~1/S of the corpus, so peak
+    object-store footprint drops by S at the cost of re-reading the
+    input S times.  Output over all shards is identical to the unsharded
+    run (bucket id is a pure function of the content hash)."""
     from ..functions.hashing import bucket_codes
     from ..ops.dedup import _coarse_buckets_default, add_content_hash
 
@@ -162,7 +176,14 @@ def exact_dedup_rows(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     def coarse(b: pa.Table) -> pa.Table:
         b = add_content_hash(b, text_col)
-        return b.append_column("_cb", bucket_codes(b["content_hash"], nb))
+        b = b.append_column("_cb", bucket_codes(b["content_hash"], nb))
+        if bucket_range is not None:
+            lo, hi = bucket_range
+            col = b["_cb"]
+            b = b.filter(
+                pc.and_(pc.greater_equal(col, lo), pc.less(col, hi))
+            )
+        return b
 
     def per_coarse(group: pa.Table) -> pa.Table:
         t = group.sort_by(
@@ -364,15 +385,41 @@ def run_corpus_pipeline(
     id_col, text_col = config.id_col, config.text_col
 
     # ---- stage 1: exact dedup -> _deduped checkpoint -------------------
+    # The only exchange that carries full text; auto-sharded like
+    # materialize_graph so a corpus bigger than the object store runs as
+    # S sequential hash-range passes instead of spilling unboundedly.
     dedup_dir = fsio.join(out_dir, "_deduped")
     dedup_marker = dedup_dir + ".complete"
     if not _stage_marker_ok(fs, dedup_marker, stamp):
+        from ..ops.dedup import _coarse_buckets_default
+        from ..stages.materialize import choose_shards
+
         fsio.rmtree(fs, dedup_dir)
         fsio.delete_file(fs, dedup_marker)
-        ds = rd.read_parquet(docs_path, columns=[id_col, text_col])
-        exact_dedup_rows(ds, id_col=id_col, text_col=text_col).write_parquet(
-            dedup_dir, filesystem=fs
-        )
+        nb = _coarse_buckets_default()
+        if config.dedup_shards:
+            shards = max(1, min(int(config.dedup_shards), nb))
+        else:
+            in_bytes = 0
+            for f in list_input_files(docs_path):
+                try:
+                    in_fs, in_path = fsio.resolve_fs(f)
+                    info = in_fs.get_file_info(in_path)
+                    in_bytes += info.size or 0
+                except OSError:
+                    pass
+            shards = choose_shards(in_bytes, nb)
+        for s in range(shards):
+            rng = (
+                (s * nb // shards, (s + 1) * nb // shards)
+                if shards > 1
+                else None
+            )
+            ds = rd.read_parquet(docs_path, columns=[id_col, text_col])
+            exact_dedup_rows(
+                ds, id_col=id_col, text_col=text_col,
+                num_buckets=nb, bucket_range=rng,
+            ).write_parquet(fsio.join(dedup_dir, f"shard={s}"), filesystem=fs)
         _commit_stage(fs, dedup_marker, stamp)
     dedup_files = _parquet_files(fs, dedup_dir)
 

@@ -233,3 +233,23 @@ def test_config_change_recomputes_from_scratch(ray_session, tmp_path):
     live = {f"part={int(k):05d}" for k in manifest["partition_counts"]}
     on_disk = {d for d in os.listdir(out) if d.startswith("part=")}
     assert on_disk == live
+
+
+def test_sharded_dedup_matches_unsharded(ray_session, tmp_path):
+    """The dedup spill-cap loop: dedup_shards=3 output must equal the
+    single-pass run exactly (bucket id is a pure function of the hash)."""
+    docs = _mk_docs(str(tmp_path / "docs"))
+    out1 = str(tmp_path / "out1")
+    out3 = str(tmp_path / "out3")
+    run_corpus_pipeline(docs, out1, _cfg(dedup_shards=1))
+    run_corpus_pipeline(docs, out3, _cfg(dedup_shards=3))
+    t1 = _read_out(out1).sort_by([("doc_id", "ascending")])
+    t3 = _read_out(out3).sort_by([("doc_id", "ascending")])
+    assert t1.equals(t3)
+    # the sharded checkpoint really ran as 3 hash-range passes
+    shards = [
+        d
+        for d in os.listdir(os.path.join(out3, "_deduped"))
+        if d.startswith("shard=")
+    ]
+    assert len(shards) == 3

@@ -2193,3 +2193,46 @@ class TestMRLSketch:
             assert lo <= target + bound and hi >= target - bound
         # the bound itself is small relative to n (useful, not vacuous)
         assert bound < 0.05 * n
+
+
+class TestBoilerplateRemoval:
+    def test_threshold_order_and_empty_doc(self, ray_session):
+        """Lines in >= min_docs DISTINCT docs are dropped (within-doc
+        repeats count once); survivors keep order; a doc reduced to
+        nothing stays as an empty-text row."""
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import remove_boilerplate_lines
+
+        hot = "COOKIE BANNER"
+        rows = []
+        for i in range(10):
+            rows.append((i, f"{hot}\nunique body {i}\n{hot}\n{hot}"))
+        rows.append((100, hot))               # only the hot line -> ''
+        rows.append((101, "rare line\nrare line"))  # 1 doc: kept, both
+        tab = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in remove_boilerplate_lines(
+                rd.from_arrow(tab).repartition(3), min_docs=11
+            ).take_all()
+        }
+        # hot appears in 11 distinct docs (repeats in one doc count once)
+        assert out[3] == "unique body 3"
+        assert out[100] == ""          # row kept, text emptied
+        assert out[101] == "rare line\nrare line"
+        assert len(out) == 12
+
+        # threshold just above: nothing removed
+        out2 = {
+            r["doc_id"]: r["text"]
+            for r in remove_boilerplate_lines(
+                rd.from_arrow(tab), min_docs=12
+            ).take_all()
+        }
+        assert out2[3] == rows[3][1]
