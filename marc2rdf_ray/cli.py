@@ -1,8 +1,24 @@
-"""CLI entry point: the one-shot converter (marc2rdf.rb analog).
+"""CLI entry points (the marc2rdf.rb + scheduler.rb analogs).
+
+One-shot converter (default mode):
 
     python -m marc2rdf_ray --pages /data/pages --out /data/graph \
         [--mapping mapping.json] [--limit N] [--since ISO --until ISO] \
         [--num-cpus N] [--partitions P] [--no-link]
+
+Subcommands:
+
+    python -m marc2rdf_ray sync-windows --root /data/windows --out /data/graph
+        Fold every window subdir under --root into the graph exactly once
+        (the scheduler.rb daily-cycle analog; idempotent, crash-resumable).
+
+    python -m marc2rdf_ray merge-window --pages /data/windows/day2 --out /data/graph
+        Fold ONE new window into an existing graph (partition-level merge).
+
+    python -m marc2rdf_ray corpus --docs /data/docs --out /data/clean \
+        [--min-tokens N] [--pack-budget N] [--partitions P]
+        The LLM-corpus flagship chain (dedup -> near-dup -> filter ->
+        redact -> split -> pack -> partitioned materialize).
 
 The only place in the library that owns a Ray session.
 """
@@ -14,7 +30,117 @@ import json
 import sys
 
 
+def _ray_init(num_cpus=None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    return ray
+
+
+def _manifest_json(manifest, out: str) -> str:
+    return json.dumps(
+        {
+            "rows": manifest.triple_count,
+            "partitions": manifest.num_partitions,
+            "ruleset_hash": manifest.ruleset_hash,
+            "out": out,
+        }
+    )
+
+
+def corpus_main(argv) -> int:
+    p = argparse.ArgumentParser(prog="marc2rdf_ray corpus")
+    p.add_argument("--docs", required=True, help="documents parquet dir/file")
+    p.add_argument("--out", required=True, help="output dir")
+    p.add_argument("--min-tokens", type=int, default=20)
+    p.add_argument("--pack-budget", type=int, default=512)
+    p.add_argument("--partitions", type=int, default=None)
+    args = p.parse_args(argv)
+    ray = _ray_init()
+    try:
+        from .pipelines.corpus import CorpusConfig, run_corpus_pipeline
+
+        m = run_corpus_pipeline(
+            args.docs,
+            args.out,
+            CorpusConfig(
+                min_tokens=args.min_tokens,
+                pack_budget=args.pack_budget,
+                num_partitions=args.partitions,
+            ),
+        )
+        print(_manifest_json(m, args.out))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def merge_window_main(argv) -> int:
+    p = argparse.ArgumentParser(prog="marc2rdf_ray merge-window")
+    p.add_argument("--pages", required=True, help="new window pages dir")
+    p.add_argument("--out", required=True, help="existing graph dir")
+    p.add_argument("--mapping", help="rule-set JSON path")
+    p.add_argument("--no-link", action="store_true")
+    args = p.parse_args(argv)
+    ray = _ray_init()
+    try:
+        from .config import PipelineConfig
+        from .pipelines.incremental import merge_window_into_graph
+
+        m = merge_window_into_graph(
+            args.pages, args.out, PipelineConfig(mapping=args.mapping),
+            link=not args.no_link,
+        )
+        print(_manifest_json(m, args.out))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def sync_windows_main(argv) -> int:
+    p = argparse.ArgumentParser(prog="marc2rdf_ray sync-windows")
+    p.add_argument("--root", required=True, help="dir of window subdirs")
+    p.add_argument("--out", required=True, help="graph dir")
+    p.add_argument("--mapping", help="rule-set JSON path")
+    p.add_argument("--no-link", action="store_true")
+    args = p.parse_args(argv)
+    ray = _ray_init()
+    try:
+        from .config import PipelineConfig
+        from .pipelines.incremental import sync_windows
+
+        m = sync_windows(
+            args.root, args.out, PipelineConfig(mapping=args.mapping),
+            link=not args.no_link,
+        )
+        print(_manifest_json(m, args.out))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+_SUBCOMMANDS = {
+    "corpus": corpus_main,
+    "merge-window": merge_window_main,
+    "sync-windows": sync_windows_main,
+}
+
+
 def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] in _SUBCOMMANDS:
+        return _SUBCOMMANDS[argv[0]](argv[1:])
+    return _convert_main(argv)
+
+
+def _convert_main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Ray-Data KG construction pipeline")
     p.add_argument("--pages", required=True, help="pages parquet dir/file")
     p.add_argument("--out", required=True, help="output graph dir")

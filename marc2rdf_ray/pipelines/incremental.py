@@ -353,3 +353,62 @@ def merge_window_into_graph(
     )
     write_manifest(out_dir, manifest, filesystem=fs)
     return manifest
+
+
+def sync_windows(
+    windows_root: str,
+    out_dir: str,
+    config: PipelineConfig | None = None,
+    *,
+    link: bool = True,
+    filesystem=None,
+) -> RunManifest:
+    """The scheduler analog (scheduler.rb:327-350 daily cycle): fold every
+    window directory under ``windows_root`` (one subdir per harvest drop,
+    lexicographic order = arrival order) into the graph at ``out_dir``
+    EXACTLY ONCE.  The first window bootstraps via the full pipeline; each
+    later one goes through :func:`merge_window_into_graph`.
+
+    Progress is tracked in ``out_dir/_synced_windows.json`` (written
+    atomically AFTER each window commits), so a crashed sync resumes at
+    the interrupted window -- and both the full run (manifest
+    short-circuit) and the merge (committed-window short-circuit) are
+    idempotent, so re-running the interrupted window is safe.  Re-invoking
+    on an unchanged root is a no-op; new drops fold in on the next call
+    -- point a cron/scheduler at this function and it IS the daily cycle.
+    """
+    import json as _json
+
+    from .kg import run_kg_pipeline
+
+    config = config or PipelineConfig()
+    fs, out_dir = fsio.resolve_fs(out_dir, filesystem)
+    root_fs, root = fsio.resolve_fs(windows_root)
+    windows = sorted(
+        d for d in fsio.listdir(root_fs, root)
+        if fsio.isdir(root_fs, fsio.join(root, d))
+    )
+    if not windows:
+        raise ValueError(f"no window directories under {windows_root}")
+
+    state_path = fsio.join(out_dir, "_synced_windows.json")
+    done = set(_json.loads(fsio.read_text(fs, state_path) or "[]"))
+
+    manifest = read_manifest(out_dir, filesystem=fs)
+    for d in windows:
+        if d in done:
+            continue
+        wdir = fsio.join(root, d)
+        if manifest is None:
+            manifest = run_kg_pipeline(
+                wdir, out_dir, config, link=link, filesystem=fs
+            )
+        else:
+            manifest = merge_window_into_graph(
+                wdir, out_dir, config, link=link, filesystem=fs
+            )
+        done.add(d)
+        fsio.write_text_atomic(
+            fs, state_path, _json.dumps(sorted(done))
+        )
+    return manifest

@@ -706,3 +706,72 @@ def test_incremental_window_merge_equals_full_run(ray_session, tmp_path):
     m2 = merge_window_into_graph(str(w2), inc_out, PipelineConfig())
     assert m2.triple_count == m.triple_count
     assert os.path.getmtime(os.path.join(inc_out, "_manifest.json")) == mt
+
+
+def test_sync_windows_daily_cycle(ray_session, tmp_path):
+    """scheduler.rb daily-cycle analog: sync_windows folds each window
+    dir exactly once (bootstrap + merges), equals the full run, resumes
+    idempotently, and picks up late-arriving windows."""
+    import pyarrow.parquet as _pq
+
+    from marc2rdf_ray.pipelines.incremental import sync_windows
+    from marc2rdf_ray.pipelines.kg import run_kg_pipeline
+    from marc2rdf_ray.sources.pages import synthesize_pages
+
+    root = tmp_path / "windows"
+    root.mkdir()
+    spans = [(0, 100), (100, 5), (105, 5)]
+    for w, (start, n) in enumerate(spans):
+        d = root / f"w{w}"
+        d.mkdir()
+        _pq.write_table(
+            synthesize_pages(n, seed=42, start=start),
+            os.path.join(d, "pages.parquet"),
+        )
+
+    out = str(tmp_path / "graph")
+    m = sync_windows(str(root), out, PipelineConfig())
+    assert len(m.extra.get("window_sigs", {})) == 2  # two merged windows
+
+    full_dir = tmp_path / "full"
+    full_dir.mkdir()
+    _pq.write_table(
+        synthesize_pages(110, seed=42, start=0),
+        os.path.join(full_dir, "pages.parquet"),
+    )
+    full_out = str(tmp_path / "graph_full")
+    run_kg_pipeline(
+        str(full_dir), full_out, PipelineConfig(),
+        num_partitions=m.num_partitions,
+    )
+
+    def edge_set(out_dir):
+        rows = set()
+        for d in os.listdir(out_dir):
+            if d.startswith("part="):
+                t = _pq.read_table(os.path.join(out_dir, d, "edges.parquet"))
+                rows |= set(
+                    zip(*[t[c].to_pylist() for c in ("subj", "pred", "obj")])
+                )
+        return rows
+
+    assert edge_set(out) == edge_set(full_out)
+    assert m.triple_count == sum(m.partition_counts.values())
+
+    # re-sync: no-op (state file lists all three)
+    state = os.path.join(out, "_synced_windows.json")
+    mt = os.path.getmtime(state)
+    m2 = sync_windows(str(root), out, PipelineConfig())
+    assert m2.triple_count == m.triple_count
+    assert os.path.getmtime(state) == mt
+
+    # a late-arriving window folds in on the next call
+    d = root / "w3"
+    d.mkdir()
+    _pq.write_table(
+        synthesize_pages(4, seed=42, start=110),
+        os.path.join(d, "pages.parquet"),
+    )
+    m3 = sync_windows(str(root), out, PipelineConfig())
+    assert m3.triple_count > m.triple_count
+    assert json.load(open(state)) == ["w0", "w1", "w2", "w3"]
