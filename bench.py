@@ -267,6 +267,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "embeddings_knn_graph",
         "dedup_incremental_windows",
         "corpus_flagship_docs",
+        "docs_boilerplate_removed",
+        "events_value_quantile_sketch",
     ]
     out = {}
     for name in names:

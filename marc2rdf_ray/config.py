@@ -69,7 +69,27 @@ class PipelineConfig:
         )
 
     def ruleset_hash(self) -> str:
-        return self.build_engine().ruleset.ruleset_hash
+        """Identity of the CONVERSION, not just the mapping document: the
+        engine knobs that change the output (subject template, identifier
+        tag, resource type, namespaces) are folded in, so a prefix change
+        invalidates manifests / stage checkpoints exactly like a mapping
+        edit (ADVICE r4: a prefix-only change previously kept the same
+        hash and a matching manifest would wrongly short-circuit)."""
+        import hashlib
+
+        core = self.build_engine().ruleset.ruleset_hash
+        ident = json.dumps(
+            [
+                self.base,
+                self.prefix,
+                self.identifier_tag,
+                self.resource_type,
+                sorted((self.extra_namespaces or {}).items()),
+            ],
+            sort_keys=True,
+            default=str,
+        )
+        return hashlib.sha256(f"{core}:{ident}".encode()).hexdigest()[:16]
 
 
 def default_page_config(**overrides) -> PipelineConfig:

@@ -607,7 +607,11 @@ def events_value_quantile_sketch(sf_dir: str):
         exact_out.append(int(vals[i]))
         lo = int(cum[np.searchsorted(vals, sk_v, side="left")])   # < sk_v
         hi = int(cum[np.searchsorted(vals, sk_v, side="right")])  # <= sk_v
-        ok_out.append(lo <= target + bound and hi >= target - bound)
+        # sk_v occupies ranks [lo+1, hi]; the guarantee holds iff that
+        # interval intersects [target-bound, target+bound] -- strict on
+        # the lo side (lo == target+bound would put every rank of sk_v
+        # one past the bound; ADVICE r4 off-by-one)
+        ok_out.append(lo + 1 <= target + bound and hi >= target - bound)
         q_out.append(num / den)
     return pa.table(
         {

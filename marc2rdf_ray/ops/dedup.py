@@ -546,6 +546,58 @@ def embedding_dup_pairs(
     return out.drop_columns(["pk"])
 
 
+def anti_join_filter(ds, keys_ds, col: str, *,
+                     broadcast_budget: int = 256 << 20):
+    """Drop every row of ``ds`` whose ``col`` value appears in ``keys_ds``
+    (which must expose a column named ``col``) -- the shared
+    broadcast-or-anti-join membership filter (ADVICE r4: this shape was
+    triplicated across incremental_dedup, the corpus pipeline's drop-list
+    stage and the minhash keep query).
+
+    Small key sets (<= ``broadcast_budget``) broadcast once via
+    ``ray.put`` and filter with one vectorized ``is_in`` per batch; larger
+    sets fall back to a distributed left-outer join on ``col`` with a
+    null-marker filter (the anti-join shape)."""
+    import ray
+    import ray.data as rd  # noqa: F401 (documents the Dataset contract)
+
+    keys = keys_ds.materialize()
+    if keys.size_bytes() <= broadcast_budget:
+        tabs = [t for t in ray.get(keys.to_arrow_refs()) if t.num_rows]
+        vals = (
+            pa.concat_tables(tabs, promote_options="default")[col]
+            .combine_chunks()
+            if tabs
+            else None
+        )
+        if vals is None:
+            return ds
+        ref = ray.put(vals)
+
+        def drop_seen(b: pa.Table) -> pa.Table:
+            hit = pc.is_in(b[col], value_set=ray.get(ref))
+            return b.filter(pc.invert(pc.fill_null(hit, False)))
+
+        return ds.map_batches(drop_seen, batch_format="pyarrow")
+
+    marked = keys.map_batches(
+        lambda b: pa.table(
+            {
+                col: b[col],
+                "_seen": pa.array(np.ones(len(b), np.int8), pa.int8()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nparts = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    return ds.join(
+        marked, join_type="left_outer", num_partitions=nparts, on=(col,)
+    ).map_batches(
+        lambda b: b.filter(pc.is_null(b["_seen"])).drop_columns(["_seen"]),
+        batch_format="pyarrow",
+    )
+
+
 def incremental_dedup(
     ds,
     state_dir: str,
@@ -607,48 +659,11 @@ def incremental_dedup(
     if prior_files:
         state = rd.read_parquet(
             prior_files, columns=["content_hash"], filesystem=fs
-        ).materialize()
-        if state.size_bytes() <= broadcast_budget:
-            seen = pa.concat_tables(
-                ray.get(state.to_arrow_refs()), promote_options="default"
-            )["content_hash"].combine_chunks()
-            seen_ref = ray.put(seen)
-
-            def drop_seen(b: pa.Table) -> pa.Table:
-                s = ray.get(seen_ref)
-                hit = pc.is_in(b["content_hash"], value_set=s)
-                return b.filter(pc.invert(pc.fill_null(hit, False)))
-
-            window = window.map_batches(drop_seen, batch_format="pyarrow")
-        else:
-            marked = state.map_batches(
-                lambda b: pa.table(
-                    {
-                        "content_hash": b["content_hash"],
-                        "_seen": pa.array(
-                            np.ones(len(b), np.int8), pa.int8()
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            nparts = max(
-                2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2)
-            )
-            window = (
-                window.join(
-                    marked,
-                    join_type="left_outer",
-                    num_partitions=nparts,
-                    on=("content_hash",),
-                )
-                .map_batches(
-                    lambda b: b.filter(
-                        pc.is_null(b["_seen"])
-                    ).drop_columns(["_seen"]),
-                    batch_format="pyarrow",
-                )
-            )
+        )
+        window = anti_join_filter(
+            window, state, "content_hash",
+            broadcast_budget=broadcast_budget,
+        )
 
     kept = window.materialize()
     if not committed:

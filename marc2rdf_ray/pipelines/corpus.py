@@ -123,6 +123,33 @@ class CorpusConfig:
         payload = json.dumps(asdict(self), sort_keys=True, default=str)
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
+    # per-stage hashes: each checkpoint marker carries ONLY the knobs its
+    # output depends on, so tweaking e.g. pack_budget reuses the expensive
+    # dedup + MinHash shuffles instead of recomputing them (ADVICE r4 --
+    # the materialize_graph stamp discipline).  dedup_shards is excluded
+    # everywhere: sharding changes the execution plan, never the output.
+    def _hash_of(self, *vals) -> str:
+        return hashlib.sha256(
+            json.dumps(vals, sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
+
+    def dedup_stage_hash(self) -> str:
+        return self._hash_of("dedup", self.id_col, self.text_col)
+
+    def drops_stage_hash(self) -> str:
+        return self._hash_of(
+            "drops", self.dedup_stage_hash(), self.minhash_threshold,
+            self.num_perm, self.bands, self.ngram, self.cc_rounds,
+        )
+
+    def clean_stage_hash(self) -> str:
+        return self._hash_of(
+            "clean", self.drops_stage_hash(), self.min_tokens,
+            self.drop_und, self.langs, self.blocked_spans,
+            self.redact_patterns, self.split_fractions,
+            self.broadcast_budget,
+        )
+
 
 def _split_bounds(fractions) -> tuple:
     """Cumulative md5-range bounds; remainder goes to the LAST label
@@ -372,7 +399,11 @@ def run_corpus_pipeline(
 
     sig = input_signature(list_input_files(docs_path))
     cfg_hash = config.config_hash()
-    stamp = f"{sig}:{cfg_hash}"
+    # per-stage stamps: only the knobs a stage's output depends on
+    # (ADVICE r4 -- a pack_budget tweak must not rerun the dedup shuffle)
+    dedup_stamp = f"{sig}:{config.dedup_stage_hash()}"
+    drops_stamp = f"{sig}:{config.drops_stage_hash()}"
+    clean_stamp = f"{sig}:{config.clean_stage_hash()}"
 
     existing = read_manifest(out_dir, filesystem=fs)
     if (
@@ -390,7 +421,7 @@ def run_corpus_pipeline(
     # S sequential hash-range passes instead of spilling unboundedly.
     dedup_dir = fsio.join(out_dir, "_deduped")
     dedup_marker = dedup_dir + ".complete"
-    if not _stage_marker_ok(fs, dedup_marker, stamp):
+    if not _stage_marker_ok(fs, dedup_marker, dedup_stamp):
         from ..ops.dedup import _coarse_buckets_default
         from ..stages.materialize import choose_shards
 
@@ -400,15 +431,9 @@ def run_corpus_pipeline(
         if config.dedup_shards:
             shards = max(1, min(int(config.dedup_shards), nb))
         else:
-            in_bytes = 0
-            for f in list_input_files(docs_path):
-                try:
-                    in_fs, in_path = fsio.resolve_fs(f)
-                    info = in_fs.get_file_info(in_path)
-                    in_bytes += info.size or 0
-                except OSError:
-                    pass
-            shards = choose_shards(in_bytes, nb)
+            shards = choose_shards(
+                fsio.total_size(list_input_files(docs_path)), nb
+            )
         for s in range(shards):
             rng = (
                 (s * nb // shards, (s + 1) * nb // shards)
@@ -420,13 +445,23 @@ def run_corpus_pipeline(
                 ds, id_col=id_col, text_col=text_col,
                 num_buckets=nb, bucket_range=rng,
             ).write_parquet(fsio.join(dedup_dir, f"shard={s}"), filesystem=fs)
-        _commit_stage(fs, dedup_marker, stamp)
+        _commit_stage(fs, dedup_marker, dedup_stamp)
     dedup_files = _parquet_files(fs, dedup_dir)
+
+    if not dedup_files:  # empty corpus: manifest only, nothing downstream
+        manifest = RunManifest(
+            input_signature=sig, ruleset_hash=cfg_hash,
+            num_partitions=int(config.num_partitions or 0),
+            triple_count=0, partition_counts={},
+            extra={"total_tokens": 0},
+        )
+        write_manifest(out_dir, manifest, filesystem=fs)
+        return manifest
 
     # ---- stage 2: near-dup drop list -> _drops checkpoint --------------
     drops_dir = fsio.join(out_dir, "_drops")
     drops_marker = drops_dir + ".complete"
-    if not _stage_marker_ok(fs, drops_marker, stamp):
+    if not _stage_marker_ok(fs, drops_marker, drops_stamp):
         fsio.rmtree(fs, drops_dir)
         fsio.delete_file(fs, drops_marker)
         deduped = rd.read_parquet(dedup_files, filesystem=fs)
@@ -451,61 +486,31 @@ def run_corpus_pipeline(
             batch_format="pyarrow",
         )
         drops.write_parquet(drops_dir, filesystem=fs)
-        _commit_stage(fs, drops_marker, stamp)
+        _commit_stage(fs, drops_marker, drops_stamp)
     drop_files = _parquet_files(fs, drops_dir)
 
     # ---- stage 3: anti-join drops + fused prep -> _clean checkpoint ----
     clean_dir = fsio.join(out_dir, "_clean")
     clean_marker = clean_dir + ".complete"
-    if not _stage_marker_ok(fs, clean_marker, stamp):
+    if not _stage_marker_ok(fs, clean_marker, clean_stamp):
         fsio.rmtree(fs, clean_dir)
         fsio.delete_file(fs, clean_marker)
+        from ..ops.dedup import anti_join_filter
+
         deduped = rd.read_parquet(dedup_files, filesystem=fs)
         if drop_files:
-            drops_ds = rd.read_parquet(drop_files, filesystem=fs).materialize()
-            if drops_ds.size_bytes() <= config.broadcast_budget:
-                tabs = [
-                    t for t in ray.get(drops_ds.to_arrow_refs()) if t.num_rows
-                ]
-                dropped = (
-                    pa.concat_tables(tabs, promote_options="default")[id_col]
-                    .combine_chunks()
-                    if tabs
-                    else pa.array([], pa.int64())
-                )
-                dref = ray.put(dropped)
-
-                def drop_seen(b: pa.Table) -> pa.Table:
-                    hit = pc.is_in(b[id_col], value_set=ray.get(dref))
-                    return b.filter(pc.invert(pc.fill_null(hit, False)))
-
-                deduped = deduped.map_batches(
-                    drop_seen, batch_format="pyarrow"
-                )
-            else:  # distributed anti-join (the 100-TB drop-list path)
-                marked = drops_ds.map_batches(
-                    lambda b: b.append_column(
-                        "_dup", pa.array(np.ones(len(b), np.int8), pa.int8())
-                    ),
-                    batch_format="pyarrow",
-                )
-                nparts = max(
-                    2,
-                    min(64, int(ray.cluster_resources().get("CPU", 8)) // 2),
-                )
-                deduped = deduped.join(
-                    marked, join_type="left_outer",
-                    num_partitions=nparts, on=(id_col,),
-                ).map_batches(
-                    lambda b: b.filter(
-                        pc.is_null(b["_dup"])
-                    ).drop_columns(["_dup"]),
-                    batch_format="pyarrow",
-                )
+            # broadcast-or-anti-join membership filter (shared helper;
+            # broadcast under budget, distributed left-outer fallback)
+            deduped = anti_join_filter(
+                deduped,
+                rd.read_parquet(drop_files, filesystem=fs),
+                id_col,
+                broadcast_budget=config.broadcast_budget,
+            )
         deduped.map_batches(
             _prep_fn(config), batch_format="pyarrow"
         ).write_parquet(clean_dir, filesystem=fs)
-        _commit_stage(fs, clean_marker, stamp)
+        _commit_stage(fs, clean_marker, clean_stamp)
     clean_files = _parquet_files(fs, clean_dir)
 
     # ---- stage 4: pack offsets (two-phase prefix sum) + materialize ----
@@ -515,7 +520,7 @@ def run_corpus_pipeline(
         num_partitions = max(
             16, int(ray.cluster_resources().get("CPU", 8)) * 2
         )
-    run_sig = f"{stamp}:{num_partitions}"
+    run_sig = f"{clean_stamp}:{num_partitions}:{config.pack_budget}"
 
     nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
     slim = rd.read_parquet(

@@ -95,6 +95,16 @@ def merge_window_into_graph(
             f"no existing graph manifest under {out_dir}; run the full "
             "pipeline first, then merge windows into it"
         )
+    if existing.ruleset_hash != config.ruleset_hash():
+        raise ValueError(
+            "merge_window_into_graph: the graph at "
+            f"{out_dir} was built with ruleset {existing.ruleset_hash!r} "
+            f"but this merge uses {config.ruleset_hash()!r}; merging would "
+            "mix rule versions across windows (prior windows' triples stay "
+            "on the old rules while the manifest certifies the new ones). "
+            "Re-run the FULL pipeline over all windows after a rule change "
+            "(the recompute semantics of U1-U6)."
+        )
     num_partitions = existing.num_partitions
 
     win_sig = input_signature(list_input_files(new_pages_path))
@@ -120,7 +130,7 @@ def merge_window_into_graph(
     # ---- 1) extract + checkpoint the new window's raw triples ----------
     win_ckpt = fsio.join(out_dir, f"_raw_win={wid}")
     marker = win_ckpt + ".complete"
-    ckpt_sig = f"{win_sig}:{config.ruleset_hash()}"
+    ckpt_sig = f"{win_sig}:{config.ruleset_hash()}:link={int(link)}"
     if (fsio.read_text(fs, marker) or "").strip() != ckpt_sig:
         fsio.rmtree(fs, win_ckpt)
         fsio.delete_file(fs, marker)
@@ -142,6 +152,14 @@ def merge_window_into_graph(
         fsio.write_text_atomic(fs, marker, ckpt_sig)
 
     # ---- 2) global sameAs closure from ALL windows' pk=1 slivers -------
+    if not fsio.isdir(fs, fsio.join(out_dir, "_raw_triples")):
+        raise ValueError(
+            f"merge_window_into_graph: {out_dir}/_raw_triples is missing -- "
+            "it is the durable source of the base run's sameAs key sliver; "
+            "merging without it would silently drop every base-derived "
+            "sameAs edge.  Keep the raw checkpoint alongside the graph, or "
+            "re-run the full pipeline."
+        )
     sliver_files = []
     for d in fsio.listdir(fs, out_dir):
         if d == "_raw_triples" or d.startswith("_raw_win="):
@@ -277,10 +295,11 @@ def merge_window_into_graph(
         tlist = pa.array(sorted(touched), pa.int32())
 
         def in_touched(b: pa.Table, drop_sameas: bool) -> pa.Table:
-            if len(b) == 0:
-                return b.select(
-                    [c for c in TRIPLE_COLS if c in b.column_names]
-                )
+            if len(b) == 0 or not set(TRIPLE_COLS) <= set(b.column_names):
+                # zero-row blocks must still match the union schema
+                empty = {c: pa.array([], pa.string()) for c in TRIPLE_COLS}
+                empty["part"] = pa.array([], pa.int32())
+                return pa.table(empty)
             b = b.select(TRIPLE_COLS)
             if drop_sameas:
                 b = b.filter(

@@ -309,14 +309,7 @@ def materialize_graph(
     if sig and matches(existing, sig, ruleset_hash):
         return existing
 
-    in_bytes = 0
-    for f in files:
-        try:
-            in_fs, in_path = fsio.resolve_fs(f)
-            info = in_fs.get_file_info(in_path)
-            in_bytes += info.size or 0
-        except OSError:
-            pass
+    in_bytes = fsio.total_size(files)
     if num_partitions is None:
         num_partitions = choose_num_partitions(in_bytes, target_partition_bytes)
 

@@ -132,3 +132,22 @@ def file_sizes(fs, paths: list[str]) -> int:
         if i.type == pafs.FileType.File and i.size is not None:
             total += i.size
     return total
+
+
+def total_size(paths: list[str], filesystem=None) -> int:
+    """Total byte size of the given files (missing/unstattable entries
+    count 0) -- the shared input-size estimator for shard sizing
+    (stages/materialize.choose_shards callers).  Resolves each path
+    independently so mixed local/URI lists work; pass ``filesystem`` to
+    stat them all through one FS (object stores: prefer batching via
+    file_sizes when the FS is already resolved)."""
+    total = 0
+    for p in paths:
+        try:
+            fs, fp = resolve_fs(p, filesystem)
+            info = fs.get_file_info(fp)
+            if info.type == pafs.FileType.File and info.size is not None:
+                total += info.size
+        except OSError:
+            pass
+    return total

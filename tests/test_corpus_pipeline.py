@@ -216,14 +216,29 @@ def test_stage_checkpoint_resume_after_partial_crash(ray_session, tmp_path):
 
 
 def test_config_change_recomputes_from_scratch(ray_session, tmp_path):
+    """A config change recomputes FROM THE FIRST AFFECTED STAGE: filter
+    knobs only touch stage 3, so the expensive dedup + MinHash
+    checkpoints must be REUSED (per-stage stamps, ADVICE r4)."""
     docs = _mk_docs(str(tmp_path / "docs"))
     out = str(tmp_path / "out")
     m1 = run_corpus_pipeline(docs, out, _cfg())
     ids1 = set(_read_out(out)["doc_id"].to_pylist())
 
-    # relaxing the filters admits the short doc and the 'und' doc; the
-    # changed config hash must miss every stage marker and recompute
+    def stage_mtimes(d):
+        sd = os.path.join(out, d)
+        return {
+            f: os.path.getmtime(os.path.join(sd, f))
+            for f in os.listdir(sd)
+        }
+
+    ded_before = stage_mtimes("_deduped")
+    drops_before = stage_mtimes("_drops")
+
+    # relaxing the filters admits the short doc and the 'und' doc; only
+    # the clean stage and the partitions recompute
     m2 = run_corpus_pipeline(docs, out, _cfg(min_tokens=2, drop_und=False))
+    assert stage_mtimes("_deduped") == ded_before   # shuffle reused
+    assert stage_mtimes("_drops") == drops_before   # minhash reused
     ids2 = set(_read_out(out)["doc_id"].to_pylist())
     assert {300, 301} <= ids2 and not {300, 301} & ids1
     assert m2.ruleset_hash != m1.ruleset_hash

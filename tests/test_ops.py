@@ -2143,7 +2143,8 @@ class TestMRLSketch:
                 target = (num * len(arr) + den - 1) // den
                 lo = int(np.searchsorted(arr, v, side="left"))
                 hi = int(np.searchsorted(arr, v, side="right"))
-                assert lo <= target + bound and hi >= target - bound, (
+                # v occupies ranks [lo+1, hi]; strict on the lo side
+                assert lo + 1 <= target + bound and hi >= target - bound, (
                     v, target, bound, lo, hi,
                 )
 
@@ -2190,7 +2191,7 @@ class TestMRLSketch:
             target = int(np.ceil(q * n))
             lo = int(np.searchsorted(cents, v, side="left"))
             hi = int(np.searchsorted(cents, v, side="right"))
-            assert lo <= target + bound and hi >= target - bound
+            assert lo + 1 <= target + bound and hi >= target - bound
         # the bound itself is small relative to n (useful, not vacuous)
         assert bound < 0.05 * n
 

@@ -775,3 +775,38 @@ def test_sync_windows_daily_cycle(ray_session, tmp_path):
     m3 = sync_windows(str(root), out, PipelineConfig())
     assert m3.triple_count > m.triple_count
     assert json.load(open(state)) == ["w0", "w1", "w2", "w3"]
+
+
+def test_merge_refuses_ruleset_change_and_missing_checkpoint(
+    ray_session, tmp_path
+):
+    """ADVICE r4: a merge under a changed ruleset would mix rule versions
+    across windows; a missing base raw checkpoint would silently drop
+    base-derived sameAs edges.  Both must fail loud."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from marc2rdf_ray.pipelines.incremental import merge_window_into_graph
+    from marc2rdf_ray.pipelines.kg import run_kg_pipeline
+    from marc2rdf_ray.sources.pages import synthesize_pages
+
+    w1 = tmp_path / "w1"
+    w2 = tmp_path / "w2"
+    for d, start, n in ((w1, 0, 60), (w2, 60, 6)):
+        d.mkdir()
+        _pq.write_table(
+            synthesize_pages(n, seed=42, start=start),
+            os.path.join(d, "pages.parquet"),
+        )
+    out = str(tmp_path / "graph")
+    run_kg_pipeline(str(w1), out, PipelineConfig(), num_partitions=16)
+
+    with pytest.raises(ValueError, match="ruleset"):
+        merge_window_into_graph(
+            str(w2), out, PipelineConfig(prefix="changed_")
+        )
+
+    shutil.rmtree(os.path.join(out, "_raw_triples"))
+    with pytest.raises(ValueError, match="_raw_triples"):
+        merge_window_into_graph(str(w2), out, PipelineConfig())
