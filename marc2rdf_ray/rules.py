@@ -94,14 +94,6 @@ def _opts_entry(spec: dict) -> tuple:
     return hit
 
 
-def _gen_objects(marc_object: str, fld, spec: dict) -> list[str]:
-    """generate_objects with the per-spec trivial fast path."""
-    entry = _opts_entry(spec)
-    if entry[2]:
-        return [marc_object]
-    return generate_objects(marc_object, marcfield=fld, **entry[1])
-
-
 def _build_object_opts(spec: dict) -> dict:
     return {
         "regex_split": spec.get("regex_split"),
@@ -257,6 +249,94 @@ def validate_mapping(mapping: dict) -> None:
                                  "relation requires a 'class'")
 
 
+def _compile_control(rule: dict, vocab: Vocabulary) -> tuple:
+    """Lower a control rule (rdfmodeler.rb:160-186) to emission tuples:
+    (pred_uri|None, opts, trivial, is_literal, prefix, relcls_uri|None)."""
+    entries = []
+    for _, value in rule.items():
+        if not isinstance(value, dict) or "object" not in value:
+            continue
+        spec = value["object"]
+        _, opts, trivial = _opts_entry(spec)
+        pred_name = value.get("predicate") or ""
+        entries.append(
+            (
+                vocab.resolve(pred_name) if pred_name else None,
+                opts,
+                trivial,
+                spec.get("datatype") == "literal",
+                spec.get("prefix") or "",
+                vocab.resolve(value["relation"]["class"])
+                if "relation" in value
+                else None,
+            )
+        )
+    return tuple(entries)
+
+
+_DT_CODE = {"uri": 0, "integer": 1, "float": 2}  # anything else: literal=3
+
+
+def _compile_data(subfield_rules: dict, vocab: Vocabulary) -> tuple:
+    """Lower data rules (rdfmodeler.rb:188-304) to emission tuples:
+    (code, cond_sub|None, pred_uri|None, relinfo|None, dt_code, lang,
+    opts, trivial, prefix).  Constant predicates are vocab-resolved HERE
+    (once per worker) instead of per field; conditioned predicates keep
+    the original sub dict and go through _predicate_name at runtime.
+    relinfo = (relcls_uri, ((code2, rpred_uri, is_uri, prefix2, opts2,
+    trivial2, lang2), ...))."""
+    entries = []
+    for code, sub in subfield_rules.items():
+        spec = sub.get("object", {})
+        _, opts, trivial = _opts_entry(spec)
+        cond = sub if "conditions" in sub else None
+        pred = None
+        if cond is None:
+            name = sub.get("predicate")
+            pred = vocab.resolve(name) if name else None
+        relinfo = None
+        if "relation" in sub:
+            rel_subs = []
+            for code2, rs in (sub["relation"].get("subfield") or {}).items():
+                rspec = rs["object"]
+                _, opts2, trivial2 = _opts_entry(rspec)
+                rel_subs.append(
+                    (
+                        code2,
+                        vocab.resolve(rs["predicate"]),
+                        rspec.get("datatype") == "uri",
+                        rspec.get("prefix") or "",
+                        opts2,
+                        trivial2,
+                        _norm_lang(rspec.get("lang")),
+                    )
+                )
+            relinfo = (
+                vocab.resolve(sub["relation"]["class"]),
+                tuple(rel_subs),
+            )
+        elif cond is None and pred is None:
+            # a plain rule with no predicate can never emit
+            # (rdfmodeler.rb:287: empty predicates are dropped) -- the
+            # reference still computes objects first; they are pure, so
+            # skipping the entry at compile time is observation-identical.
+            continue
+        entries.append(
+            (
+                code,
+                cond,
+                pred,
+                relinfo,
+                _DT_CODE.get(spec.get("datatype"), 3),
+                _norm_lang(spec.get("lang")),
+                opts,
+                trivial,
+                spec.get("prefix") or "",
+            )
+        )
+    return tuple(entries)
+
+
 class RuleSet:
     """A compiled mapping document ``{"tags": {tag_regex: rule, ...}}``.
 
@@ -264,6 +344,13 @@ class RuleSet:
     reference re-reads db/mappings.json per record (mapping.rb:8-25), which we
     deliberately do not reproduce (SURVEY.md §2.4 T1).  The document is
     schema-validated at construction (validate_mapping; SURVEY.md §2.10).
+
+    Each rule is additionally lowered to an EXECUTION FORM (tuples with
+    vocab-resolved predicate/class URIs, pre-normalized lang tags and the
+    generate_objects trivial-spec flag) so the per-record hot loop does no
+    dict dispatch.  Consequence: an unknown ``PREFIX.name`` anywhere in the
+    mapping now raises KeyError at construction instead of on first fire --
+    fail-loud at compile, consistent with validate_mapping.
     """
 
     def __init__(self, mapping: dict, vocab: Vocabulary = DEFAULT_VOCAB):
@@ -271,8 +358,16 @@ class RuleSet:
         self.mapping = mapping
         self.vocab = vocab
         tags = mapping.get("tags", mapping)  # accept bare tag dict too
-        self.compiled: list[tuple[re.Pattern, str, dict]] = [
-            (re.compile(key), key, rule) for key, rule in tags.items()
+        self.compiled: list[tuple[re.Pattern, str, dict, tuple]] = [
+            (
+                re.compile(key),
+                key,
+                rule,
+                ("c", _compile_control(rule, vocab))
+                if "subfield" not in rule
+                else ("d", _compile_data(rule["subfield"], vocab)),
+            )
+            for key, rule in tags.items()
         ]
         blob = json.dumps(mapping, sort_keys=True, ensure_ascii=False).encode()
         self.ruleset_hash = hashlib.sha256(
@@ -282,6 +377,7 @@ class RuleSet:
         # of tag strings (title, link, meta_*, ...), so the per-record regex
         # sweep over every rule collapses to one dict hit per tag.
         self._match_memo: dict[str, tuple] = {}
+        self._exec_memo: dict[str, tuple] = {}
 
     @classmethod
     def from_file(cls, path: str, vocab: Vocabulary = DEFAULT_VOCAB) -> "RuleSet":
@@ -293,9 +389,19 @@ class RuleSet:
         hit = self._match_memo.get(tag)
         if hit is None:
             hit = tuple(
-                rule for pat, _, rule in self.compiled if pat.search(tag)
+                rule for pat, _, rule, _x in self.compiled if pat.search(tag)
             )
             self._match_memo[tag] = hit
+        return hit
+
+    def matched_exec(self, tag: str) -> tuple:
+        """Execution forms of the rules matching ``tag`` (memoized)."""
+        hit = self._exec_memo.get(tag)
+        if hit is None:
+            hit = tuple(
+                x for pat, _, _r, x in self.compiled if pat.search(tag)
+            )
+            self._exec_memo[tag] = hit
         return hit
 
     def matches(self, tag: str) -> list[dict]:
@@ -349,47 +455,48 @@ class RuleEngine:
         if include_types and self.resource_type:
             out.extend(self.set_type(subj, self.resource_type))
         # one pass to group fields by tag (first-appearance order), then the
-        # memoized tag->rules lookup -- no per-record regex sweep.
+        # memoized tag->exec lookup -- no per-record regex sweep, no dict
+        # dispatch (predicates/classes resolved at RuleSet compile).
         by_tag: dict[str, list[Field]] = {}
         for f in record.fields:
             by_tag.setdefault(f.tag, []).append(f)
+        matched_exec = self.ruleset.matched_exec
+        run_control = self._run_control
+        run_data = self._run_data
         for tag, fields in by_tag.items():
-            for rule in self.ruleset.matched_rules(tag):
-                for fld in fields:
-                    if "subfield" not in rule:
-                        self._convert_control(out, subj, fld, rule)
-                    else:
-                        self._convert_data(out, subj, fld, rule["subfield"])
+            for kind, entries in matched_exec(tag):
+                if kind == "c":
+                    for fld in fields:
+                        run_control(out, subj, fld, entries)
+                else:
+                    for fld in fields:
+                        run_data(out, subj, fld, entries)
         return out
 
-    # control rules: rdfmodeler.rb:160-186
-    def _convert_control(
-        self, out: list[Triple], subj: str, fld: Field, rule: dict
+    # control rules: rdfmodeler.rb:160-186 (compiled form)
+    def _run_control(
+        self, out: list[Triple], subj: str, fld: Field, entries: tuple
     ) -> None:
         marc_object = fld.value or ""
         if not ruby_strip(marc_object):
             return
-        for _, value in rule.items():
-            if not isinstance(value, dict) or "object" not in value:
-                continue
-            spec = value["object"]
-            objects = _gen_objects(marc_object, fld, spec)
-            pred_name = value.get("predicate") or ""
+        for pred, opts, trivial, is_literal, prefix, relcls in entries:
+            objects = (
+                (marc_object,)
+                if trivial
+                else generate_objects(marc_object, marcfield=fld, **opts)
+            )
             for o in objects:
                 if o is None or not ruby_strip(o):
                     continue
-                if spec.get("datatype") != "literal":
-                    val, kind = generate_uri(o, spec.get("prefix") or "")
-                    if pred_name:
-                        out.append((subj, self.vocab.resolve(pred_name), val, kind, None))
-                    if "relation" in value:
-                        relcls = self.vocab.resolve(value["relation"]["class"])
+                if not is_literal:
+                    val, kind = generate_uri(o, prefix)
+                    if pred is not None:
+                        out.append((subj, pred, val, kind, None))
+                    if relcls is not None:
                         out.append((val, RDF_TYPE, relcls, "uri", None))
-                else:
-                    if pred_name:
-                        out.append(
-                            (subj, self.vocab.resolve(pred_name), o, "literal", None)
-                        )
+                elif pred is not None:
+                    out.append((subj, pred, o, "literal", None))
 
     # predicate from conditions: rdfmodeler.rb:200-234
     def _predicate_name(self, fld: Field, sub: dict) -> Optional[str]:
@@ -421,66 +528,70 @@ class RuleEngine:
                 pred = ind.get("default")
         return pred
 
-    # data rules: rdfmodeler.rb:188-304
-    def _convert_data(
-        self, out: list[Triple], subj: str, fld: Field, subfield_rules: dict
+    # data rules: rdfmodeler.rb:188-304 (compiled form)
+    def _run_data(
+        self, out: list[Triple], subj: str, fld: Field, entries: tuple
     ) -> None:
-        for code, sub in subfield_rules.items():
-            pred_name = self._predicate_name(fld, sub)
-            spec = sub.get("object", {})
-            if "relation" in sub:
-                marc_object = fld.first(code) or ""
-                if not marc_object:
+        first = fld.first
+        resolve = self.vocab.resolve
+        for code, cond, pred, relinfo, dt, lang, opts, trivial, prefix in entries:
+            if cond is not None:
+                name = self._predicate_name(fld, cond)
+                pred = resolve(name) if name else None
+                if pred is None and relinfo is None:
                     continue
-                objects = _gen_objects(marc_object, fld, spec)
-                relcls = self.vocab.resolve(sub["relation"]["class"])
-                rel_subfields = sub["relation"].get("subfield") or {}
+            marc_object = first(code)
+            if not marc_object:
+                continue
+            objects = (
+                (marc_object,)
+                if trivial
+                else generate_objects(marc_object, marcfield=fld, **opts)
+            )
+            if relinfo is not None:
+                relcls, rel_subs = relinfo
                 for o in objects:
                     if o is None:
                         continue
-                    val, kind = generate_uri(o, spec.get("prefix") or "")
-                    if pred_name:
-                        out.append((subj, self.vocab.resolve(pred_name), val, kind, None))
+                    val, kind = generate_uri(o, prefix)
+                    if pred is not None:
+                        out.append((subj, pred, val, kind, None))
                     out.append((val, RDF_TYPE, relcls, "uri", None))
-                    for code2, rs in rel_subfields.items():
-                        relobject = fld.first(code2) or ""
+                    for (code2, rpred, is_uri, prefix2, opts2, trivial2,
+                         lang2) in rel_subs:
+                        relobject = first(code2)
                         if not relobject:
                             continue
-                        rspec = rs["object"]
-                        relobjects = _gen_objects(relobject, fld, rspec)
-                        rpred = self.vocab.resolve(rs["predicate"])
+                        relobjects = (
+                            (relobject,)
+                            if trivial2
+                            else generate_objects(
+                                relobject, marcfield=fld, **opts2
+                            )
+                        )
                         for ro in relobjects:
                             if ro is None:
                                 continue
-                            if rspec.get("datatype") == "uri":
-                                rval, _ = generate_uri(ro, rspec.get("prefix") or "")
+                            if is_uri:
+                                rval, _ = generate_uri(ro, prefix2)
                                 # RDF::URI(...) coercion: always a URI here
                                 out.append((val, rpred, rval, "uri", None))
                             else:
-                                out.append(
-                                    (val, rpred, ro, "literal",
-                                     _norm_lang(rspec.get("lang")))
-                                )
-            else:
-                marc_object = fld.first(code) or ""
-                if not marc_object:
-                    continue
-                objects = _gen_objects(marc_object, fld, spec)
-                if not pred_name:
-                    continue
-                pred = self.vocab.resolve(pred_name)
-                dt = spec.get("datatype")
+                                out.append((val, rpred, ro, "literal", lang2))
+            elif dt == 0:  # uri
                 for o in objects:
                     if o is None:
                         continue
-                    if dt == "uri":
-                        val, kind = generate_uri(o, spec.get("prefix") or "")
-                        out.append((subj, pred, val, kind, None))
-                    elif dt == "integer":
-                        out.append((subj, pred, o, "integer", None))
-                    elif dt == "float":
-                        out.append((subj, pred, o, "float", None))
-                    else:
-                        out.append(
-                            (subj, pred, o, "literal", _norm_lang(spec.get("lang")))
-                        )
+                    val, kind = generate_uri(o, prefix)
+                    out.append((subj, pred, val, kind, None))
+            elif dt == 3:  # literal
+                for o in objects:
+                    if o is None:
+                        continue
+                    out.append((subj, pred, o, "literal", lang))
+            else:
+                k = "integer" if dt == 1 else "float"
+                for o in objects:
+                    if o is None:
+                        continue
+                    out.append((subj, pred, o, k, None))
