@@ -269,6 +269,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "corpus_flagship_docs",
         "docs_boilerplate_removed",
         "events_value_quantile_sketch",
+        "docs_paragraph_dedup",
+        "docs_trigram_bits",
     ]
     out = {}
     for name in names:

@@ -1055,6 +1055,57 @@ def docs_boilerplate_removed(sf_dir: str):
     return remove_boilerplate_lines(aug, min_docs=10)
 
 
+_PARA_HEADER = "corpus shared header paragraph"
+
+
+def docs_paragraph_dedup(sf_dir: str):
+    """Global paragraph-level exact dedup
+    (ops.corpus.dedup_paragraphs_global -- the MassiveText/Gopher
+    operator, distinct from boilerplate removal: the FIRST occurrence
+    survives instead of every occurrence dying).  Docs are recut into
+    6-token paragraphs wrapped in a shared header paragraph at BOTH ends,
+    so the corpus has cross-doc dups (the header) and a within-doc dup
+    (the trailing header).  One copy of each distinct paragraph survives
+    corpus-wide -- its (doc_id, position)-first occurrence; docs
+    reassemble in order; emptied docs drop out.  The oracle replays
+    winner selection with a row_number window."""
+    from .ops.corpus import dedup_paragraphs_global
+
+    def build(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b["text"].to_pylist():
+            toks = (t or "").split()
+            paras = (
+                [_PARA_HEADER]
+                + [" ".join(toks[k: k + 6]) for k in range(0, len(toks), 6)]
+                + [_PARA_HEADER]
+            )
+            out.append("\n".join(paras))
+        return pa.table(
+            {"doc_id": b["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    aug = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        build, batch_format="pyarrow"
+    )
+    return dedup_paragraphs_global(aug)
+
+
+def docs_trigram_bits(sf_dir: str):
+    """CCNet-style LM quality signal (ops/lm.py): train a char-trigram
+    model over the corpus in one bincount-partial pass (dense 27^3 driver
+    vector, O(V^3) bounded), broadcast it once, and score every doc with
+    add-one-smoothed bits -- each window's cost floored to integer
+    micro-bits BEFORE summing so the result is exact-integer
+    ``(doc_id, n_tri, microbits)`` and the DuckDB oracle replays the same
+    IEEE expression."""
+    from .ops.lm import train_trigram_counts, trigram_bits
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cnt3 = train_trigram_counts(ds)
+    return trigram_bits(ds, cnt3)
+
+
 def docs_per_lang_sample(sf_dir: str):
     """Per-group quota sample (ops/corpus.py): 10 docs per language,
     ranked by (md5(doc_id), doc_id) -- the stratified analog of
@@ -2042,6 +2093,8 @@ QUERIES = {
     "docs_decontaminated": docs_decontaminated,
     "docs_per_lang_sample": docs_per_lang_sample,
     "docs_boilerplate_removed": docs_boilerplate_removed,
+    "docs_paragraph_dedup": docs_paragraph_dedup,
+    "docs_trigram_bits": docs_trigram_bits,
     "dedup_exact": dedup_exact,
     "dedup_incremental_windows": dedup_incremental_windows,
     "dedup_minhash": dedup_minhash,
@@ -3541,4 +3594,63 @@ SELECT b.doc_id,
        COALESCE(string_agg(k.line, chr(10) ORDER BY k.idx), '') AS text
 FROM built b LEFT JOIN kept k USING (doc_id)
 GROUP BY b.doc_id
+"""
+
+ORACLE_SQL["docs_paragraph_dedup"] = r"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS tk
+  FROM documents
+), built AS (
+  SELECT doc_id,
+    ['corpus shared header paragraph']
+    || list_transform(
+         generate_series(1, (length(tk) + 5) // 6),
+         k -> array_to_string(list_slice(tk, (k - 1) * 6 + 1, k * 6), ' '))
+    || ['corpus shared header paragraph'] AS ls
+  FROM base
+), paras AS (
+  SELECT doc_id,
+         unnest(ls) AS para,
+         unnest(generate_series(1, length(ls))) AS idx
+  FROM built
+), winners AS (
+  SELECT doc_id, para, idx,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+  FROM paras
+)
+SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text
+FROM winners WHERE rn = 1
+GROUP BY doc_id
+"""
+
+ORACLE_SQL["docs_trigram_bits"] = r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(lower(COALESCE(text, '')), '[^a-z ]', '', 'g') AS t
+  FROM documents
+), tris AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, GREATEST(length(t) - 2, 0)),
+           k -> substr(t, k, 3))) AS tri
+  FROM norm
+), c3 AS (
+  SELECT tri, COUNT(*)::BIGINT AS n3 FROM tris GROUP BY tri
+), c2 AS (
+  SELECT substr(tri, 1, 2) AS bg, COUNT(*)::BIGINT AS n2
+  FROM tris GROUP BY bg
+), scored AS (
+  SELECT t.doc_id, COUNT(*)::BIGINT AS n_tri,
+         CAST(SUM(CAST(floor(
+           -log2((c3.n3 + 1.0) / (c2.n2 + 27.0)) * 1e6 + 0.5
+         ) AS BIGINT)) AS BIGINT) AS microbits
+  FROM tris t
+  JOIN c3 USING (tri)
+  JOIN c2 ON substr(t.tri, 1, 2) = c2.bg
+  GROUP BY t.doc_id
+)
+SELECT n.doc_id,
+       CAST(COALESCE(s.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(COALESCE(s.microbits, 0) AS BIGINT) AS microbits
+FROM norm n LEFT JOIN scored s USING (doc_id)
 """

@@ -675,3 +675,127 @@ def remove_boilerplate_lines(
         )
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def dedup_paragraphs_global(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    num_buckets: int | None = None,
+):
+    """Global paragraph-level exact dedup (the MassiveText/Gopher
+    complement to document-level dedup): every distinct paragraph keeps
+    exactly ONE copy corpus-wide -- its first occurrence in ``(id,
+    position)`` order -- and all later occurrences die, whether in other
+    docs or later in the same doc.  Docs reassemble from their surviving
+    paragraphs in order; docs left with zero paragraphs drop out.
+    Returns ``(id, text)``.
+
+    Scale shape (two shuffles, no broadcast, no driver state):
+
+    1. explode -- vectorized ``split_pattern``/``list_flatten``; each row
+       becomes ``(id, para_idx, para)``.
+    2. winner per distinct paragraph -- ONE coarse hash-bucket shuffle on
+       the paragraph, then a single ``sort_by((para, id, idx))`` +
+       first-of-run neighbor mask per bucket (the distinct_first pattern;
+       no per-group Python, and the lexicographic sort IS the
+       first-occurrence tie-break).
+    3. reassemble -- ONE coarse hash-bucket shuffle on the id, then per
+       bucket ``sort_by((id, idx))``, neighbor-change offsets ->
+       ``ListArray`` -> one ``pc.binary_join``.
+
+    Both exchanges carry each surviving paragraph exactly once; the
+    pre-winner exchange carries each input paragraph once (the unavoidable
+    minimum for a global-identity operator).
+    """
+    from ..functions.hashing import bucket_codes
+    from .dedup import _coarse_buckets_default
+
+    nb = num_buckets or _coarse_buckets_default()
+
+    def explode(b: pa.Table) -> pa.Table:
+        col = pc.fill_null(b[text_col], "")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        split = pc.split_pattern(col, sep)
+        flat = pc.list_flatten(split)
+        parents = pc.list_parent_indices(split)
+        counts = pc.list_value_length(split).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        within = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        t = pa.table(
+            {
+                id_col: pc.take(b[id_col], parents),
+                "para_idx": pa.array(within, pa.int64()),
+                "para": flat,
+            }
+        )
+        return t.append_column("_cb", bucket_codes(t["para"], nb))
+
+    def winners(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [
+                ("para", "ascending"),
+                (id_col, "ascending"),
+                ("para_idx", "ascending"),
+            ]
+        )
+        keys = t["para"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        keys = keys.to_numpy(zero_copy_only=False)
+        if not len(keys):
+            return t.drop_columns(["_cb"])
+        mask = np.concatenate(([True], keys[1:] != keys[:-1]))
+        return t.filter(pa.array(mask)).drop_columns(["_cb"])
+
+    def key_by_id(b: pa.Table) -> pa.Table:
+        return b.append_column("_cb", bucket_codes(b[id_col], nb))
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [(id_col, "ascending"), ("para_idx", "ascending")]
+        )
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        n = len(ids_np)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], t.schema.field(id_col).type),
+                    text_col: pa.array([], pa.string()),
+                }
+            )
+        change = np.nonzero(ids_np[1:] != ids_np[:-1])[0] + 1
+        starts = np.concatenate(([0], change)).astype(np.int64)
+        offsets = np.concatenate((starts, [n])).astype(np.int32)
+        paras = t["para"]
+        if isinstance(paras, pa.ChunkedArray):
+            paras = paras.combine_chunks()
+        rebuilt = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), paras
+        )
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(starts, pa.int64())),
+                text_col: pc.binary_join(rebuilt, sep),
+            }
+        )
+
+    won = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(winners, batch_format="pyarrow")
+    )
+    return (
+        won.map_batches(key_by_id, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(rebuild, batch_format="pyarrow")
+    )

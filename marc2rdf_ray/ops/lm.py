@@ -1,0 +1,168 @@
+"""Character-trigram language-model scoring (the CCNet quality signal).
+
+CCNet ranks web documents by the perplexity of a small LM trained on a
+clean reference corpus and keeps the low-perplexity head; this module is
+that shape over Ray Data, with a deterministic char-trigram model instead
+of a learned one (no model artifacts exist in this environment):
+
+- ``train_trigram_counts(ds)``: ONE pass of per-batch dense ``bincount``
+  partials over the 27**3 = 19,683-code trigram space (alphabet: a-z +
+  space after ``lower`` + strip), combined by a single tiny groupby-sum.
+  Driver state is the dense count vector -- 154 KB, O(V^3) BOUNDED, never
+  O(corpus).
+- ``trigram_bits(ds, cnt3)``: broadcast the dense model once (``ray.put``)
+  and score each doc with add-one-smoothed bits-per-trigram,
+  ``p(c3|c1c2) = (n3+1)/(n2+27)``, where context counts ``n2`` derive from
+  the trigram counts by summing out the last axis (no second training
+  pass, so the two reads of the input cannot disagree on vocabulary --
+  the tfidf two-pass trap, ADVICE r3).
+
+Determinism contract (what makes the DuckDB oracle hash-exact): each
+trigram's cost is floored to integer MICRO-BITS -- ``floor(-log2(p) * 1e6
++ 0.5)`` -- BEFORE summing, so the per-doc result is a pair of exact
+integers ``(n_tri, microbits)`` and no float summation order can diverge.
+The only transcendental is one ``log2`` per distinct (n3, n2) pair, the
+same IEEE expression the oracle evaluates.
+
+Everything is vectorized: trigram codes come straight from the Arrow
+string buffers (offsets + data bytes -> numpy gather), never a Python
+loop over rows or characters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+V = 27  # a-z + space
+V3 = V * V * V
+
+# byte -> symbol code table (space=26, a..z=0..25; normalization guarantees
+# no other byte appears)
+_BYTE_CODE = np.zeros(256, np.uint8)
+_BYTE_CODE[ord(" ")] = 26
+for _b in range(ord("a"), ord("z") + 1):
+    _BYTE_CODE[_b] = _b - ord("a")
+
+
+def normalize_text(col) -> pa.Array:
+    """lower + drop every char outside [a-z ] (vectorized Arrow kernels);
+    the SQL replay is ``regexp_replace(lower(text), '[^a-z ]', '', 'g')``."""
+    col = pc.fill_null(col, "")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.utf8_lower(col)
+    return pc.replace_substring_regex(col, pattern="[^a-z ]", replacement="")
+
+
+def _tri_codes(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Trigram codes straight from the Arrow buffers.
+
+    Returns ``(tri, doc_of, n_tri)``: int32 trigram codes for every
+    in-document window, the row index each code belongs to, and the
+    per-row window count (``max(len-2, 0)``)."""
+    arr = pc.cast(normalize_text(col), pa.large_string())
+    n = len(arr)
+    offsets = np.frombuffer(arr.buffers()[1], np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    codes = _BYTE_CODE[data]
+    starts = offsets[:-1]
+    lens = offsets[1:] - starts
+    m = np.maximum(lens - 2, 0)
+    total = int(m.sum())
+    if total == 0:
+        return (
+            np.empty(0, np.int32),
+            np.empty(0, np.int64),
+            m.astype(np.int64),
+        )
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), m)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(m) - m, m
+    )
+    pos = starts[doc_of] + within
+    tri = (
+        codes[pos].astype(np.int32) * (V * V)
+        + codes[pos + 1].astype(np.int32) * V
+        + codes[pos + 2]
+    )
+    return tri, doc_of, m.astype(np.int64)
+
+
+def train_trigram_counts(ds, *, text_col: str = "text") -> np.ndarray:
+    """Dense trigram count vector (len 27**3) over the dataset.
+
+    Per-batch dense bincount partials -> sparse (tri, n) rows -> one
+    groupby-sum over <= 19,683 keys -> dense driver vector.  The shuffle
+    carries at most V^3 rows per batch regardless of corpus size."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        tri, _, _ = _tri_codes(b[text_col])
+        cnt = np.bincount(tri, minlength=V3)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "tri": pa.array(nz.astype(np.int32), pa.int32()),
+                "n": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tri")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    cnt3 = np.zeros(V3, np.int64)
+    for t in ray.get(agg.to_arrow_refs()):
+        # Ray groupby can emit zero-row schema-less blocks; skip them
+        if t.num_rows == 0 or "tri" not in t.column_names:
+            continue
+        cnt3[t["tri"].to_numpy(zero_copy_only=False)] += t[
+            "n"
+        ].to_numpy(zero_copy_only=False)
+    return cnt3
+
+
+def trigram_bits(
+    ds,
+    cnt3: np.ndarray,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Score each doc against the trigram model: ``(id, n_tri, microbits)``
+    where microbits = sum over windows of floor(-log2((n3+1)/(n2+27)) *
+    1e6 + 0.5).  Bits/char = microbits / n_tri / 1e6; docs shorter than
+    one window score (0, 0).  Model broadcast once via ``ray.put``."""
+    import ray
+
+    cnt2 = cnt3.reshape(V * V, V).sum(axis=1)
+    ref3 = ray.put(cnt3)
+    ref2 = ray.put(cnt2)
+
+    def score(b: pa.Table) -> pa.Table:
+        c3 = ray.get(ref3)
+        c2 = ray.get(ref2)
+        tri, doc_of, m = _tri_codes(b[text_col])
+        p = (c3[tri] + 1.0) / (c2[tri // V] + float(V))
+        micro = np.floor(-np.log2(p) * 1e6 + 0.5)
+        # bincount sums are exact: micro <= ~24e6 per window, so per-doc
+        # sums stay far below 2**53
+        sums = np.bincount(doc_of, weights=micro, minlength=len(b)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_tri": pa.array(m, pa.int64()),
+                "microbits": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

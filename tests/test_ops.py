@@ -2237,3 +2237,171 @@ class TestBoilerplateRemoval:
             ).take_all()
         }
         assert out2[3] == rows[3][1]
+
+
+class TestParagraphDedup:
+    """dedup_paragraphs_global: global first-occurrence-wins paragraph
+    dedup (ops/corpus.py) -- the MassiveText complement to boilerplate
+    removal (which kills ALL occurrences)."""
+
+    def _ds(self, rows):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    def test_first_occurrence_wins_and_within_doc_repeat(self, ray_session):
+        from marc2rdf_ray.ops.corpus import dedup_paragraphs_global
+
+        ds = self._ds(
+            [
+                (1, "alpha\nshared\nbeta"),
+                (2, "shared\ngamma\nshared"),  # within-doc repeat too
+                (3, "shared"),                 # emptied -> dropped
+                (4, "delta"),
+            ]
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in dedup_paragraphs_global(ds).take_all()
+        }
+        assert out == {
+            1: "alpha\nshared\nbeta",  # doc 1 owns the first 'shared'
+            2: "gamma",                # both copies die (doc 1 won)
+            4: "delta",
+        }
+
+    def test_position_breaks_tie_within_doc(self, ray_session):
+        from marc2rdf_ray.ops.corpus import dedup_paragraphs_global
+
+        ds = self._ds([(7, "x\ny\nx\nx")])
+        out = dedup_paragraphs_global(ds).take_all()
+        assert out == [{"doc_id": 7, "text": "x\ny"}]
+
+    def test_null_and_empty_text(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import dedup_paragraphs_global
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array([None, "only"], pa.string()),
+                }
+            )
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in dedup_paragraphs_global(ds).take_all()
+        }
+        # null -> "" -> one empty paragraph, globally distinct -> survives
+        assert out == {1: "", 2: "only"}
+
+
+class TestTrigramLM:
+    """Char-trigram LM scoring (ops/lm.py): model counts and microbit
+    scores must equal a brute-force Python reference."""
+
+    def _ref_counts(self, texts):
+        import collections
+        import re as _re
+
+        c3 = collections.Counter()
+        for t in texts:
+            s = _re.sub(r"[^a-z ]", "", (t or "").lower())
+            for i in range(max(len(s) - 2, 0)):
+                c3[s[i: i + 3]] += 1
+        return c3
+
+    def test_counts_match_reference(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.lm import V, train_trigram_counts
+
+        texts = ["Hello, World!", "abc abc ABC", "", None, "zz", "   "]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+        cnt3 = train_trigram_counts(ds)
+        ref = self._ref_counts(texts)
+        assert int(cnt3.sum()) == sum(ref.values())
+        sym = "abcdefghijklmnopqrstuvwxyz "
+        for tri, n in ref.items():
+            code = (
+                sym.index(tri[0]) * V * V
+                + sym.index(tri[1]) * V
+                + sym.index(tri[2])
+            )
+            assert cnt3[code] == n, tri
+
+    def test_microbits_match_reference(self, ray_session):
+        import math
+        import re as _re
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.lm import (
+            V,
+            train_trigram_counts,
+            trigram_bits,
+        )
+
+        texts = ["the cat sat on the mat", "the dog", "zzzz", "a"]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+        cnt3 = train_trigram_counts(ds)
+        out = {
+            r["doc_id"]: (r["n_tri"], r["microbits"])
+            for r in trigram_bits(ds, cnt3).take_all()
+        }
+        ref = self._ref_counts(texts)
+        ctx = {}
+        for tri, n in ref.items():
+            ctx[tri[:2]] = ctx.get(tri[:2], 0) + n
+        for i, t in enumerate(texts):
+            s = _re.sub(r"[^a-z ]", "", (t or "").lower())
+            m = max(len(s) - 2, 0)
+            micro = 0
+            for k in range(m):
+                tri = s[k: k + 3]
+                p = (ref[tri] + 1.0) / (ctx[tri[:2]] + float(V))
+                micro += math.floor(-math.log2(p) * 1e6 + 0.5)
+            assert out[i] == (m, micro), (i, t)
+
+    def test_unseen_context_scores_uniform(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.lm import V3, trigram_bits
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0], pa.int64()),
+                    "text": pa.array(["qxz"], pa.string()),
+                }
+            )
+        )
+        out = trigram_bits(ds, np.zeros(V3, np.int64)).take_all()
+        # empty model: p = 1/27 for every window
+        expect = math.floor(-math.log2(1.0 / 27.0) * 1e6 + 0.5)
+        assert out == [{"doc_id": 0, "n_tri": 1, "microbits": expect}]
