@@ -1106,6 +1106,29 @@ def docs_trigram_bits(sf_dir: str):
     return trigram_bits(ds, cnt3)
 
 
+def docs_mixture_flattened(sf_dir: str):
+    """Temperature-flattened source mixture
+    (ops.corpus.mixture_flatten_sample, tau = 1/2): the docs table's real
+    sources are uniform at test scale, so the query derives a skewed
+    source split (head 60% / mid 30% / tail 10% by doc_id mod 10) and
+    flattens it -- tail keeps everything, mid keeps sqrt(1/3), head
+    sqrt(1/6).  Thresholds are sqrt of exact integer ratios (correctly
+    rounded IEEE), so the oracle replays them bit-for-bit."""
+    from .ops.corpus import mixture_flatten_sample
+
+    def skew(b: pa.Table) -> pa.Table:
+        mod = b["doc_id"].to_numpy(zero_copy_only=False) % 10
+        src = np.where(mod < 6, "head", np.where(mod < 9, "mid", "tail"))
+        return pa.table(
+            {"doc_id": b["doc_id"], "source": pa.array(src, pa.string())}
+        )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        skew, batch_format="pyarrow"
+    )
+    return mixture_flatten_sample(docs, group_col="source", id_col="doc_id")
+
+
 def docs_per_lang_sample(sf_dir: str):
     """Per-group quota sample (ops/corpus.py): 10 docs per language,
     ranked by (md5(doc_id), doc_id) -- the stratified analog of
@@ -2095,6 +2118,7 @@ QUERIES = {
     "docs_boilerplate_removed": docs_boilerplate_removed,
     "docs_paragraph_dedup": docs_paragraph_dedup,
     "docs_trigram_bits": docs_trigram_bits,
+    "docs_mixture_flattened": docs_mixture_flattened,
     "dedup_exact": dedup_exact,
     "dedup_incremental_windows": dedup_incremental_windows,
     "dedup_minhash": dedup_minhash,
@@ -3621,6 +3645,29 @@ WITH base AS (
 SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text
 FROM winners WHERE rn = 1
 GROUP BY doc_id
+"""
+
+ORACLE_SQL["docs_mixture_flattened"] = r"""
+WITH skewed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 6 THEN 'head'
+              WHEN doc_id % 10 < 9 THEN 'mid'
+              ELSE 'tail' END AS source
+  FROM documents
+), c AS (
+  SELECT source, COUNT(*)::BIGINT AS n FROM skewed GROUP BY source
+), mn AS (
+  SELECT MIN(n) AS n_min FROM c
+), w AS (
+  SELECT source,
+         CAST(FLOOR(sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))
+                    * 4294967296) AS BIGINT) AS thr
+  FROM c, mn
+)
+SELECT d.doc_id, d.source
+FROM skewed d JOIN w USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < w.thr
 """
 
 ORACLE_SQL["docs_trigram_bits"] = r"""

@@ -799,3 +799,45 @@ def dedup_paragraphs_global(
         .groupby("_cb")
         .map_groups(rebuild, batch_format="pyarrow")
     )
+
+
+def mixture_flatten_sample(
+    ds,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Temperature-flattened source mixture (the Pile/ROOTS reweighting
+    shape at tau = 1/2, anchored at the rarest source): source ``s``
+    keeps rows at rate ``sqrt(n_min / n_s)``, so over-represented sources
+    are downsampled toward the mixture a tau=0.5 temperature would give
+    while the rarest source keeps everything (Bernoulli sampling cannot
+    upsample).  Composes ONE tiny groupby-count (driver state O(#sources),
+    documented and bounded -- sources are registries, not data) with the
+    deterministic ``weighted_sample`` filter, so membership inherits its
+    properties: pure function of (id, weight), nested under tightening,
+    stateless vectorized, no shuffle of the data side.
+
+    tau is FIXED at 1/2: ``sqrt`` of an exact integer ratio is a
+    correctly-rounded IEEE op in every engine, so the SQL oracle computes
+    bit-identical thresholds -- a general ``pow(n, tau)`` would not
+    (libm pow is not correctly rounded)."""
+    import math
+
+    import ray
+
+    counts = ds.groupby(group_col).count().materialize()
+    n_by: dict = {}
+    for t in ray.get(counts.to_arrow_refs()):
+        if t.num_rows == 0 or group_col not in t.column_names:
+            continue
+        cname = "count()" if "count()" in t.column_names else "count"
+        for g, n in zip(t[group_col].to_pylist(), t[cname].to_pylist()):
+            n_by[g] = n_by.get(g, 0) + int(n)
+    if not n_by:
+        return ds
+    n_min = min(n_by.values())
+    weights = {g: math.sqrt(n_min / n) for g, n in n_by.items()}
+    return weighted_sample(
+        ds, weights, id_col=id_col, group_col=group_col, default_weight=1.0
+    )

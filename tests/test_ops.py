@@ -2405,3 +2405,62 @@ class TestTrigramLM:
         # empty model: p = 1/27 for every window
         expect = math.floor(-math.log2(1.0 / 27.0) * 1e6 + 0.5)
         assert out == [{"doc_id": 0, "n_tri": 1, "microbits": expect}]
+
+
+class TestMixtureFlatten:
+    def test_flattens_toward_rarest_source(self, ray_session):
+        import hashlib as _hashlib
+        import math
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import mixture_flatten_sample
+
+        # 600 head / 300 mid / 100 tail
+        ids = list(range(1000))
+        srcs = ["head"] * 600 + ["mid"] * 300 + ["tail"] * 100
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "source": pa.array(srcs, pa.string()),
+                }
+            )
+        )
+        out = mixture_flatten_sample(ds).take_all()
+        got = {}
+        for r in out:
+            got.setdefault(r["source"], set()).add(r["doc_id"])
+        # tail (rarest) keeps everything
+        assert got["tail"] == set(range(900, 1000))
+        # membership replays the weighted_sample contract exactly
+        for src, n in (("head", 600), ("mid", 300)):
+            thr = int(math.sqrt(100 / n) * (1 << 32))
+            lo = 0 if src == "head" else 600
+            expect = {
+                i
+                for i in range(lo, lo + n)
+                if int(
+                    _hashlib.md5(str(i).encode()).hexdigest()[:8], 16
+                ) < thr
+            }
+            assert got.get(src, set()) == expect, src
+        # and it actually downsampled the head harder than the mid
+        assert len(got["head"]) / 600 < len(got["mid"]) / 300
+
+    def test_single_source_is_identity(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import mixture_flatten_sample
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "source": pa.array(["a", "a", "a"], pa.string()),
+                }
+            )
+        )
+        assert sorted(
+            r["doc_id"] for r in mixture_flatten_sample(ds).take_all()
+        ) == [1, 2, 3]
