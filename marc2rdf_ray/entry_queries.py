@@ -1482,6 +1482,56 @@ def embeddings_kmeans(sf_dir: str):
     return assign
 
 
+def embeddings_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup (ops/ann.py semdedup; Abbas et al. 2023):
+    k-means (C=8, 3 integer-exact Lloyd iterations) then within-cluster
+    greedy first-occurrence prune at cosine >= 0.92.  The corpus is the
+    embeddings table plus TWO md5-deterministic noisy families (noise is
+    replayable in the DuckDB oracle): +1000000 at scale 0.01 (cosine
+    ~0.9999 to its base -> always pruned) and +2000000 at scale 0.1
+    (cosine 0.88-0.94 -> straddles the threshold, so the op's decision
+    boundary itself is oracle-checked, not just the easy dups)."""
+    from .ops.ann import semdedup
+    from .ops.dedup import md5_u64
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def family(offset: int, key: str, scale: float):
+        def noisy(batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_pylist()
+            mats = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            if scale:
+                for r, i in enumerate(ids):
+                    mats[r] += np.array(
+                        [
+                            (md5_u64(f"{key}:{i}:{d}") / 2**64 * 2.0 - 1.0)
+                            * scale
+                            for d in range(mats.shape[1])
+                        ]
+                    )
+            return pa.table(
+                {
+                    "vec_id": pa.array(
+                        [i + offset for i in ids], pa.int64()
+                    ),
+                    "embedding": pa.array(
+                        [list(m) for m in mats], pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+        return emb.map_batches(noisy, batch_format="pyarrow")
+
+    aug = (
+        family(0, "", 0.0)
+        .union(family(1000000, "sem1", 0.01))
+        .union(family(2000000, "sem2", 0.1))
+    )
+    return semdedup(
+        aug, n_clusters=8, iterations=3, threshold=0.92
+    )
+
+
 def ann_ivf_trained_topk(sf_dir: str):
     """IVF-flat top-k over TRAINED coarse lists: centroids come from the
     integer-exact Lloyd k-means (embeddings_kmeans) instead of sampled
@@ -2133,6 +2183,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "embeddings_kmeans": embeddings_kmeans,
+    "embeddings_semdedup": embeddings_semdedup,
     "embeddings_by_label": embeddings_by_label,
     "reverse_records": reverse_records,
     "distinct_flag_ship_months": distinct_flag_ship_months,
@@ -3355,20 +3406,22 @@ FROM deg GROUP BY 1
 
 
 def _kmeans_ctes(
-    iterations: int = 3, n_clusters: int = 8, dim: int = 64, k_off: int = 4194304
+    iterations: int = 3, n_clusters: int = 8, dim: int = 64,
+    k_off: int = 4194304, src: str = "embeddings", prelude: str = "",
 ) -> str:
     """Unrolled integer Lloyd recurrence CTE chain ending at
-    ``c{iterations}`` (cid, v) -- shared by the embeddings_kmeans oracle and
-    the trained-IVF oracle.  The centroid mean uses the offset trick
-    ``(SUM + COUNT*K) // COUNT - K`` so DuckDB's truncating ``//`` computes
-    floor on the (possibly negative) sums, matching numpy's floor division
-    bit-for-bit."""
+    ``c{iterations}`` (cid, v) -- shared by the embeddings_kmeans oracle,
+    the trained-IVF oracle and the SemDeDup oracle (``src``/``prelude``
+    let the chain run over an augmented CTE instead of the raw table).
+    The centroid mean uses the offset trick ``(SUM + COUNT*K) // COUNT -
+    K`` so DuckDB's truncating ``//`` computes floor on the (possibly
+    negative) sums, matching numpy's floor division bit-for-bit."""
     parts = [f"""
-WITH q AS (
+WITH {prelude}q AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
          list_transform(CAST(embedding AS DOUBLE[]),
          x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS v
-  FROM embeddings
+  FROM {src}
 ),
 c0 AS (SELECT vec_id AS cid, v FROM q WHERE vec_id < {n_clusters})"""]
     for i in range(1, iterations + 1):
@@ -3448,6 +3501,61 @@ QUALIFY row_number() OVER (
 
 ORACLE_SQL["embeddings_kmeans"] = _kmeans_oracle_sql()
 ORACLE_SQL["ann_ivf_trained_topk"] = _ivf_trained_oracle_sql()
+
+
+def _noise_expr(key: str, scale: float, dim: int = 64) -> str:
+    """DuckDB replay of the md5-deterministic noise family (same u64
+    construction as ops/dedup.py md5_u64; mirrors the dedup_embedding
+    oracle)."""
+    return f"""list_transform(generate_series(1, {dim}), d -> embedding[d]
+      + (CAST(CAST('0x' || substr(md5('{key}:' || CAST(vec_id AS VARCHAR)
+           || ':' || CAST(d - 1 AS VARCHAR)), 1, 16) AS UBIGINT) AS DOUBLE)
+         / 18446744073709551616.0 * 2 - 1) * {scale})"""
+
+
+def _semdedup_oracle_sql(
+    iterations: int = 3, dim: int = 64, threshold: float = 0.92
+) -> str:
+    prelude = f"""b0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+),
+n1 AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         {_noise_expr('sem1', 0.01, dim)} AS embedding
+  FROM b0
+),
+n2 AS (
+  SELECT vec_id + 2000000 AS vec_id,
+         {_noise_expr('sem2', 0.1, dim)} AS embedding
+  FROM b0
+),
+aug AS (
+  SELECT * FROM b0 UNION ALL SELECT * FROM n1 UNION ALL SELECT * FROM n2
+),
+"""
+    return _kmeans_ctes(
+        iterations=iterations, dim=dim, src="aug", prelude=prelude
+    ) + f""",
+dfin AS (
+  SELECT q.vec_id, c.cid,
+    list_aggregate(list_transform(generate_series(1, {dim}),
+      d -> (q.v[d] - c.v[d]) * (q.v[d] - c.v[d])), 'sum') AS d2
+  FROM q CROSS JOIN c{iterations} c
+),
+asgn AS (
+  SELECT vec_id, cid FROM dfin
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+)
+SELECT q.vec_id, CAST(a.cid AS INTEGER) AS cluster
+FROM q JOIN asgn a USING (vec_id)
+WHERE NOT EXISTS (
+  SELECT 1 FROM asgn a2 JOIN q q2 ON q2.vec_id = a2.vec_id
+  WHERE a2.cid = a.cid AND q2.vec_id < q.vec_id
+    AND list_cosine_similarity(q.dv, q2.dv) >= {threshold}
+)"""
+
+
+ORACLE_SQL["embeddings_semdedup"] = _semdedup_oracle_sql()
 
 
 # dedup_minhash_keep oracle: composed from the full minhash pair replay --

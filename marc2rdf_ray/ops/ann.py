@@ -611,3 +611,92 @@ def knn_graph_ivf(
         return t.slice(0, k)
 
     return partial.groupby("qid").map_groups(merge, batch_format="pyarrow")
+
+
+def semdedup(
+    ds,
+    *,
+    n_clusters: int = 8,
+    iterations: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 100_000,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 -- public): semantic
+    deduplication by k-means clustering + WITHIN-cluster cosine pruning.
+    Generalizes the reference's exact-dup suppression (oai.rb's delete/
+    insert cycle keeps one record per id) to "keep one document per
+    semantic neighborhood".
+
+    Deterministic, SQL-replayable semantics: cluster with the
+    integer-exact Lloyd k-means (``kmeans_quantized``); within a cluster a
+    row is DROPPED iff some row with a SMALLER id in the same cluster has
+    cosine similarity >= ``threshold`` (greedy first-occurrence keep --
+    the same keep rule as exact dedup / paragraph dedup).  Returns the
+    kept rows as a Dataset (id_col, cluster:int32).
+
+    Scale shape -- the whole point of SemDeDup: the corpus is never
+    all-pairs.  Pairwise cosine happens only WITHIN a cluster, and
+    ``n_clusters`` scales with n (the paper runs 50k clusters over LAION
+    so each cluster is ~n/C rows).  Centroids are O(C*d) broadcast state;
+    assignment is one stateless ``map_batches`` pass; ONE coarse hash
+    shuffle (grouped_apply) co-locates each cluster; a cluster larger
+    than ``max_cluster`` logs a warning (observe-only guard, ops/windows
+    pattern) -- the production fix is more clusters, not a bigger task.
+    """
+    import ray
+
+    cents, _ = kmeans_quantized(
+        ds,
+        n_clusters=n_clusters,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    cents_ref = ray.put(cents)
+
+    def assign_with_vec(b: pa.Table) -> pa.Table:
+        q = ray.get(cents_ref)
+        mat = vecs_to_matrix(b[vec_col])
+        vq = _quantize(mat)
+        d2 = ((vq[:, None, :] - q[None, :, :]) ** 2).sum(axis=2)
+        cid = np.argmin(d2, axis=1)  # first occurrence = lowest cluster id
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "cluster": pa.array(cid.astype(np.int32)),
+                "unit": pa.array(list(unit), pa.list_(pa.float64())),
+            }
+        )
+
+    def prune(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(id_col, "ascending")])
+        n = len(t)
+        if n > max_cluster:
+            from .dedup import _log_capped
+
+            _log_capped(
+                "semdedup", int(t["cluster"][0].as_py()), n, max_cluster
+            )
+        mat = np.array(t["unit"].to_pylist(), dtype=np.float64)
+        sims = mat @ mat.T
+        # dropped[i] = any earlier-id row in the cluster with sim >= thr
+        dup = np.tril(sims >= threshold, k=-1).any(axis=1)
+        kept = t.filter(pa.array(~dup))
+        return kept.select([id_col, "cluster"])
+
+    from .dedup import grouped_apply
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    out_schema = pa.schema([(id_col, id_type), ("cluster", pa.int32())])
+    return grouped_apply(
+        ds.map_batches(assign_with_vec, batch_format="pyarrow"),
+        "cluster",
+        prune,
+        out_schema,
+        min_group=1,
+    )

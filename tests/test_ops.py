@@ -2464,3 +2464,92 @@ class TestMixtureFlatten:
         assert sorted(
             r["doc_id"] for r in mixture_flatten_sample(ds).take_all()
         ) == [1, 2, 3]
+
+
+class TestSemDedup:
+    def _ds(self):
+        import numpy as np
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(40, 8)).astype(np.float64)
+        rows = [
+            {"vec_id": i, "embedding": base[i].tolist()} for i in range(40)
+        ]
+        # exact copies of the first 10 vectors at ids 100..109
+        rows += [
+            {"vec_id": 100 + i, "embedding": base[i].tolist()}
+            for i in range(10)
+        ]
+        return rd.from_items(rows), base
+
+    def test_semdedup_drops_copies_keeps_base(self, ray_session):
+        """Exact copies (cos == 1) must be pruned; every base row (first
+        occurrence by id) must survive any threshold < 1."""
+        from marc2rdf_ray.ops.ann import semdedup
+
+        ds, _ = self._ds()
+        out = semdedup(
+            ds, n_clusters=4, iterations=2, threshold=0.99
+        ).to_pandas()
+        kept = set(out["vec_id"])
+        assert set(range(40)) <= kept
+        assert not (kept & set(range(100, 110)))
+        # one output row per kept id, cluster ids in range
+        assert len(out) == len(kept)
+        assert out["cluster"].between(0, 3).all()
+
+    def test_semdedup_threshold_one_keeps_all_near_dups(self, ray_session):
+        """At threshold just above every pairwise sim, nothing except the
+        exact copies is pruned -- the greedy rule only fires on >= thr."""
+        import numpy as np
+
+        from marc2rdf_ray.ops.ann import semdedup
+
+        ds, base = self._ds()
+        out = semdedup(
+            ds, n_clusters=4, iterations=2, threshold=1.0
+        ).to_pandas()
+        # cos(x, x) == 1.0 exactly after unit normalization? numpy matmul
+        # of a unit row with itself can land at 0.9999999999999998 -- the
+        # op must still prune EXACT copies at threshold 1.0 only if the
+        # dot lands >= 1.0, so just assert all 40 base rows survive.
+        assert set(out["vec_id"]) >= set(range(40))
+
+    def test_semdedup_matches_serial_replay(self, ray_session):
+        """Distributed result == serial greedy replay of the same
+        semantics (cluster -> sort by id -> drop on earlier sim >= thr)."""
+        import numpy as np
+
+        from marc2rdf_ray.ops.ann import _quantize, semdedup
+
+        ds, base = self._ds()
+        thr = 0.6
+        out = semdedup(ds, n_clusters=4, iterations=2, threshold=thr)
+        got = sorted(out.to_pandas()["vec_id"].tolist())
+
+        # serial replay
+        ids = list(range(40)) + list(range(100, 110))
+        mat = np.vstack([base, base[:10]])
+        vq = _quantize(mat)
+        c = vq[:4].copy()
+        for _ in range(2):
+            d2 = ((vq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cid = np.argmin(d2, axis=1)
+            for j in range(4):
+                if (cid == j).any():
+                    c[j] = vq[cid == j].sum(axis=0) // (cid == j).sum()
+        d2 = ((vq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cid = np.argmin(d2, axis=1)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        kept: list[int] = []
+        for j in sorted(set(cid)):
+            idx = [k for k in sorted(range(len(ids)), key=lambda k: ids[k])
+                   if cid[k] == j]
+            kept_rows: list[int] = []
+            for k in idx:
+                sims = [float(unit[k] @ unit[p]) for p in idx
+                        if ids[p] < ids[k]]
+                if not any(s >= thr for s in sims):
+                    kept.append(ids[k])
+        assert got == sorted(kept)
