@@ -991,6 +991,17 @@ def docs_top_bigrams(sf_dir: str):
     )
 
 
+def docs_inverted_index(sf_dir: str):
+    """Whitespace-token inverted index (ops/corpus.py inverted_index):
+    term -> (df, ascending comma-joined posting list), min_df=2.  Fully
+    columnar pair emission + ONE coarse term shuffle; postings built by
+    a vectorized sort + grouped list aggregation per bucket."""
+    from .ops.corpus import inverted_index
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return inverted_index(ds, min_df=2)
+
+
 def docs_decontaminated(sf_dir: str):
     """Test-set decontamination (ops/corpus.py decontaminate): drop every
     doc containing any blocked span.  The blocklist -- the 48-char prefix
@@ -2163,6 +2174,7 @@ QUERIES = {
     "docs_langid": docs_langid,
     "docs_fingerprint": docs_fingerprint,
     "docs_top_bigrams": docs_top_bigrams,
+    "docs_inverted_index": docs_inverted_index,
     "docs_decontaminated": docs_decontaminated,
     "docs_per_lang_sample": docs_per_lang_sample,
     "docs_boilerplate_removed": docs_boilerplate_removed,
@@ -2707,6 +2719,16 @@ hits AS (
 SELECT doc_id, lang FROM hits WHERE nhit = 3
 """,
     # global top-k token bigrams
+    "docs_inverted_index": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents
+),
+pairs AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY term HAVING COUNT(*) >= 2
+""",
     "docs_top_bigrams": """
 WITH toks AS (SELECT regexp_extract_all(text, '\\S+') AS t FROM documents),
 bi AS (SELECT t[g.i] || ' ' || t[g.i + 1] AS ngram

@@ -841,3 +841,74 @@ def mixture_flatten_sample(
     return weighted_sample(
         ds, weights, id_col=id_col, group_col=group_col, default_weight=1.0
     )
+
+
+def inverted_index(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    num_buckets: int | None = None,
+):
+    """Build a term -> postings inverted index over whitespace tokens:
+    one row per distinct term with ``df`` (document frequency) and
+    ``postings`` (the doc ids containing the term, ascending,
+    comma-joined -- a string so the layout hashes identically across
+    engines).  The search-index analog of the reference's predicate index
+    (its triple store indexes graph edges by predicate; sparql_update.rb)
+    over the documents table.
+
+    Scale shape: each batch emits DISTINCT (term, doc_id) pairs fully
+    columnar (regex split -> flatten -> parent-index gather -> Arrow
+    group_by; a doc's repeated tokens dedup BEFORE the exchange, so
+    shuffle volume is per-doc vocabulary, not token count); ONE coarse
+    hash shuffle on the term co-locates each term's pairs; per bucket the
+    postings build is a single sort + grouped ``list``/``count``
+    aggregation -- no Python per term.  Stopword-grade terms are the
+    documented skew: a hot term's postings row is inherently O(df); cap
+    it upstream with a stoplist / ``min_df`` band, or salt the term key
+    and merge, as production index builders do.
+    """
+    from ..functions.hashing import bucket_codes
+
+    nb = num_buckets or 64
+
+    def pairs(b: pa.Table) -> pa.Table:
+        text = b[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(pc.fill_null(text, ""), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ids = pc.take(b[id_col], parent)
+        t = pa.table({"term": flat, id_col: ids})
+        # split on \s+ can emit empty edge tokens; \S+ never does
+        t = t.filter(pc.not_equal(t["term"], ""))
+        t = t.group_by(["term", id_col], use_threads=False).aggregate([])
+        return t.append_column("_cb", bucket_codes(t["term"], nb))
+
+    def build(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("term", "ascending"), (id_col, "ascending")])
+        agg = t.group_by(["term"], use_threads=False).aggregate(
+            [(id_col, "list"), (id_col, "count")]
+        )
+        posts = pc.binary_join(
+            pc.cast(agg[f"{id_col}_list"], pa.list_(pa.string())), ","
+        )
+        out = pa.table(
+            {
+                "term": agg["term"],
+                "df": pc.cast(agg[f"{id_col}_count"], pa.int64()),
+                "postings": posts,
+            }
+        )
+        if min_df > 1:
+            out = out.filter(pc.greater_equal(out["df"], min_df))
+        return out
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(build, batch_format="pyarrow")
+    )

@@ -2553,3 +2553,44 @@ class TestSemDedup:
                 if not any(s >= thr for s in sims):
                     kept.append(ids[k])
         assert got == sorted(kept)
+
+
+class TestInvertedIndex:
+    def test_inverted_index_basics(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import inverted_index
+
+        tab = pa.table(
+            {
+                "doc_id": pa.array([3, 1, 2, 4], pa.int64()),
+                "text": pa.array(
+                    ["b a a b", "a c", None, "  "]  # repeats, null, blank
+                ),
+            }
+        )
+        out = inverted_index(rd.from_arrow(tab)).to_pandas()
+        rows = {r["term"]: (r["df"], r["postings"])
+                for _, r in out.iterrows()}
+        # repeated tokens dedup within a doc; postings ascend by doc id
+        assert rows["a"] == (2, "1,3")
+        assert rows["b"] == (1, "3")
+        assert rows["c"] == (1, "1")
+        assert set(rows) == {"a", "b", "c"}  # null/blank docs emit nothing
+
+    def test_inverted_index_min_df(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import inverted_index
+
+        tab = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["x shared", "shared"]),
+            }
+        )
+        out = inverted_index(rd.from_arrow(tab), min_df=2).to_pandas()
+        assert out["term"].tolist() == ["shared"]
+        assert out["postings"].tolist() == ["1,2"]
