@@ -1453,6 +1453,19 @@ def embeddings_knn_graph_ivf(sf_dir: str):
     return knn_graph_ivf(emb, cents, k=2, nprobe=2)
 
 
+def ann_sq8_topk(sf_dir: str):
+    """SQ8 scalar-quantized ANN (ops/ann.py sq8_topk): int8 integer-dot
+    candidate scan (4x smaller than float32 in the object store), top
+    k*4 candidates per query, exact float64 cosine rescore to top-10.
+    Candidate selection is pure int64 arithmetic, so the oracle replays
+    it bit-for-bit."""
+    from .ops.ann import sq8_topk
+
+    ids, mat = _query_vectors(sf_dir)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return sq8_topk(emb, ids, mat, k=10, oversample=4)
+
+
 def ann_lsh_topk(sf_dir: str):
     """LSH top-k whose candidate generation (integer-quantized md5-sign
     hyperplane buckets + hamming<=1 multi-probe) is REPLAYED by the DuckDB
@@ -2192,6 +2205,7 @@ QUERIES = {
     "embeddings_knn_graph": embeddings_knn_graph,
     "embeddings_knn_graph_ivf": embeddings_knn_graph_ivf,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_sq8_topk": ann_sq8_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "embeddings_kmeans": embeddings_kmeans,
@@ -3578,6 +3592,37 @@ WHERE NOT EXISTS (
 
 
 ORACLE_SQL["embeddings_semdedup"] = _semdedup_oracle_sql()
+
+# SQ8 replay: int8 quantization (floor(x*127+0.5)) -> integer-dot top-40
+# candidates per query (ties -> lower vec_id) -> exact cosine top-10.
+ORACLE_SQL["ann_sq8_topk"] = """
+WITH qv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 127 + 0.5) AS BIGINT)) AS q8
+  FROM embeddings
+), qq AS (
+  SELECT vec_id AS qid, v AS qvv, q8 AS qq8 FROM qv WHERE vec_id < 8
+), idot AS (
+  SELECT qq.qid, qv.vec_id,
+    list_aggregate(list_transform(generate_series(1, 64),
+      d -> qq.qq8[d] * qv.q8[d]), 'sum') AS idot
+  FROM qv CROSS JOIN qq
+), cand AS (
+  SELECT qid, vec_id FROM idot
+  QUALIFY row_number() OVER (
+    PARTITION BY qid ORDER BY idot DESC, vec_id) <= 40
+)
+SELECT c.qid, c.vec_id,
+  ROUND(list_cosine_similarity(e.v, qe.qvv), 4) AS score
+FROM cand c
+JOIN qv e ON e.vec_id = c.vec_id
+JOIN qq qe ON qe.qid = c.qid
+QUALIFY row_number() OVER (
+  PARTITION BY c.qid
+  ORDER BY ROUND(list_cosine_similarity(e.v, qe.qvv), 4) DESC, c.vec_id
+) <= 10
+"""
 
 
 # dedup_minhash_keep oracle: composed from the full minhash pair replay --

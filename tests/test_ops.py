@@ -2594,3 +2594,57 @@ class TestInvertedIndex:
         out = inverted_index(rd.from_arrow(tab), min_df=2).to_pandas()
         assert out["term"].tolist() == ["shared"]
         assert out["postings"].tolist() == ["1,2"]
+
+
+class TestSQ8TopK:
+    def test_sq8_recall_vs_brute(self, ray_session):
+        """With generous oversampling the SQ8 scan must recover the exact
+        brute-force top-k (unit vectors, so int-dot ranking ~ cosine)."""
+        import numpy as np
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.ann import brute_topk, sq8_topk
+
+        rng = np.random.default_rng(5)
+        mat = rng.normal(size=(200, 16))
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        ds = rd.from_items(
+            [
+                {"vec_id": i, "embedding": mat[i].tolist()}
+                for i in range(200)
+            ]
+        )
+        qids, qmat = [0, 1], mat[:2]
+        exact = brute_topk(ds, qids, qmat, k=5).to_pandas()
+        got = sq8_topk(ds, qids, qmat, k=5, oversample=8).to_pandas()
+        for q in qids:
+            e = exact[exact["qid"] == q].sort_values(
+                ["score", "vec_id"], ascending=[False, True]
+            )["vec_id"].tolist()
+            g = got[got["qid"] == q].sort_values(
+                ["score", "vec_id"], ascending=[False, True]
+            )["vec_id"].tolist()
+            assert g == e
+
+    def test_sq8_candidate_determinism(self, ray_session):
+        """Two runs produce identical rows (integer candidate selection
+        has no float tie ambiguity)."""
+        import numpy as np
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.ann import sq8_topk
+
+        rng = np.random.default_rng(6)
+        mat = rng.normal(size=(50, 8))
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        rows = [
+            {"vec_id": i, "embedding": mat[i].tolist()} for i in range(50)
+        ]
+        a = sq8_topk(
+            rd.from_items(rows), [3], mat[3:4], k=4, oversample=2
+        ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+        b = sq8_topk(
+            rd.from_items(rows), [3], mat[3:4], k=4, oversample=2
+        ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+        assert a.equals(b)
+        assert (a["qid"] == 3).all() and len(a) == 4
