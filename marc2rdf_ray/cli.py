@@ -126,10 +126,49 @@ def sync_windows_main(argv) -> int:
         ray.shutdown()
 
 
+def watch_windows_main(argv) -> int:
+    p = argparse.ArgumentParser(prog="marc2rdf_ray watch-windows")
+    p.add_argument("--root", required=True, help="dir of window subdirs")
+    p.add_argument("--out", required=True, help="graph dir")
+    p.add_argument("--mapping", help="rule-set JSON path")
+    p.add_argument("--no-link", action="store_true")
+    p.add_argument("--poll-secs", type=float, default=30.0)
+    p.add_argument(
+        "--max-cycles", type=int, default=None,
+        help="stop after N poll cycles (default: run until killed)",
+    )
+    p.add_argument(
+        "--marker", default="_complete",
+        help="sentinel file a producer writes LAST to seal a drop",
+    )
+    args = p.parse_args(argv)
+    ray = _ray_init()
+    try:
+        from .config import PipelineConfig
+        from .pipelines.incremental import watch_windows
+
+        def on_cycle(i, m):
+            n = m.triple_count if m else 0
+            print(f'{{"cycle": {i}, "triples": {n}}}', flush=True)
+
+        m = watch_windows(
+            args.root, args.out, PipelineConfig(mapping=args.mapping),
+            link=not args.no_link, poll_secs=args.poll_secs,
+            max_cycles=args.max_cycles, marker_name=args.marker,
+            on_cycle=on_cycle,
+        )
+        if m is not None:
+            print(_manifest_json(m, args.out))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 _SUBCOMMANDS = {
     "corpus": corpus_main,
     "merge-window": merge_window_main,
     "sync-windows": sync_windows_main,
+    "watch-windows": watch_windows_main,
 }
 
 

@@ -381,7 +381,9 @@ def sync_windows(
     *,
     link: bool = True,
     filesystem=None,
-) -> RunManifest:
+    require_marker: bool = False,
+    marker_name: str = "_complete",
+) -> RunManifest | None:
     """The scheduler analog (scheduler.rb:327-350 daily cycle): fold every
     window directory under ``windows_root`` (one subdir per harvest drop,
     lexicographic order = arrival order) into the graph at ``out_dir``
@@ -395,6 +397,15 @@ def sync_windows(
     idempotent, so re-running the interrupted window is safe.  Re-invoking
     on an unchanged root is a no-op; new drops fold in on the next call
     -- point a cron/scheduler at this function and it IS the daily cycle.
+
+    A window that is STILL BEING WRITTEN must not fold: its input
+    signature would change once the producer finishes, and the merge
+    would then see the grown drop as a brand-new window and double-count
+    its pages.  With ``require_marker=True`` only windows containing a
+    ``marker_name`` sentinel file (written LAST by the producer -- the
+    standard ``_SUCCESS`` convention) are considered; the others are
+    skipped this call and fold on a later one.  Returns the current
+    manifest, or None when nothing has been folded yet.
     """
     import json as _json
 
@@ -407,8 +418,13 @@ def sync_windows(
         d for d in fsio.listdir(root_fs, root)
         if fsio.isdir(root_fs, fsio.join(root, d))
     )
-    if not windows:
+    if not windows and not require_marker:
         raise ValueError(f"no window directories under {windows_root}")
+    if require_marker:
+        windows = [
+            d for d in windows
+            if fsio.isfile(root_fs, fsio.join(root, d, marker_name))
+        ]
 
     state_path = fsio.join(out_dir, "_synced_windows.json")
     done = set(_json.loads(fsio.read_text(fs, state_path) or "[]"))
@@ -430,4 +446,59 @@ def sync_windows(
         fsio.write_text_atomic(
             fs, state_path, _json.dumps(sorted(done))
         )
+    return manifest
+
+
+def watch_windows(
+    windows_root: str,
+    out_dir: str,
+    config: PipelineConfig | None = None,
+    *,
+    link: bool = True,
+    filesystem=None,
+    poll_secs: float = 30.0,
+    max_cycles: int | None = None,
+    stop_when=None,
+    marker_name: str = "_complete",
+    on_cycle=None,
+) -> RunManifest | None:
+    """The watch-loop form of the reference's scheduler daemon
+    (scheduler.rb:327-350 runs the harvest->convert->update cycle on a
+    timer): poll ``windows_root`` and fold every COMPLETE window drop into
+    the graph exactly once, forever (or until ``max_cycles`` /
+    ``stop_when()``).
+
+    Completeness is the ``marker_name`` sentinel (producer writes it LAST
+    -- the ``_SUCCESS`` convention), so half-written drops are never
+    folded; they pick up on a later cycle once sealed.  Each cycle is one
+    :func:`sync_windows` pass, which is idempotent and crash-resumable,
+    so killing the watcher at ANY point and restarting it loses nothing.
+    ``on_cycle(cycle_index, manifest)`` is the observability hook (cycle
+    counters -- the reference's T4 counter surface).
+
+    S3-friendly by construction: listing + marker check are the only
+    polling IO; no inotify/filesystem events are assumed.
+    """
+    import time as _time
+
+    cycles = 0
+    manifest = None
+    while True:
+        manifest = sync_windows(
+            windows_root,
+            out_dir,
+            config,
+            link=link,
+            filesystem=filesystem,
+            require_marker=True,
+            marker_name=marker_name,
+        )
+        cycles += 1
+        if on_cycle is not None:
+            on_cycle(cycles, manifest)
+        if max_cycles is not None and cycles >= max_cycles:
+            break
+        if stop_when is not None and stop_when():
+            break
+        _time.sleep(poll_secs)
     return manifest

@@ -810,3 +810,62 @@ def test_merge_refuses_ruleset_change_and_missing_checkpoint(
     shutil.rmtree(os.path.join(out, "_raw_triples"))
     with pytest.raises(ValueError, match="_raw_triples"):
         merge_window_into_graph(str(w2), out, PipelineConfig())
+
+
+def test_watch_windows_marker_gating(ray_session, tmp_path):
+    """watch_windows folds only SEALED drops (``_complete`` written last
+    by the producer): an unsealed window is skipped that cycle, then
+    folds once sealed -- the double-count hazard of merging a
+    still-growing drop never arises."""
+    import pyarrow.parquet as _pq
+
+    from marc2rdf_ray.pipelines.incremental import watch_windows
+    from marc2rdf_ray.sources.pages import synthesize_pages
+
+    root = tmp_path / "windows"
+    root.mkdir()
+
+    def drop(name, start, n, sealed):
+        d = root / name
+        d.mkdir()
+        _pq.write_table(
+            synthesize_pages(n, seed=42, start=start),
+            os.path.join(d, "pages.parquet"),
+        )
+        if sealed:
+            (d / "_complete").touch()
+        return d
+
+    drop("w0", 0, 60, sealed=True)
+    w1 = drop("w1", 60, 6, sealed=False)  # producer still writing
+
+    out = str(tmp_path / "graph")
+    seen = []
+
+    def on_cycle(i, manifest):
+        seen.append(manifest.triple_count if manifest else 0)
+        if i == 1:
+            # producer finishes + seals between cycles
+            (w1 / "_complete").touch()
+
+    m = watch_windows(
+        str(root), out, PipelineConfig(),
+        poll_secs=0.0, max_cycles=2, on_cycle=on_cycle,
+    )
+    state = json.load(open(os.path.join(out, "_synced_windows.json")))
+    assert state == ["w0", "w1"]
+    assert len(seen) == 2 and seen[1] > seen[0]  # w1 folded on cycle 2
+    assert len(m.extra.get("window_sigs", {})) == 1  # one merged window
+
+
+def test_sync_windows_require_marker_empty_root(ray_session, tmp_path):
+    """With require_marker, an empty / all-unsealed root is a no-op
+    returning None, not an error -- the watcher polls again later."""
+    from marc2rdf_ray.pipelines.incremental import sync_windows
+
+    root = tmp_path / "w"
+    root.mkdir()
+    out = str(tmp_path / "g")
+    assert sync_windows(
+        str(root), out, PipelineConfig(), require_marker=True
+    ) is None
