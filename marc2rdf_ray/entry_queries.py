@@ -1033,6 +1033,31 @@ def docs_decontaminated(sf_dir: str):
     )
 
 
+def docs_decontaminated_hashed(sf_dir: str):
+    """Window-hash decontamination (ops/corpus.py decontaminate_hashed)
+    -- the million-span scale path: same 48-char-prefix blocklist as
+    docs_decontaminated, but matching by shared 6-token md5 windows
+    instead of literal containment; only hash sets cross the exchange."""
+    from .ops.corpus import decontaminate_hashed
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def block_spans(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % 40 == 0))
+        s = pc.utf8_slice_codeunits(t["text"], 0, 48)
+        out = pa.table({"s": s})
+        return out.filter(pc.not_equal(pc.coalesce(out["s"], ""), ""))
+
+    spans = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        block_spans, batch_format="pyarrow"
+    )
+    out = decontaminate_hashed(docs, spans, width=6)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+
+
 def docs_boilerplate_removed(sf_dir: str):
     """Line-level boilerplate removal (ops.corpus.remove_boilerplate_lines
     -- the C4/CCNet web-pipeline operator): docs are recut into 8-token
@@ -2189,6 +2214,7 @@ QUERIES = {
     "docs_top_bigrams": docs_top_bigrams,
     "docs_inverted_index": docs_inverted_index,
     "docs_decontaminated": docs_decontaminated,
+    "docs_decontaminated_hashed": docs_decontaminated_hashed,
     "docs_per_lang_sample": docs_per_lang_sample,
     "docs_boilerplate_removed": docs_boilerplate_removed,
     "docs_paragraph_dedup": docs_paragraph_dedup,
@@ -2757,6 +2783,34 @@ WITH b AS (SELECT substr(text, 1, 48) AS s FROM documents
            WHERE doc_id % 40 = 0 AND substr(text, 1, 48) <> '')
 SELECT d.doc_id, d.lang FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM b WHERE contains(d.text, b.s))
+""",
+    # window-hash decontamination: shared 6-token md5 windows, 1-based
+    # INCLUSIVE DuckDB list slices (t[i:i+5] = 6 tokens)
+    "docs_decontaminated_hashed": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+spans AS (
+  SELECT regexp_extract_all(substr(text, 1, 48), '\S+') AS t
+  FROM documents
+  WHERE doc_id % 40 = 0 AND substr(text, 1, 48) <> ''
+),
+span_w AS (
+  SELECT DISTINCT
+    substr(md5(array_to_string(t[g.i:g.i + 5], ' ')), 1, 16) AS h
+  FROM spans,
+  LATERAL (SELECT unnest(generate_series(1, len(t) - 5)) AS i) g
+),
+doc_w AS (
+  SELECT doc_id,
+    substr(md5(array_to_string(t[g.i:g.i + 5], ' ')), 1, 16) AS h
+  FROM toks,
+  LATERAL (SELECT unnest(generate_series(1, len(t) - 5)) AS i) g
+)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM doc_w w JOIN span_w s USING (h) WHERE w.doc_id = d.doc_id
+)
 """,
     # stratified deterministic sample: 10 per language by (md5(id), id)
     "docs_per_lang_sample": """

@@ -912,3 +912,128 @@ def inverted_index(
         .groupby("_cb")
         .map_groups(build, batch_format="pyarrow")
     )
+
+
+def _window_hashes(text: str, width: int) -> list[str]:
+    """16-hex-char md5 of every ``width``-token whitespace window (token
+    windows joined by single space -- replayable as DuckDB
+    ``substr(md5(array_to_string(t[i:i+w-1], ' ')), 1, 16)``)."""
+    import hashlib
+
+    toks = _TOKEN_RE.findall(text or "")
+    if len(toks) < width:
+        return []
+    return [
+        hashlib.md5(
+            " ".join(toks[i: i + width]).encode("utf-8")
+        ).hexdigest()[:16]
+        for i in range(len(toks) - width + 1)
+    ]
+
+
+def decontaminate_hashed(
+    ds,
+    spans_ds,
+    *,
+    width: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_col: str = "s",
+    broadcast_budget: int = 256 << 20,
+):
+    """Window-hash decontamination -- the SCALE path promised in
+    :func:`decontaminate`'s docstring for million-span blocklists: drop
+    every document sharing at least one ``width``-token whitespace window
+    with any blocked span.  The matching rule is token-window overlap
+    (the standard n-gram decontamination criterion, e.g. the GPT-3
+    appendix-C 13-gram rule -- public), NOT literal substring
+    containment; a span shorter than ``width`` tokens contributes no
+    windows and is logged as skipped.
+
+    Scale shape: both sides reduce to md5 window hashes BEFORE any
+    exchange -- the blocklist text itself never ships, only its distinct
+    16-hex-char hash set; doc windows dedup within each batch.
+    Membership detection and the final doc-id drop both go through the
+    broadcast-or-join shape (``anti_join_filter``): one vectorized
+    ``is_in`` per batch while the hash set fits ``broadcast_budget``, a
+    distributed hash join above it.  Nothing ever materializes the
+    corpus."""
+    import logging
+
+    import ray
+
+    from .dedup import anti_join_filter, distinct_first
+
+    def span_hashes(b: pa.Table) -> pa.Table:
+        hs: set[str] = set()
+        skipped = 0
+        for s in b[span_col].to_pylist():
+            w = _window_hashes(s, width)
+            if not w and (s or "").strip():
+                skipped += 1
+            hs.update(w)
+        if skipped:
+            logging.getLogger(__name__).warning(
+                "decontaminate_hashed: %d spans shorter than width=%d "
+                "tokens contribute no windows", skipped, width,
+            )
+        return pa.table({"h": pa.array(sorted(hs), pa.string())})
+
+    blocked = distinct_first(
+        spans_ds.map_batches(span_hashes, batch_format="pyarrow"), "h"
+    ).materialize()
+
+    def doc_hashes(b: pa.Table) -> pa.Table:
+        ids, hh = [], []
+        for i, t in zip(
+            b[id_col].to_pylist(), b[text_col].to_pylist()
+        ):
+            for h in set(_window_hashes(t, width)):
+                ids.append(i)
+                hh.append(h)
+        return pa.table(
+            {
+                id_col: pa.array(ids, b[id_col].type),
+                "h": pa.array(hh, pa.string()),
+            }
+        )
+
+    pairs = ds.map_batches(doc_hashes, batch_format="pyarrow")
+
+    if blocked.size_bytes() <= broadcast_budget:
+        tabs = [t for t in ray.get(blocked.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return ds
+        ref = ray.put(
+            pa.concat_tables(tabs, promote_options="default")["h"]
+            .combine_chunks()
+        )
+
+        def hit_ids(b: pa.Table) -> pa.Table:
+            hit = pc.is_in(b["h"], value_set=ray.get(ref))
+            return b.filter(pc.fill_null(hit, False)).select([id_col])
+
+        hits = pairs.map_batches(hit_ids, batch_format="pyarrow")
+    else:
+        marked = blocked.map_batches(
+            lambda b: pa.table(
+                {
+                    "h": b["h"],
+                    "_seen": pa.array(np.ones(len(b), np.int8), pa.int8()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        nparts = max(
+            2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        )
+        hits = pairs.join(
+            marked, join_type="inner", num_partitions=nparts, on=("h",)
+        ).map_batches(
+            lambda b: b.select([id_col]), batch_format="pyarrow"
+        )
+
+    hits = distinct_first(hits, id_col)
+    return anti_join_filter(
+        ds, hits, id_col, broadcast_budget=broadcast_budget
+    )

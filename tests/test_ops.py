@@ -2648,3 +2648,58 @@ class TestSQ8TopK:
         ).to_pandas().sort_values("vec_id").reset_index(drop=True)
         assert a.equals(b)
         assert (a["qid"] == 3).all() and len(a) == 4
+
+
+class TestDecontaminateHashed:
+    def _data(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "the quick brown fox jumps over the lazy dog",
+                        "completely unrelated words live here today now",
+                        "prefix filler quick brown fox jumps over the end",
+                        "short doc",
+                    ]
+                ),
+            }
+        )
+        spans = pa.table(
+            {"s": pa.array(["quick brown fox jumps over the", "tiny"])}
+        )
+        return rd.from_arrow(docs), rd.from_arrow(spans)
+
+    def test_hashed_drop_by_shared_window(self, ray_session):
+        """Docs 1 and 3 share the blocked 6-token window; 2 and 4 stay.
+        The <width 'tiny' span contributes nothing (skipped, logged)."""
+        from marc2rdf_ray.ops.corpus import decontaminate_hashed
+
+        docs, spans = self._data()
+        out = decontaminate_hashed(docs, spans, width=6).to_pandas()
+        assert sorted(out["doc_id"]) == [2, 4]
+
+    def test_hashed_join_fallback_same_result(self, ray_session):
+        """A zero broadcast budget forces the distributed-join path for
+        both membership and the final drop -- result identical."""
+        from marc2rdf_ray.ops.corpus import decontaminate_hashed
+
+        docs, spans = self._data()
+        out = decontaminate_hashed(
+            docs, spans, width=6, broadcast_budget=0
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [2, 4]
+
+    def test_hashed_empty_blocklist_keeps_all(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import decontaminate_hashed
+
+        docs, _ = self._data()
+        spans = rd.from_arrow(pa.table({"s": pa.array([], pa.string())}))
+        out = decontaminate_hashed(docs, spans, width=6).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2, 3, 4]
