@@ -633,6 +633,61 @@ def events_value_quantile_bounds(sf_dir: str):
     return exact_quantile_bounds(ds, "value", bin_width=7.5)
 
 
+def events_streaming_watermark(sf_dir: str):
+    """Streaming allowed-lateness replay (ops/windows.py
+    drop_late_events): arrival order = event_id, event time = ts minus a
+    deterministic md5 jitter of up to 6h (the table itself arrives
+    perfectly ordered, so the jitter synthesizes realistic out-of-order
+    arrival -- replayable in the oracle), watermark delay 2h; the
+    survivors aggregate into tumbling hours.  The watermark pass is a
+    distributed prefix max: O(#buckets) driver state, one exchange."""
+    from ray.data.aggregate import Count, Sum
+
+    from .ops.dedup import md5_u64
+    from .ops.windows import drop_late_events
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def adj(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_pylist()
+        eus = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        jit = np.array(
+            [md5_u64(f"late:{i}") % 21600 for i in ids], np.int64
+        ) * 1_000_000
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "tsu": pa.array(eus.astype(np.int64) - jit, pa.int64()),
+                "value": b["value"],
+            }
+        )
+
+    kept = drop_late_events(
+        ds.map_batches(adj, batch_format="pyarrow"),
+        ts_col="tsu",
+        seq_col="event_id",
+        delay_us=7_200_000_000,
+    )
+
+    def window(b: pa.Table) -> pa.Table:
+        tsu = b["tsu"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "hour": pa.array(tsu // 3_600_000_000, pa.int64()),
+                "value_cents": sql_round_i64(b["value"], 100.0),
+            }
+        )
+
+    return (
+        kept.map_batches(window, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(
+            Count(alias_name="cnt"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
 def events_sessions(sf_dir: str):
     """Gap-based session windows (30 min) per user -- the custom windowed
     aggregate (ops.windows.sessionize): one shuffle, vectorized per-bucket
@@ -2187,6 +2242,7 @@ QUERIES = {
     "events_value_quantile_bounds": events_value_quantile_bounds,
     "events_value_quantile_sketch": events_value_quantile_sketch,
     "docs_sample_deterministic": docs_sample_deterministic,
+    "events_streaming_watermark": events_streaming_watermark,
     "events_sessions": events_sessions,
     "events_sliding_3h": events_sliding_3h,
     "events_approx_distinct_users": events_approx_distinct_users,
@@ -2372,6 +2428,30 @@ FROM events GROUP BY user_id, hour
     "events_top_types": """
 SELECT event_type, COUNT(*) AS cnt FROM events
 GROUP BY event_type ORDER BY cnt DESC, event_type ASC LIMIT 5
+""",
+    # streaming watermark replay: md5 jitter (<=6h) makes arrival
+    # out-of-order; prior-arrival running max - 2h is the watermark
+    "events_streaming_watermark": """
+WITH adj AS (
+  SELECT event_id, value,
+    CAST(epoch_us(ts) AS BIGINT)
+      - CAST(CAST('0x' || substr(md5('late:' || CAST(event_id AS VARCHAR)),
+                  1, 16) AS UBIGINT) % 21600 AS BIGINT) * 1000000 AS tsu
+  FROM events
+), wm AS (
+  SELECT tsu, value,
+    MAX(tsu) OVER (ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS prior_max
+  FROM adj
+), kept AS (
+  SELECT tsu, value FROM wm
+  WHERE prior_max IS NULL OR tsu >= prior_max - 7200000000
+)
+SELECT tsu // 3600000000 AS hour, COUNT(*) AS cnt,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+    AS sum_value_cents
+FROM kept GROUP BY hour
 """,
     "events_json_props": """
 SELECT event_type,

@@ -504,3 +504,115 @@ def funnel(
         .groupby("bucket")
         .map_groups(chain, batch_format="pyarrow")
     )
+
+
+_I64_MIN = np.int64(np.iinfo(np.int64).min)
+
+
+def drop_late_events(
+    ds,
+    *,
+    ts_col: str = "tsu",
+    seq_col: str = "event_id",
+    delay_us: int = 7_200_000_000,
+    num_buckets: int = 64,
+):
+    """Streaming-ingest watermark semantics replayed over a static table:
+    process rows in ``seq_col`` (arrival) order, maintain watermark =
+    max(event time seen so far) - ``delay_us``, and DROP every row whose
+    event time is already behind the watermark when it arrives -- the
+    allowed-lateness rule of streaming engines (public: the Dataflow
+    model, Akidau et al., VLDB 2015), which the reference approximates
+    with its from/until harvest windows (oaiclient.rb:29-30).
+
+    ``ts_col`` must be int64 (epoch micros); ``seq_col`` must be unique.
+    The first row in arrival order is never late (watermark starts at
+    -inf).
+
+    Scale shape -- a distributed prefix MAX, the scan analog of
+    pack_streaming's prefix sum: one column-pruned pass computes the seq
+    range; per-batch partials reduce to (range_bucket, max_ts) -- O(B)
+    driver state, never the rows; the driver forms per-bucket EXCLUSIVE
+    prefix maxima; ONE range-bucket shuffle co-locates each bucket,
+    where a vectorized in-bucket running max (np.maximum.accumulate,
+    shifted one row, seeded with the bucket's prefix) applies the rule.
+    Event payloads cross exactly one exchange."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    from .dedup import grouped_apply
+
+    rng = ds.select_columns([seq_col]).aggregate(
+        Min(seq_col, alias_name="lo"), Max(seq_col, alias_name="hi")
+    )
+    lo, hi = int(rng["lo"]), int(rng["hi"])
+    span = max(1, hi - lo + 1)
+    nb = min(num_buckets, span)
+
+    def bucket_of(seq: np.ndarray) -> np.ndarray:
+        return ((seq.astype(np.int64) - lo) * nb // span).astype(np.int32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        seq = b[seq_col].to_numpy(zero_copy_only=False)
+        ts = b[ts_col].to_numpy(zero_copy_only=False)
+        bk = bucket_of(seq)
+        order = np.argsort(bk, kind="stable")
+        bs, ts_s = bk[order], ts[order]
+        change = np.nonzero(bs[1:] != bs[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(bs)]])
+        return pa.table(
+            {
+                "bucket": pa.array(bs[starts], pa.int32()),
+                "mx": pa.array(
+                    [int(ts_s[s:e].max()) for s, e in zip(starts, ends)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = np.full(nb, _I64_MIN, np.int64)
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        i = int(r["bucket"])
+        if r["mx"] > agg[i]:
+            agg[i] = r["mx"]
+    # exclusive prefix max per bucket (watermark carried in from earlier
+    # arrival ranges)
+    prefix = np.full(nb, _I64_MIN, np.int64)
+    run = _I64_MIN
+    for i in range(nb):
+        prefix[i] = run
+        if agg[i] > run:
+            run = agg[i]
+    prefix_ref = ray.put(prefix)
+
+    def tag(b: pa.Table) -> pa.Table:
+        seq = b[seq_col].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_wb", pa.array(bucket_of(seq), pa.int32())
+        )
+
+    def apply_rule(group: pa.Table) -> pa.Table:
+        pfx = ray.get(prefix_ref)
+        t = group.sort_by([(seq_col, "ascending")])
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        seed = pfx[int(t["_wb"][0].as_py())]
+        prior = np.empty(len(ts), np.int64)
+        prior[0] = seed
+        if len(ts) > 1:
+            np.maximum.accumulate(ts[:-1], out=prior[1:])
+            np.maximum(prior[1:], seed, out=prior[1:])
+        keep = (prior == _I64_MIN) | (ts >= prior - np.int64(delay_us))
+        return t.filter(pa.array(keep)).drop_columns(["_wb"])
+
+    out_schema = ds.schema()
+    out_schema = pa.schema(
+        list(zip(out_schema.names, out_schema.types))
+    )
+    return grouped_apply(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        "_wb",
+        apply_rule,
+        out_schema,
+        min_group=1,
+    )

@@ -2703,3 +2703,58 @@ class TestDecontaminateHashed:
         spans = rd.from_arrow(pa.table({"s": pa.array([], pa.string())}))
         out = decontaminate_hashed(docs, spans, width=6).to_pandas()
         assert sorted(out["doc_id"]) == [1, 2, 3, 4]
+
+
+class TestDropLateEvents:
+    def test_matches_serial_watermark_replay(self, ray_session):
+        """Distributed prefix-max result == serial streaming replay, with
+        few buckets so the cross-bucket watermark carry is exercised."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import drop_late_events
+
+        rng = np.random.default_rng(3)
+        n = 500
+        ts = np.cumsum(rng.integers(0, 4, n)).astype(np.int64) * 100
+        ts -= rng.integers(0, 600, n)  # out-of-order jitter
+        tab = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "tsu": pa.array(ts, pa.int64()),
+            }
+        )
+        delay = 250
+        out = drop_late_events(
+            rd.from_arrow(tab), ts_col="tsu", seq_col="event_id",
+            delay_us=delay, num_buckets=7,
+        ).to_pandas()
+
+        run = None
+        kept = []
+        for i in range(n):
+            if run is None or ts[i] >= run - delay:
+                kept.append(i)
+            run = ts[i] if run is None else max(run, ts[i])
+        assert sorted(out["event_id"]) == kept
+        assert 0 < len(kept) < n  # nontrivial on both sides
+
+    def test_first_event_never_late(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import drop_late_events
+
+        tab = pa.table(
+            {
+                "event_id": pa.array([0, 1, 2], pa.int64()),
+                "tsu": pa.array([1000, 2000, 10], pa.int64()),
+            }
+        )
+        out = drop_late_events(
+            rd.from_arrow(tab), ts_col="tsu", seq_col="event_id",
+            delay_us=100,
+        ).to_pandas()
+        # event 0 opens the stream; event 2 is 1990us behind the watermark
+        assert sorted(out["event_id"]) == [0, 1]
