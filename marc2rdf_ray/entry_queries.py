@@ -722,6 +722,18 @@ def events_approx_distinct_users(sf_dir: str):
     return hll_registers(ds, "user_id", p=10)
 
 
+def events_type_distinct_users_hll(sf_dir: str):
+    """Per-group HyperLogLog (ops.sketches.hll_registers_by): distinct
+    users per event TYPE as one fixed-size-per-group register exchange
+    -- the per-segment cardinality shape.  Register table is oracle-
+    replayed bit-exactly; hll_estimate over a group's slice yields its
+    cardinality."""
+    from .ops.sketches import hll_registers_by
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_registers_by(ds, "event_type", "user_id", p=10)
+
+
 def events_user_cms_counts(sf_dir: str):
     """Count-min-sketch (depth 4 x width 1024) estimated event counts for
     users 0..49 (ops.sketches.cms_counts): each batch ships at most
@@ -2246,6 +2258,7 @@ QUERIES = {
     "events_sessions": events_sessions,
     "events_sliding_3h": events_sliding_3h,
     "events_approx_distinct_users": events_approx_distinct_users,
+    "events_type_distinct_users_hll": events_type_distinct_users_hll,
     "events_user_cms_counts": events_user_cms_counts,
     "events_heavy_users": events_heavy_users,
     "docs_bloom_prefilter": docs_bloom_prefilter,
@@ -2780,6 +2793,23 @@ SELECT register,
                           ELSE length(bin(rest)) END + 1) AS BIGINT)
          AS max_rho
 FROM r GROUP BY register
+""",
+    "events_type_distinct_users_hll": """
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) AS hv
+  FROM (SELECT DISTINCT event_type, user_id FROM events)
+), r AS (
+  SELECT event_type, CAST(hv >> 54 AS BIGINT) AS register,
+         hv & CAST(18014398509481983 AS UBIGINT) AS rest
+  FROM h
+)
+SELECT event_type, register,
+       CAST(MAX(54 - CASE WHEN rest = 0 THEN 0
+                          ELSE length(bin(rest)) END + 1) AS BIGINT)
+         AS max_rho
+FROM r GROUP BY event_type, register
 """,
     # count-min sketch: depth x width counter grid from md5-derived
     # buckets, probe estimate = min over rows

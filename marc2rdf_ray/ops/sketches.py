@@ -32,6 +32,24 @@ def _alpha(m: int) -> float:
     return _ALPHA.get(int(np.log2(m)), 0.7213 / (1 + 1.079 / m))
 
 
+def _reg_rho(hv: np.ndarray, rem_bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register, rho) from 64-bit hashes: register = top ``64-rem_bits``
+    bits; rho = leading zeros of the remaining bits + 1 = rem_bits -
+    bit_length(rest) + 1 (bit_length(0) == 0).  A float log2 seeds the bit
+    length; one exact integer check in each direction repairs any
+    misrounding at power-of-two boundaries."""
+    reg = (hv >> np.uint64(rem_bits)).astype(np.int64)
+    rest = hv & np.uint64((1 << rem_bits) - 1)
+    bl = np.zeros(len(rest), np.int64)
+    nz = rest != 0
+    x = rest[nz]
+    b = np.floor(np.log2(x.astype(np.float64))).astype(np.int64) + 1
+    b = np.where(x >> b.astype(np.uint64) != 0, b + 1, b)
+    b = np.where(x >> (b - 1).astype(np.uint64) == 0, b - 1, b)
+    bl[nz] = b
+    return reg, rem_bits - bl + 1
+
+
 def hll_registers(ds, key_col: str, *, p: int = 10):
     """HyperLogLog register table for the distinct count of ``key_col``.
 
@@ -56,20 +74,7 @@ def hll_registers(ds, key_col: str, *, p: int = 10):
             np.uint64,
             count=len(keys),
         )
-        reg = (hv >> np.uint64(rem_bits)).astype(np.int64)
-        rest = hv & np.uint64((1 << rem_bits) - 1)
-        # rho = leading zeros of the rem_bits-wide value + 1
-        #     = rem_bits - bit_length(rest) + 1   (bit_length(0) == 0)
-        bl = np.zeros(len(rest), np.int64)
-        nz = rest != 0
-        x = rest[nz]
-        # float log2 seeds the bit length; one exact integer check in each
-        # direction repairs any misrounding at power-of-two boundaries
-        b = np.floor(np.log2(x.astype(np.float64))).astype(np.int64) + 1
-        b = np.where(x >> b.astype(np.uint64) != 0, b + 1, b)
-        b = np.where(x >> (b - 1).astype(np.uint64) == 0, b - 1, b)
-        bl[nz] = b
-        rho = rem_bits - bl + 1
+        reg, rho = _reg_rho(hv, rem_bits)
         order = np.lexsort((reg,))
         reg_s, rho_s = reg[order], rho[order]
         brk = np.empty(len(reg_s), bool)
@@ -91,6 +96,65 @@ def hll_registers(ds, key_col: str, *, p: int = 10):
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("register")
+        .aggregate(Max("max_rho", alias_name="max_rho"))
+    )
+
+
+def hll_registers_by(ds, group_col: str, key_col: str, *, p: int = 10):
+    """Per-GROUP HyperLogLog register table: one (group, register,
+    max_rho) row per register a group's keys hit -- approximate distinct
+    ``key_col`` PER ``group_col`` in a single fixed-size-per-group
+    exchange (the per-segment cardinality shape: distinct users per
+    event type, distinct urls per domain...).
+
+    Same md5 hash family and rho arithmetic as :func:`hll_registers`, so
+    the whole table replays bit-exactly in SQL.  Each batch emits at most
+    ``groups_in_batch * 2**p`` partial rows (in practice far fewer);
+    the global combine is one groupby-max on (group, register).  Slice a
+    group's rows into :func:`hll_estimate` for its cardinality."""
+    from ray.data.aggregate import Max
+
+    rem_bits = 64 - p
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pylist()
+        grp = b[group_col].to_pylist()
+        hv = np.fromiter(
+            (
+                int(hashlib.md5(str(k).encode()).hexdigest()[:16], 16)
+                for k in keys
+            ),
+            np.uint64,
+            count=len(keys),
+        )
+        reg, rho = _reg_rho(hv, rem_bits)
+        # factorize groups within the batch for a pure-int lexsort
+        uniq = sorted(set(grp))
+        gidx = {g: i for i, g in enumerate(uniq)}
+        gi = np.fromiter((gidx[g] for g in grp), np.int64, count=len(grp))
+        order = np.lexsort((reg, gi))
+        gi_s, reg_s, rho_s = gi[order], reg[order], rho[order]
+        brk = np.empty(len(reg_s), bool)
+        brk[0:1] = True
+        if len(reg_s) > 1:
+            brk[1:] = (reg_s[1:] != reg_s[:-1]) | (gi_s[1:] != gi_s[:-1])
+        starts = np.flatnonzero(brk)
+        return pa.table(
+            {
+                group_col: pa.array(
+                    [uniq[i] for i in gi_s[starts]],
+                    b[group_col].type,
+                ),
+                "register": pa.array(reg_s[starts], pa.int64()),
+                "max_rho": pa.array(
+                    np.maximum.reduceat(rho_s, starts), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "register"])
         .aggregate(Max("max_rho", alias_name="max_rho"))
     )
 

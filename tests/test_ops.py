@@ -2758,3 +2758,47 @@ class TestDropLateEvents:
         ).to_pandas()
         # event 0 opens the stream; event 2 is 1990us behind the watermark
         assert sorted(out["event_id"]) == [0, 1]
+
+
+class TestHLLByGroup:
+    def test_grouped_registers_match_per_group_run(self, ray_session):
+        """hll_registers_by == hll_registers run per group slice, and
+        estimates stay within HLL error of the exact counts."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.sketches import (
+            hll_estimate,
+            hll_registers,
+            hll_registers_by,
+        )
+
+        rng = np.random.default_rng(7)
+        grp = rng.choice(["a", "b", "c"], size=3000).tolist()
+        key = rng.integers(0, 400, 3000).tolist()
+        tab = pa.table({"g": pa.array(grp), "k": pa.array(key, pa.int64())})
+        ds = rd.from_arrow(tab)
+
+        by = hll_registers_by(ds, "g", "k", p=8).to_pandas()
+        for g in ["a", "b", "c"]:
+            solo = hll_registers(
+                rd.from_arrow(tab.filter(pa.compute.equal(tab["g"], g))),
+                "k", p=8,
+            ).to_pandas().sort_values("register").reset_index(drop=True)
+            mine = (
+                by[by["g"] == g][["register", "max_rho"]]
+                .sort_values("register").reset_index(drop=True)
+            )
+            assert mine.equals(solo)
+            exact = len({k for k, gg in zip(key, grp) if gg == g})
+            est = hll_estimate(
+                pa.table(
+                    {
+                        "register": pa.array(mine["register"], pa.int64()),
+                        "max_rho": pa.array(mine["max_rho"], pa.int64()),
+                    }
+                ),
+                p=8,
+            )
+            assert abs(est - exact) / exact < 0.25
