@@ -1100,6 +1100,16 @@ def docs_decontaminated(sf_dir: str):
     )
 
 
+def docs_bm25_topk(sf_dir: str):
+    """BM25 top-10 (ops/corpus.py bm25_topk) for the fixed query
+    {data, stream, vector} -- integer microbit scores, so ranking and
+    values replay exactly in SQL."""
+    from .ops.corpus import bm25_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, ["data", "stream", "vector"], k=10)
+
+
 def docs_decontaminated_hashed(sf_dir: str):
     """Window-hash decontamination (ops/corpus.py decontaminate_hashed)
     -- the million-span scale path: same 48-char-prefix blocklist as
@@ -2282,6 +2292,7 @@ QUERIES = {
     "docs_fingerprint": docs_fingerprint,
     "docs_top_bigrams": docs_top_bigrams,
     "docs_inverted_index": docs_inverted_index,
+    "docs_bm25_topk": docs_bm25_topk,
     "docs_decontaminated": docs_decontaminated,
     "docs_decontaminated_hashed": docs_decontaminated_hashed,
     "docs_per_lang_sample": docs_per_lang_sample,
@@ -2893,6 +2904,43 @@ WITH b AS (SELECT substr(text, 1, 48) AS s FROM documents
            WHERE doc_id % 40 = 0 AND substr(text, 1, 48) <> '')
 SELECT d.doc_id, d.lang FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM b WHERE contains(d.text, b.s))
+""",
+    # BM25 (k1=1.2, b=0.75): per-(doc,term) integer microbit contributions
+    # floored BEFORE the sum (ops/lm.py trick) -- same IEEE expression
+    "docs_bm25_topk": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS nd, CAST(SUM(len(t)) AS BIGINT) AS sumlen FROM toks
+),
+q(term) AS (VALUES ('data'), ('stream'), ('vector')),
+flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+df AS (
+  SELECT q.term, COUNT(DISTINCT f.doc_id) AS df
+  FROM q JOIN flat f ON f.tok = q.term GROUP BY q.term
+),
+tf AS (
+  SELECT f.doc_id, q.term, COUNT(*) AS tf
+  FROM q JOIN flat f ON f.tok = q.term GROUP BY f.doc_id, q.term
+),
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(floor(
+      ln((CAST(s.nd - df.df AS DOUBLE) + 0.5)
+         / (CAST(df.df AS DOUBLE) + 0.5) + 1)
+      * (tf.tf * 2.2)
+      / (tf.tf + 0.3 + 0.9 * l.dl * s.nd / s.sumlen)
+      * 1000000 + 0.5) AS BIGINT) AS micro
+  FROM tf
+  JOIN lens l USING (doc_id)
+  JOIN df USING (term)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS microbits
+FROM contrib GROUP BY doc_id
+QUALIFY row_number() OVER (ORDER BY SUM(micro) DESC, doc_id) <= 10
 """,
     # window-hash decontamination: shared 6-token md5 windows, 1-based
     # INCLUSIVE DuckDB list slices (t[i:i+5] = 6 tokens)

@@ -1037,3 +1037,108 @@ def decontaminate_hashed(
     return anti_join_filter(
         ds, hits, id_col, broadcast_budget=broadcast_budget
     )
+
+
+def bm25_topk(
+    ds,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25 relevance ranking (Robertson/Sparck Jones, public; k1=1.2,
+    b=0.75) of documents against a bag of query terms over whitespace
+    tokens -- the retrieval scorer that pairs with
+    :func:`inverted_index`.  Returns the top ``k`` (id, microbits) rows,
+    score desc / id asc.
+
+    Determinism contract (ops/lm.py's microbit trick): each (doc, term)
+    contribution floors to integer MICRO-bits --
+    ``floor(idf * tf*2.2 / (tf + 0.3 + 0.9*len*N/SUMLEN) * 1e6 + 0.5)``
+    with ``idf = ln((N-df+0.5)/(df+0.5)+1)`` -- BEFORE summing, so
+    per-doc scores are exact integers and no float summation order can
+    diverge from the SQL oracle evaluating the same IEEE expression.
+
+    Scale shape: pass 1 reduces to O(#batches) one-row partials (doc
+    count, total token count, per-query-term df) -- the query is the
+    broadcast small side by construction; pass 2 is stateless scoring
+    emitting at most ``k`` candidate rows per batch; the final top-k is
+    a distributed sort over those candidates only."""
+    terms = list(query_terms)
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        toks = [_TOKEN_RE.findall(t or "") for t in texts]
+        df = [sum(1 for x in toks if term in x) for term in terms]
+        return pa.table(
+            {
+                "nd": pa.array([len(texts)], pa.int64()),
+                "sumlen": pa.array(
+                    [sum(len(x) for x in toks)], pa.int64()
+                ),
+                "df": pa.array([df], pa.list_(pa.int64())),
+            }
+        )
+
+    nd = 0
+    sumlen = 0
+    df = np.zeros(len(terms), np.int64)
+    for r in ds.map_batches(stats_partial, batch_format="pyarrow").take_all():
+        nd += int(r["nd"])
+        sumlen += int(r["sumlen"])
+        df += np.asarray(r["df"], np.int64)
+    if nd == 0 or sumlen == 0:
+        return ds.limit(0).map_batches(
+            lambda b: pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "microbits": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    idf = np.log(
+        (np.float64(nd) - df.astype(np.float64) + 0.5)
+        / (df.astype(np.float64) + 0.5)
+        + 1.0
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        texts = b[text_col].to_pylist()
+        toks = [_TOKEN_RE.findall(t or "") for t in texts]
+        dl = np.array([len(x) for x in toks], np.int64)
+        total = np.zeros(len(ids), np.int64)
+        hit = np.zeros(len(ids), bool)
+        for j, term in enumerate(terms):
+            tf = np.array([x.count(term) for x in toks], np.int64)
+            m = tf > 0
+            if not m.any():
+                continue
+            hit |= m
+            tff = tf[m].astype(np.float64)
+            den = (
+                tff
+                + 0.3
+                + 0.9 * dl[m].astype(np.float64) * np.float64(nd)
+                / np.float64(sumlen)
+            )
+            c = idf[j] * (tff * 2.2) / den
+            total[m] += np.floor(c * 1e6 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                id_col: pa.array(ids[hit], b[id_col].type),
+                "microbits": pa.array(total[hit], pa.int64()),
+            }
+        )
+        t = t.sort_by(
+            [("microbits", "descending"), (id_col, "ascending")]
+        )
+        return t.slice(0, k)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(key=["microbits", id_col], descending=[True, False])
+        .limit(k)
+    )

@@ -2802,3 +2802,68 @@ class TestHLLByGroup:
                 p=8,
             )
             assert abs(est - exact) / exact < 0.25
+
+
+class TestBM25:
+    def test_bm25_matches_serial_reference(self, ray_session):
+        import math
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import bm25_topk
+
+        docs = [
+            (1, "apple banana apple cherry"),
+            (2, "banana banana banana"),
+            (3, "cherry apple"),
+            (4, "nothing relevant here at all"),
+            (5, "apple apple apple apple banana"),
+        ]
+        tab = pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+            }
+        )
+        terms = ["apple", "banana"]
+        out = bm25_topk(
+            rd.from_arrow(tab), terms, k=3
+        ).to_pandas().sort_values(
+            ["microbits", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+
+        # serial replay of the exact microbit formula
+        toks = {d: t.split() for d, t in docs}
+        nd = len(docs)
+        sumlen = sum(len(x) for x in toks.values())
+        scores = {}
+        for term in terms:
+            dfv = sum(1 for x in toks.values() if term in x)
+            idf = math.log((nd - dfv + 0.5) / (dfv + 0.5) + 1)
+            for d, x in toks.items():
+                tf = x.count(term)
+                if tf == 0:
+                    continue
+                den = tf + 0.3 + 0.9 * len(x) * nd / sumlen
+                micro = math.floor(idf * (tf * 2.2) / den * 1e6 + 0.5)
+                scores[d] = scores.get(d, 0) + micro
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got = list(zip(out["doc_id"], out["microbits"]))
+        assert got == want
+        assert 4 not in dict(got)  # no query term -> never ranked
+
+    def test_bm25_empty_corpus(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import bm25_topk
+
+        tab = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+        out = bm25_topk(rd.from_arrow(tab), ["x"], k=5).to_pandas()
+        assert len(out) == 0
