@@ -2027,6 +2027,16 @@ def graph_triangles(sf_dir: str):
     return pa.table({"triangles": pa.array([cnt], pa.int64())})
 
 
+def graph_kcore(sf_dir: str):
+    """k-core peeling (ops/graph.py kcore): 3 synchronous peels at k=3
+    over the undirected simple form of the md5 link graph; each round is
+    one degree combine + two broadcast-or-join membership filters."""
+    from .ops.graph import kcore
+
+    edges, _, _ = _md5_link_graph(sf_dir)
+    return kcore(edges, k=3, rounds=3)
+
+
 def graph_degree_histogram(sf_dir: str):
     """Degree distribution of the md5 link graph (ops/graph.py:
     degree_histogram): bucketed distinct edges -> degree partials ->
@@ -2323,6 +2333,7 @@ QUERIES = {
     "doc_pagerank": doc_pagerank,
     "doc_pagerank_personalized": doc_pagerank_personalized,
     "graph_triangles": graph_triangles,
+    "graph_kcore": graph_kcore,
     "graph_degree_histogram": graph_degree_histogram,
     "top_orders_per_segment": top_orders_per_segment,
     "similar_docs": similar_docs,
@@ -3804,6 +3815,43 @@ WHERE NOT EXISTS (
 
 
 ORACLE_SQL["embeddings_semdedup"] = _semdedup_oracle_sql()
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 3) -> str:
+    """Unrolled synchronous k-core peels over the shared md5 link graph
+    (same edge CTE as the pagerank oracle): degree -> survivors ->
+    edge restriction, ``rounds`` times."""
+    parts = ["""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+e0 AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM raw WHERE src <> dst)"""]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+d{i} AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev}
+  ) GROUP BY node
+),
+s{i} AS (SELECT node FROM d{i} WHERE d >= {k}),
+e{i} AS (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN s{i} a ON a.node = e.u JOIN s{i} b ON b.node = e.v
+)""")
+        prev = f"e{i}"
+    parts.append(f"\nSELECT node FROM s{rounds}")
+    return "".join(parts)
+
+
+ORACLE_SQL["graph_kcore"] = _kcore_oracle_sql()
 
 # SQ8 replay: int8 quantization (floor(x*127+0.5)) -> integer-dot top-40
 # candidates per query (ties -> lower vec_id) -> exact cosine top-10.

@@ -598,6 +598,42 @@ def anti_join_filter(ds, keys_ds, col: str, *,
     )
 
 
+def semi_join_filter(ds, keys_ds, col: str, *,
+                     keys_col: str | None = None,
+                     broadcast_budget: int = 256 << 20):
+    """KEEP every row of ``ds`` whose ``col`` value appears in ``keys_ds``
+    (in its ``keys_col`` column, default ``col``) -- the dual of
+    :func:`anti_join_filter`, same broadcast-or-join shape: vectorized
+    ``is_in`` per batch while the key set fits ``broadcast_budget``, a
+    distributed inner join above it."""
+    import ray
+
+    kc = keys_col or col
+    keys = keys_ds.materialize()
+    if keys.size_bytes() <= broadcast_budget:
+        tabs = [t for t in ray.get(keys.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return ds.limit(0)
+        ref = ray.put(
+            pa.concat_tables(tabs, promote_options="default")[kc]
+            .combine_chunks()
+        )
+
+        def keep_seen(b: pa.Table) -> pa.Table:
+            hit = pc.is_in(b[col], value_set=ray.get(ref))
+            return b.filter(pc.fill_null(hit, False))
+
+        return ds.map_batches(keep_seen, batch_format="pyarrow")
+
+    marked = distinct_first(keys, kc).map_batches(
+        lambda b: pa.table({col: b[kc]}), batch_format="pyarrow"
+    )
+    nparts = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    return ds.join(
+        marked, join_type="inner", num_partitions=nparts, on=(col,)
+    )
+
+
 def incremental_dedup(
     ds,
     state_dir: str,

@@ -777,3 +777,113 @@ def degree_histogram(
         .groupby("degree")
         .aggregate(Sum("n_nodes", alias_name="n_nodes"))
     )
+
+
+def kcore(
+    edges,
+    *,
+    k: int = 3,
+    rounds: int | None = None,
+    max_rounds: int = 50,
+    broadcast_budget: int = 256 << 20,
+):
+    """k-core peeling over the UNDIRECTED simple graph of ``edges``
+    (src, dst): repeatedly drop nodes with degree < ``k`` (and their
+    incident edges) -- the standard graph-density filter (Seidman 1983,
+    public), the "well-linked subgraph" analog of the reference's
+    authority-cleanup passes (delete_old_authorities drops under-linked
+    authorities; SURVEY.md §2.8 U3).
+
+    ``rounds=R`` runs exactly R synchronous peels (deterministic, what
+    the SQL oracle unrolls); ``rounds=None`` iterates to the true k-core
+    fixpoint, stopping when the survivor count stops changing (capped at
+    ``max_rounds``).  Returns a Dataset with one ``node`` column: nodes
+    whose degree was >= k entering the last peel.
+
+    Scale shape: each round is one degree combine (per-batch endpoint
+    partials -> groupby-sum, shuffle volume O(distinct nodes per
+    batch)) plus two membership filters through the broadcast-or-join
+    shape (ops/dedup.py semi_join_filter); the edge list re-materializes
+    per round to keep the plan depth O(1), mirroring the staged
+    connected-components round chains."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import semi_join_filter
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        return pa.table(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())}
+        )
+
+    from .dedup import distinct_first
+
+    def pairkey(b: pa.Table) -> pa.Table:
+        pk = pc.binary_join_element_wise(
+            pc.cast(b["u"], pa.string()), pc.cast(b["v"], pa.string()), "|"
+        )
+        return b.append_column("pk", pk)
+
+    cur = distinct_first(
+        edges.map_batches(canon, batch_format="pyarrow").map_batches(
+            pairkey, batch_format="pyarrow"
+        ),
+        "pk",
+    ).drop_columns(["pk"]).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq, pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    n_rounds = rounds if rounds is not None else max_rounds
+    prev_count = None
+    surv = None
+    for _ in range(n_rounds):
+        deg = (
+            cur.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="d"))
+        )
+        surv = deg.map_batches(
+            lambda b, _k=k: b.filter(
+                pc.greater_equal(b["d"], _k)
+            ).select(["node"]),
+            batch_format="pyarrow",
+        ).materialize()
+        n_surv = surv.count()
+        if rounds is None and n_surv == prev_count:
+            break
+        prev_count = n_surv
+        if n_surv == 0:
+            cur = cur.limit(0).materialize()
+            continue
+        def swap(b: pa.Table) -> pa.Table:
+            return pa.table({"u": b["v"], "v": b["u"]})
+
+        cur = semi_join_filter(
+            semi_join_filter(
+                cur, surv, "u", keys_col="node",
+                broadcast_budget=broadcast_budget,
+            ).map_batches(swap, batch_format="pyarrow"),
+            surv,
+            "u",
+            keys_col="node",
+            broadcast_budget=broadcast_budget,
+        ).map_batches(swap, batch_format="pyarrow").materialize()
+    return surv

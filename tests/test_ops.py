@@ -2867,3 +2867,55 @@ class TestBM25:
         )
         out = bm25_topk(rd.from_arrow(tab), ["x"], k=5).to_pandas()
         assert len(out) == 0
+
+
+class TestKCore:
+    def _edges(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        # K4 on {0,1,2,3} + a tail 4-5-6 + self-loop + duplicate edge
+        pairs = [
+            (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+            (3, 4), (4, 5), (5, 6), (6, 6), (1, 0),
+        ]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([a for a, _ in pairs], pa.int64()),
+                    "dst": pa.array([b for _, b in pairs], pa.int64()),
+                }
+            )
+        )
+
+    def test_kcore_fixpoint(self, ray_session):
+        """3-core of K4+tail is exactly K4; self-loops and duplicate /
+        reversed edges must not inflate degrees."""
+        from marc2rdf_ray.ops.graph import kcore
+
+        out = kcore(self._edges(), k=3, rounds=None).to_pandas()
+        assert sorted(out["node"]) == [0, 1, 2, 3]
+
+    def test_kcore_fixed_rounds_match_serial(self, ray_session):
+        """rounds=1 keeps every node with initial degree >= 2 (node 4 has
+        degree 2 via 3-4 and 4-5); the fixpoint then peels the tail."""
+        from marc2rdf_ray.ops.graph import kcore
+
+        one = kcore(self._edges(), k=2, rounds=1).to_pandas()
+        assert sorted(one["node"]) == [0, 1, 2, 3, 4, 5]
+        fix = kcore(self._edges(), k=2, rounds=None).to_pandas()
+        assert sorted(fix["node"]) == [0, 1, 2, 3]
+
+    def test_kcore_join_fallback(self, ray_session):
+        from marc2rdf_ray.ops.graph import kcore
+
+        out = kcore(
+            self._edges(), k=3, rounds=None, broadcast_budget=0
+        ).to_pandas()
+        assert sorted(out["node"]) == [0, 1, 2, 3]
+
+    def test_kcore_everything_peels(self, ray_session):
+        from marc2rdf_ray.ops.graph import kcore
+
+        out = kcore(self._edges(), k=5, rounds=None).to_pandas()
+        assert len(out) == 0
