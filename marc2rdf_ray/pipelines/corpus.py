@@ -62,6 +62,8 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
+import time
 from dataclasses import asdict, dataclass, field
 from typing import Optional
 
@@ -83,6 +85,8 @@ DEFAULT_REDACT_PATTERNS = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     (r"[0-9]{4,}", "[NUM]"),
 )
+
+logger = logging.getLogger("marc2rdf_ray.corpus")
 
 CLEAN_COLS = ["doc_id", "text", "lang_pred", "n_tokens", "split"]
 OUT_COLS = CLEAN_COLS + ["start_offset", "pack_id"]
@@ -421,6 +425,7 @@ def run_corpus_pipeline(
     # S sequential hash-range passes instead of spilling unboundedly.
     dedup_dir = fsio.join(out_dir, "_deduped")
     dedup_marker = dedup_dir + ".complete"
+    _t0 = time.time()
     if not _stage_marker_ok(fs, dedup_marker, dedup_stamp):
         from ..ops.dedup import _coarse_buckets_default
         from ..stages.materialize import choose_shards
@@ -446,6 +451,7 @@ def run_corpus_pipeline(
                 num_buckets=nb, bucket_range=rng,
             ).write_parquet(fsio.join(dedup_dir, f"shard={s}"), filesystem=fs)
         _commit_stage(fs, dedup_marker, dedup_stamp)
+        logger.info("corpus stage 1 exact-dedup: %.1fs", time.time() - _t0)
     dedup_files = _parquet_files(fs, dedup_dir)
 
     if not dedup_files:  # empty corpus: manifest only, nothing downstream
@@ -461,6 +467,7 @@ def run_corpus_pipeline(
     # ---- stage 2: near-dup drop list -> _drops checkpoint --------------
     drops_dir = fsio.join(out_dir, "_drops")
     drops_marker = drops_dir + ".complete"
+    _t0 = time.time()
     if not _stage_marker_ok(fs, drops_marker, drops_stamp):
         fsio.rmtree(fs, drops_dir)
         fsio.delete_file(fs, drops_marker)
@@ -478,7 +485,16 @@ def run_corpus_pipeline(
             lambda b: pa.table({"subj": b["a"], "obj": b["b"]}),
             batch_format="pyarrow",
         )
-        comp = connected_components(edges, rounds=config.cc_rounds)
+        # LSH pair lists are orders smaller than the corpus: under the
+        # broadcast budget ONE task solves the converged fixpoint with
+        # zero shuffle rounds; above it, the distributed rounds run.
+        from ..stages.canonicalize import connected_components_local
+
+        comp = connected_components_local(
+            edges, budget=config.broadcast_budget
+        )
+        if comp is None:
+            comp = connected_components(edges, rounds=config.cc_rounds)
         drops = comp.map_batches(
             lambda b: pa.table(
                 {id_col: b.filter(pc.not_equal(b["node"], b["root"]))["node"]}
@@ -487,11 +503,13 @@ def run_corpus_pipeline(
         )
         drops.write_parquet(drops_dir, filesystem=fs)
         _commit_stage(fs, drops_marker, drops_stamp)
+        logger.info("corpus stage 2 near-dup drops: %.1fs", time.time() - _t0)
     drop_files = _parquet_files(fs, drops_dir)
 
     # ---- stage 3: anti-join drops + fused prep -> _clean checkpoint ----
     clean_dir = fsio.join(out_dir, "_clean")
     clean_marker = clean_dir + ".complete"
+    _t0 = time.time()
     if not _stage_marker_ok(fs, clean_marker, clean_stamp):
         fsio.rmtree(fs, clean_dir)
         fsio.delete_file(fs, clean_marker)
@@ -511,6 +529,7 @@ def run_corpus_pipeline(
             _prep_fn(config), batch_format="pyarrow"
         ).write_parquet(clean_dir, filesystem=fs)
         _commit_stage(fs, clean_marker, clean_stamp)
+        logger.info("corpus stage 3 prep/clean: %.1fs", time.time() - _t0)
     clean_files = _parquet_files(fs, clean_dir)
 
     # ---- stage 4: pack offsets (two-phase prefix sum) + materialize ----
@@ -522,6 +541,7 @@ def run_corpus_pipeline(
         )
     run_sig = f"{clean_stamp}:{num_partitions}:{config.pack_budget}"
 
+    _t0 = time.time()
     nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
     slim = rd.read_parquet(
         clean_files, columns=["doc_id", "n_tokens", "split"],
@@ -609,6 +629,9 @@ def run_corpus_pipeline(
     for r in counts_ds.take_all():
         rows_by_part[str(r["part"])] = int(r["rows"])
         tokens_total += int(r["tokens"])
+    logger.info(
+        "corpus stage 4 pack+materialize: %.1fs", time.time() - _t0
+    )
 
     manifest = RunManifest(
         input_signature=sig,

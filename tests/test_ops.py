@@ -2919,3 +2919,75 @@ class TestKCore:
 
         out = kcore(self._edges(), k=5, rounds=None).to_pandas()
         assert len(out) == 0
+
+
+class TestLocalCC:
+    def test_local_cc_matches_distributed(self, ray_session):
+        """connected_components_local fixpoint == distributed rounds on a
+        chain long enough that FEW rounds would NOT converge -- the local
+        path must still reach the exact component min."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.stages.canonicalize import (
+            connected_components,
+            connected_components_local,
+        )
+
+        # chain 0-1-2-...-19 plus a separate triangle {100,101,102}
+        subj = list(range(19)) + [100, 101, 102]
+        obj = list(range(1, 20)) + [101, 102, 100]
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array(subj, pa.int64()),
+                    "obj": pa.array(obj, pa.int64()),
+                }
+            )
+        )
+        local = connected_components_local(edges).to_pandas()
+        got = dict(zip(local["node"], local["root"]))
+        assert all(got[i] == 0 for i in range(20))
+        assert all(got[i] == 100 for i in (100, 101, 102))
+
+        dist = connected_components(edges, rounds=8).to_pandas()
+        want = dict(zip(dist["node"], dist["root"]))
+        assert got == want
+
+    def test_local_cc_over_budget_returns_none(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.stages.canonicalize import (
+            connected_components_local,
+        )
+
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([1, 2], pa.int64()),
+                    "obj": pa.array([2, 3], pa.int64()),
+                }
+            )
+        )
+        assert connected_components_local(edges, budget=0) is None
+
+    def test_local_cc_string_nodes(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.stages.canonicalize import (
+            connected_components_local,
+        )
+
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array(["b", "c"]),
+                    "obj": pa.array(["a", "b"]),
+                }
+            )
+        )
+        out = connected_components_local(edges).to_pandas()
+        got = dict(zip(out["node"], out["root"]))
+        assert got == {"a": "a", "b": "a", "c": "a"}
