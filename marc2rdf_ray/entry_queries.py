@@ -349,6 +349,31 @@ def top_orders_by_price(sf_dir: str):
 
 # -- events (stream-shaped) ------------------------------------------------
 
+def top_orders_page2(sf_dir: str):
+    """LIMIT/OFFSET paging (ops/windows.py offset_limit; reference O2):
+    the SECOND page of 10 orders by (price desc, key asc) -- cut with
+    split_at_indices over the sorted Dataset, never a driver slice."""
+    from .ops.windows import offset_limit
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "price_cents": sql_round_i64(batch["o_totalprice"], 100.0),
+            }
+        )
+
+    return offset_limit(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        sort_key=["price_cents", "o_orderkey"],
+        descending=[True, False],
+        offset=10,
+        limit=10,
+    )
+
+
 def events_hourly(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -2266,6 +2291,7 @@ QUERIES = {
     "revenue_by_segment": revenue_by_segment,
     "customers_without_big_orders": customers_without_big_orders,
     "top_orders_by_price": top_orders_by_price,
+    "top_orders_page2": top_orders_page2,
     "events_hourly": events_hourly,
     "events_top_types": events_top_types,
     "events_json_props": events_json_props,
@@ -2456,6 +2482,12 @@ WHERE c_custkey NOT IN (
     "top_orders_by_price": """
 SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
 FROM orders ORDER BY price_cents DESC, o_orderkey ASC LIMIT 10
+""",
+    "top_orders_page2": """
+SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders
+ORDER BY price_cents DESC, o_orderkey ASC
+LIMIT 10 OFFSET 10
 """,
     "events_hourly": """
 SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,

@@ -616,3 +616,33 @@ def drop_late_events(
         out_schema,
         min_group=1,
     )
+
+
+def offset_limit(
+    ds,
+    *,
+    sort_key,
+    descending=False,
+    offset: int = 0,
+    limit: int | None = None,
+):
+    """Deterministic LIMIT/OFFSET paging over a total order -- the
+    reference's result-page slicing (SURVEY.md §2.7 O2: its SPARQL
+    SELECTs page with LIMIT/OFFSET), previously design-mapped to block
+    iteration, now a real operator.
+
+    ``sort_key`` / ``descending`` define the total order (pass a
+    tie-breaking key -- paging without a total order is nondeterministic
+    in ANY engine); the page is cut with ``split_at_indices``, which
+    respects the sorted order and prunes whole blocks outside the
+    window, so a deep page never pulls earlier pages to the driver.
+
+    Scale note: a distributed sort for one page is the honest cost of
+    arbitrary OFFSET; for sequential paging prefer keyset pagination
+    (WHERE key > last_seen ORDER BY key LIMIT n), which composes from
+    filter + this operator with offset=0."""
+    out = ds.sort(key=sort_key, descending=descending)
+    if limit is None:
+        return out.split_at_indices([offset])[1] if offset else out
+    parts = out.split_at_indices([offset, offset + limit])
+    return parts[1]

@@ -2991,3 +2991,48 @@ class TestLocalCC:
         out = connected_components_local(edges).to_pandas()
         got = dict(zip(out["node"], out["root"]))
         assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+class TestOffsetLimit:
+    def test_pages_tile_the_order(self, ray_session):
+        """Consecutive pages partition the sorted sequence exactly; a
+        deep page and past-the-end pages behave like SQL."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import offset_limit
+
+        tab = pa.table(
+            {
+                "k": pa.array(list(range(37)), pa.int64()),
+                "v": pa.array([i * 7 % 37 for i in range(37)], pa.int64()),
+            }
+        )
+        ds = rd.from_arrow(tab)
+        want = sorted(
+            zip(tab["v"].to_pylist(), tab["k"].to_pylist())
+        )
+        got = []
+        for page in range(5):
+            out = offset_limit(
+                ds, sort_key=["v", "k"], offset=page * 10, limit=10
+            ).to_pandas()
+            if len(out):
+                got.extend(zip(out["v"], out["k"]))
+        assert got == want  # 37 rows: last page has 7, page 4 is empty
+        beyond = offset_limit(
+            ds, sort_key=["v", "k"], offset=100, limit=10
+        ).to_pandas()
+        assert len(beyond) == 0
+
+    def test_offset_without_limit(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import offset_limit
+
+        ds = rd.from_arrow(
+            pa.table({"v": pa.array([3, 1, 2], pa.int64())})
+        )
+        out = offset_limit(ds, sort_key="v", offset=1).to_pandas()
+        assert out["v"].tolist() == [2, 3]
