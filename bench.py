@@ -271,6 +271,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_value_quantile_sketch",
         "docs_paragraph_dedup",
         "docs_trigram_bits",
+        "embeddings_semdedup",
+        "docs_inverted_index",
+        "ann_sq8_topk",
+        "docs_bm25_topk",
+        "graph_kcore",
+        "events_streaming_watermark",
+        "docs_decontaminated_hashed",
     ]
     out = {}
     for name in names:

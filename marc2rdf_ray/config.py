@@ -47,9 +47,30 @@ class PipelineConfig:
     # shards itself without the caller knowing the spill point.
     materialize_shards: int = 0
 
+    # USER TRIPLES HOOK -- the declared replacement for the reference's
+    # arbitrary per-record rule scripts (rule.rb:4,79-92; SURVEY.md §2.10):
+    # a callable ``pa.Table -> pa.Table`` applied to every raw-triples
+    # batch right after extraction, BEFORE checkpointing, so sameAs /
+    # dedup / materialize all see its output (the same position the
+    # reference runs user scripts: after conversion, before write).  The
+    # output must keep the canonical triple columns.  ``triples_hook_tag``
+    # is MANDATORY with a hook: it is the hook's cache identity -- it
+    # folds into ruleset_hash so manifests and stage checkpoints recompute
+    # when the hook changes (code objects can't be hashed reliably; the
+    # tag is the user's versioning contract, bump it when the hook does).
+    triples_hook: Any = None
+    triples_hook_tag: Optional[str] = None
+
     def __post_init__(self):
         if self.mapping is None:
             self.mapping = DEFAULT_PAGE_MAPPING_PATH
+        if self.triples_hook is not None and not self.triples_hook_tag:
+            raise ValueError(
+                "PipelineConfig: triples_hook requires triples_hook_tag "
+                "(the hook's version identity -- it invalidates manifests "
+                "and checkpoints when the hook changes; an untagged hook "
+                "would silently reuse stale pre-hook artifacts)"
+            )
 
     def load_mapping(self) -> dict:
         if isinstance(self.mapping, str):
@@ -85,6 +106,7 @@ class PipelineConfig:
                 self.identifier_tag,
                 self.resource_type,
                 sorted((self.extra_namespaces or {}).items()),
+                self.triples_hook_tag,
             ],
             sort_keys=True,
             default=str,

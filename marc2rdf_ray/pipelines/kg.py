@@ -137,7 +137,12 @@ def extract_triples(
 
     Default: stateless tasks with a worker-global compiled-rules cache
     (elastic, no pool startup).  ``use_actors=True`` switches to an
-    explicit actor pool (useful when init is heavy, e.g. a real model)."""
+    explicit actor pool (useful when init is heavy, e.g. a real model).
+
+    ``config.triples_hook`` (the user-script replacement, SURVEY.md
+    §2.10) runs here on every raw batch, fused right behind extraction,
+    so every downstream consumer -- checkpoint, sameAs, dedup,
+    materialize, window merges -- sees the hook's output."""
     import ray
 
     alias_ref = ray.put(alias_dict) if alias_dict is not None else None
@@ -145,18 +150,51 @@ def extract_triples(
         if not concurrency:
             ncpu = int(ray.cluster_resources().get("CPU", 8))
             concurrency = max(2, ncpu - 2)
-        return pages_ds.map_batches(
+        out = pages_ds.map_batches(
             KGExtract,
             fn_constructor_args=(config, alias_ref, derive_works),
             batch_format="pyarrow",
             batch_size=config.batch_size,
             concurrency=concurrency,
         )
-    return pages_ds.map_batches(
-        make_extract_fn(config, alias_ref, derive_works),
-        batch_format="pyarrow",
-        batch_size=config.batch_size,
-    )
+    else:
+        out = pages_ds.map_batches(
+            make_extract_fn(config, alias_ref, derive_works),
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+        )
+    if config.triples_hook is not None:
+        out = out.map_batches(
+            _make_hook_fn(config.triples_hook), batch_format="pyarrow"
+        )
+    return out
+
+
+def _make_hook_fn(hook):
+    """Wrap the user triples hook with a fail-loud schema check: the hook
+    may add/drop/rewrite rows but must keep the canonical triple columns
+    (extra columns are dropped; a missing one raises with the hook's
+    output schema in the message)."""
+    from ..stages.triples import TRIPLES_SCHEMA
+
+    cols = TRIPLES_SCHEMA.names
+
+    def apply(b: pa.Table) -> pa.Table:
+        out = hook(b)
+        if not isinstance(out, pa.Table):
+            raise TypeError(
+                "triples_hook must return a pyarrow.Table, got "
+                f"{type(out).__name__}"
+            )
+        missing = [c for c in cols if c not in out.column_names]
+        if missing:
+            raise ValueError(
+                f"triples_hook output is missing columns {missing}; it "
+                f"must keep {cols} (got {out.column_names})"
+            )
+        return out.select(cols).cast(TRIPLES_SCHEMA)
+
+    return apply
 
 
 def canonical_edges(raw_triples_ds, *, sameas_key_pred: str = ISBN_PRED,

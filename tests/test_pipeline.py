@@ -869,3 +869,59 @@ def test_sync_windows_require_marker_empty_root(ray_session, tmp_path):
     assert sync_windows(
         str(root), out, PipelineConfig(), require_marker=True
     ) is None
+
+
+def test_triples_hook_user_script_replacement(ray_session, tmp_path):
+    """SURVEY §2.10: the user triples hook is the declared replacement
+    for the reference's per-record rule scripts.  It must (a) rewrite the
+    stream before checkpoint/canonicalize/materialize, (b) require a
+    version tag, (c) invalidate the manifest when the tag changes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+    import pytest
+
+    from marc2rdf_ray.pipelines.kg import run_kg_pipeline
+    from marc2rdf_ray.sources.pages import write_pages_dataset
+
+    pages = str(tmp_path / "pages")
+    write_pages_dataset(pages, 40, seed=3)
+
+    def add_marker(b: pa.Table) -> pa.Table:
+        extra = pa.table(
+            {
+                "subj": b["src"].slice(0, min(1, len(b))),
+                "pred": pa.array(
+                    ["http://example.org/hooked"] * min(1, len(b))
+                ),
+                "obj": pa.array(["yes"] * min(1, len(b))),
+                "obj_kind": pa.array(["literal"] * min(1, len(b))),
+                "lang": pa.array([None] * min(1, len(b)), pa.string()),
+                "src": b["src"].slice(0, min(1, len(b))),
+            }
+        )
+        return pa.concat_tables([b.select(extra.column_names), extra])
+
+    with pytest.raises(ValueError, match="triples_hook_tag"):
+        PipelineConfig(triples_hook=add_marker)
+
+    out = str(tmp_path / "g")
+    cfg = PipelineConfig(triples_hook=add_marker, triples_hook_tag="m-v1")
+    m1 = run_kg_pipeline(pages, out, cfg)
+
+    # hooked triples survive the full tail (dedup keeps them: distinct)
+    found = 0
+    for d in os.listdir(out):
+        if d.startswith("part="):
+            t = _pq.read_table(os.path.join(out, d, "edges.parquet"))
+            found += len(
+                t.filter(
+                    pc.equal(t["pred"], "http://example.org/hooked")
+                )
+            )
+    assert found > 0
+
+    # same tag: manifest short-circuit; new tag: recompute (new identity)
+    assert run_kg_pipeline(pages, out, cfg).triple_count == m1.triple_count
+    cfg2 = PipelineConfig(triples_hook=add_marker, triples_hook_tag="m-v2")
+    assert cfg2.ruleset_hash() != cfg.ruleset_hash()
