@@ -2065,6 +2065,19 @@ def graph_kcore(sf_dir: str):
     return kcore(edges, k=3, rounds=3)
 
 
+def graph_label_propagation(sf_dir: str):
+    """Synchronous label-propagation communities (ops/graph.py:
+    label_propagation): 3 deterministic rounds over the undirected simple
+    form of the md5 link graph; per round one in-task label join +
+    (dst,label) combiner, then one bucketed argmax with (count DESC,
+    label ASC) tie-break.  SQL-replayable because the sync variant is a
+    pure function of the previous round's labels."""
+    from .ops.graph import label_propagation
+
+    edges, nodes, _ = _md5_link_graph(sf_dir)
+    return label_propagation(edges, nodes, rounds=3)
+
+
 def graph_degree_histogram(sf_dir: str):
     """Degree distribution of the md5 link graph (ops/graph.py:
     degree_histogram): bucketed distinct edges -> degree partials ->
@@ -2363,6 +2376,7 @@ QUERIES = {
     "doc_pagerank_personalized": doc_pagerank_personalized,
     "graph_triangles": graph_triangles,
     "graph_kcore": graph_kcore,
+    "graph_label_propagation": graph_label_propagation,
     "graph_degree_histogram": graph_degree_histogram,
     "top_orders_per_segment": top_orders_per_segment,
     "similar_docs": similar_docs,
@@ -3887,6 +3901,51 @@ e{i} AS (
 
 
 ORACLE_SQL["graph_kcore"] = _kcore_oracle_sql()
+
+
+def _label_propagation_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous LPA over the shared md5 link graph: per round
+    a neighbor-label count and a (count DESC, label ASC) argmax;
+    no-neighbor nodes keep their label via the LEFT JOIN coalesce."""
+    parts = ["""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+e0 AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM raw WHERE src <> dst),
+bidir AS (SELECT u AS src, v AS dst FROM e0
+          UNION ALL SELECT v AS src, u AS dst FROM e0),
+lab0 AS (SELECT CAST(doc_id AS BIGINT) AS node,
+                CAST(doc_id AS BIGINT) AS lbl FROM documents)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+cnt{i} AS (
+  SELECT e.dst AS node, l.lbl AS lbl, COUNT(*) AS c
+  FROM bidir e JOIN lab{i - 1} l ON l.node = e.src
+  GROUP BY e.dst, l.lbl
+),
+pick{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl ASC) AS rn
+    FROM cnt{i}) WHERE rn = 1
+),
+lab{i} AS (
+  SELECT l.node, COALESCE(p.lbl, l.lbl) AS lbl
+  FROM lab{i - 1} l LEFT JOIN pick{i} p ON p.node = l.node
+)""")
+    parts.append(f"\nSELECT node, lbl AS label FROM lab{rounds}")
+    return "".join(parts)
+
+
+ORACLE_SQL["graph_label_propagation"] = _label_propagation_oracle_sql()
 
 # SQ8 replay: int8 quantization (floor(x*127+0.5)) -> integer-dot top-40
 # candidates per query (ties -> lower vec_id) -> exact cosine top-10.

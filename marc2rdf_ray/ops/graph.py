@@ -887,3 +887,260 @@ def kcore(
             broadcast_budget=broadcast_budget,
         ).map_batches(swap, batch_format="pyarrow").materialize()
     return surv
+
+
+def label_propagation(
+    edges_ds,
+    nodes_ds,
+    *,
+    rounds: int = 3,
+    num_buckets: int | None = None,
+):
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007, public) over the UNDIRECTED simple graph of ``edges_ds``
+    (src, dst), for the node set ``nodes_ds`` (node:int64).  The
+    communities analog of the reference's duplicate-cluster grouping
+    (SURVEY.md §2.5 J4-J6 cluster semantics) generalized beyond
+    transitive equality: densely linked pages land in one community.
+
+    Deterministic synchronous variant (SQL-replayable, fixed ``rounds``):
+    every node starts labeled with its own id; each round EVERY node
+    simultaneously adopts the most frequent label among its neighbors'
+    previous-round labels, ties broken by the SMALLEST label; a node with
+    no neighbors keeps its current label.  Returns (node:int64,
+    label:int64).
+
+    Scale shape (the pagerank two-exchange round, ops/graph.py:56):
+    static both-direction edge table bucketed by src ONCE; per round
+    exchange 1 joins the (node, label) state onto edges per bucket and
+    pre-counts (dst, label) pairs in-task (combiner -- a hot node's
+    million same-label neighbors leave the task as one row), exchange 2
+    groups the partials by node and takes the lexicographic
+    (count DESC, label ASC) argmax with one vectorized lexsort per
+    bucket.  Per-round state is one row per node; no driver-side
+    iteration over nodes or edges.
+    """
+    if num_buckets is None:
+        n_nodes = nodes_ds.count()
+        try:
+            import ray
+
+            cpu_cap = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            cpu_cap = 16
+        num_buckets = max(4, min(cpu_cap, (n_nodes + 49_999) // 50_000))
+
+    from .dedup import distinct_first
+
+    # -- static: undirected simple edges, both directions, bucketed ------
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        t = pa.table(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())}
+        )
+        pk = pc.binary_join_element_wise(
+            pc.cast(t["u"], pa.string()), pc.cast(t["v"], pa.string()), "|"
+        )
+        return t.append_column("pk", pk)
+
+    simple = distinct_first(
+        edges_ds.map_batches(canon, batch_format="pyarrow"), "pk"
+    ).drop_columns(["pk"])
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [b["u"].combine_chunks(), b["v"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [b["v"].combine_chunks(), b["u"].combine_chunks()]
+                ),
+            }
+        )
+        return t.append_column("bucket", _bucket_ints(t["key"], num_buckets))
+
+    edges = simple.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    labels = nodes_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pc.cast(b["node"], pa.int64()),
+                "lbl": pc.cast(b["node"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # -- per-round stages -------------------------------------------------
+    def edge_tag(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": b["key"],
+                "dst": b["dst"],
+                "lbl": pa.array([None] * len(b), pa.int64()),
+                "kind": pa.array([0] * len(b), pa.int8()),
+            }
+        )
+        return t.append_column("bucket", b["bucket"])
+
+    def label_tag(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": b["node"],
+                "dst": pa.array([None] * len(b), pa.int64()),
+                "lbl": b["lbl"],
+                "kind": pa.array([1] * len(b), pa.int8()),
+            }
+        )
+        return t.append_column("bucket", _bucket_ints(t["key"], num_buckets))
+
+    def bucket_count(group: pa.Table) -> pa.Table:
+        """Join labels onto out-edges by src; combiner-count per
+        (dst, label) before the second exchange."""
+        kind = group["kind"]
+        lk = group.filter(pc.equal(kind, 1))
+        ed = group.filter(pc.equal(kind, 0))
+        if not len(ed):
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "lbl": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        j = pa.table({"key": ed["key"], "dst": ed["dst"]}).join(
+            pa.table({"key": lk["key"], "lbl": lk["lbl"]}),
+            keys="key",
+            join_type="inner",
+            use_threads=False,
+        )
+        out = (
+            pa.table({"key": j["dst"], "lbl": j["lbl"]})
+            .group_by(["key", "lbl"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["key", "lbl", "c"])
+        )
+        return pa.table(
+            {
+                "key": out["key"],
+                "lbl": out["lbl"],
+                "c": pc.cast(out["c"], pa.int64()),
+            }
+        )
+
+    def count_key(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": b["key"],
+                "lbl": b["lbl"],
+                "c": b["c"],
+                "kind": pa.array([0] * len(b), pa.int8()),
+            }
+        )
+        return t.append_column("bucket", _bucket_ints(t["key"], num_buckets))
+
+    def state_key(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": b["node"],
+                "lbl": b["lbl"],
+                "c": pa.array([0] * len(b), pa.int64()),
+                "kind": pa.array([1] * len(b), pa.int8()),
+            }
+        )
+        return t.append_column("bucket", _bucket_ints(t["key"], num_buckets))
+
+    def bucket_pick(group: pa.Table) -> pa.Table:
+        kind = group["kind"]
+        st = group.filter(pc.equal(kind, 1))
+        nb = group.filter(pc.equal(kind, 0))
+        if len(nb):
+            agg = (
+                nb.select(["key", "lbl", "c"])
+                .group_by(["key", "lbl"], use_threads=False)
+                .aggregate([("c", "sum")])
+                .rename_columns(["key", "lbl", "c"])
+            )
+            k = agg["key"].combine_chunks().to_numpy(zero_copy_only=False)
+            l = agg["lbl"].combine_chunks().to_numpy(zero_copy_only=False)
+            c = agg["c"].combine_chunks().to_numpy(zero_copy_only=False)
+            # argmax per key: order by (key, -count, label), keep firsts
+            order = np.lexsort((l, -c, k))
+            k, l = k[order], l[order]
+            first = np.ones(len(k), bool)
+            first[1:] = k[1:] != k[:-1]
+            pick = pa.table(
+                {
+                    "key": pa.array(k[first], pa.int64()),
+                    "new": pa.array(l[first], pa.int64()),
+                }
+            )
+        else:
+            pick = pa.table(
+                {"key": pa.array([], pa.int64()), "new": pa.array([], pa.int64())}
+            )
+        j = pa.table({"key": st["key"], "lbl": st["lbl"]}).join(
+            pick, keys="key", join_type="left outer", use_threads=False
+        )
+        return pa.table(
+            {
+                "node": j["key"],
+                "lbl": pc.coalesce(j["new"], j["lbl"]),
+            }
+        )
+
+    for _ in range(rounds):
+        partials = (
+            edges.map_batches(edge_tag, batch_format="pyarrow")
+            .union(labels.map_batches(label_tag, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(bucket_count, batch_format="pyarrow")
+        )
+        labels = (
+            partials.map_batches(count_key, batch_format="pyarrow")
+            .union(labels.map_batches(state_key, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(bucket_pick, batch_format="pyarrow")
+            .repartition(num_buckets)
+            .materialize()
+        )
+
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["node"], "label": b["lbl"]}),
+        batch_format="pyarrow",
+    )
+
+
+def label_propagation_reference(
+    edges: list[tuple[int, int]],
+    nodes: list[int],
+    *,
+    rounds: int = 3,
+) -> dict[int, int]:
+    """Single-threaded replay of the synchronous LPA contract (the
+    differential-test oracle; also documents the semantics)."""
+    from collections import Counter
+
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    nbrs: dict[int, list[int]] = {v: [] for v in nodes}
+    for u, v in und:
+        nbrs[u].append(v)
+        nbrs[v].append(u)
+    lbl = {v: v for v in nodes}
+    for _ in range(rounds):
+        new = {}
+        for v in nodes:
+            if not nbrs[v]:
+                new[v] = lbl[v]
+                continue
+            cnt = Counter(lbl[w] for w in nbrs[v])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lbl = new
+    return lbl

@@ -2921,6 +2921,75 @@ class TestKCore:
         assert len(out) == 0
 
 
+class TestLabelPropagation:
+    def test_matches_reference_replay(self, ray_session):
+        """Distributed synchronous LPA == single-threaded replay on a
+        random multigraph with a self-loop, duplicate/reversed edges and
+        an isolated node (keeps its own label)."""
+        import random
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import (
+            label_propagation,
+            label_propagation_reference,
+        )
+
+        rng = random.Random(11)
+        nodes = list(range(50)) + [99]  # 99 is isolated
+        edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(120)]
+        edges += [(7, 7), (3, 4), (4, 3), (3, 4)]  # self-loop + dup/reversed
+
+        want = label_propagation_reference(edges, nodes, rounds=3)
+        e_ds = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([s for s, _ in edges], pa.int64()),
+                    "dst": pa.array([d for _, d in edges], pa.int64()),
+                }
+            )
+        )
+        n_ds = rd.from_arrow(
+            pa.table({"node": pa.array(nodes, pa.int64())})
+        )
+        got = label_propagation(e_ds, n_ds, rounds=3, num_buckets=6).to_pandas()
+        assert len(got) == len(nodes)
+        assert dict(zip(got["node"], got["label"])) == want
+        assert dict(got.set_index("node")["label"])[99] == 99
+
+    def test_two_cliques_two_communities(self, ray_session):
+        """Two 5-cliques joined by one bridge edge converge to exactly two
+        labels, one per clique (the community semantics, not just the
+        replay)."""
+        import itertools
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import label_propagation
+
+        a = list(range(5))
+        b = list(range(10, 15))
+        edges = list(itertools.combinations(a, 2))
+        edges += list(itertools.combinations(b, 2))
+        edges.append((0, 10))
+        e_ds = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([s for s, _ in edges], pa.int64()),
+                    "dst": pa.array([d for _, d in edges], pa.int64()),
+                }
+            )
+        )
+        n_ds = rd.from_arrow(pa.table({"node": pa.array(a + b, pa.int64())}))
+        out = label_propagation(e_ds, n_ds, rounds=4, num_buckets=4).to_pandas()
+        lbl = dict(zip(out["node"], out["label"]))
+        assert len({lbl[v] for v in a}) == 1
+        assert len({lbl[v] for v in b}) == 1
+        assert {lbl[v] for v in a} != {lbl[v] for v in b}
+
+
 class TestLocalCC:
     def test_local_cc_matches_distributed(self, ray_session):
         """connected_components_local fixpoint == distributed rounds on a
