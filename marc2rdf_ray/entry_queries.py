@@ -2291,6 +2291,203 @@ def normalize_creator_names(sf_dir: str):
     return ds.map_batches(derive, batch_format="pyarrow")
 
 
+def _join_parts() -> int:
+    import ray
+
+    return max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
+
+
+def orders_customer_left_join(sf_dir: str):
+    """Generic distributed hash join via the NATIVE ``Dataset.join``
+    (left_outer): every order keeps its row; customer columns are null
+    where the (acctbal-filtered) build side has no match -- the engine's
+    general-purpose join surface beyond the specialized lookup /
+    anti-join / as-of operators (SURVEY.md §2.5).  num_partitions bounds
+    per-partition memory, so the exchange scales with the cluster."""
+    o = _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+            "total_cents": sql_round_i64(b["o_totalprice"], 100.0),
+        })
+
+    c = _read(sf_dir, "customer",
+              columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+    c = c.map_batches(
+        lambda b: b.filter(pc.greater(b["c_acctbal"], 5000.0)).select(
+            ["c_custkey", "c_name", "c_mktsegment"]
+        ),
+        batch_format="pyarrow",
+    )
+    j = o.map_batches(cents, batch_format="pyarrow").join(
+        c, join_type="left_outer", num_partitions=_join_parts(),
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    return j.map_batches(
+        lambda b: b.select(
+            ["o_orderkey", "total_cents", "c_name", "c_mktsegment"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def nation_counts_full_outer(sf_dir: str):
+    """FULL OUTER join of two aggregates via the native ``Dataset.join``:
+    per-nation customer counts (nations < 20) vs per-nation supplier
+    counts (nations > 5).  The asymmetric filters force unmatched rows on
+    BOTH sides, so null-fill semantics are exercised in each direction;
+    the join coalesces the key, matching SQL COALESCE(l.key, r.key)."""
+    from ray.data.aggregate import Sum
+
+    def cpart(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b["c_nationkey"], 20))
+        g = (
+            pa.table({"nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                      "__n": pa.array([1] * len(t), pa.int64())})
+            .group_by(["nationkey"], use_threads=False)
+            .aggregate([("__n", "sum")])
+        )
+        return g.rename_columns(["nationkey", "__n"])
+
+    def spart(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["s_nationkey"], 5))
+        g = (
+            pa.table({"nationkey_r": pc.cast(t["s_nationkey"], pa.int64()),
+                      "__n": pa.array([1] * len(t), pa.int64())})
+            .group_by(["nationkey_r"], use_threads=False)
+            .aggregate([("__n", "sum")])
+        )
+        return g.rename_columns(["nationkey_r", "__n"])
+
+    custs = (
+        _read(sf_dir, "customer", columns=["c_nationkey"])
+        .map_batches(cpart, batch_format="pyarrow")
+        .groupby("nationkey").aggregate(Sum("__n"))
+        .map_batches(
+            lambda b: pa.table({"nationkey": b["nationkey"],
+                                "n_cust": b["sum(__n)"]}),
+            batch_format="pyarrow",
+        )
+    )
+    supps = (
+        _read(sf_dir, "supplier", columns=["s_nationkey"])
+        .map_batches(spart, batch_format="pyarrow")
+        .groupby("nationkey_r").aggregate(Sum("__n"))
+        .map_batches(
+            lambda b: pa.table({"nationkey_r": b["nationkey_r"],
+                                "n_supp": b["sum(__n)"]}),
+            batch_format="pyarrow",
+        )
+    )
+    return custs.join(
+        supps, join_type="full_outer", num_partitions=_join_parts(),
+        on=("nationkey",), right_on=("nationkey_r",),
+    )
+
+
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (ops/relational.py rollup_aggregate): order money
+    + counts at (status, priority), (status) and grand-total levels in
+    ONE combiner-first pass; ``lvl`` is the GROUPING() analog."""
+    from .ops.relational import rollup_aggregate
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return rollup_aggregate(
+        ds, ["o_orderstatus", "o_orderpriority"], "o_totalprice"
+    )
+
+
+def events_compact_latest(sf_dir: str):
+    """Latest-version-per-key compaction (ops/relational.py
+    compact_latest): the newest event per user by (ts, event_id) -- the
+    CDC/upsert "keep current row" primitive (reference analog:
+    modify_record / insert_new_record overwrite-by-id, SURVEY.md §2.8
+    U1/U4).  One hash-bucket shuffle, vectorized winner mask per bucket."""
+    from .ops.relational import compact_latest
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+    out = compact_latest(ev, key_col="user_id", ts_col="ts",
+                         tie_col="event_id")
+    return out.map_batches(
+        lambda b: pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "ts_us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+            "event_type": b["event_type"],
+            "value_cents": sql_round_i64(b["value"], 100.0),
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _docs_with_urls(sf_dir: str):
+    """Shared deterministic URL corpus for the web-URL operators: doc i
+    gets a messy URL (uppercase authority, tracking param, page path
+    shared by doc_id%40 peers of the same source, per-doc fragment,
+    trailing slash) that the canonicalizer must clean.  The SQL oracles
+    rebuild the same string with || concatenation."""
+    def mkurl(b: pa.Table) -> pa.Table:
+        urls = [
+            f"HTTPS://WWW.{s}.Example.COM/Page/{i % 40}/"
+            f"?utm_source=x&sid={i % 3}#f{i}"
+            for i, s in zip(b["doc_id"].to_pylist(), b["source"].to_pylist())
+        ]
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "n_chars": pc.cast(b["n_chars"], pa.int64()),
+        })
+
+    return _read(
+        sf_dir, "documents", columns=["doc_id", "source", "n_chars"]
+    ).map_batches(mkurl, batch_format="pyarrow")
+
+
+def docs_url_dedup(sf_dir: str):
+    """Canonical-URL crawl dedup (ops/weburl.py url_dedup_min_id):
+    fragment/tracking-param/case noise collapses and one fetch per
+    canonical URL survives (min doc_id).  The oracle replays the exact
+    regex chain in DuckDB (RE2 == polars Rust regex on this subset;
+    parity pinned in tests/test_weburl.py)."""
+    from .ops.weburl import url_dedup_min_id
+
+    return url_dedup_min_id(_docs_with_urls(sf_dir),
+                            url_col="url", id_col="doc_id")
+
+
+def docs_domain_stats(sf_dir: str):
+    """Per-domain corpus footprint (ops/weburl.py domain_stats): docs and
+    chars per lowercased, www-stripped host -- the domain-budget /
+    per-site-cap statistic of crawl curation (combiner-first, one small
+    groupby)."""
+    from .ops.weburl import domain_stats
+
+    return domain_stats(_docs_with_urls(sf_dir),
+                        url_col="url", chars_col="n_chars")
+
+
+def graph_bfs_levels(sf_dir: str):
+    """Multi-source BFS over the shared md5 link graph (ops/graph.py
+    bfs_levels): min hop distance from the doc_id%131==0 seeds, capped at
+    4 -- frontier semi-join + visited anti-join per round, both through
+    the broadcast-or-join membership shape.  The oracle is a recursive
+    CTE bounded by the same depth cap."""
+    from .ops.graph import bfs_levels
+
+    edges, nodes, _ = _md5_link_graph(sf_dir)
+    def pick_seeds(b: pa.Table) -> pa.Table:
+        v = b["node"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(v % 131 == 0))
+
+    seeds = nodes.map_batches(pick_seeds, batch_format="pyarrow")
+    return bfs_levels(edges, seeds, max_depth=4)
+
+
 # -- registry --------------------------------------------------------------
 
 QUERIES = {
@@ -2378,6 +2575,13 @@ QUERIES = {
     "graph_kcore": graph_kcore,
     "graph_label_propagation": graph_label_propagation,
     "graph_degree_histogram": graph_degree_histogram,
+    "graph_bfs_levels": graph_bfs_levels,
+    "orders_customer_left_join": orders_customer_left_join,
+    "nation_counts_full_outer": nation_counts_full_outer,
+    "orders_rollup": orders_rollup,
+    "events_compact_latest": events_compact_latest,
+    "docs_url_dedup": docs_url_dedup,
+    "docs_domain_stats": docs_domain_stats,
     "top_orders_per_segment": top_orders_per_segment,
     "similar_docs": similar_docs,
     "docs_enriched_labels": docs_enriched_labels,
@@ -4229,4 +4433,122 @@ SELECT n.doc_id,
        CAST(COALESCE(s.n_tri, 0) AS BIGINT) AS n_tri,
        CAST(COALESCE(s.microbits, 0) AS BIGINT) AS microbits
 FROM norm n LEFT JOIN scored s USING (doc_id)
+"""
+
+ORACLE_SQL["orders_customer_left_join"] = """
+SELECT o.o_orderkey,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       c.c_name, c.c_mktsegment
+FROM orders o
+LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+  ON o.o_custkey = c.c_custkey
+"""
+
+ORACLE_SQL["nation_counts_full_outer"] = """
+WITH cu AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*)::BIGINT AS n_cust
+  FROM customer WHERE c_nationkey < 20 GROUP BY 1
+), su AS (
+  SELECT CAST(s_nationkey AS BIGINT) AS nationkey, COUNT(*)::BIGINT AS n_supp
+  FROM supplier WHERE s_nationkey > 5 GROUP BY 1
+)
+SELECT COALESCE(cu.nationkey, su.nationkey) AS nationkey,
+       cu.n_cust, su.n_supp
+FROM cu FULL OUTER JOIN su ON cu.nationkey = su.nationkey
+"""
+
+ORACLE_SQL["orders_rollup"] = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       COUNT(*)::BIGINT AS n,
+       (GROUPING(o_orderstatus) + GROUPING(o_orderpriority))::BIGINT AS lvl
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+ORACLE_SQL["events_compact_latest"] = """
+SELECT user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       event_type,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+       event_id
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+# shared canonicalization chain over the synthesized messy URL (the regex
+# subset -- lazy quantifier, classes, alternation, no backrefs -- behaves
+# identically in DuckDB RE2 and the engine's polars Rust regex; parity is
+# pinned in tests/test_weburl.py)
+_URL_CANON_CTES = r"""
+WITH u0 AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars,
+         'HTTPS://WWW.' || source || '.Example.COM/Page/'
+           || CAST(doc_id % 40 AS VARCHAR) || '/?utm_source=x&sid='
+           || CAST(doc_id % 3 AS VARCHAR) || '#f' || CAST(doc_id AS VARCHAR)
+           AS url
+  FROM documents
+), s1 AS (
+  SELECT *, regexp_replace(url, '#.*$', '') AS t1 FROM u0
+), s2 AS (
+  SELECT *, regexp_replace(
+    t1, '[?&](utm_[a-z0-9]+|fbclid|gclid|ref)=[^&#]*', '', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT *, regexp_replace(
+    regexp_replace(t2, '^([^?]*?)&', '\1?'), '/+\?', '?') AS t3
+  FROM s2
+), s4 AS (
+  SELECT *, regexp_extract(
+    t3, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1) AS auth
+  FROM s3
+), canon AS (
+  SELECT doc_id, n_chars, url,
+         regexp_replace(
+           CASE WHEN auth = '' THEN t3
+                ELSE lower(auth)
+                     || regexp_replace(
+                          t3, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '')
+           END, '[/?]+$', '') AS canonical_url
+  FROM s4
+)
+"""
+
+ORACLE_SQL["docs_url_dedup"] = _URL_CANON_CTES + """
+SELECT MIN(doc_id) AS doc_id, canonical_url
+FROM canon GROUP BY canonical_url
+"""
+
+ORACLE_SQL["docs_domain_stats"] = _URL_CANON_CTES + r"""
+SELECT regexp_replace(regexp_replace(
+         lower(regexp_extract(
+           url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+         ':[0-9]+$', ''), '^www\.', '') AS domain,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+FROM canon GROUP BY 1
+"""
+
+ORACLE_SQL["graph_bfs_levels"] = """
+WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+walk(node, lvl) AS (
+  SELECT CAST(doc_id AS BIGINT), 0 FROM documents WHERE doc_id % 131 = 0
+  UNION
+  SELECT e.dst, w.lvl + 1
+  FROM walk w JOIN raw e ON e.src = w.node
+  WHERE w.lvl < 4
+)
+SELECT node, MIN(lvl)::BIGINT AS lvl FROM walk GROUP BY node
 """

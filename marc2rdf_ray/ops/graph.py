@@ -1144,3 +1144,67 @@ def label_propagation_reference(
             new[v] = best[0]
         lbl = new
     return lbl
+
+
+def bfs_levels(edges, seeds, *, max_depth: int = 4):
+    """Multi-source directed BFS: the minimum hop count from any seed to
+    every reachable node, capped at ``max_depth`` -- the frontier-expansion
+    primitive behind crawl-depth budgeting and link-distance features
+    (the reference walks work -> expression -> manifestation link chains
+    the same way when it resolves related resources; SURVEY.md §2.5 J3).
+
+    Synchronous BSP rounds, state lives in Datasets the whole way:
+      frontier(d) --semi-join--> out-edges --distinct dst--> candidates
+      candidates --anti-join visited--> frontier(d+1), lvl = d+1
+    Both membership tests are the broadcast-or-join shape
+    (ops/dedup.py semi_join_filter / anti_join_filter): a vectorized
+    ``is_in`` while the key set fits the byte budget, a distributed join
+    above it -- so a billion-node visited set degrades to a shuffle, not
+    a driver OOM.  Each round materializes only the (node) frontier and
+    the (node, lvl) visited table -- O(nodes) rows, never edges; the edge
+    Dataset is re-scanned per round (cheap: it is a pruned 2-column read)
+    keeping the lazy plan depth O(1) like the staged
+    connected-components round chains (stages/canonicalize.py).
+
+    ``edges``: Dataset with int64-castable ``src``/``dst``.  ``seeds``:
+    Dataset with a ``node`` column.  Returns ``(node, lvl)`` with
+    lvl = min hop distance (seeds at 0); nodes farther than ``max_depth``
+    are absent.  Deterministic by construction (set algebra only).
+    """
+    from .dedup import anti_join_filter, distinct_first, semi_join_filter
+
+    def as_nodes(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.cast(b["node"], pa.int64())})
+
+    def with_lvl(lvl: int):
+        def tag(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": b["node"],
+                "lvl": pa.array(np.full(len(b), lvl, np.int64), pa.int64()),
+            })
+        return tag
+
+    frontier = distinct_first(
+        seeds.map_batches(as_nodes, batch_format="pyarrow"), "node"
+    ).materialize()
+    visited = frontier.map_batches(
+        with_lvl(0), batch_format="pyarrow"
+    ).materialize()
+
+    for depth in range(1, max_depth + 1):
+        hop = semi_join_filter(edges, frontier, "src", keys_col="node")
+        cand = distinct_first(
+            hop.map_batches(
+                lambda b: pa.table({"node": pc.cast(b["dst"], pa.int64())}),
+                batch_format="pyarrow",
+            ),
+            "node",
+        )
+        frontier = anti_join_filter(cand, visited, "node").materialize()
+        if frontier.count() == 0:
+            break
+        visited = visited.union(
+            frontier.map_batches(with_lvl(depth), batch_format="pyarrow")
+        ).materialize()
+
+    return visited

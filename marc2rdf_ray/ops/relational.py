@@ -1,0 +1,164 @@
+"""Relational wide-ops Ray Data's Dataset API almost-but-not-quite has:
+ROLLUP grouping-set aggregation and latest-per-key compaction.
+
+The reference's reporting passes aggregate the same measure at several
+granularities (per-source, per-source+type, grand total -- the counters in
+scheduler.rb:214-233 are exactly per-window-then-grand-total rollups), and
+its update lifecycle keeps the newest record version per id
+(modify_record / insert_new_record overwrite semantics, SURVEY.md §2.8
+U1/U4).  Both are SURVEY.md §2 custom-operator composition (a):
+map_batches combiners plus one small groupby -- never a Python loop per
+group.
+
+Determinism: money aggregates run on integer cents
+(functions.numeric.sql_round_i64), representative rows tie-break on the
+LARGEST tiebreak id, and rolled-up key slots use an out-of-band sentinel
+during the shuffle so a multi-key groupby never sees nulls (mapped back to
+real nulls on emit, matching SQL ROLLUP output).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# out-of-band marker for a rolled-up key slot while rows are in flight;
+# \x00 sorts before any printable key and cannot collide with real data
+# in text keys (validated per batch -- fail loud, not silently wrong).
+_ROLLED = "\x00__ROLLED__"
+
+
+def _default_buckets() -> int:
+    try:
+        import ray
+
+        return max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    except Exception:  # pragma: no cover
+        return 16
+
+
+def rollup_aggregate(ds, keys: list[str], value_col: str, *,
+                     cents_factor: float | None = 100.0):
+    """GROUP BY ROLLUP(*keys): SUM(value) + COUNT(*) at every key-prefix
+    level -- (k1..kn), (k1..kn-1), ..., (k1), () -- with rolled-up key
+    slots null, exactly like SQL ROLLUP.
+
+    Shape at scale: one map_batches pass computes per-batch partials at
+    the FINEST grain (Arrow group_by inside the batch -- the combiner),
+    then each partial row is replicated once per level (xN+1 on the
+    already-collapsed partials, not on the data) and ONE small groupby
+    sums the partials.  Shuffle volume is O(distinct finest groups per
+    batch x levels), independent of row count.
+
+    Output: ``keys..., sum_cents, n, lvl`` where ``lvl`` counts rolled-up
+    key slots (0 = finest, len(keys) = grand total) -- the GROUPING()
+    analog, needed because a null key cell alone cannot distinguish a real
+    null key value from a rolled-up slot.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.numeric import sql_round_i64
+
+    nk = len(keys)
+    levels = list(range(nk + 1))
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = {k: pc.cast(b[k], pa.string()) for k in keys}
+        for k in keys:
+            if pc.any(pc.starts_with(pc.fill_null(cols[k], ""), "\x00")).as_py():
+                raise ValueError(
+                    f"rollup_aggregate: key column {k!r} contains the "
+                    "reserved \\x00 sentinel prefix"
+                )
+        cols["__v"] = (
+            sql_round_i64(b[value_col], cents_factor)
+            if cents_factor is not None
+            else pc.cast(b[value_col], pa.int64())
+        )
+        t = pa.table(cols)
+        g = t.group_by(keys, use_threads=False).aggregate(
+            [("__v", "sum"), ("__v", "count")]
+        )
+        # replicate each finest-grain partial once per rollup level with
+        # the trailing key slots replaced by the sentinel
+        parts = []
+        for lvl in levels:
+            rolled = {
+                k: (g[k] if i < nk - lvl
+                    else pa.array([_ROLLED] * len(g), pa.string()))
+                for i, k in enumerate(keys)
+            }
+            parts.append(pa.table({
+                **rolled,
+                "__s": g["__v_sum"],
+                "__n": pc.cast(g["__v_count"], pa.int64()),
+                "lvl": pa.array(np.full(len(g), lvl, np.int64), pa.int64()),
+            }))
+        return pa.concat_tables(parts)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys + ["lvl"])
+        .aggregate(Sum("__s"), Sum("__n"))
+    )
+
+    def emit(b: pa.Table) -> pa.Table:
+        cols = {}
+        for k in keys:
+            v = b[k]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            mask = pc.equal(v, _ROLLED)
+            cols[k] = pc.if_else(mask, pa.nulls(len(b), pa.string()), v)
+        cols["sum_cents"] = b["sum(__s)"]
+        cols["n"] = b["sum(__n)"]
+        cols["lvl"] = b["lvl"]
+        return pa.table(cols)
+
+    return agg.map_batches(emit, batch_format="pyarrow")
+
+
+def compact_latest(ds, *, key_col: str, ts_col: str, tie_col: str,
+                   num_buckets: int | None = None):
+    """Latest-version-per-key compaction (the CDC/upsert "compact" step):
+    keep, for every ``key_col`` value, the single row with the largest
+    ``(ts_col, tie_col)`` -- ``tie_col`` must order same-timestamp writes
+    (an id/sequence column), making the winner deterministic and
+    SQL-replayable (row_number() OVER (... ORDER BY ts DESC, tie DESC)).
+
+    Shape at scale: ONE hash-bucket shuffle on the key (hash(key) % B, B
+    scales with the cluster) then one vectorized sort + neighbor-mask pass
+    per bucket -- the distinct_first pattern (ops/dedup.py:99) extended
+    with a (ts, tie) order, no Python per key.  All original columns pass
+    through.
+    """
+    from ..functions.hashing import bucket_codes
+
+    nb = num_buckets or _default_buckets()
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__bucket",
+            bucket_codes(pc.cast(b[key_col], pa.string()), nb),
+        )
+
+    def last_per_key(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"),
+             (tie_col, "ascending")]
+        )
+        k = t[key_col]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        k = k.to_numpy(zero_copy_only=False)
+        if not len(k):
+            return t.drop_columns(["__bucket"])
+        mask = np.concatenate([k[1:] != k[:-1], [True]])
+        return t.filter(pa.array(mask)).drop_columns(["__bucket"])
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(last_per_key, batch_format="pyarrow")
+    )

@@ -1,0 +1,240 @@
+"""Tests for the relational wide-ops (rollup, compaction), the web-URL
+operators (canonicalization parity, URL dedup, domain stats) and BFS
+levels."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+class TestRollup:
+    def test_matches_duckdb_rollup(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import rollup_aggregate
+
+        rng = np.random.RandomState(7)
+        n = 1000
+        tab = pa.table({
+            "a": pa.array([f"a{v}" for v in rng.randint(0, 3, n)]),
+            "b": pa.array([f"b{v}" for v in rng.randint(0, 4, n)]),
+            "v": pa.array(rng.uniform(-50, 50, n)),
+        })
+        got = (
+            rollup_aggregate(rd.from_arrow(tab), ["a", "b"], "v")
+            .to_pandas()
+        )
+        want = duckdb.sql("""
+            SELECT a, b,
+                   CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents,
+                   COUNT(*)::BIGINT AS n,
+                   (GROUPING(a) + GROUPING(b))::BIGINT AS lvl
+            FROM tab GROUP BY ROLLUP(a, b)
+        """).df()
+        key = ["lvl", "a", "b"]
+        g = got.sort_values(key, na_position="last").reset_index(drop=True)
+        w = want.sort_values(key, na_position="last").reset_index(drop=True)
+        assert len(g) == len(w) == 3 * 4 + 3 + 1
+        assert g["sum_cents"].tolist() == w["sum_cents"].tolist()
+        assert g["n"].tolist() == w["n"].tolist()
+        # grand total row: both keys null, lvl 2
+        gt = g[g["lvl"] == 2]
+        assert len(gt) == 1 and gt["a"].isna().all() and gt["b"].isna().all()
+        assert int(gt["n"].iloc[0]) == n
+
+    def test_sentinel_collision_fails_loud(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import rollup_aggregate
+
+        bad = rd.from_arrow(pa.table({
+            "a": pa.array(["\x00__ROLLED__"]), "v": pa.array([1.0]),
+        }))
+        with pytest.raises(Exception, match="sentinel"):
+            rollup_aggregate(bad, ["a"], "v").materialize()
+
+
+class TestCompactLatest:
+    def test_latest_per_key_with_ties(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import compact_latest
+
+        tab = pa.table({
+            "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "ts": pa.array([10, 30, 30, 5, 7, 1], pa.int64()),
+            "seq": pa.array([100, 101, 102, 200, 201, 300], pa.int64()),
+            "payload": pa.array(["a", "b", "c", "d", "e", "f"]),
+        })
+        out = (
+            compact_latest(rd.from_arrow(tab), key_col="k", ts_col="ts",
+                           tie_col="seq")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        # k=1: ts tie at 30 -> larger seq (102) wins; payload passes through
+        assert out["seq"].tolist() == [102, 201, 300]
+        assert out["payload"].tolist() == ["c", "e", "f"]
+        assert list(out.columns) == ["k", "ts", "seq", "payload"]
+
+    def test_single_winner_per_key(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import compact_latest
+
+        rng = np.random.RandomState(3)
+        n = 2000
+        tab = pa.table({
+            "k": pa.array(rng.randint(0, 50, n), pa.int64()),
+            "ts": pa.array(rng.randint(0, 100, n), pa.int64()),
+            "seq": pa.array(np.arange(n), pa.int64()),
+        })
+        out = compact_latest(rd.from_arrow(tab), key_col="k", ts_col="ts",
+                             tie_col="seq").to_pandas()
+        assert len(out) == out["k"].nunique() == 50
+        want = duckdb.sql("""
+            SELECT k, seq FROM (
+              SELECT k, seq, row_number() OVER (
+                PARTITION BY k ORDER BY ts DESC, seq DESC) rn FROM tab)
+            WHERE rn = 1 ORDER BY k
+        """).df()
+        got = out.sort_values("k").reset_index(drop=True)
+        assert got["seq"].tolist() == want["seq"].tolist()
+
+
+# the cross-engine contract for canonicalization: polars (Rust regex) and
+# DuckDB (RE2) must emit byte-identical canonical forms on this vector set
+URL_VECTORS = [
+    "HTTPS://WWW.Example.COM/Path/Sub/?utm_source=x&id=2#frag",
+    "https://www.example.com/path/sub?id=2",
+    "http://A.com/",
+    "http://a.com",
+    "http://a.com/p?utm_a=1&utm_b=2&id=3",
+    "http://a.com/p?id=1&ref=abc",
+    "http://a.com/p?xref=1",      # 'ref' must not match inside 'xref'
+    "http://a.com/p?refresh=1&gclid=zz",
+    "not a url /path?utm_x=1",    # no scheme://host -> no case folding
+    "HTTP://H.example.org:8080/UP/low?fbclid=abc&keep=1",
+]
+
+
+class TestUrlCanonicalization:
+    def test_polars_duckdb_parity(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.weburl import canonicalize_urls
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(URL_VECTORS)), pa.int64()),
+            "url": pa.array(URL_VECTORS),
+        }))
+        got = (
+            canonicalize_urls(ds).to_pandas()
+            .sort_values("doc_id")["canonical_url"].tolist()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(i BIGINT, u VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)",
+                        list(enumerate(URL_VECTORS)))
+        want = [r[0] for r in con.execute(r"""
+            WITH s1 AS (SELECT i, regexp_replace(u, '#.*$', '') t1 FROM t),
+            s2 AS (SELECT i, regexp_replace(t1,
+              '[?&](utm_[a-z0-9]+|fbclid|gclid|ref)=[^&#]*', '', 'g') t2
+              FROM s1),
+            s3 AS (SELECT i, regexp_replace(
+              regexp_replace(t2, '^([^?]*?)&', '\1?'), '/+\?', '?') t3
+              FROM s2),
+            s4 AS (SELECT i, t3, regexp_extract(t3,
+              '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1) auth FROM s3)
+            SELECT regexp_replace(
+              CASE WHEN auth = '' THEN t3
+                   ELSE lower(auth) || regexp_replace(t3,
+                     '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '') END,
+              '[/?]+$', '')
+            FROM s4 ORDER BY i
+        """).fetchall()]
+        assert got == want
+        # spot-pin the semantics themselves, not just parity
+        assert got[0] == "https://www.example.com/Path/Sub?id=2"
+        assert got[6] == "http://a.com/p?xref=1"
+        assert got[9] == "http://h.example.org:8080/UP/low?keep=1"
+
+    def test_url_dedup_keeps_min_id(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.weburl import url_dedup_min_id
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([5, 3, 9, 7], pa.int64()),
+            "url": pa.array([
+                "HTTP://A.com/x?utm_a=1",
+                "http://a.com/x",
+                "http://a.com/x/",
+                "http://b.com/x",
+            ]),
+        }))
+        out = (
+            url_dedup_min_id(ds).to_pandas()
+            .sort_values("canonical_url").reset_index(drop=True)
+        )
+        assert out["canonical_url"].tolist() == [
+            "http://a.com/x", "http://b.com/x"]
+        assert out["doc_id"].tolist() == [3, 7]
+
+    def test_domain_stats(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.weburl import domain_stats
+
+        ds = rd.from_arrow(pa.table({
+            "url": pa.array([
+                "https://WWW.A.com:443/x", "http://a.com/y",
+                "http://b.org/z", "no scheme here",
+            ]),
+            "n_chars": pa.array([10, 20, 5, 1], pa.int64()),
+        }))
+        out = (
+            domain_stats(ds, chars_col="n_chars").to_pandas()
+            .sort_values("domain").reset_index(drop=True)
+        )
+        assert out["domain"].tolist() == ["", "a.com", "b.org"]
+        assert out["n_docs"].tolist() == [1, 2, 1]
+        assert out["sum_chars"].tolist() == [1, 30, 5]
+
+
+class TestBfsLevels:
+    def test_min_distance_depth_cap_and_cycle(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import bfs_levels
+
+        # 0 -> 1 -> 2 -> 3 -> 4 -> 5, plus cycle 2 -> 0, shortcut 0 -> 3,
+        # and an unreachable island 10 -> 11
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([0, 1, 2, 3, 4, 2, 0, 10], pa.int64()),
+            "dst": pa.array([1, 2, 3, 4, 5, 0, 3, 11], pa.int64()),
+        }))
+        seeds = rd.from_arrow(pa.table({"node": pa.array([0], pa.int64())}))
+        out = (
+            bfs_levels(edges, seeds, max_depth=3).to_pandas()
+            .sort_values("node").reset_index(drop=True)
+        )
+        want = {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}  # 5 is at 3 via 0->3->4->5
+        want[5] = 3
+        assert dict(zip(out["node"], out["lvl"])) == want  # 10/11 absent
+
+    def test_multi_seed_takes_min(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import bfs_levels
+
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([0, 1, 2, 3], pa.int64()),
+            "dst": pa.array([1, 2, 3, 4], pa.int64()),
+        }))
+        seeds = rd.from_arrow(
+            pa.table({"node": pa.array([0, 3], pa.int64())}))
+        out = bfs_levels(edges, seeds, max_depth=4).to_pandas()
+        got = dict(zip(out["node"], out["lvl"]))
+        assert got == {0: 0, 3: 0, 1: 1, 4: 1, 2: 2}
