@@ -2401,6 +2401,43 @@ def orders_rollup(sf_dir: str):
     )
 
 
+def orders_cube(sf_dir: str):
+    """GROUP BY CUBE (ops/relational.py cube_aggregate): order money +
+    counts at all four (status, priority) subsets; ``lvl`` is the SQL
+    GROUPING(status, priority) bitmask, distinguishing the two
+    single-key grouping sets."""
+    from .ops.relational import cube_aggregate
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return cube_aggregate(
+        ds, ["o_orderstatus", "o_orderpriority"], "o_totalprice"
+    )
+
+
+def events_coalesced_intervals(sf_dir: str):
+    """Gaps-and-islands interval coalescing (ops/windows.py
+    coalesce_intervals): each event opens a 30-minute validity window
+    [ts, ts+30min]; overlapping windows of one user merge into covered
+    spans -- the reference's overlapping harvest-window collapse
+    (scheduler.rb re-harvests a safety margin around each window)."""
+    from .ops.windows import coalesce_intervals
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def mkintervals(b: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "start_us": t,
+            "end_us": pc.add(t, 1_800_000_000),
+        })
+
+    return coalesce_intervals(
+        ev.map_batches(mkintervals, batch_format="pyarrow")
+    )
+
+
 def events_compact_latest(sf_dir: str):
     """Latest-version-per-key compaction (ops/relational.py
     compact_latest): the newest event per user by (ts, event_id) -- the
@@ -2579,7 +2616,9 @@ QUERIES = {
     "orders_customer_left_join": orders_customer_left_join,
     "nation_counts_full_outer": nation_counts_full_outer,
     "orders_rollup": orders_rollup,
+    "orders_cube": orders_cube,
     "events_compact_latest": events_compact_latest,
+    "events_coalesced_intervals": events_coalesced_intervals,
     "docs_url_dedup": docs_url_dedup,
     "docs_domain_stats": docs_domain_stats,
     "top_orders_per_segment": top_orders_per_segment,
@@ -4551,4 +4590,39 @@ walk(node, lvl) AS (
   WHERE w.lvl < 4
 )
 SELECT node, MIN(lvl)::BIGINT AS lvl FROM walk GROUP BY node
+"""
+
+ORACLE_SQL["orders_cube"] = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       COUNT(*)::BIGINT AS n,
+       GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS lvl
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+ORACLE_SQL["events_coalesced_intervals"] = """
+WITH iv AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+         CAST(epoch_us(ts) AS BIGINT) + 1800000000 AS e
+  FROM events
+), x AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM iv
+), y AS (
+  SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk
+  FROM x
+), z AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS island
+  FROM y
+)
+SELECT user_id, MIN(s) AS island_start, MAX(e) AS island_end,
+       COUNT(*)::BIGINT AS n_rows
+FROM z GROUP BY user_id, island
 """

@@ -38,38 +38,34 @@ def _default_buckets() -> int:
         return 16
 
 
-def rollup_aggregate(ds, keys: list[str], value_col: str, *,
-                     cents_factor: float | None = 100.0):
-    """GROUP BY ROLLUP(*keys): SUM(value) + COUNT(*) at every key-prefix
-    level -- (k1..kn), (k1..kn-1), ..., (k1), () -- with rolled-up key
-    slots null, exactly like SQL ROLLUP.
+def _grouping_sets_aggregate(ds, keys: list[str], value_col: str,
+                             gsets: list[tuple[int, ...]], *,
+                             cents_factor: float | None, lvl_of):
+    """Shared GROUPING SETS engine behind ROLLUP and CUBE.
 
-    Shape at scale: one map_batches pass computes per-batch partials at
-    the FINEST grain (Arrow group_by inside the batch -- the combiner),
-    then each partial row is replicated once per level (xN+1 on the
-    already-collapsed partials, not on the data) and ONE small groupby
-    sums the partials.  Shuffle volume is O(distinct finest groups per
-    batch x levels), independent of row count.
+    One map_batches pass computes per-batch partials at the FINEST grain
+    (Arrow group_by inside the batch -- the combiner), then each partial
+    row is replicated once per grouping set (xS on the already-collapsed
+    partials, not on the data) and ONE small groupby sums the partials.
+    Shuffle volume is O(distinct finest groups per batch x sets),
+    independent of row count.
 
-    Output: ``keys..., sum_cents, n, lvl`` where ``lvl`` counts rolled-up
-    key slots (0 = finest, len(keys) = grand total) -- the GROUPING()
-    analog, needed because a null key cell alone cannot distinguish a real
-    null key value from a rolled-up slot.
+    ``gsets``: each set is the tuple of key INDICES kept (others rolled
+    up); ``lvl_of(gset)`` labels the output row's grouping set -- needed
+    because a null key cell alone cannot distinguish a real null key value
+    from a rolled-up slot (SQL's GROUPING()).
     """
     from ray.data.aggregate import Sum
 
     from ..functions.numeric import sql_round_i64
-
-    nk = len(keys)
-    levels = list(range(nk + 1))
 
     def partial(b: pa.Table) -> pa.Table:
         cols = {k: pc.cast(b[k], pa.string()) for k in keys}
         for k in keys:
             if pc.any(pc.starts_with(pc.fill_null(cols[k], ""), "\x00")).as_py():
                 raise ValueError(
-                    f"rollup_aggregate: key column {k!r} contains the "
-                    "reserved \\x00 sentinel prefix"
+                    f"grouping-set aggregate: key column {k!r} contains "
+                    "the reserved \\x00 sentinel prefix"
                 )
         cols["__v"] = (
             sql_round_i64(b[value_col], cents_factor)
@@ -80,12 +76,12 @@ def rollup_aggregate(ds, keys: list[str], value_col: str, *,
         g = t.group_by(keys, use_threads=False).aggregate(
             [("__v", "sum"), ("__v", "count")]
         )
-        # replicate each finest-grain partial once per rollup level with
-        # the trailing key slots replaced by the sentinel
+        # replicate each finest-grain partial once per grouping set with
+        # the rolled-up key slots replaced by the sentinel
         parts = []
-        for lvl in levels:
+        for gs in gsets:
             rolled = {
-                k: (g[k] if i < nk - lvl
+                k: (g[k] if i in gs
                     else pa.array([_ROLLED] * len(g), pa.string()))
                 for i, k in enumerate(keys)
             }
@@ -93,7 +89,9 @@ def rollup_aggregate(ds, keys: list[str], value_col: str, *,
                 **rolled,
                 "__s": g["__v_sum"],
                 "__n": pc.cast(g["__v_count"], pa.int64()),
-                "lvl": pa.array(np.full(len(g), lvl, np.int64), pa.int64()),
+                "lvl": pa.array(
+                    np.full(len(g), lvl_of(gs), np.int64), pa.int64()
+                ),
             }))
         return pa.concat_tables(parts)
 
@@ -117,6 +115,47 @@ def rollup_aggregate(ds, keys: list[str], value_col: str, *,
         return pa.table(cols)
 
     return agg.map_batches(emit, batch_format="pyarrow")
+
+
+def rollup_aggregate(ds, keys: list[str], value_col: str, *,
+                     cents_factor: float | None = 100.0):
+    """GROUP BY ROLLUP(*keys): SUM(value) + COUNT(*) at every key-prefix
+    level -- (k1..kn), (k1..kn-1), ..., (k1), () -- with rolled-up key
+    slots null, exactly like SQL ROLLUP.  ``lvl`` counts rolled-up slots
+    (0 = finest, len(keys) = grand total), matching
+    GROUPING(k1)+...+GROUPING(kn).  See :func:`_grouping_sets_aggregate`
+    for the combiner-first scale shape.
+    """
+    nk = len(keys)
+    gsets = [tuple(range(nk - lvl)) for lvl in range(nk + 1)]
+    return _grouping_sets_aggregate(
+        ds, keys, value_col, gsets,
+        cents_factor=cents_factor, lvl_of=lambda gs: nk - len(gs),
+    )
+
+
+def cube_aggregate(ds, keys: list[str], value_col: str, *,
+                   cents_factor: float | None = 100.0):
+    """GROUP BY CUBE(*keys): SUM(value) + COUNT(*) at ALL 2^k key
+    subsets.  ``lvl`` is the GROUPING bitmask (bit i set = keys[i]
+    rolled up, i counted from the LEFT like SQL GROUPING(k1, ..., kn)),
+    so e.g. (a-only) and (b-only) rows are distinguishable even when a
+    real key value is null.  Same combiner-first shape as ROLLUP; the
+    replication factor is 2^k, so keep k small (documented -- SQL engines
+    share this cost).
+    """
+    nk = len(keys)
+    gsets = [
+        tuple(i for i in range(nk) if not (mask >> (nk - 1 - i)) & 1)
+        for mask in range(1 << nk)
+    ]
+    return _grouping_sets_aggregate(
+        ds, keys, value_col, gsets,
+        cents_factor=cents_factor,
+        lvl_of=lambda gs: sum(
+            1 << (nk - 1 - i) for i in range(nk) if i not in gs
+        ),
+    )
 
 
 def compact_latest(ds, *, key_col: str, ts_col: str, tie_col: str,

@@ -646,3 +646,100 @@ def offset_limit(
         return out.split_at_indices([offset])[1] if offset else out
     parts = out.split_at_indices([offset, offset + limit])
     return parts[1]
+
+
+def coalesce_intervals(
+    ds,
+    *,
+    key_col: str = "user_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    num_buckets: int | None = None,
+):
+    """Merge overlapping/touching intervals per key (gaps-and-islands):
+    one output row per maximal run of intervals where each starts at or
+    before the running max end of its predecessors --
+    ``(key, island_start, island_end, n_rows)``.
+
+    The reference's incremental windows overlap on purpose (scheduler.rb
+    re-harvests a safety margin around each window); collapsing a key's
+    overlapping validity windows into covered spans is this exact
+    operator.  ONE hash-bucket shuffle (hash(key) % B), then per bucket a
+    sort + grouped cummax + segment-boundary mask, all columnar (the
+    grouped running max uses polars' cum_max().over(key) Rust kernel --
+    numpy cannot reset an accumulate at group boundaries in one pass).
+
+    Island membership is order-independent (an interval joins an island
+    iff start <= max end so far), so results are deterministic and the
+    SQL oracle (MAX() OVER ... 1 PRECEDING window) replays them exactly.
+    Same one-key-fits-one-task assumption as sessionize (hot keys warn
+    via _warn_hot_keys).
+    """
+    from ..functions.hashing import bucket_codes
+
+    if num_buckets is None:
+        try:
+            import ray
+
+            num_buckets = max(
+                16, int(ray.cluster_resources().get("CPU", 8)) * 2
+            )
+        except Exception:  # pragma: no cover
+            num_buckets = 16
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "k": pc.cast(b[key_col], pa.int64()),
+            "s": pc.cast(b[start_col], pa.int64()),
+            "e": pc.cast(b[end_col], pa.int64()),
+        })
+        return t.append_column(
+            "bucket", bucket_codes(pc.cast(t["k"], pa.string()), num_buckets)
+        )
+
+    def islands(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if not len(group):
+            return pa.table({
+                key_col: pa.array([], pa.int64()),
+                "island_start": pa.array([], pa.int64()),
+                "island_end": pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64()),
+            })
+        df = (
+            pl.from_arrow(group.select(["k", "s", "e"]))
+            .sort(["k", "s", "e"])
+        )
+        _warn_hot_keys(
+            "coalesce_intervals", df["k"].to_numpy()
+        )
+        pm = df.select(
+            pl.col("e").cum_max().shift(1).over("k")
+            .fill_null(np.iinfo(np.int64).min).alias("pm")
+        )["pm"].to_numpy().astype(np.int64, copy=False)
+        k = df["k"].to_numpy()
+        s = df["s"].to_numpy()
+        e = df["e"].to_numpy()
+        newkey = np.concatenate([[True], k[1:] != k[:-1]])
+        brk = newkey | (s > pm)
+        island = np.cumsum(brk) - 1
+        n_isl = int(island[-1]) + 1
+        # sorted by (k, s, e) within each island, so its start row's s is
+        # the island start; the end needs the max over members
+        out_end = np.full(n_isl, np.iinfo(np.int64).min)
+        np.maximum.at(out_end, island, e)
+        first = np.flatnonzero(brk)
+        counts = np.bincount(island, minlength=n_isl).astype(np.int64)
+        return pa.table({
+            key_col: pa.array(k[first], pa.int64()),
+            "island_start": pa.array(s[first], pa.int64()),
+            "island_end": pa.array(out_end, pa.int64()),
+            "n_rows": pa.array(counts, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(islands, batch_format="pyarrow")
+    )

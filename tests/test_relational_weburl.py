@@ -238,3 +238,99 @@ class TestBfsLevels:
         out = bfs_levels(edges, seeds, max_depth=4).to_pandas()
         got = dict(zip(out["node"], out["lvl"]))
         assert got == {0: 0, 3: 0, 1: 1, 4: 1, 2: 2}
+
+
+class TestCube:
+    def test_matches_duckdb_cube(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import cube_aggregate
+
+        rng = np.random.RandomState(11)
+        n = 800
+        tab = pa.table({
+            "a": pa.array([f"a{v}" for v in rng.randint(0, 2, n)]),
+            "b": pa.array([f"b{v}" for v in rng.randint(0, 3, n)]),
+            "v": pa.array(rng.uniform(-10, 10, n)),
+        })
+        got = cube_aggregate(rd.from_arrow(tab), ["a", "b"], "v").to_pandas()
+        want = duckdb.sql("""
+            SELECT a, b,
+                   CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents,
+                   COUNT(*)::BIGINT AS n,
+                   GROUPING(a, b)::BIGINT AS lvl
+            FROM tab GROUP BY CUBE(a, b)
+        """).df()
+        assert len(got) == len(want) == 2 * 3 + 2 + 3 + 1
+        key = ["lvl", "a", "b"]
+        g = got.sort_values(key, na_position="last").reset_index(drop=True)
+        w = want.sort_values(key, na_position="last").reset_index(drop=True)
+        assert g["sum_cents"].tolist() == w["sum_cents"].tolist()
+        assert g["n"].tolist() == w["n"].tolist()
+        assert g["lvl"].tolist() == w["lvl"].tolist()
+        # bitmask semantics: b-only rows (a rolled) carry bit of a = 2
+        bonly = g[(g["a"].isna()) & (~g["b"].isna())]
+        assert set(bonly["lvl"]) == {2}
+
+
+class TestCoalesceIntervals:
+    def test_islands_merge_and_split(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import coalesce_intervals
+
+        tab = pa.table({
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            # [0,10] + [5,15] + touching [15,20] merge; [30,40] splits
+            "start_us": pa.array([0, 5, 15, 30, 0], pa.int64()),
+            "end_us": pa.array([10, 15, 20, 40, 1], pa.int64()),
+        })
+        out = (
+            coalesce_intervals(rd.from_arrow(tab), key_col="user_id")
+            .to_pandas()
+            .sort_values(["user_id", "island_start"])
+            .reset_index(drop=True)
+        )
+        assert out.values.tolist() == [
+            [1, 0, 20, 3], [1, 30, 40, 1], [2, 0, 1, 1]]
+
+    def test_contained_interval_and_random_vs_duckdb(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import coalesce_intervals
+
+        rng = np.random.RandomState(5)
+        n = 3000
+        s = rng.randint(0, 10_000, n)
+        tab = pa.table({
+            "user_id": pa.array(rng.randint(0, 40, n), pa.int64()),
+            "start_us": pa.array(s, pa.int64()),
+            "end_us": pa.array(s + rng.randint(1, 300, n), pa.int64()),
+        })
+        got = (
+            coalesce_intervals(rd.from_arrow(tab), key_col="user_id")
+            .to_pandas()
+            .sort_values(["user_id", "island_start"])
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql("""
+            WITH x AS (
+              SELECT user_id, start_us s, end_us e,
+                     MAX(end_us) OVER (PARTITION BY user_id
+                       ORDER BY start_us, end_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pm
+              FROM tab),
+            y AS (SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END brk
+                  FROM x),
+            z AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) island FROM y)
+            SELECT user_id, MIN(s) island_start, MAX(e) island_end,
+                   COUNT(*)::BIGINT n_rows
+            FROM z GROUP BY user_id, island
+            ORDER BY user_id, island_start
+        """).df()
+        assert got["island_start"].tolist() == want["island_start"].tolist()
+        assert got["island_end"].tolist() == want["island_end"].tolist()
+        assert got["n_rows"].tolist() == want["n_rows"].tolist()
