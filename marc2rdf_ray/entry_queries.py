@@ -1229,6 +1229,39 @@ def docs_paragraph_dedup(sf_dir: str):
     return dedup_paragraphs_global(aug)
 
 
+_SPAN_FOOTER = "the shared footer slogan appears in every document here"
+_SPAN_REPEAT = "alpha beta gamma delta epsilon zeta"
+
+
+def docs_span_dedup(sf_dir: str):
+    """Cross-corpus duplicated-SPAN removal (ops.corpus
+    dedup_duplicate_spans -- the Lee et al. 2021 exact-substring-dedup
+    operator, all-copies-die variant): docs are augmented with a shared
+    9-token footer (cross-doc duplicated windows) and, for doc_id%7==0,
+    a doubled 6-token run (within-doc repetition), so both duplication
+    modes are exercised; every token covered by a corpus-wide >=2-count
+    6-token window is removed and docs reassemble in order.  The oracle
+    replays window counting, coverage expansion and reassembly in SQL."""
+    from .ops.corpus import dedup_duplicate_spans
+
+    def build(b: pa.Table) -> pa.Table:
+        out = []
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            t2 = (t or "") + " " + _SPAN_FOOTER
+            if i % 7 == 0:
+                t2 += " " + _SPAN_REPEAT + " " + _SPAN_REPEAT
+            out.append(t2)
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "text": pa.array(out, pa.string()),
+        })
+
+    aug = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        build, batch_format="pyarrow"
+    )
+    return dedup_duplicate_spans(aug, width=6, min_count=2)
+
+
 def docs_trigram_bits(sf_dir: str):
     """CCNet-style LM quality signal (ops/lm.py): train a char-trigram
     model over the corpus in one bincount-partial pass (dense 27^3 driver
@@ -2584,6 +2617,7 @@ QUERIES = {
     "docs_per_lang_sample": docs_per_lang_sample,
     "docs_boilerplate_removed": docs_boilerplate_removed,
     "docs_paragraph_dedup": docs_paragraph_dedup,
+    "docs_span_dedup": docs_span_dedup,
     "docs_trigram_bits": docs_trigram_bits,
     "docs_mixture_flattened": docs_mixture_flattened,
     "dedup_exact": dedup_exact,
@@ -4625,4 +4659,42 @@ WITH iv AS (
 SELECT user_id, MIN(s) AS island_start, MAX(e) AS island_end,
        COUNT(*)::BIGINT AS n_rows
 FROM z GROUP BY user_id, island
+"""
+
+ORACLE_SQL["docs_span_dedup"] = r"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    regexp_extract_all(
+      COALESCE(text, '')
+        || ' the shared footer slogan appears in every document here'
+        || CASE WHEN doc_id % 7 = 0
+           THEN ' alpha beta gamma delta epsilon zeta'
+                || ' alpha beta gamma delta epsilon zeta'
+           ELSE '' END,
+      '\S+') AS t
+  FROM documents
+), win AS (
+  SELECT doc_id, g.i AS i,
+    substr(md5(array_to_string(t[g.i:g.i + 5], ' ')), 1, 16) AS h
+  FROM base,
+  LATERAL (SELECT unnest(generate_series(1, len(t) - 5)) AS i) g
+), hot AS (
+  SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2
+), cov AS (
+  SELECT DISTINCT w.doc_id, u.p
+  FROM win w JOIN hot USING (h),
+  LATERAL (SELECT unnest(generate_series(w.i, w.i + 5)) AS p) u
+), toks AS (
+  SELECT b.doc_id, u.tok, u.p
+  FROM base b,
+  LATERAL (SELECT unnest(t) AS tok,
+                  unnest(generate_series(1, len(t))) AS p) u
+), kept AS (
+  SELECT k.doc_id, k.tok, k.p
+  FROM toks k
+  LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.p = k.p
+  WHERE c.p IS NULL
+)
+SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+FROM kept GROUP BY doc_id
 """

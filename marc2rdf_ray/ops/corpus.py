@@ -424,8 +424,11 @@ def tfidf_top_terms(
         )
 
     nparts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    from .dedup import normalize_join_blocks
+
     joined = ds.map_batches(tf_rows, batch_format="pyarrow").join(
-        df_ds, join_type="inner", num_partitions=nparts, on=("term",)
+        normalize_join_blocks(df_ds, nparts),
+        join_type="inner", num_partitions=nparts, on=("term",)
     )
 
     def group_topk(g: pa.Table) -> pa.Table:
@@ -1027,8 +1030,11 @@ def decontaminate_hashed(
         nparts = max(
             2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2)
         )
+        from .dedup import normalize_join_blocks
+
         hits = pairs.join(
-            marked, join_type="inner", num_partitions=nparts, on=("h",)
+            normalize_join_blocks(marked, nparts),
+            join_type="inner", num_partitions=nparts, on=("h",)
         ).map_batches(
             lambda b: b.select([id_col]), batch_format="pyarrow"
         )
@@ -1142,3 +1148,166 @@ def bm25_topk(
         .sort(key=["microbits", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def dedup_duplicate_spans(
+    ds,
+    *,
+    width: int = 6,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_budget: int = 256 << 20,
+):
+    """Cross-corpus exact duplicated-SPAN removal (the operator behind
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2021 -- public): every ``width``-token whitespace window whose
+    corpus-wide occurrence count reaches ``min_count`` (across documents
+    or repeated inside one) marks its tokens for removal; surviving
+    tokens reassemble in order (single spaces) and emptied docs drop.
+    Distinct from :func:`dedup_paragraphs_global` (structural units, one
+    survivor) and document-level dedup: here the unit is ANY repeated
+    token run and ALL copies die -- the removal decision is a pure
+    function of the global window counts, so it is order-independent,
+    replayable, and SQL-expressible (the ``docs_span_dedup`` oracle).
+
+    Scale shape:
+    - pass 1: per-batch (window-hash, partial count) Arrow combiner ->
+      ONE small groupby-sum -> filter count >= min_count.  Only 16-hex
+      hashes ever shuffle, never text.
+    - pass 2, hot set <= ``broadcast_budget``: ray.put once, then a
+      stateless per-batch rebuild -- doc texts never leave their read
+      tasks (zero text exchange).
+    - pass 2, hot set above budget: (doc, pos, hash) window rows
+      semi-join the hot hashes (ops/dedup.semi_join_filter), collapse to
+      per-doc covered-position lists, and ONE left join ships each doc
+      text exactly once -- the distributed path when the duplicated-window
+      set itself is huge.
+    Both paths share the same vectorized cover mask (diff-array over
+    token positions) and are parity-tested against each other.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import normalize_join_blocks, semi_join_filter
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for t in b[text_col].to_pylist():
+            cnt.update(_window_hashes(t, width))
+        if not cnt:
+            return pa.table({"h": pa.array([], pa.string()),
+                             "__c": pa.array([], pa.int64())})
+        ks, vs = zip(*cnt.items())
+        return pa.table({"h": pa.array(list(ks), pa.string()),
+                         "__c": pa.array(list(vs), pa.int64())})
+
+    hot = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("__c"))
+        .map_batches(
+            lambda b: pa.table(
+                {"h": b.filter(
+                    pc.greater_equal(b["sum(__c)"], min_count))["h"]}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def _rebuild(toks: list[str], hot_positions: np.ndarray) -> str:
+        cover = np.zeros(len(toks) + width, np.int32)
+        np.add.at(cover, hot_positions, 1)
+        np.add.at(cover, hot_positions + width, -1)
+        keep = np.cumsum(cover[: len(toks)]) == 0
+        return " ".join(t for t, k in zip(toks, keep) if k)
+
+    if hot.size_bytes() <= broadcast_budget:
+        import ray
+
+        tabs = [t for t in ray.get(hot.to_arrow_refs()) if t.num_rows]
+        hotset = (
+            set(pa.concat_tables(tabs)["h"].to_pylist()) if tabs else set()
+        )
+        ref = ray.put(hotset)
+
+        def rebuild_bcast(b: pa.Table) -> pa.Table:
+            hs = ray.get(ref)
+            ids, outs = [], []
+            for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+                toks = _TOKEN_RE.findall(t or "")
+                wh = _window_hashes(t, width)
+                pos = np.array(
+                    [j for j, h in enumerate(wh) if h in hs], np.int64
+                )
+                out = _rebuild(toks, pos) if len(pos) else " ".join(toks)
+                if out:
+                    ids.append(i)
+                    outs.append(out)
+            return pa.table({id_col: pa.array(ids, pa.int64()),
+                             text_col: pa.array(outs, pa.string())})
+
+        return ds.map_batches(rebuild_bcast, batch_format="pyarrow")
+
+    # distributed path: window rows -> semi-join -> per-doc cover lists
+    def window_rows(b: pa.Table) -> pa.Table:
+        ids, pos, hh = [], [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            for j, h in enumerate(_window_hashes(t, width)):
+                ids.append(i)
+                pos.append(j)
+                hh.append(h)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "pos": pa.array(pos, pa.int64()),
+                         "h": pa.array(hh, pa.string())})
+
+    covered = semi_join_filter(
+        ds.map_batches(window_rows, batch_format="pyarrow"), hot, "h",
+        broadcast_budget=broadcast_budget,
+    )
+
+    def pos_lists(group: pa.Table) -> pa.Table:
+        # Acero's hash join rejects list<> payload columns, so the per-doc
+        # covered-position list travels as a little-endian int64 blob.
+        g = group.group_by([id_col], use_threads=False).aggregate(
+            [("pos", "list")]
+        )
+        blobs = [
+            np.asarray(v, np.int64).tobytes() for v in g["pos_list"].to_pylist()
+        ]
+        return pa.table({id_col: g[id_col],
+                         "pos_blob": pa.array(blobs, pa.binary())})
+
+    import ray
+
+    nparts = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    per_doc = (
+        covered.groupby(id_col)
+        .map_groups(pos_lists, batch_format="pyarrow")
+    )
+    joined = ds.map_batches(
+        lambda b: pa.table({id_col: pc.cast(b[id_col], pa.int64()),
+                            text_col: b[text_col]}),
+        batch_format="pyarrow",
+    ).join(normalize_join_blocks(per_doc, nparts),
+           join_type="left_outer", num_partitions=nparts, on=(id_col,))
+
+    def rebuild_joined(b: pa.Table) -> pa.Table:
+        ids, outs = [], []
+        pl = b["pos_blob"].to_pylist()
+        for i, t, ps in zip(
+            b[id_col].to_pylist(), b[text_col].to_pylist(), pl
+        ):
+            toks = _TOKEN_RE.findall(t or "")
+            if ps:
+                out = _rebuild(toks, np.frombuffer(ps, np.int64))
+            else:
+                out = " ".join(toks)
+            if out:
+                ids.append(i)
+                outs.append(out)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         text_col: pa.array(outs, pa.string())})
+
+    return joined.map_batches(rebuild_joined, batch_format="pyarrow")

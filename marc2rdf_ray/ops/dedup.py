@@ -546,6 +546,15 @@ def embedding_dup_pairs(
     return out.drop_columns(["pk"])
 
 
+def normalize_join_blocks(ds, nparts: int):
+    """Rebuild blocks before a ``Dataset.join`` side: groupby/map_groups
+    stages emit schema-LESS empty blocks for empty partitions, and Acero's
+    hash join raises ("No match or multiple matches for key field") when
+    one reaches a join input (observed at tiny scale; benign elsewhere).
+    ``repartition`` merges them into schema-carrying blocks."""
+    return ds.repartition(nparts)
+
+
 def anti_join_filter(ds, keys_ds, col: str, *,
                      broadcast_budget: int = 256 << 20):
     """Drop every row of ``ds`` whose ``col`` value appears in ``keys_ds``
@@ -591,7 +600,8 @@ def anti_join_filter(ds, keys_ds, col: str, *,
     )
     nparts = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
     return ds.join(
-        marked, join_type="left_outer", num_partitions=nparts, on=(col,)
+        normalize_join_blocks(marked, nparts),
+        join_type="left_outer", num_partitions=nparts, on=(col,)
     ).map_batches(
         lambda b: b.filter(pc.is_null(b["_seen"])).drop_columns(["_seen"]),
         batch_format="pyarrow",
@@ -630,7 +640,8 @@ def semi_join_filter(ds, keys_ds, col: str, *,
     )
     nparts = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
     return ds.join(
-        marked, join_type="inner", num_partitions=nparts, on=(col,)
+        normalize_join_blocks(marked, nparts),
+        join_type="inner", num_partitions=nparts, on=(col,)
     )
 
 

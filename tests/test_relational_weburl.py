@@ -334,3 +334,51 @@ class TestCoalesceIntervals:
         assert got["island_start"].tolist() == want["island_start"].tolist()
         assert got["island_end"].tolist() == want["island_end"].tolist()
         assert got["n_rows"].tolist() == want["n_rows"].tolist()
+
+
+class TestSpanDedup:
+    def _docs(self):
+        import ray.data as rd
+
+        phrase = "one two three four five six"
+        rows = [
+            # phrase shared across docs 0 and 1 -> removed from BOTH
+            {"doc_id": 0, "text": f"aaa bbb {phrase} ccc0 ddd0 eee0 fff0 ggg0"},
+            {"doc_id": 1, "text": f"xxx yyy {phrase} zzz1 www1 vvv1 uuu1 ttt1"},
+            # within-doc repetition -> removed
+            {"doc_id": 2, "text": f"{phrase} {phrase} tail2a tail2b tail2c tail2d tail2e tail2f"},
+            # shorter than width -> untouched (whitespace-normalized)
+            {"doc_id": 3, "text": "tiny  doc"},
+            # doc that is ONLY the shared phrase -> emptied, drops out
+            {"doc_id": 4, "text": phrase},
+            # unique doc -> untouched
+            {"doc_id": 5, "text": "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"},
+        ]
+        return rd.from_items(rows)
+
+    def test_semantics_broadcast_path(self, ray_session):
+        from marc2rdf_ray.ops.corpus import dedup_duplicate_spans
+
+        out = dedup_duplicate_spans(self._docs(), width=6).to_pandas()
+        got = dict(zip(out["doc_id"], out["text"]))
+        # 4 emptied -> absent; the shared phrase is gone everywhere
+        assert set(got) == {0, 1, 2, 3, 5}
+        assert "three" not in got[0] and "three" not in got[1]
+        assert got[3] == "tiny doc"
+        assert got[5] == "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"
+        # doc 2: both copies of the phrase die; junction windows between
+        # the copies are unique so the tail survives
+        assert got[2].startswith("tail2a")
+
+    def test_join_path_parity(self, ray_session):
+        from marc2rdf_ray.ops.corpus import dedup_duplicate_spans
+
+        a = (
+            dedup_duplicate_spans(self._docs(), width=6)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            dedup_duplicate_spans(self._docs(), width=6, broadcast_budget=0)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert a.equals(b)
