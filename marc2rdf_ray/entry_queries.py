@@ -4698,3 +4698,280 @@ WITH base AS (
 SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
 FROM kept GROUP BY doc_id
 """
+
+
+# -- round-4 continuation: rate/mode/moments + Gopher curation + HITS ------
+
+
+def events_interarrival(sf_dir: str):
+    """Per-user inter-arrival gap statistics (ops/windows.py
+    interarrival_stats): ONE slim shuffle of (id, user, ts_us) -- value
+    and props columns never move -- then a lexsort + diff + segmented
+    reduceat pass per bucket.  int64 microseconds throughout, so the
+    LAG-window oracle replays bit-for-bit.  Users with one event emit
+    nothing."""
+    from .ops.windows import interarrival_stats
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    return interarrival_stats(ds)
+
+
+def events_user_top_type(sf_dir: str):
+    """MODE() per group -- each user's most frequent event type, ties to
+    the lexicographically smallest type (ops/relational.py mode_per_key):
+    per-batch (user, type, count) Arrow combiner BEFORE the single
+    shuffle, then a vectorized per-bucket argmax."""
+    from .ops.relational import mode_per_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return mode_per_key(ds, key_col="user_id", value_col="event_type")
+
+
+def events_type_value_stats(sf_dir: str):
+    """Per-type second moments -- count / mean / sample variance / stddev
+    (ops/relational.py grouped_moments): values quantized to integer
+    milli-units, exact int64 (n, sum, sumsq) partials per batch, one tiny
+    groupby-sum, and a final IEEE-double expression the oracle replays
+    operand-for-operand (even the float bits hash equal)."""
+    from .ops.relational import grouped_moments
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_moments(ds, key_col="event_type", value_col="value",
+                           scale=1000.0)
+
+
+def docs_gopher_filter(sf_dir: str):
+    """Gopher quality-rule document filter (Rae et al. 2021, public;
+    ops/textstats.py gopher_filter): word-count window, mean-word-length
+    window, symbol / bullet / ellipsis ratio caps, alpha-word floor and
+    a stopword floor -- every threshold integer cross-multiplied, so the
+    keep decision is bit-exact in SQL.  Stateless vectorized map; runs at
+    read speed, composes in FRONT of dedup at 100 TB."""
+    from .ops.textstats import gopher_filter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return gopher_filter(ds, min_words=50, max_words=100_000)
+
+
+def docs_token_budget(sf_dir: str):
+    """Quality-ranked token-budget selection (ops/corpus.py
+    select_token_budget): rank docs by an integer stopword-density score
+    (1e6 * stop_hits // words, Gopher signals), keep the (score DESC,
+    doc_id) prefix whose cumulative whitespace-token count stays within a
+    10k budget.  Distributed two-phase prefix sum keyed by score --
+    driver state O(#distinct scores); text never rides the exchange."""
+    from .ops.corpus import select_token_budget
+    from .ops.textstats import gopher_signals_batch
+
+    def score(b: pa.Table) -> pa.Table:
+        s = gopher_signals_batch(b)
+        s = s.filter(pc.greater(s["n_words"], 0))
+        return pa.table(
+            {
+                "doc_id": s["doc_id"],
+                "score": pc.cast(
+                    pc.divide(
+                        pc.multiply(s["n_stop_hits"], 1_000_000),
+                        s["n_words"],
+                    ),
+                    pa.int64(),
+                ),
+                "n_tokens": s["n_words"],
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+    return select_token_budget(ds, 10_000)
+
+
+def graph_hits(sf_dir: str):
+    """HITS hubs/authorities over the shared md5 link graph (ops/graph.py
+    hits): 2 rounds of the UNNORMALIZED integer recurrence (ranking
+    identical to normalized HITS; every value exact int64), pushed
+    through the pagerank bucket machinery -- in-task Arrow joins,
+    per-endpoint combiners, zero driver state.  The oracle unrolls both
+    rounds as joins."""
+    from .ops.graph import hits
+
+    edges, nodes, _ = _md5_link_graph(sf_dir)
+    return hits(edges, nodes, rounds=2)
+
+
+def graph_link_prediction(sf_dir: str):
+    """Common-neighbor link prediction over the undirected simple md5
+    graph (ops/graph.py common_neighbors_topk): segment-vectorized
+    neighbor-pair emission with per-task pair-count combiners, one
+    groupby-sum on the packed (u<<32|v) key, existing edges removed by
+    the broadcast-or-join anti-join, top-50 by (cnt DESC, u, v)."""
+    from .ops.graph import common_neighbors_topk
+
+    edges, _, _ = _md5_link_graph(sf_dir)
+    return common_neighbors_topk(edges, k=50)
+
+
+QUERIES["events_interarrival"] = events_interarrival
+QUERIES["events_user_top_type"] = events_user_top_type
+QUERIES["events_type_value_stats"] = events_type_value_stats
+QUERIES["docs_gopher_filter"] = docs_gopher_filter
+QUERIES["docs_token_budget"] = docs_token_budget
+QUERIES["graph_hits"] = graph_hits
+QUERIES["graph_link_prediction"] = graph_link_prediction
+
+
+ORACLE_SQL["events_interarrival"] = """
+WITH d AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_gaps,
+       MIN(gap)::BIGINT AS min_gap_us, MAX(gap)::BIGINT AS max_gap_us,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_us
+FROM d WHERE gap IS NOT NULL GROUP BY user_id
+"""
+
+ORACLE_SQL["events_user_top_type"] = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*)::BIGINT AS cnt
+  FROM events GROUP BY user_id, event_type
+), r AS (
+  SELECT user_id, event_type, cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_value, cnt AS mode_count
+FROM r WHERE rn = 1
+"""
+
+ORACLE_SQL["events_type_value_stats"] = """
+WITH q AS (
+  SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS vu FROM events
+), m AS (
+  SELECT event_type, CAST(SUM(vu) AS BIGINT) AS s,
+         CAST(SUM(vu * vu) AS BIGINT) AS ss, COUNT(*)::BIGINT AS n
+  FROM q GROUP BY event_type
+)
+SELECT event_type, n AS n_rows,
+  (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1000.0 AS mean_v,
+  CASE WHEN n > 1 THEN
+    ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+      / (1000.0 * 1000.0)
+  ELSE NULL END AS var_v,
+  CASE WHEN n > 1 THEN
+    sqrt(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+      / (1000.0 * 1000.0))
+  ELSE NULL END AS std_v
+FROM m
+"""
+
+_GOPHER_SIG_SQL = r"""
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+         AS BIGINT) AS sum_word_chars,
+    CAST(COALESCE(list_sum(list_transform(toks,
+         x -> CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END)),
+         0) AS BIGINT) AS n_alpha_words,
+    CAST(COALESCE(list_sum(list_transform(toks,
+         x -> CASE WHEN lower(trim(x, '.,;:!?"''()')) IN
+              ('the','be','to','of','and','that','have','with')
+              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_stop_hits,
+    CAST((length(t) - length(replace(t, '#', '')))
+         + (length(t) - length(replace(t, '...', ''))) / 3
+         AS BIGINT) AS n_symbols,
+    CAST(len(lns) AS BIGINT) AS n_lines,
+    CAST(COALESCE(list_sum(list_transform(lns,
+         x -> CASE WHEN x LIKE '- %' OR x LIKE '* %' OR x LIKE chr(8226) || '%'
+              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_bullet_lines,
+    CAST(COALESCE(list_sum(list_transform(lns,
+         x -> CASE WHEN x LIKE '%...' OR x LIKE '%' || chr(8230)
+              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_ellipsis_lines
+  FROM (
+    SELECT doc_id,
+      regexp_extract_all(COALESCE(text, ''), '\S+') AS toks,
+      string_split(COALESCE(text, ''), chr(10)) AS lns,
+      COALESCE(text, '') AS t
+    FROM documents
+  )
+"""
+
+ORACLE_SQL["docs_gopher_filter"] = f"""
+WITH s2 AS (
+{_GOPHER_SIG_SQL}
+)
+SELECT * FROM s2
+WHERE n_words BETWEEN 50 AND 100000
+  AND 3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words
+  AND 10 * n_symbols <= n_words
+  AND 10 * n_bullet_lines <= 9 * n_lines
+  AND 10 * n_ellipsis_lines <= 3 * n_lines
+  AND 10 * n_alpha_words >= 8 * n_words
+  AND n_stop_hits >= 2
+"""
+
+ORACLE_SQL["docs_token_budget"] = f"""
+WITH s2 AS (
+{_GOPHER_SIG_SQL}
+), sc AS (
+  SELECT doc_id, n_words AS n_tokens,
+         (1000000 * n_stop_hits) // n_words AS score
+  FROM s2 WHERE n_words > 0
+), c AS (
+  SELECT doc_id, score, n_tokens,
+    CAST(SUM(n_tokens) OVER (
+      ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING)
+      AS BIGINT) AS cum_tokens
+  FROM sc
+)
+SELECT doc_id, score, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000
+"""
+
+_MD5_EDGES_SQL = """
+nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+)
+"""
+
+ORACLE_SQL["graph_hits"] = f"""
+WITH {_MD5_EDGES_SQL},
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+a1 AS (SELECT dst AS node, COUNT(*)::BIGINT AS v FROM edges GROUP BY dst),
+h1 AS (SELECT e.src AS node, CAST(SUM(a1.v) AS BIGINT) AS v
+       FROM edges e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+a2 AS (SELECT e.dst AS node, CAST(SUM(h1.v) AS BIGINT) AS v
+       FROM edges e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+h2 AS (SELECT e.src AS node, CAST(SUM(a2.v) AS BIGINT) AS v
+       FROM edges e JOIN a2 ON a2.node = e.dst GROUP BY e.src)
+SELECT n.node, COALESCE(h2.v, 0) AS hub, COALESCE(a2.v, 0) AS auth
+FROM nodes n
+LEFT JOIN h2 ON h2.node = n.node
+LEFT JOIN a2 ON a2.node = n.node
+"""
+
+ORACLE_SQL["graph_link_prediction"] = f"""
+WITH {_MD5_EDGES_SQL},
+e0 AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM edges WHERE src <> dst GROUP BY 1, 2),
+adj AS (SELECT u AS node, v AS nb FROM e0
+        UNION ALL SELECT v, u FROM e0),
+w AS (
+  SELECT a.nb AS u, b.nb AS v, COUNT(*)::BIGINT AS cnt
+  FROM adj a JOIN adj b ON a.node = b.node AND a.nb < b.nb
+  GROUP BY 1, 2
+)
+SELECT w.u, w.v, w.cnt FROM w
+WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.u = w.u AND e0.v = w.v)
+ORDER BY cnt DESC, u, v LIMIT 50
+"""

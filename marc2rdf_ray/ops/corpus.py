@@ -1311,3 +1311,93 @@ def dedup_duplicate_spans(
                          text_col: pa.array(outs, pa.string())})
 
     return joined.map_batches(rebuild_joined, batch_format="pyarrow")
+
+
+def select_token_budget(
+    ds,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    keep_cum: bool = True,
+):
+    """Quality-ranked token-budget selection -- the "take the best N
+    billion tokens" curation step: order docs by (``score_col`` DESC,
+    ``id_col`` ASC) and keep the prefix whose cumulative ``tokens_col``
+    stays <= ``budget`` (SQL: ``SUM(tokens) OVER (ORDER BY score DESC,
+    id) <= budget``).  Input is the SLIM (id, score, tokens) table --
+    compute scores upstream and semi-join texts back after selection, so
+    document text never rides this exchange.
+
+    Distributed as the pack_streaming two-phase prefix sum, keyed by
+    score instead of id-range: (1) per-batch (score, token-sum) combiner
+    partials -> one tiny groupby-sum -> the driver computes exclusive
+    offsets in descending-score order (driver state O(#distinct scores),
+    the exact_quantiles-style documented bound -- scores are coarse
+    integers by construction); (2) ONE groupby(score) shuffle, each task
+    sorts its score cohort by id and adds the local exclusive cumsum to
+    the cohort offset, then filters to ``cum <= budget``.
+
+    Partitioning assumption (custom-operator rule): one score cohort's
+    rows fit one task; quantized scores spread docs across cohorts, and a
+    degenerate all-one-score input degrades to a single-task sort of slim
+    int64 rows (logged via the windows hot-key guard pattern upstream).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "s": pc.cast(b[score_col], pa.int64()),
+                    "t": pc.cast(b[tokens_col], pa.int64()),
+                }
+            )
+            .group_by(["s"], use_threads=False)
+            .aggregate([("t", "sum")])
+        )
+        return g.rename_columns(["s", "cnt"])
+
+    tiny = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    offsets, run = {}, 0
+    for row in sorted(tiny, key=lambda r: -int(r["s"])):
+        offsets[int(row["s"])] = run
+        run += int(row["cnt"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                "s": pc.cast(b[score_col], pa.int64()),
+                "t": pc.cast(b[tokens_col], pa.int64()),
+            }
+        )
+
+    def cohort(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        toks = group["t"].to_numpy(zero_copy_only=False)
+        s = int(group["s"][0].as_py())
+        order = np.argsort(ids, kind="stable")
+        ids, toks = ids[order], toks[order]
+        cum = np.cumsum(toks) + offsets[s]
+        keep = cum <= budget
+        cols = {
+            id_col: pa.array(ids[keep], pa.int64()),
+            score_col: pa.array(np.full(int(keep.sum()), s), pa.int64()),
+            tokens_col: pa.array(toks[keep], pa.int64()),
+        }
+        if keep_cum:
+            cols["cum_tokens"] = pa.array(cum[keep], pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("s")
+        .map_groups(cohort, batch_format="pyarrow")
+    )

@@ -39,6 +39,8 @@ Scale design (100 TB / 1e12 nodes):
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1208,3 +1210,360 @@ def bfs_levels(edges, seeds, *, max_depth: int = 4):
         ).materialize()
 
     return visited
+
+
+def hits(
+    edges_ds,
+    nodes_ds,
+    *,
+    rounds: int = 2,
+    num_buckets: int | None = None,
+):
+    """HITS hubs-and-authorities (Kleinberg 1999, public) over a directed
+    edge table (src:int64, dst:int64; parallel edges count multiply) --
+    the UNNORMALIZED integer recurrence, ``rounds`` fixed iterations:
+
+        h_0(u) = 1
+        a_r(v) = sum over edges (u,v) of h_{r-1}(u)
+        h_r(u) = sum over edges (u,v) of a_r(v)
+
+    Skipping the per-round L2 normalization keeps every value an exact
+    int64, so the ranking (identical to normalized HITS -- normalization
+    is a positive scalar per round) is SQL-replayable bit-for-bit by an
+    unrolled join oracle.  Overflow bound (documented): values grow by at
+    most max_degree^2 per round; with the default 2 rounds any graph with
+    max degree < ~55k stays inside int64.
+
+    Scale shape (the pagerank machinery, ops/graph.py:56): edges are
+    bucketed ONCE per orientation and materialized; each half-round
+    unions the sparse score rows into the matching edge buckets, does an
+    in-task Arrow hash join + a per-opposite-endpoint partial sum (the
+    combiner that defuses hot hubs/authorities), then one bucketed
+    groupby-sum.  Only (node, value) int64 rows ever move; zero driver
+    state.  Nodes with no in-edges (out-edges) simply carry a=0 (h=0) --
+    filled in against ``nodes_ds`` at the end with one exchange.
+    """
+    if num_buckets is None:
+        try:
+            import ray
+
+            num_buckets = max(
+                16, int(ray.cluster_resources().get("CPU", 8)) * 2
+            )
+        except Exception:
+            num_buckets = 16
+        n_nodes = nodes_ds.count()
+        num_buckets = max(4, min(num_buckets, (n_nodes + 49_999) // 50_000))
+
+    def edge_prep(key_col: str, other_col: str):
+        def prep(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "key": pc.cast(b[key_col], pa.int64()),
+                    "other": pc.cast(b[other_col], pa.int64()),
+                    "val": pa.array([None] * len(b), pa.int64()),
+                    "kind": pa.array([0] * len(b), pa.int8()),
+                }
+            )
+            return t.append_column(
+                "bucket", _bucket_ints(t["key"], num_buckets)
+            )
+
+        return prep
+
+    by_src = edges_ds.map_batches(
+        edge_prep("src", "dst"), batch_format="pyarrow"
+    ).materialize()
+    by_dst = edges_ds.map_batches(
+        edge_prep("dst", "src"), batch_format="pyarrow"
+    ).materialize()
+
+    def score_tag(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": pc.cast(b["node"], pa.int64()),
+                "other": pa.array([None] * len(b), pa.int64()),
+                "val": pc.cast(b["val"], pa.int64()),
+                "kind": pa.array([1] * len(b), pa.int8()),
+            }
+        )
+        return t.append_column("bucket", _bucket_ints(t["key"], num_buckets))
+
+    def bucket_push(group: pa.Table) -> pa.Table:
+        kind = group["kind"]
+        sc = group.filter(pc.equal(kind, 1))
+        ed = group.filter(pc.equal(kind, 0))
+        if not len(ed) or not len(sc):
+            return pa.table(
+                {"key": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        j = pa.table({"key": ed["key"], "other": ed["other"]}).join(
+            pa.table({"key": sc["key"], "v": sc["val"]}),
+            keys="key", join_type="inner", use_threads=False,
+        )
+        out = (
+            pa.table({"key": j["other"], "c": j["v"]})
+            .group_by(["key"], use_threads=False)
+            .aggregate([("c", "sum")])
+            .rename_columns(["key", "c"])
+        )
+        return pa.table(
+            {"key": out["key"], "c": pc.cast(out["c"], pa.int64())}
+        )
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", _bucket_ints(b["key"], num_buckets)
+        )
+
+    def bucket_sum(group: pa.Table) -> pa.Table:
+        t = (
+            group.select(["key", "c"])
+            .group_by(["key"], use_threads=False)
+            .aggregate([("c", "sum")])
+            .rename_columns(["node", "val"])
+        )
+        return pa.table(
+            {"node": t["node"], "val": pc.cast(t["val"], pa.int64())}
+        )
+
+    def half_round(scores, edge_side):
+        return (
+            edge_side.union(
+                scores.map_batches(score_tag, batch_format="pyarrow")
+            )
+            .groupby("bucket")
+            .map_groups(bucket_push, batch_format="pyarrow")
+            .map_batches(rebucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_sum, batch_format="pyarrow")
+            .materialize()
+        )
+
+    h = nodes_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pc.cast(b["node"], pa.int64()),
+                "val": pa.array([1] * len(b), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    a = None
+    for _ in range(rounds):
+        a = half_round(h, by_src)   # push hub scores along edges to dsts
+        h = half_round(a, by_dst)   # push auth scores back to srcs
+
+    # fill h/a against the full node set: one groupby-sum exchange
+    from ray.data.aggregate import Sum
+
+    def as_triple(col_h: int):
+        def f(b: pa.Table) -> pa.Table:
+            z = pa.array([0] * len(b), pa.int64())
+            return pa.table(
+                {
+                    "node": pc.cast(b["node"], pa.int64()),
+                    "hub": b["val"] if col_h else z,
+                    "auth": z if col_h else b["val"],
+                }
+            )
+
+        return f
+
+    zeros = nodes_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pc.cast(b["node"], pa.int64()),
+                "hub": pa.array([0] * len(b), pa.int64()),
+                "auth": pa.array([0] * len(b), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        zeros.union(h.map_batches(as_triple(1), batch_format="pyarrow"))
+        .union(a.map_batches(as_triple(0), batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Sum("hub", alias_name="hub"),
+                   Sum("auth", alias_name="auth"))
+    )
+
+
+def common_neighbors_topk(
+    edges_ds,
+    *,
+    k: int = 50,
+    max_neighbors: int = 4096,
+    num_buckets: int | None = None,
+    strict: bool = True,
+):
+    """Common-neighbor link prediction over the undirected simple form of
+    a directed edge table: for every non-adjacent node pair (u < v) that
+    shares at least one neighbor, count the shared neighbors, and return
+    the top ``k`` pairs by (count DESC, u, v).  Emits (u, v, cnt).
+
+    Scale shape (the triangle_count wedge machinery, segment-vectorized):
+    undirect + dedup via one (min,max) groupby; adjacency rows bucket by
+    node; each bucket task emits its nodes' neighbor PAIRS with a single
+    repeat/arange construction (no Python per node) and pre-combines pair
+    counts (Arrow group_by -- the hot-pair defuser); one groupby-sum on
+    the packed pair key merges partials; existing edges leave via the
+    broadcast-or-join anti-join (ops/dedup.anti_join_filter); top-k is a
+    distributed sort + limit.  Node ids must fit 31 bits (the packed
+    u<<32|v pair key -- validated, fail loud).
+
+    A node with more than ``max_neighbors`` neighbors would emit O(d^2)
+    pairs; ``strict=True`` raises (the triangle_count contract), else the
+    node's pair list truncates to the id-smallest ``max_neighbors``
+    neighbors with a logged warning.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import anti_join_filter
+
+    if num_buckets is None:
+        try:
+            import ray
+
+            num_buckets = max(
+                8, int(ray.cluster_resources().get("CPU", 8))
+            )
+        except Exception:
+            num_buckets = 8
+
+    def undirect(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        if len(s) and (s.max() >= (1 << 31) or d.max() >= (1 << 31)):
+            raise ValueError("common_neighbors_topk: node ids must fit 31 bits")
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        t = pa.table(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())}
+        ).group_by(["u", "v"], use_threads=False).aggregate([])
+        return t
+
+    e0 = (
+        edges_ds.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def adj_rows(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([u, v])
+        nb = np.concatenate([v, u])
+        t = pa.table(
+            {"node": pa.array(node, pa.int64()), "nb": pa.array(nb, pa.int64())}
+        )
+        return t.append_column("bucket", _bucket_ints(t["node"], num_buckets))
+
+    def wedge_pairs(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False)
+        nb = group["nb"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, node))
+        node, nb = node[order], nb[order]
+        brk = np.empty(len(node), bool)
+        brk[:1] = True
+        if len(node) > 1:
+            brk[1:] = node[1:] != node[:-1]
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.append(starts, len(node)))
+        over = np.flatnonzero(sizes > max_neighbors)
+        if len(over):
+            if strict:
+                raise ValueError(
+                    "common_neighbors_topk: node %r has %d neighbors "
+                    "(max_neighbors=%d); raise the cap or pass strict=False"
+                    % (int(node[starts[over[0]]]), int(sizes[over[0]]),
+                       max_neighbors)
+                )
+            logging.getLogger(__name__).warning(
+                "common_neighbors_topk: truncating %d hot node(s) to %d "
+                "neighbors; pair counts for their wedges are partial",
+                len(over), max_neighbors,
+            )
+            seg_of = np.cumsum(brk) - 1
+            local = np.arange(len(node)) - starts[seg_of]
+            keep = local < max_neighbors
+            node, nb = node[keep], nb[keep]
+            brk = np.empty(len(node), bool)
+            brk[:1] = True
+            if len(node) > 1:
+                brk[1:] = node[1:] != node[:-1]
+            starts = np.flatnonzero(brk)
+            sizes = np.diff(np.append(starts, len(node)))
+        # all ordered pairs (i<j) inside each segment, one construction
+        m = sizes * (sizes - 1) // 2
+        if not m.sum():
+            return pa.table(
+                {"pair": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        seg_rep = np.repeat(np.arange(len(sizes)), m)
+        within = np.arange(len(seg_rep), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(m)[:-1])), m
+        )
+        # enumerate (i, j), i<j, from the within-segment pair index in
+        # colex order: j = floor((1+sqrt(1+8w))/2), i = w - j(j-1)/2.
+        # float64 sqrt is exact-enough for w < 2^50; w is bounded by
+        # max_neighbors^2/2 (~8.4e6 at the default cap).
+        j = np.floor((1.0 + np.sqrt(1.0 + 8.0 * within)) / 2.0).astype(
+            np.int64
+        )
+        i = within - j * (j - 1) // 2
+        x = nb[starts[seg_rep] + i]
+        y = nb[starts[seg_rep] + j]
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        pair = (lo << 32) | hi
+        t = (
+            pa.table({"pair": pa.array(pair, pa.int64())})
+            .group_by(["pair"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["pair", "cnt"])
+        )
+        return pa.table(
+            {"pair": t["pair"], "cnt": pc.cast(t["cnt"], pa.int64())}
+        )
+
+    counts = (
+        e0.map_batches(adj_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(wedge_pairs, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    existing = e0.map_batches(
+        lambda b: pa.table(
+            {
+                "pair": pc.bit_wise_or(
+                    pc.shift_left(b["u"], 32), b["v"]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    fresh = anti_join_filter(counts, existing, "pair")
+
+    def unpack(b: pa.Table) -> pa.Table:
+        p = b["pair"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(p >> 32, pa.int64()),
+                "v": pa.array(p & 0xFFFFFFFF, pa.int64()),
+                "cnt": b["cnt"],
+            }
+        )
+
+    return (
+        fresh.map_batches(unpack, batch_format="pyarrow")
+        .sort(key=["cnt", "u", "v"], descending=[True, False, False])
+        .limit(k)
+    )

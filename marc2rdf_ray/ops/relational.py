@@ -201,3 +201,155 @@ def compact_latest(ds, *, key_col: str, ts_col: str, tie_col: str,
         .groupby("__bucket")
         .map_groups(last_per_key, batch_format="pyarrow")
     )
+
+
+def mode_per_key(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    num_buckets: int | None = None,
+):
+    """MODE() per group -- the most frequent ``value_col`` for each
+    ``key_col``, ties broken by the lexicographically smallest value
+    (deterministic, so a SQL ``ROW_NUMBER() OVER (ORDER BY cnt DESC,
+    value)`` oracle replays it exactly).  Emits
+    ``(key, mode_value, mode_count)``.
+
+    Scale shape: per-batch Arrow ``group_by((key, value))`` combiner
+    collapses rows to (key, value, partial count) BEFORE the exchange --
+    a hot key with a concentrated value distribution ships one row per
+    distinct value per batch, never its raw rows.  Then ONE
+    groupby-shuffle on the key and a vectorized per-bucket argmax (sort
+    by (key, cnt desc, value), take first row per key).
+    """
+    from ..functions.hashing import bucket_codes
+
+    nb = num_buckets or _default_buckets()
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select([key_col, value_col])
+            .group_by([key_col, value_col], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        g = g.rename_columns([key_col, value_col, "cnt"])
+        return g.append_column(
+            "__bucket", bucket_codes(pc.cast(g[key_col], pa.string()), nb)
+        )
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = (
+            group.select([key_col, value_col, "cnt"])
+            .group_by([key_col, value_col], use_threads=False)
+            .aggregate([("cnt", "sum")])
+        )
+        g = g.rename_columns([key_col, value_col, "cnt"])
+        t = g.sort_by(
+            [(key_col, "ascending"), ("cnt", "descending"),
+             (value_col, "ascending")]
+        )
+        k = t[key_col]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        k = k.to_numpy(zero_copy_only=False)
+        if not len(k):
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "mode_value": pa.array([], pa.string()),
+                    "mode_count": pa.array([], pa.int64()),
+                }
+            )
+        mask = np.concatenate([[True], k[1:] != k[:-1]])
+        t = t.filter(pa.array(mask))
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "mode_value": t[value_col],
+                "mode_count": pc.cast(t["cnt"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+
+
+def grouped_moments(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    scale: float = 1000.0,
+):
+    """Per-group second-moment statistics (count, mean, sample variance,
+    sample stddev) with a bit-exact SQL oracle.  Values are first rounded
+    to integer ``scale``-units (SQL ROUND ties-away semantics,
+    functions.numeric.sql_round_i64); per-batch combiners emit exact
+    int64 partial (n, sum, sumsq) per key, ONE tiny groupby-sum merges
+    them, and the final map computes mean/var/std in IEEE double with the
+    exact same expression the oracle uses -- identical operand order on
+    exactly-represented integers, so even the floating-point results hash
+    equal.
+
+    Overflow bound (documented): sumsq per group must stay below 2^63 --
+    with milli-units and |v| <= 1e6 that allows ~1e10 rows per group; for
+    wider domains pass a smaller ``scale``.
+
+    Scale shape: only (key, n, sum, sumsq) partial rows ever shuffle --
+    one row per key per batch, never raw values.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.numeric import sql_round_i64
+
+    def partial(b: pa.Table) -> pa.Table:
+        vu = sql_round_i64(b[value_col], scale)
+        t = pa.table(
+            {
+                key_col: b[key_col],
+                "vu": vu,
+                "vu2": pc.multiply_checked(vu, vu),
+            }
+        )
+        g = t.group_by([key_col], use_threads=False).aggregate(
+            [("vu", "sum"), ("vu2", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns([key_col, "s", "ss", "n"])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ss = b["ss"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # EXACT oracle expression, same operand order:
+        #   mean = (s / n) / scale
+        #   var  = ((ss - s * s / n) / (n - 1)) / (scale * scale)
+        mean = (s / n) / scale
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = ((ss - s * s / n) / (n - 1.0)) / (scale * scale)
+        var = np.where(n > 1, var, np.nan)
+        std = np.sqrt(var)
+        return pa.table(
+            {
+                key_col: b[key_col],
+                "n_rows": pc.cast(b["n"], pa.int64()),
+                "mean_v": pa.array(mean, pa.float64()),
+                "var_v": pa.array(var, pa.float64()),
+                "std_v": pa.array(std, pa.float64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

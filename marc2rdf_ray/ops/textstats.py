@@ -19,6 +19,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _TOKEN_RE = re.compile(r"\S+")
 # BPE-ish: words, numbers, or single punctuation marks (GPT-2-style shape)
@@ -176,3 +177,113 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
             "rep_ppm": pa.array(ppm, pa.int64()),
         }
     )
+
+
+# Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", public) -- the
+# document-level heuristics section, re-expressed with pure-INTEGER
+# cross-multiplied thresholds so a DuckDB oracle replays the keep decision
+# bit-for-bit (no float ratios anywhere).
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STRIP = ".,;:!?\"'()"
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+def gopher_signals_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc integer quality signals feeding :func:`gopher_filter`:
+    word/char counts, alpha-word and stopword hits, symbol counts
+    ('#' chars + non-overlapping '...' runs), line counts and bullet /
+    ellipsis line counts.  One pass per doc, all outputs int64."""
+    texts = batch["text"].to_pylist()
+    n = len(texts)
+    out = {
+        k: np.zeros(n, np.int64)
+        for k in (
+            "n_words", "sum_word_chars", "n_alpha_words", "n_stop_hits",
+            "n_symbols", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+        )
+    }
+    for i, t in enumerate(texts):
+        t = t or ""
+        toks = _TOKEN_RE.findall(t)
+        out["n_words"][i] = len(toks)
+        out["sum_word_chars"][i] = sum(len(w) for w in toks)
+        out["n_alpha_words"][i] = sum(
+            1 for w in toks if _ALPHA_RE.search(w)
+        )
+        out["n_stop_hits"][i] = sum(
+            1 for w in toks
+            if w.strip(_GOPHER_STRIP).lower() in _GOPHER_STOPWORDS
+        )
+        out["n_symbols"][i] = t.count("#") + t.count("...")
+        lines = t.split("\n")
+        out["n_lines"][i] = len(lines)
+        out["n_bullet_lines"][i] = sum(
+            1 for ln in lines if ln.startswith(("- ", "* ", "•"))
+        )
+        out["n_ellipsis_lines"][i] = sum(
+            1 for ln in lines if ln.endswith(("...", "…"))
+        )
+    cols = {"doc_id": pc.cast(batch["doc_id"], pa.int64())}
+    cols.update({k: pa.array(v) for k, v in out.items()})
+    return pa.table(cols)
+
+
+def gopher_filter(ds, *, min_words: int = 50, max_words: int = 100_000):
+    """Gopher quality-rule document filter: keep a doc iff ALL of
+    (integer cross-multiplied, no float thresholds):
+
+    - ``min_words <= n_words <= max_words``
+    - mean word length in [3, 10]:
+      ``3*n_words <= sum_word_chars <= 10*n_words``
+    - symbol-to-word ratio <= 0.1: ``10*n_symbols <= n_words``
+    - bullet-line fraction <= 0.9: ``10*n_bullet_lines <= 9*n_lines``
+    - ellipsis-line fraction <= 0.3: ``10*n_ellipsis_lines <= 3*n_lines``
+    - alpha-word fraction >= 0.8: ``10*n_alpha_words >= 8*n_words``
+    - at least 2 stopword hits
+
+    A stateless vectorized map stage -- signals and verdict are computed
+    per batch, nothing shuffles; at 100 TB this runs at read speed and
+    composes in front of dedup (filter-early ordering).  Returns kept
+    docs with their signal columns (the audit trail a curation pipeline
+    keeps).
+    """
+
+    def apply(b: pa.Table) -> pa.Table:
+        s = gopher_signals_batch(b)
+        w = s["n_words"]
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(w, min_words),
+                    pc.less_equal(w, max_words),
+                ),
+                pc.and_(
+                    pc.less_equal(pc.multiply(s["n_words"], 3),
+                                  s["sum_word_chars"]),
+                    pc.less_equal(s["sum_word_chars"],
+                                  pc.multiply(s["n_words"], 10)),
+                ),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.less_equal(pc.multiply(s["n_symbols"], 10), w),
+                    pc.less_equal(pc.multiply(s["n_bullet_lines"], 10),
+                                  pc.multiply(s["n_lines"], 9)),
+                ),
+                pc.and_(
+                    pc.and_(
+                        pc.less_equal(
+                            pc.multiply(s["n_ellipsis_lines"], 10),
+                            pc.multiply(s["n_lines"], 3)),
+                        pc.greater_equal(
+                            pc.multiply(s["n_alpha_words"], 10),
+                            pc.multiply(w, 8)),
+                    ),
+                    pc.greater_equal(s["n_stop_hits"], 2),
+                ),
+            ),
+        )
+        return s.filter(keep)
+
+    return ds.map_batches(apply, batch_format="pyarrow")

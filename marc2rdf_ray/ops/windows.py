@@ -743,3 +743,112 @@ def coalesce_intervals(
         .groupby("bucket")
         .map_groups(islands, batch_format="pyarrow")
     )
+
+
+def interarrival_stats(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int | None = None,
+):
+    """Per-key inter-arrival gap statistics -- SQL's ``ts -
+    LAG(ts) OVER (PARTITION BY key ORDER BY ts, id)`` folded into per-key
+    (count, min, max, sum) -- as one distributed operator: one slim
+    shuffle of (id, key, ts_us) -- values/props never move -- then a
+    single lexsort + diff + segmented ``reduceat`` pass per bucket.
+    Keys with fewer than two events emit nothing (no gap exists).
+
+    All arithmetic is int64 microseconds, so the DuckDB oracle
+    (``epoch_us`` + ``LAG``) replays bit-for-bit.
+
+    Partitioning assumption (custom-operator rule, as sessionize /
+    running_totals): one key's rows fit one bucket task; keys are users,
+    so per-key row counts are human-bounded.  `_warn_hot_keys` surfaces
+    pathological skew as a log line, never an OOM surprise.
+    """
+    from ..functions.hashing import bucket_codes
+
+    if num_buckets is None:
+        try:
+            import ray
+
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_buckets = 16
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            # normalize any source unit (s/ms/us/ns) to microseconds
+            ts = pc.cast(ts, pa.timestamp("us"))
+        t = pa.table(
+            {
+                "id": pc.cast(b[id_col], pa.int64()),
+                "u": pc.cast(b[user_col], pa.int64()),
+                "tus": pc.cast(ts, pa.int64()),
+            }
+        )
+        return t.append_column(
+            "bucket", bucket_codes(pc.cast(t["u"], pa.string()), num_buckets)
+        )
+
+    def gaps(group: pa.Table) -> pa.Table:
+        u = group["u"].to_numpy(zero_copy_only=False)
+        tus = group["tus"].to_numpy(zero_copy_only=False)
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, tus, u))
+        u, tus = u[order], tus[order]
+        _warn_hot_keys("interarrival_stats", u)
+        if len(u) < 2:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "min_gap_us": pa.array([], pa.int64()),
+                    "max_gap_us": pa.array([], pa.int64()),
+                    "sum_gap_us": pa.array([], pa.int64()),
+                }
+            )
+        # rows 1..n-1 carry a gap iff they share a key with the previous row
+        gap = tus[1:] - tus[:-1]
+        valid = u[1:] == u[:-1]
+        g = gap[valid]
+        gu = u[1:][valid]
+        if len(g) == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "min_gap_us": pa.array([], pa.int64()),
+                    "max_gap_us": pa.array([], pa.int64()),
+                    "sum_gap_us": pa.array([], pa.int64()),
+                }
+            )
+        # gu is non-decreasing (input sorted by key first)
+        brk = np.empty(len(gu), bool)
+        brk[:1] = True
+        brk[1:] = gu[1:] != gu[:-1]
+        starts = np.flatnonzero(brk)
+        return pa.table(
+            {
+                user_col: pa.array(gu[starts], pa.int64()),
+                "n_gaps": pa.array(
+                    np.diff(np.append(starts, len(gu))), pa.int64()
+                ),
+                "min_gap_us": pa.array(
+                    np.minimum.reduceat(g, starts), pa.int64()
+                ),
+                "max_gap_us": pa.array(
+                    np.maximum.reduceat(g, starts), pa.int64()
+                ),
+                "sum_gap_us": pa.array(np.add.reduceat(g, starts), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gaps, batch_format="pyarrow")
+    )

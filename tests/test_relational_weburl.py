@@ -382,3 +382,186 @@ class TestSpanDedup:
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         )
         assert a.equals(b)
+
+
+class TestInterarrival:
+    def test_gaps_exact(self, ray_session):
+        import ray.data as rd
+        from datetime import datetime
+
+        from marc2rdf_ray.ops.windows import interarrival_stats
+
+        def ts(m):
+            return datetime(2024, 1, 1, 0, m)
+
+        rows = [
+            {"event_id": 1, "user_id": 1, "ts": ts(0)},
+            {"event_id": 2, "user_id": 1, "ts": ts(5)},
+            {"event_id": 3, "user_id": 1, "ts": ts(7)},
+            # single-event user -> no output row
+            {"event_id": 4, "user_id": 2, "ts": ts(1)},
+            # tie on ts resolves by event_id (gap 0 then 60s)
+            {"event_id": 6, "user_id": 3, "ts": ts(0)},
+            {"event_id": 5, "user_id": 3, "ts": ts(0)},
+            {"event_id": 7, "user_id": 3, "ts": ts(1)},
+        ]
+        out = interarrival_stats(rd.from_items(rows)).to_pandas()
+        out = out.sort_values("user_id").reset_index(drop=True)
+        assert out["user_id"].tolist() == [1, 3]
+        assert out["n_gaps"].tolist() == [2, 2]
+        assert out["min_gap_us"].tolist() == [120_000_000, 0]
+        assert out["max_gap_us"].tolist() == [300_000_000, 60_000_000]
+        assert out["sum_gap_us"].tolist() == [420_000_000, 60_000_000]
+
+
+class TestModePerKey:
+    def test_mode_and_ties(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import mode_per_key
+
+        rows = (
+            [{"user_id": 1, "event_type": "a"}] * 3
+            + [{"user_id": 1, "event_type": "b"}] * 2
+            # tie 2-2 -> lexicographically smaller wins
+            + [{"user_id": 2, "event_type": "z"}] * 2
+            + [{"user_id": 2, "event_type": "c"}] * 2
+        )
+        out = mode_per_key(
+            rd.from_items(rows), key_col="user_id", value_col="event_type"
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        assert out["mode_value"].tolist() == ["a", "c"]
+        assert out["mode_count"].tolist() == [3, 2]
+
+
+class TestGroupedMoments:
+    def test_matches_numpy(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import grouped_moments
+
+        vals = [1.0, 2.0, 3.5, 4.25]
+        rows = [{"k": "x", "value": v} for v in vals] + [
+            {"k": "y", "value": 7.0}
+        ]
+        out = grouped_moments(
+            rd.from_items(rows), key_col="k", value_col="value"
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert out["n_rows"].tolist() == [4, 1]
+        assert abs(out["mean_v"][0] - np.mean(vals)) < 1e-9
+        assert abs(out["var_v"][0] - np.var(vals, ddof=1)) < 1e-9
+        assert np.isnan(out["var_v"][1])
+
+
+class TestGopherFilter:
+    def test_rules(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.textstats import gopher_filter
+
+        good = "the cat sat with the dog and ran " * 8  # 64 words, stops
+        nostop = "cat sat dog ran big red fox car " * 8  # no stopwords
+        short = "the cat with a dog"
+        symbols = ("the dog with " + "# " * 30).strip()  # symbol ratio > 0.1
+        rows = [
+            {"doc_id": 0, "text": good},
+            {"doc_id": 1, "text": nostop},
+            {"doc_id": 2, "text": short},
+            {"doc_id": 3, "text": symbols},
+        ]
+        out = gopher_filter(
+            rd.from_items(rows), min_words=10
+        ).to_pandas()
+        assert out["doc_id"].tolist() == [0]
+        assert out["n_words"][0] == 64
+        assert out["n_stop_hits"][0] == 32
+
+
+class TestTokenBudget:
+    def test_prefix_selection(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.corpus import select_token_budget
+
+        rows = [
+            {"doc_id": 1, "score": 10, "n_tokens": 4},
+            {"doc_id": 2, "score": 10, "n_tokens": 3},
+            {"doc_id": 3, "score": 5, "n_tokens": 5},
+            {"doc_id": 4, "score": 1, "n_tokens": 100},
+        ]
+        out = select_token_budget(
+            rd.from_items(rows), 12
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        # order: d1(4) cum4, d2(3) cum7, d3(5) cum12, d4 cum112 > 12
+        assert out["doc_id"].tolist() == [1, 2, 3]
+        assert out["cum_tokens"].tolist() == [4, 7, 12]
+
+
+class TestHits:
+    def test_two_rounds_by_hand(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import hits
+
+        # star: 1->3, 2->3, 3->4
+        edges = rd.from_items(
+            [{"src": 1, "dst": 3}, {"src": 2, "dst": 3}, {"src": 3, "dst": 4}]
+        )
+        nodes = rd.from_items([{"node": n} for n in (1, 2, 3, 4)])
+        out = hits(edges, nodes, rounds=2).to_pandas()
+        got = {
+            int(r["node"]): (int(r["hub"]), int(r["auth"]))
+            for _, r in out.iterrows()
+        }
+        # h0 = 1 everywhere
+        # a1: 3 <- h(1)+h(2) = 2 ; 4 <- h(3) = 1
+        # h1: 1 = a1(3) = 2 ; 2 = 2 ; 3 = a1(4) = 1
+        # a2: 3 <- h1(1)+h1(2) = 4 ; 4 <- h1(3) = 1
+        # h2: 1 = a2(3) = 4 ; 2 = 4 ; 3 = a2(4) = 1
+        assert got == {1: (4, 0), 2: (4, 0), 3: (1, 4), 4: (0, 1)}
+
+
+class TestCommonNeighbors:
+    def test_wedges_minus_edges(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import common_neighbors_topk
+
+        # path 1-2-3 plus 3-4: candidates (1,3)x? no: 1,3 share 2;
+        # (2,4) share 3; (1,3) is NOT an edge, (2,4) NOT an edge.
+        # add edge 1-3 so that pair is suppressed.
+        edges = rd.from_items(
+            [
+                {"src": 1, "dst": 2},
+                {"src": 2, "dst": 3},
+                {"src": 3, "dst": 4},
+                {"src": 1, "dst": 3},
+            ]
+        )
+        out = common_neighbors_topk(edges, k=10).to_pandas()
+        pairs = {
+            (int(r["u"]), int(r["v"])): int(r["cnt"])
+            for _, r in out.iterrows()
+        }
+        # shared neighbors: (1,2) via 3 -> edge exists; (2,4) via 3;
+        # (1,4) via 3; (2,3) via 1 -> edge; (1,3) edge suppressed.
+        assert pairs == {(2, 4): 1, (1, 4): 1}
+
+    def test_strict_cap_raises(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import common_neighbors_topk
+
+        edges = rd.from_items(
+            [{"src": 0, "dst": i} for i in range(1, 8)]
+        )
+        with pytest.raises(Exception, match="neighbors"):
+            common_neighbors_topk(
+                edges, k=5, max_neighbors=3, strict=True
+            ).to_pandas()
+        ok = common_neighbors_topk(
+            edges, k=100, max_neighbors=3, strict=False
+        ).to_pandas()
+        assert len(ok) == 3  # truncated to 3 neighbors -> C(3,2) pairs
