@@ -4975,3 +4975,60 @@ SELECT w.u, w.v, w.cnt FROM w
 WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.u = w.u AND e0.v = w.v)
 ORDER BY cnt DESC, u, v LIMIT 50
 """
+
+
+def events_segment_revenue(sf_dir: str):
+    """Fact-to-dim equi-join with explicit hot-key salting (ops/joins.py
+    skew_salted_join): hot fact keys (count >= 80 -- low on purpose so
+    both the salted and cold paths run at every sf) spread over 8 salt
+    partitions while their dim rows replicate; the salt is invisible to
+    the result, which a plain-join oracle replays.  Joined rows collapse
+    to per-segment (count, integer-cent sum)."""
+    from ray.data.aggregate import Count, Sum
+
+    from .functions.numeric import sql_round_i64
+    from .ops.joins import skew_salted_join
+
+    fact = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    dim = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    dim = dim.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": pc.cast(b["c_custkey"], pa.int64()),
+                "segment": b["c_mktsegment"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = skew_salted_join(
+        fact, dim, key="user_id", fact_id_col="event_id",
+        salt_factor=8, hot_threshold=80,
+    )
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "segment": b["segment"],
+                "cents": sql_round_i64(b["value"], 100.0),
+            }
+        )
+
+    return (
+        joined.map_batches(slim, batch_format="pyarrow")
+        .groupby("segment")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+QUERIES["events_segment_revenue"] = events_segment_revenue
+
+ORACLE_SQL["events_segment_revenue"] = """
+SELECT c.c_mktsegment AS segment, COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""

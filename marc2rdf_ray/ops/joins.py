@@ -436,3 +436,133 @@ def range_join(
         .groupby("__bucket")
         .map_groups(bucket_merge, batch_format="pyarrow")
     )
+
+
+def skew_salted_join(
+    fact_ds,
+    dim_ds,
+    *,
+    key: str,
+    fact_id_col: str,
+    salt_factor: int = 8,
+    hot_threshold: int = 1_000_000,
+    num_partitions: int | None = None,
+):
+    """Skew-defused equi-join of a big ``fact_ds`` against a smaller
+    ``dim_ds`` on ``key`` (dim side unique per key; inner semantics).
+    A vanilla hash join sends every row of a hot key to ONE partition --
+    the classic straggler at web scale (one celebrity user, one mega
+    domain).  This operator salts exactly the hot keys:
+
+    1. **Detect** -- per-batch Arrow count partials on the fact side ->
+       one tiny groupby-sum -> keys with count >= ``hot_threshold`` pull
+       to the driver (bounded by total_rows / hot_threshold, small by
+       construction) and broadcast once via ``ray.put``.
+    2. **Salt** -- hot fact rows get ``salt = fact_id % salt_factor``
+       (deterministic, uniform for sequence ids); cold rows salt 0.  Hot
+       dim rows REPLICATE across all ``salt_factor`` salts (dim is the
+       small side; replication cost is #hot x salt_factor rows); cold dim
+       rows salt 0.
+    3. **Join** on ``(key, salt)`` -- the hot key's rows now spread over
+       ``salt_factor`` partitions -- then drop the salt.
+
+    The salt is invisible in the output: result == plain inner join
+    (oracle-checked).  Compose upstream of aggregations that would
+    otherwise shuffle the skewed key again.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import normalize_join_blocks
+
+    if num_partitions is None:
+        try:
+            num_partitions = max(
+                2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2)
+            )
+        except Exception:
+            num_partitions = 8
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select([key])
+            .group_by([key], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([key, "cnt"])
+
+    hot_tbl = (
+        fact_ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["cnt"], hot_threshold)
+            ).select([key]),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    hot = frozenset(r[key] for r in hot_tbl)
+    hot_ref = ray.put(hot)
+
+    def salt_fact(b: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        ids = pc.cast(b[fact_id_col], pa.int64())
+        if hs:
+            is_hot = pc.is_in(
+                b[key], value_set=pa.array(list(hs), b[key].type)
+            )
+            salt = pc.if_else(
+                is_hot,
+                pc.cast(
+                    pc.bit_wise_and(ids, salt_factor - 1)
+                    if (salt_factor & (salt_factor - 1)) == 0
+                    else pc.subtract(
+                        ids,
+                        pc.multiply(
+                            pc.divide(ids, salt_factor),
+                            salt_factor,
+                        ),
+                    ),
+                    pa.int32(),
+                ),
+                pa.scalar(0, pa.int32()),
+            )
+        else:
+            salt = pa.array(np.zeros(len(b), np.int32))
+        return b.append_column("__salt", salt)
+
+    def salt_dim(b: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        zero = b.append_column(
+            "__salt", pa.array(np.zeros(len(b), np.int32))
+        )
+        if not hs:
+            return zero
+        mask = pc.is_in(b[key], value_set=pa.array(list(hs), b[key].type))
+        hot_rows = b.filter(mask)
+        cold = b.filter(pc.invert(mask)).append_column(
+            "__salt", pa.array(np.zeros(len(b) - len(hot_rows), np.int32))
+        )
+        reps = [
+            hot_rows.append_column(
+                "__salt", pa.array(np.full(len(hot_rows), s, np.int32))
+            )
+            for s in range(salt_factor)
+        ]
+        return pa.concat_tables([cold] + reps)
+
+    joined = fact_ds.map_batches(salt_fact, batch_format="pyarrow").join(
+        normalize_join_blocks(
+            dim_ds.map_batches(salt_dim, batch_format="pyarrow"),
+            num_partitions,
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(key, "__salt"),
+    )
+    return joined.map_batches(
+        lambda b: b.drop_columns(["__salt"]), batch_format="pyarrow"
+    )

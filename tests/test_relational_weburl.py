@@ -565,3 +565,42 @@ class TestCommonNeighbors:
             edges, k=100, max_neighbors=3, strict=False
         ).to_pandas()
         assert len(ok) == 3  # truncated to 3 neighbors -> C(3,2) pairs
+
+
+class TestSkewSaltedJoin:
+    def _tables(self):
+        import ray.data as rd
+
+        fact = rd.from_items(
+            [{"event_id": i, "k": "hot" if i < 40 else f"c{i % 5}",
+              "v": i} for i in range(60)]
+        )
+        dim = rd.from_items(
+            [{"k": "hot", "attr": "H"}]
+            + [{"k": f"c{j}", "attr": f"A{j}"} for j in range(5)]
+            + [{"k": "nomatch", "attr": "X"}]
+        )
+        return fact, dim
+
+    def test_equals_plain_join(self, ray_session):
+        from marc2rdf_ray.ops.joins import skew_salted_join
+
+        fact, dim = self._tables()
+        out = skew_salted_join(
+            fact, dim, key="k", fact_id_col="event_id",
+            salt_factor=4, hot_threshold=10,
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+        assert len(out) == 60                       # inner join, all match
+        assert "__salt" not in out.columns
+        assert (out[out["k"] == "hot"]["attr"] == "H").all()
+        assert out.loc[out["event_id"] == 41, "attr"].iloc[0] == "A1"
+
+    def test_no_hot_keys_path(self, ray_session):
+        from marc2rdf_ray.ops.joins import skew_salted_join
+
+        fact, dim = self._tables()
+        out = skew_salted_join(
+            fact, dim, key="k", fact_id_col="event_id",
+            salt_factor=4, hot_threshold=1_000,
+        ).to_pandas()
+        assert len(out) == 60
