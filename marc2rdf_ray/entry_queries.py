@@ -5032,3 +5032,102 @@ SELECT c.c_mktsegment AS segment, COUNT(*)::BIGINT AS n_events,
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1
 """
+
+
+def docs_dsir_weights(sf_dir: str):
+    """DSIR importance weights (ops/lm.py dsir_weights): hashed-bigram
+    log-likelihood ratio of the lang='en' target subset vs the raw
+    corpus, in exact integer micro-nats (per-bucket lambda floored
+    BEFORE the per-doc dot product -- the trigram_bits determinism
+    contract).  Pass 1 is a 64-bucket combiner + one tiny groupby-sum
+    (O(K) driver state); pass 2 a stateless count-and-dot map."""
+    from .ops.lm import dsir_weights
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "text": b["text"],
+                "is_target": pc.equal(b["lang"], "en"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return dsir_weights(ds)
+
+
+QUERIES["docs_dsir_weights"] = docs_dsir_weights
+
+ORACLE_SQL["docs_dsir_weights"] = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(COALESCE(text, ''), '\S+') AS t
+  FROM documents
+), big AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+           generate_series(1, GREATEST(len(t) - 1, 0)),
+           k -> t[k] || ' ' || t[k + 1])) AS bg
+  FROM toks
+), bk AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(bg), 1, 8)) AS BIGINT) % 64 AS b
+  FROM big
+), raw AS (SELECT b, COUNT(*)::BIGINT AS r FROM bk GROUP BY b),
+tgt AS (SELECT b, COUNT(*)::BIGINT AS t FROM bk WHERE lang = 'en' GROUP BY b),
+tots AS (
+  SELECT (SELECT COUNT(*) FROM bk) AS R,
+         (SELECT COUNT(*) FROM bk WHERE lang = 'en') AS T
+), lam AS (
+  SELECT g.b,
+    CAST(floor(ln(
+      ((COALESCE(t.t, 0) + 1.0) / (tots.T + 64.0))
+      / ((g.r + 1.0) / (tots.R + 64.0))
+    ) * 1e6 + 0.5) AS BIGINT) AS l
+  FROM raw g LEFT JOIN tgt t USING (b), tots
+), per AS (
+  SELECT bk.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+         CAST(SUM(lam.l) AS BIGINT) AS weight_micro
+  FROM bk JOIN lam USING (b) GROUP BY bk.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       COALESCE(per.weight_micro, 0) AS weight_micro
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+def events_iqr_outliers(sf_dir: str):
+    """Per-type Tukey-fence outliers (ops/quantiles.py iqr_outliers):
+    exact distributed quartiles (histogram partials, one shuffle), an
+    O(#groups) driver fence table, then a stateless integer
+    cross-multiplied filter map -- event rows never shuffle."""
+    from .ops.quantiles import iqr_outliers
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return iqr_outliers(ds, "event_type", "value", "event_id")
+
+
+QUERIES["events_iqr_outliers"] = events_iqr_outliers
+
+ORACLE_SQL["events_iqr_outliers"] = """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
+h AS (SELECT event_type, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+s AS (SELECT event_type, v,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum FROM h),
+nn AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+q AS (
+  SELECT nn.event_type,
+    (SELECT MIN(v) FROM s WHERE s.event_type = nn.event_type
+       AND cum >= (1 * nn.n + 3) // 4) AS q1,
+    (SELECT MIN(v) FROM s WHERE s.event_type = nn.event_type
+       AND cum >= (3 * nn.n + 3) // 4) AS q3
+  FROM nn
+)
+SELECT e.event_id, e.event_type, e.v AS value_cents
+FROM e JOIN q USING (event_type)
+WHERE 2 * e.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
+   OR 2 * e.v > 2 * q.q3 + 3 * (q.q3 - q.q1)
+"""

@@ -166,3 +166,106 @@ def trigram_bits(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_weights(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "is_target",
+    n_buckets: int = 64,
+):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public): score every doc
+    by the log-likelihood ratio of a hashed-bigram bag-of-features model
+    between a TARGET subset (rows with ``target_col`` true) and the RAW
+    corpus.  Returns (id, n_bigrams, weight_micro) for every input doc;
+    high weight = looks like the target distribution.
+
+    Determinism contract (the trigram_bits precedent): the per-bucket
+    log-ratio is floored to integer MICRO-NATS --
+    ``floor(ln(((t_b+1)/(T+K)) / ((r_b+1)/(R+K))) * 1e6 + 0.5)`` --
+    BEFORE the per-doc dot product, so each doc's weight is an exact
+    int64 and no float summation order can diverge from the SQL oracle.
+    Bigram -> bucket is the oracle-replayable md5 family
+    (``int(md5(w1 + ' ' + w2)[:8], 16) % K``).
+
+    Scale shape: pass 1 collapses each batch to <= 2K partial-count rows
+    (bucket x {raw, target}) before ONE tiny groupby-sum; the driver
+    holds the K-element lambda table (O(K), never O(corpus)) and
+    closes over it for pass 2, a stateless per-batch count-and-dot map.
+    Text never shuffles in either pass.
+    """
+    import hashlib
+    import re
+
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(r"\S+")
+
+    def bucket_counts(t: str) -> np.ndarray:
+        toks = token_re.findall(t or "")
+        c = np.zeros(n_buckets, np.int64)
+        for a, b in zip(toks, toks[1:]):
+            h = int(
+                hashlib.md5((a + " " + b).encode()).hexdigest()[:8], 16
+            ) % n_buckets
+            c[h] += 1
+        return c
+
+    def partial(batch: pa.Table) -> pa.Table:
+        raw = np.zeros(n_buckets, np.int64)
+        tgt = np.zeros(n_buckets, np.int64)
+        for t, is_t in zip(
+            batch[text_col].to_pylist(), batch[target_col].to_pylist()
+        ):
+            c = bucket_counts(t)
+            raw += c
+            if is_t:
+                tgt += c
+        return pa.table(
+            {
+                "b": pa.array(np.arange(n_buckets), pa.int64()),
+                "r": pa.array(raw, pa.int64()),
+                "t": pa.array(tgt, pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("r", alias_name="r"), Sum("t", alias_name="t"))
+        .take_all()
+    )
+    r = np.zeros(n_buckets, np.int64)
+    t = np.zeros(n_buckets, np.int64)
+    for row in rows:
+        r[int(row["b"])] = int(row["r"])
+        t[int(row["b"])] = int(row["t"])
+    R, T = int(r.sum()), int(t.sum())
+    lam = np.floor(
+        np.log(
+            ((t + 1.0) / (T + float(n_buckets)))
+            / ((r + 1.0) / (R + float(n_buckets)))
+        ) * 1e6 + 0.5
+    ).astype(np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, nb, w = [], [], []
+        for i, txt in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            c = bucket_counts(txt)
+            ids.append(i)
+            nb.append(int(c.sum()))
+            w.append(int(np.dot(c, lam)))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "weight_micro": pa.array(w, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -508,3 +508,60 @@ def sketch_quantiles(
         {"q": pa.array(qs, pa.float64()), "value_cents": pa.array(out, pa.int64())}
     )
     return tab, merged.n, merged.error_bound()
+
+
+def iqr_outliers(
+    ds,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    cents: bool = True,
+):
+    """Tukey-fence outlier detection per group, composed from
+    :func:`grouped_quantiles`: rows whose value falls outside
+    ``[Q1 - 1.5*IQR, Q3 + 1.5*IQR]`` of their group.  The fence test is
+    integer cross-multiplied (``2*v < 2*Q1 - 3*(Q3-Q1)`` etc.), so the
+    verdict is bit-exact against a SQL oracle.
+
+    Scale shape: the per-group quartiles are the distributed
+    grouped_quantiles pass (histogram partials, one shuffle); the tiny
+    (group, Q1, Q3) table -- O(#groups) -- pulls to the driver and rides
+    into a stateless filter map as a closure.  Rows never shuffle.
+    Returns (id, group, value_cents) outlier rows.
+    """
+    qtab = grouped_quantiles(
+        ds, group_col, value_col, quantiles=((1, 4), (3, 4)), cents=cents
+    ).take_all()
+    q1, q3 = {}, {}
+    for row in qtab:
+        g = row[group_col]
+        if abs(row["q"] - 0.25) < 1e-9:
+            q1[g] = int(row["value_cents"])
+        else:
+            q3[g] = int(row["value_cents"])
+    lo = {g: 2 * q1[g] - 3 * (q3[g] - q1[g]) for g in q1}
+    hi = {g: 2 * q3[g] + 3 * (q3[g] - q1[g]) for g in q1}
+
+    def flag(b: pa.Table) -> pa.Table:
+        from ..functions.numeric import sql_round_i64
+
+        col = b[value_col]
+        v = (
+            sql_round_i64(col, 100.0) if cents
+            else pc.cast(col, pa.int64())
+        ).to_numpy(zero_copy_only=False)
+        gs = b[group_col].to_pylist()
+        lo_v = np.array([lo.get(g, np.iinfo(np.int64).min) for g in gs])
+        hi_v = np.array([hi.get(g, np.iinfo(np.int64).max) for g in gs])
+        mask = (2 * v < lo_v) | (2 * v > hi_v)
+        t = pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                group_col: b[group_col],
+                "value_cents": pa.array(v, pa.int64()),
+            }
+        )
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -3105,3 +3105,57 @@ class TestOffsetLimit:
         )
         out = offset_limit(ds, sort_key="v", offset=1).to_pandas()
         assert out["v"].tolist() == [2, 3]
+
+
+class TestDsirWeights:
+    def test_target_docs_score_higher(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.lm import dsir_weights
+
+        tgt = "clean wiki prose sentence " * 6
+        raw = "spam junk casino lotto " * 6
+        rows = (
+            [{"doc_id": i, "text": tgt, "is_target": True}
+             for i in range(5)]
+            + [{"doc_id": 5 + i, "text": raw, "is_target": False}
+               for i in range(5)]
+        )
+        out = dsir_weights(rd.from_items(rows)).to_pandas()
+        w = dict(zip(out["doc_id"], out["weight_micro"]))
+        # every target-looking doc outweighs every raw-only doc
+        assert min(w[i] for i in range(5)) > max(w[5 + i] for i in range(5))
+        assert (out["n_bigrams"] == 23).all()
+
+    def test_empty_text_zero(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.lm import dsir_weights
+
+        rows = [
+            {"doc_id": 0, "text": "", "is_target": False},
+            {"doc_id": 1, "text": "a b c", "is_target": True},
+        ]
+        out = dsir_weights(rd.from_items(rows)).to_pandas()
+        z = out[out["doc_id"] == 0].iloc[0]
+        assert z["n_bigrams"] == 0 and z["weight_micro"] == 0
+
+
+class TestIqrOutliers:
+    def test_fences_by_hand(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.quantiles import iqr_outliers
+
+        # group g: values 1..8 cents plus one 100-cent spike
+        rows = [
+            {"event_id": i, "event_type": "g", "value": v / 100}
+            for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 100])
+        ]
+        out = iqr_outliers(
+            rd.from_items(rows), "event_type", "value", "event_id"
+        ).to_pandas()
+        # n=9: q1 = v[ceil(9/4)=3rd] = 3, q3 = v[ceil(27/4)=7th] = 7
+        # fences: lo = 3 - 6 = -3, hi = 7 + 6 = 13 -> only 100 is out
+        assert out["event_id"].tolist() == [8]
+        assert out["value_cents"].tolist() == [100]
