@@ -278,6 +278,15 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "graph_kcore",
         "events_streaming_watermark",
         "docs_decontaminated_hashed",
+        "docs_span_dedup",
+        "docs_gopher_filter",
+        "docs_dsir_weights",
+        "docs_token_budget",
+        "graph_hits",
+        "graph_link_prediction",
+        "events_segment_revenue",
+        "events_interarrival",
+        "events_iqr_outliers",
     ]
     out = {}
     for name in names:
