@@ -2053,28 +2053,37 @@ def doc_pagerank(sf_dir: str):
     """Integer-exact PageRank (ops/graph.py:pagerank) over the
     _md5_link_graph.  5 fixed iterations, damping 85/100, ranks in 1e-12
     units -- every step is order-independent integer arithmetic, so the
-    DuckDB oracle (unrolled recurrence) matches bit-for-bit."""
-    from .ops.graph import pagerank
+    DuckDB oracle (unrolled recurrence) matches bit-for-bit.  Budget-gated
+    fast path first: pagerank_local solves in-budget edge lists in ONE
+    task with the identical order-free integer recurrence (bit-identical
+    output); over budget falls back to the bucketed distributed rounds."""
+    from .ops.graph import pagerank, pagerank_local
 
     edges, nodes, _ = _md5_link_graph(sf_dir)
+    local = pagerank_local(edges, nodes, iterations=5)
+    if local is not None:
+        return local
     return pagerank(edges, nodes, iterations=5)
 
 
 def doc_pagerank_personalized(sf_dir: str):
     """Personalized PageRank (ops/graph.py:pagerank(seed_fn=...)): teleport
     + dangling mass to the seed set doc_id % 10 == 0; membership is a pure
-    function of the id so no per-node flag ships through the exchanges."""
-    from .ops.graph import pagerank
+    function of the id so no per-node flag ships through the exchanges.
+    Budget-gated pagerank_local fast path first (bit-identical)."""
+    from .ops.graph import pagerank, pagerank_local
 
     edges, nodes, n = _md5_link_graph(sf_dir)
     n_seeds = (n + 9) // 10  # |{0, 10, ...} ∩ [0, n)| for dense 0-based ids
-    return pagerank(
-        edges,
-        nodes,
+    kw = dict(
         iterations=5,
         seed_fn=lambda ids: ids % 10 == 0,
         n_seeds=n_seeds,
     )
+    local = pagerank_local(edges, nodes, **kw)
+    if local is not None:
+        return local
+    return pagerank(edges, nodes, **kw)
 
 
 def graph_triangles(sf_dir: str):
@@ -5130,4 +5139,33 @@ SELECT e.event_id, e.event_type, e.v AS value_cents
 FROM e JOIN q USING (event_type)
 WHERE 2 * e.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
    OR 2 * e.v > 2 * q.q3 + 3 * (q.q3 - q.q1)
+"""
+
+
+def events_user_type_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix (ops/relational.py
+    grouped_entropy): per-batch (user, type, count) combiner, ONE
+    shuffle, vectorized in-task surprisal sum in exact integer
+    micro-nats (floored per distinct (c, n) pair before summing -- the
+    trigram_bits determinism contract)."""
+    from .ops.relational import grouped_entropy
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_entropy(ds, key_col="user_id", value_col="event_type")
+
+
+QUERIES["events_user_type_entropy"] = events_user_type_entropy
+
+ORACLE_SQL["events_user_type_entropy"] = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), n AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1
+)
+SELECT n.user_id, n.n AS n_rows,
+  CAST(SUM(c.c * CAST(floor(
+    -ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)) * 1e6 + 0.5
+  ) AS BIGINT)) AS BIGINT) AS surprisal_micro
+FROM c JOIN n USING (user_id) GROUP BY 1, 2
 """

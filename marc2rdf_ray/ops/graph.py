@@ -1218,6 +1218,7 @@ def hits(
     *,
     rounds: int = 2,
     num_buckets: int | None = None,
+    local_budget: int = 128 << 20,
 ):
     """HITS hubs-and-authorities (Kleinberg 1999, public) over a directed
     edge table (src:int64, dst:int64; parallel edges count multiply) --
@@ -1242,7 +1243,19 @@ def hits(
     groupby-sum.  Only (node, value) int64 rows ever move; zero driver
     state.  Nodes with no in-edges (out-edges) simply carry a=0 (h=0) --
     filled in against ``nodes_ds`` at the end with one exchange.
+
+    Budget-gated fast path (the pagerank_local / connected_components_
+    local precedent): an edge list <= ``local_budget`` bytes solves in
+    ONE task with np.add.at scatter sums -- order-free int64, so the
+    output is BIT-IDENTICAL to the distributed rounds (parity-tested);
+    the distributed machinery reuses the same materialized edges when
+    over budget.  At toy scale the 4-exchanges-per-round fixed cost
+    dominates wall time by 10x+; at web scale the gate never fires.
     """
+    mat_edges = edges_ds.materialize()
+    if local_budget and mat_edges.size_bytes() <= local_budget:
+        return _hits_local(mat_edges, nodes_ds, rounds=rounds)
+    edges_ds = mat_edges
     if num_buckets is None:
         try:
             import ray
@@ -1566,4 +1579,198 @@ def common_neighbors_topk(
         fresh.map_batches(unpack, batch_format="pyarrow")
         .sort(key=["cnt", "u", "v"], descending=[True, False, False])
         .limit(k)
+    )
+
+
+def pagerank_local(
+    edges_ds,
+    nodes_ds,
+    *,
+    budget: int = 128 << 20,
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    seed_fn=None,
+    n_seeds: int | None = None,
+):
+    """CONVERGED-in-one-task PageRank for graphs whose edge list fits a
+    single worker (<= ``budget`` bytes) -- the connected_components_local
+    precedent (stages/canonicalize.py:502): paying 2 bucketed exchanges x
+    ``iterations`` of fixed all-to-all cost to push ranks through a few
+    million slim int64 rows is pure overhead.  ONE task runs the exact
+    integer recurrence vectorized (np.add.at scatter sums -- order-free
+    int64, so the result is BIT-IDENTICAL to the distributed
+    :func:`pagerank` and the SQL oracle).  Returns the (node, rank)
+    Dataset, or ``None`` when over budget (callers fall back).
+
+    Semantics parity with the distributed operator (verified by test):
+    the rank universe is nodes UNION edge sources (a source outside the
+    node set still earns teleport mass and pushes contributions);
+    contributions to destinations OUTSIDE that universe are dropped;
+    ``base``/``share`` denominators use the NODE-SET count / seed count,
+    exactly as distributed.
+    """
+    mat_e = edges_ds.materialize()
+    if mat_e.size_bytes() > budget:
+        return None
+    n_nodes = nodes_ds.count()
+    if not n_nodes:
+        return nodes_ds.map_batches(
+            lambda b: pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "rank": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    base = scale // n_nodes
+    comp_num = damping_den - damping_num
+    if seed_fn is not None:
+        if not n_seeds:
+            raise ValueError("personalized pagerank needs n_seeds >= 1")
+        seed_base = scale // n_seeds
+        share_den = n_seeds
+    else:
+        share_den = n_nodes
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "a": pc.cast(b["src"], pa.int64()),
+                "b": pc.cast(b["dst"], pa.int64()),
+                "kind": pa.array(np.zeros(len(b), np.int8)),
+            }
+        )
+        return t.append_column("_g", pa.array(np.zeros(len(b), np.int8)))
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "a": pc.cast(b["node"], pa.int64()),
+                "b": pa.array(np.full(len(b), -1, np.int64)),
+                "kind": pa.array(np.ones(len(b), np.int8)),
+            }
+        )
+        return t.append_column("_g", pa.array(np.zeros(len(b), np.int8)))
+
+    def solve(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        bb = g["b"].to_numpy(zero_copy_only=False)
+        src, dst = a[kind == 0], bb[kind == 0]
+        nodes = a[kind == 1]
+        # rank universe: node set UNION edge sources (distributed parity)
+        uni = np.unique(np.concatenate([nodes, src]))
+        n_u = len(uni)
+        si = np.searchsorted(uni, src)
+        outdeg = np.zeros(n_u, np.int64)
+        np.add.at(outdeg, si, 1)
+        # contributions to dsts outside the universe are dropped
+        di = np.searchsorted(uni, dst)
+        ok = (di < n_u)
+        ok[ok] = uni[di[ok]] == dst[ok]
+        si_ok, di_ok = si[ok], di[ok]
+        if seed_fn is None:
+            base_v = np.full(n_u, base, np.int64)
+            share_mask = np.ones(n_u, bool)
+        else:
+            m = seed_fn(uni.astype(np.int64))
+            base_v = np.where(m, seed_base, 0).astype(np.int64)
+            share_mask = m
+        r = base_v.copy()
+        safe_deg = np.maximum(outdeg, 1)
+        for _ in range(iterations):
+            dang = int(r[outdeg == 0].sum())
+            share = dang // share_den
+            contrib = r // safe_deg
+            in_sum = np.zeros(n_u, np.int64)
+            np.add.at(in_sum, di_ok, contrib[si_ok])
+            r = (
+                comp_num * base_v
+                + damping_num * (in_sum + np.where(share_mask, share, 0))
+            ) // damping_den
+        return pa.table(
+            {
+                "node": pa.array(uni, pa.int64()),
+                "rank": pa.array(r, pa.int64()),
+            }
+        )
+
+    return (
+        mat_e.map_batches(edge_rows, batch_format="pyarrow")
+        .union(nodes_ds.map_batches(node_rows, batch_format="pyarrow"))
+        .groupby("_g")
+        .map_groups(solve, batch_format="pyarrow")
+    )
+
+
+def _hits_local(mat_edges, nodes_ds, *, rounds: int) -> "object":
+    """One-task HITS solve over a materialized in-budget edge list: the
+    exact integer recurrence of :func:`hits`, vectorized with
+    np.add.at scatter sums (order-free int64 -> bit-identical to the
+    distributed rounds).  Sparse semantics parity: scores propagate only
+    along edges; the returned table fills hub=auth=0 for nodes without
+    the corresponding adjacency, and (as distributed) scores for edge
+    endpoints OUTSIDE the node set are summed into the final fill
+    exchange -- here a plain union + np scatter."""
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "a": pc.cast(b["src"], pa.int64()),
+                "b": pc.cast(b["dst"], pa.int64()),
+                "kind": pa.array(np.zeros(len(b), np.int8)),
+            }
+        )
+        return t.append_column("_g", pa.array(np.zeros(len(b), np.int8)))
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "a": pc.cast(b["node"], pa.int64()),
+                "b": pa.array(np.full(len(b), -1, np.int64)),
+                "kind": pa.array(np.ones(len(b), np.int8)),
+            }
+        )
+        return t.append_column("_g", pa.array(np.zeros(len(b), np.int8)))
+
+    def solve(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        bb = g["b"].to_numpy(zero_copy_only=False)
+        src, dst = a[kind == 0], bb[kind == 0]
+        nodes = a[kind == 1]
+        # score universe: every node or edge endpoint (distributed
+        # parity -- sparse rows exist wherever a sum lands)
+        uni = np.unique(np.concatenate([nodes, src, dst]))
+        si = np.searchsorted(uni, src)
+        di = np.searchsorted(uni, dst)
+        in_nodes = np.isin(uni, nodes)
+        # h0 = 1 for the NODE SET only (distributed parity: initial
+        # scores come from nodes_ds; a foreign endpoint starts at 0)
+        h = in_nodes.astype(np.int64)
+        au = np.zeros(len(uni), np.int64)
+        for _ in range(rounds):
+            au = np.zeros(len(uni), np.int64)
+            np.add.at(au, di, h[si])
+            h = np.zeros(len(uni), np.int64)
+            np.add.at(h, si, au[di])
+        # distributed output: node set LEFT-filled with sparse sums;
+        # non-node endpoints appear too (union groupby keeps them) --
+        # but zeros rows exist only for the node set, so keep every
+        # uni row with nonzero score plus all node-set rows
+        keep = in_nodes | (h != 0) | (au != 0)
+        return pa.table(
+            {
+                "node": pa.array(uni[keep], pa.int64()),
+                "hub": pa.array(h[keep], pa.int64()),
+                "auth": pa.array(au[keep], pa.int64()),
+            }
+        )
+
+    return (
+        mat_edges.map_batches(edge_rows, batch_format="pyarrow")
+        .union(nodes_ds.map_batches(node_rows, batch_format="pyarrow"))
+        .groupby("_g")
+        .map_groups(solve, batch_format="pyarrow")
     )

@@ -353,3 +353,84 @@ def grouped_moments(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_entropy(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    num_buckets: int | None = None,
+):
+    """Shannon entropy of the ``value_col`` distribution per ``key_col``
+    group, in exact integer MICRO-NATS: each distinct value's surprisal
+    is floored to ``floor(-ln(c/n) * 1e6 + 0.5)`` BEFORE the weighted sum
+    (the ops/lm.py trigram_bits determinism contract), so the per-group
+    result ``(key, n_rows, surprisal_micro)`` is a pair of exact int64s a
+    SQL oracle replays bit-for-bit.  Entropy in nats =
+    ``surprisal_micro / n_rows / 1e6``.
+
+    Scale shape: per-batch (key, value, count) Arrow combiner partials ->
+    ONE groupby(key) shuffle -> in-task merge + vectorized log.  A hot
+    key ships one row per distinct value per batch, never its raw rows.
+    """
+    from ..functions.hashing import bucket_codes
+
+    nb = num_buckets or _default_buckets()
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select([key_col, value_col])
+            .group_by([key_col, value_col], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        g = g.rename_columns([key_col, value_col, "cnt"])
+        return g.append_column(
+            "__bucket", bucket_codes(pc.cast(g[key_col], pa.string()), nb)
+        )
+
+    def entropy(group: pa.Table) -> pa.Table:
+        g = (
+            group.select([key_col, value_col, "cnt"])
+            .group_by([key_col, value_col], use_threads=False)
+            .aggregate([("cnt", "sum")])
+            .rename_columns([key_col, value_col, "cnt"])
+            .sort_by([(key_col, "ascending")])
+        )
+        k = g[key_col]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        k = k.to_numpy(zero_copy_only=False)
+        c = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(k):
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "surprisal_micro": pa.array([], pa.int64()),
+                }
+            )
+        brk = np.empty(len(k), bool)
+        brk[:1] = True
+        brk[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(brk)
+        seg = np.cumsum(brk) - 1
+        n = np.add.reduceat(c, starts)  # rows per key
+        micro = np.floor(
+            -np.log(c.astype(np.float64) / n[seg].astype(np.float64))
+            * 1e6 + 0.5
+        ).astype(np.int64)
+        surp = np.add.reduceat(c * micro, starts)
+        return pa.table(
+            {
+                key_col: pa.array(k[starts]),
+                "n_rows": pa.array(n, pa.int64()),
+                "surprisal_micro": pa.array(surp, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(entropy, batch_format="pyarrow")
+    )

@@ -3159,3 +3159,109 @@ class TestIqrOutliers:
         # fences: lo = 3 - 6 = -3, hi = 7 + 6 = 13 -> only 100 is out
         assert out["event_id"].tolist() == [8]
         assert out["value_cents"].tolist() == [100]
+
+
+class TestPagerankLocal:
+    def _graph(self):
+        import numpy as np
+        import ray.data as rd
+
+        rng = np.random.RandomState(11)
+        nodes = list(range(40))
+        # include a foreign src (50, not in node set) and an edge to a
+        # dst outside the rank universe (99) -- the distributed
+        # semantics corners
+        edges = [
+            {"src": int(rng.randint(0, 40)), "dst": int(rng.randint(0, 40))}
+            for _ in range(120)
+        ] + [{"src": 50, "dst": 3}, {"src": 2, "dst": 99}]
+        return (
+            rd.from_items(edges),
+            rd.from_items([{"node": n} for n in nodes]),
+        )
+
+    def test_bit_identical_to_distributed(self, ray_session):
+        from marc2rdf_ray.ops.graph import pagerank, pagerank_local
+
+        edges, nodes = self._graph()
+        loc = (
+            pagerank_local(edges, nodes, iterations=4)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        dist = (
+            pagerank(edges, nodes, iterations=4)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert loc["node"].tolist() == dist["node"].tolist()
+        assert loc["rank"].tolist() == dist["rank"].tolist()
+
+    def test_personalized_parity(self, ray_session):
+        from marc2rdf_ray.ops.graph import pagerank, pagerank_local
+
+        edges, nodes = self._graph()
+        kw = dict(iterations=3, seed_fn=lambda ids: ids % 7 == 0,
+                  n_seeds=6)
+        loc = (
+            pagerank_local(edges, nodes, **kw)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        dist = (
+            pagerank(edges, nodes, **kw)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert loc["rank"].tolist() == dist["rank"].tolist()
+
+    def test_over_budget_returns_none(self, ray_session):
+        from marc2rdf_ray.ops.graph import pagerank_local
+
+        edges, nodes = self._graph()
+        assert pagerank_local(edges, nodes, budget=1) is None
+
+
+class TestHitsLocalParity:
+    def test_bit_identical_paths(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import hits
+
+        rng = np.random.RandomState(5)
+        edges = rd.from_items(
+            [{"src": int(rng.randint(0, 30)),
+              "dst": int(rng.randint(0, 30))} for _ in range(90)]
+            # endpoint outside the node set
+            + [{"src": 77, "dst": 1}]
+        )
+        nodes = rd.from_items([{"node": n} for n in range(30)])
+        loc = (
+            hits(edges, nodes, rounds=2)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        dist = (
+            hits(edges, nodes, rounds=2, local_budget=0)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert loc["node"].tolist() == dist["node"].tolist()
+        assert loc["hub"].tolist() == dist["hub"].tolist()
+        assert loc["auth"].tolist() == dist["auth"].tolist()
+
+
+class TestGroupedEntropy:
+    def test_by_hand(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import grouped_entropy
+
+        rows = (
+            [{"k": 1, "v": "a"}] * 2
+            + [{"k": 1, "v": "b"}] * 2
+            + [{"k": 2, "v": "x"}] * 3
+        )
+        out = grouped_entropy(
+            rd.from_items(rows), key_col="k", value_col="v"
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert out["n_rows"].tolist() == [4, 3]
+        m = int(math.floor(-math.log(0.5) * 1e6 + 0.5))
+        assert out["surprisal_micro"].tolist() == [4 * m, 0]
