@@ -5169,3 +5169,94 @@ SELECT n.user_id, n.n AS n_rows,
   ) AS BIGINT)) AS BIGINT) AS surprisal_micro
 FROM c JOIN n USING (user_id) GROUP BY 1, 2
 """
+
+
+def events_retention_cohorts(sf_dir: str):
+    """Weekly cohort-retention matrix (ops/relational.py
+    retention_cohorts): activity dedups to (user, week) per batch before
+    anything moves, cohorts come from one groupby-Min, ride back as a
+    broadcast lookup, and the (cohort, age) distinct-user counts need no
+    COUNT DISTINCT -- activity pairs are already unique per user-week."""
+    from .ops.relational import retention_cohorts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return retention_cohorts(ds)
+
+
+def orders_snapshot_diff(sf_dir: str):
+    """CDC snapshot diff (ops/relational.py snapshot_diff) between two
+    deterministically derived order snapshots: old drops key%17==3, new
+    drops key%13==5 and stars the status of key%7==0 -- so all three
+    change kinds (added / removed / changed) appear.  Both sides reduce
+    to slim (id, row-hash) pairs before the single full-outer join;
+    payloads never shuffle."""
+    from .ops.relational import snapshot_diff
+
+    base = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    def old_rows(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(k % 17 != 3))
+
+    def new_rows(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(k % 13 != 5))
+        kk = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        st = pc.if_else(
+            pa.array(kk % 7 == 0),
+            pc.binary_join_element_wise(
+                t["o_orderstatus"], pa.scalar("*"), pa.scalar("")
+            ),
+            t["o_orderstatus"],
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderstatus": st,
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    old = base.map_batches(old_rows, batch_format="pyarrow")
+    new = base.map_batches(new_rows, batch_format="pyarrow")
+    return snapshot_diff(
+        old, new, id_col="o_orderkey",
+        hash_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
+QUERIES["events_retention_cohorts"] = events_retention_cohorts
+QUERIES["orders_snapshot_diff"] = orders_snapshot_diff
+
+ORACLE_SQL["events_retention_cohorts"] = """
+WITH a AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS bkt FROM events
+), c AS (
+  SELECT user_id, MIN(bkt) AS coh FROM a GROUP BY 1
+)
+SELECT c.coh AS cohort_bucket, a.bkt - c.coh AS age_buckets,
+       COUNT(*)::BIGINT AS n_users
+FROM a JOIN c USING (user_id) GROUP BY 1, 2
+"""
+
+ORACLE_SQL["orders_snapshot_diff"] = """
+WITH old AS (
+  SELECT o_orderkey AS id, o_orderstatus AS st, o_totalprice AS pr
+  FROM orders WHERE o_orderkey % 17 <> 3
+), new AS (
+  SELECT o_orderkey AS id,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_orderstatus || '*'
+              ELSE o_orderstatus END AS st,
+         o_totalprice AS pr
+  FROM orders WHERE o_orderkey % 13 <> 5
+)
+SELECT COALESCE(o.id, n.id) AS o_orderkey,
+       CASE WHEN o.id IS NULL THEN 'added'
+            WHEN n.id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM old o FULL OUTER JOIN new n ON o.id = n.id
+WHERE o.id IS NULL OR n.id IS NULL OR o.st <> n.st OR o.pr <> n.pr
+"""

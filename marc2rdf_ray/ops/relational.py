@@ -434,3 +434,198 @@ def grouped_entropy(
         .groupby("__bucket")
         .map_groups(entropy, batch_format="pyarrow")
     )
+
+
+def retention_cohorts(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_us: int = 7 * 24 * 3_600_000_000,
+):
+    """Cohort retention -- the classic product-analytics matrix: each
+    user's cohort is the time bucket (default: 7-day epochs) of their
+    FIRST event; for every (cohort, age) pair count the distinct users
+    active ``age`` buckets after their cohort.  Emits
+    (cohort_bucket, age_buckets, n_users), all int64.
+
+    Scale shape: pass 1 computes first-event buckets as per-batch
+    (user, min-bucket) Arrow combiners -> one groupby-Min (users never
+    carry event payloads); pass 2 dedups (user, bucket) activity per
+    batch, joins the tiny cohort side back via the broadcast-or-join
+    membership shape, and counts distinct (cohort, age, user) triples
+    with one final combine.  Event rows never shuffle -- only
+    (user, bucket) pairs.
+    """
+    import ray
+
+    from ray.data.aggregate import Min, Sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        tus = pc.cast(ts, pa.int64())
+        # exact int64 floor division (epochs are non-negative, so
+        # truncating integer divide == floor == SQL's // on BIGINT)
+        t = pa.table(
+            {
+                "u": pc.cast(b[user_col], pa.int64()),
+                "bkt": pc.divide(tus, pa.scalar(bucket_us, pa.int64())),
+            }
+        )
+        # per-batch dedup: a user's repeat activity inside one bucket
+        # collapses before anything moves (the combiner); the global
+        # distinct below then sees one row per (user, bucket) per batch
+        return t.group_by(["u", "bkt"], use_threads=False).aggregate([])
+
+    from ray.data.aggregate import Count
+
+    activity = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["u", "bkt"])
+        .aggregate(Count(alias_name="__c"))
+        .map_batches(
+            lambda b: b.drop_columns(["__c"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+
+    cohorts = (
+        activity.map_batches(
+            lambda b: pa.table({"u": b["u"], "c": b["bkt"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("u")
+        .aggregate(Min("c", alias_name="c"))
+        .materialize()
+    )
+
+    # small side: one row per user -> broadcast when it fits
+    cohort_rows = [
+        t for t in ray.get(cohorts.to_arrow_refs()) if t.num_rows
+    ]
+    cmap_tbl = (
+        pa.concat_tables(cohort_rows) if cohort_rows
+        else pa.table({"u": pa.array([], pa.int64()),
+                       "c": pa.array([], pa.int64())})
+    )
+    cu = cmap_tbl["u"].to_numpy(zero_copy_only=False)
+    cc = cmap_tbl["c"].to_numpy(zero_copy_only=False)
+    order = np.argsort(cu)
+    cu, cc = cu[order], cc[order]
+    ref = ray.put((cu, cc))
+
+    def label(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        bkt = b["bkt"].to_numpy(zero_copy_only=False)
+        cu_, cc_ = ray.get(ref)
+        idx = np.searchsorted(cu_, u)
+        coh = cc_[idx]
+        t = pa.table(
+            {
+                "cohort_bucket": pa.array(coh, pa.int64()),
+                "age_buckets": pa.array(bkt - coh, pa.int64()),
+                "n": pa.array(np.ones(len(u), np.int64)),
+            }
+        )
+        # (user, bucket) rows are already distinct per user-bucket, so a
+        # (cohort, age) count of rows IS the distinct-user count
+        g = (
+            t.group_by(["cohort_bucket", "age_buckets"], use_threads=False)
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["cohort_bucket", "age_buckets", "n"])
+
+    return (
+        activity.map_batches(label, batch_format="pyarrow")
+        .groupby(["cohort_bucket", "age_buckets"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
+def snapshot_diff(
+    old_ds,
+    new_ds,
+    *,
+    id_col: str,
+    hash_cols: list[str],
+    num_partitions: int | None = None,
+):
+    """CDC table diff between two snapshots keyed by ``id_col``: emits
+    (id, change) with change in {'added', 'removed', 'changed'} --
+    unchanged rows (same md5 over ``hash_cols``) are dropped.  The U1/U4
+    modify/insert lifecycle (SURVEY.md §2.8) as a symmetric diff
+    operator.
+
+    Scale shape: both sides reduce to slim (id, row-hash) pairs per
+    batch BEFORE the single full-outer hash join -- payload columns
+    never shuffle; the verdict map is stateless.
+    """
+    import hashlib
+
+    from .dedup import normalize_join_blocks
+
+    if num_partitions is None:
+        try:
+            import ray
+
+            num_partitions = max(
+                2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2)
+            )
+        except Exception:
+            num_partitions = 8
+
+    def slim(key_name: str, tag: str):
+        def f(b: pa.Table) -> pa.Table:
+            cols = [b[c].to_pylist() for c in hash_cols]
+            hs = [
+                hashlib.md5(
+                    "\x1f".join("" if v is None else str(v) for v in row)
+                    .encode()
+                ).hexdigest()[:16]
+                for row in zip(*cols)
+            ] if cols else [""] * len(b)
+            return pa.table(
+                {
+                    key_name: pc.cast(b[id_col], pa.int64()),
+                    f"h_{tag}": pa.array(hs, pa.string()),
+                }
+            )
+
+        return f
+
+    old_slim = old_ds.map_batches(slim("__id_l", "old"),
+                                  batch_format="pyarrow")
+    new_slim = new_ds.map_batches(slim("__id_r", "new"),
+                                  batch_format="pyarrow")
+    # distinct key names on the two sides (the nation_counts_full_outer
+    # pattern); Ray's full outer COALESCEs right_on into the left key
+    # column, so the output carries one non-null __id_l for every row.
+    joined = old_slim.join(
+        normalize_join_blocks(new_slim, num_partitions),
+        join_type="full_outer",
+        num_partitions=num_partitions,
+        on=("__id_l",),
+        right_on=("__id_r",),
+    )
+
+    def verdict(b: pa.Table) -> pa.Table:
+        ho = b["h_old"]
+        hn = b["h_new"]
+        added = pc.is_null(ho)
+        removed = pc.is_null(hn)
+        changed = pc.and_(
+            pc.and_(pc.is_valid(ho), pc.is_valid(hn)),
+            pc.not_equal(ho, hn),
+        )
+        change = pc.if_else(
+            added, pa.scalar("added"),
+            pc.if_else(removed, pa.scalar("removed"),
+                       pc.if_else(changed, pa.scalar("changed"),
+                                  pa.scalar(None, pa.string()))),
+        )
+        t = pa.table({id_col: b["__id_l"], "change": change})
+        return t.filter(pc.is_valid(t["change"]))
+
+    return joined.map_batches(verdict, batch_format="pyarrow")

@@ -3265,3 +3265,67 @@ class TestGroupedEntropy:
         assert out["n_rows"].tolist() == [4, 3]
         m = int(math.floor(-math.log(0.5) * 1e6 + 0.5))
         assert out["surprisal_micro"].tolist() == [4 * m, 0]
+
+
+class TestRetentionCohorts:
+    def test_by_hand(self, ray_session):
+        from datetime import datetime
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import retention_cohorts
+
+        def d(day):
+            return datetime(2024, 1, 1 + day)
+
+        rows = [
+            # u1 cohort week 0, active weeks 0,1 (plus a dup in week 0)
+            {"user_id": 1, "ts": d(0)},
+            {"user_id": 1, "ts": d(1)},
+            {"user_id": 1, "ts": d(8)},
+            # u2 cohort week 0 only
+            {"user_id": 2, "ts": d(2)},
+            # u3 cohort week 1
+            {"user_id": 3, "ts": d(9)},
+        ]
+        out = (
+            retention_cohorts(rd.from_items(rows))
+            .to_pandas()
+            .sort_values(["cohort_bucket", "age_buckets"])
+            .reset_index(drop=True)
+        )
+        base = out["cohort_bucket"].min()
+        rel = {
+            (int(r["cohort_bucket"] - base), int(r["age_buckets"])):
+                int(r["n_users"])
+            for _, r in out.iterrows()
+        }
+        assert rel == {(0, 0): 2, (0, 1): 1, (1, 0): 1}
+
+
+class TestSnapshotDiff:
+    def test_three_kinds(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import snapshot_diff
+
+        old = rd.from_items(
+            [
+                {"id": 1, "v": "a"},
+                {"id": 2, "v": "b"},
+                {"id": 3, "v": "c"},
+            ]
+        )
+        new = rd.from_items(
+            [
+                {"id": 1, "v": "a"},      # unchanged -> absent
+                {"id": 2, "v": "B"},      # changed
+                {"id": 4, "v": "d"},      # added
+            ]
+        )
+        out = snapshot_diff(
+            old, new, id_col="id", hash_cols=["v"]
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        assert dict(zip(out["id"], out["change"])) == {
+            2: "changed", 3: "removed", 4: "added"
+        }
