@@ -5260,3 +5260,38 @@ SELECT COALESCE(o.id, n.id) AS o_orderkey,
 FROM old o FULL OUTER JOIN new n ON o.id = n.id
 WHERE o.id IS NULL OR n.id IS NULL OR o.st <> n.st OR o.pr <> n.pr
 """
+
+
+def events_value_zscores(sf_dir: str):
+    """Per-type z-score normalization (ops/relational.py
+    zscore_per_group): exact int64 moment sums broadcast as an
+    O(#groups) table into a stateless per-row map -- event rows never
+    shuffle; the per-row float is the same IEEE expression the oracle
+    evaluates, so even the doubles hash equal."""
+    from .ops.relational import zscore_per_group
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+    return zscore_per_group(
+        ds, key_col="event_type", value_col="value", id_col="event_id"
+    )
+
+
+QUERIES["events_value_zscores"] = events_value_zscores
+
+ORACLE_SQL["events_value_zscores"] = """
+WITH q AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 1000) AS BIGINT) AS vu FROM events
+), m AS (
+  SELECT event_type, CAST(SUM(vu) AS DOUBLE) AS s,
+         CAST(SUM(vu * vu) AS DOUBLE) AS ss,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM q GROUP BY event_type
+)
+SELECT q.event_id, q.event_type,
+       (CAST(q.vu AS DOUBLE) - m.s / m.n)
+         / sqrt((m.ss - m.s * m.s / m.n) / (m.n - 1.0)) AS z
+FROM q JOIN m USING (event_type)
+WHERE m.n > 1 AND (m.ss - m.s * m.s / m.n) / (m.n - 1.0) > 0
+"""

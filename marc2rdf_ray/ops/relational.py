@@ -629,3 +629,81 @@ def snapshot_diff(
         return t.filter(pc.is_valid(t["change"]))
 
     return joined.map_batches(verdict, batch_format="pyarrow")
+
+
+def zscore_per_group(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    scale: float = 1000.0,
+):
+    """Per-group z-score normalization -- ``(v - mean) / stddev`` within
+    each group -- with a bit-exact SQL oracle: values quantize to integer
+    ``scale``-units, group moments come from :func:`grouped_moments`'s
+    exact int64 (n, s, ss) sums, and the per-row score is the IEEE-double
+    expression ``(vu - s/n) / sqrt((ss - s*s/n) / (n-1))`` evaluated in
+    the same operand order both sides (exactly-represented integer
+    inputs, so even the float bits hash equal).  Rows in groups with
+    n <= 1 or zero variance are dropped (z undefined).
+
+    Scale shape: moments are the combiner-first grouped_moments pass;
+    the O(#groups) (s, ss, n) table broadcasts into a stateless per-row
+    map.  Rows never shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.numeric import sql_round_i64
+
+    def partial(b: pa.Table) -> pa.Table:
+        vu = sql_round_i64(b[value_col], scale)
+        t = pa.table(
+            {
+                key_col: b[key_col],
+                "vu": vu,
+                "vu2": pc.multiply_checked(vu, vu),
+            }
+        )
+        g = t.group_by([key_col], use_threads=False).aggregate(
+            [("vu", "sum"), ("vu2", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns([key_col, "s", "ss", "n"])
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+            Sum("n", alias_name="n"),
+        )
+        .take_all()
+    )
+    mom = {
+        r[key_col]: (float(r["s"]), float(r["ss"]), float(r["n"]))
+        for r in rows
+    }
+
+    def score(b: pa.Table) -> pa.Table:
+        vu = sql_round_i64(b[value_col], scale).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        ks = b[key_col].to_pylist()
+        s = np.array([mom[k][0] for k in ks])
+        ss = np.array([mom[k][1] for k in ks])
+        n = np.array([mom[k][2] for k in ks])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (ss - s * s / n) / (n - 1.0)
+            z = (vu - s / n) / np.sqrt(var)
+        ok = (n > 1) & (var > 0)
+        t = pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                key_col: b[key_col],
+                "z": pa.array(z, pa.float64()),
+            }
+        )
+        return t.filter(pa.array(ok))
+
+    return ds.map_batches(score, batch_format="pyarrow")

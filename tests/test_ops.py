@@ -3329,3 +3329,24 @@ class TestSnapshotDiff:
         assert dict(zip(out["id"], out["change"])) == {
             2: "changed", 3: "removed", 4: "added"
         }
+
+
+class TestZscorePerGroup:
+    def test_matches_numpy(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import zscore_per_group
+
+        vals = [1.0, 2.0, 3.0, 10.0]
+        rows = [
+            {"id": i, "k": "g", "value": v} for i, v in enumerate(vals)
+        ] + [{"id": 99, "k": "solo", "value": 5.0}]  # n=1 -> dropped
+        out = zscore_per_group(
+            rd.from_items(rows), key_col="k", value_col="value",
+            id_col="id",
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        assert out["id"].tolist() == [0, 1, 2, 3]
+        v = np.array(vals) * 1000
+        want = (v - v.mean()) / v.std(ddof=1)
+        assert np.allclose(out["z"].to_numpy(), want)
