@@ -1383,6 +1383,14 @@ def select_token_budget(
         ids = group[id_col].to_numpy(zero_copy_only=False)
         toks = group["t"].to_numpy(zero_copy_only=False)
         s = int(group["s"][0].as_py())
+        if s not in offsets:
+            # the tfidf-two-pass trap (ADVICE r3): a score present in the
+            # selection pass but absent from the offset pass means the
+            # input changed between the two reads -- fail diagnosably.
+            raise RuntimeError(
+                f"select_token_budget: score {s} not seen in the offset "
+                "pass; input changed between the two reads of ds"
+            )
         order = np.argsort(ids, kind="stable")
         ids, toks = ids[order], toks[order]
         cum = np.cumsum(toks) + offsets[s]

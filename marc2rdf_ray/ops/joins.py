@@ -509,27 +509,19 @@ def skew_salted_join(
 
     def salt_fact(b: pa.Table) -> pa.Table:
         hs = ray.get(hot_ref)
-        ids = pc.cast(b[fact_id_col], pa.int64())
         if hs:
-            is_hot = pc.is_in(
-                b[key], value_set=pa.array(list(hs), b[key].type)
-            )
-            salt = pc.if_else(
-                is_hot,
-                pc.cast(
-                    pc.bit_wise_and(ids, salt_factor - 1)
-                    if (salt_factor & (salt_factor - 1)) == 0
-                    else pc.subtract(
-                        ids,
-                        pc.multiply(
-                            pc.divide(ids, salt_factor),
-                            salt_factor,
-                        ),
-                    ),
-                    pa.int32(),
+            is_hot = pc.fill_null(
+                pc.is_in(
+                    b[key], value_set=pa.array(list(hs), b[key].type)
                 ),
-                pa.scalar(0, pa.int32()),
+                False,
+            ).to_numpy(zero_copy_only=False)
+            ids = (
+                pc.cast(b[fact_id_col], pa.int64())
+                .to_numpy(zero_copy_only=False)
             )
+            salt = np.where(is_hot, ids % salt_factor, 0).astype(np.int32)
+            salt = pa.array(salt)
         else:
             salt = pa.array(np.zeros(len(b), np.int32))
         return b.append_column("__salt", salt)

@@ -604,3 +604,14 @@ class TestSkewSaltedJoin:
             salt_factor=4, hot_threshold=1_000,
         ).to_pandas()
         assert len(out) == 60
+
+    def test_non_power_of_two_salt(self, ray_session):
+        from marc2rdf_ray.ops.joins import skew_salted_join
+
+        fact, dim = self._tables()
+        out = skew_salted_join(
+            fact, dim, key="k", fact_id_col="event_id",
+            salt_factor=3, hot_threshold=10,
+        ).to_pandas()
+        assert len(out) == 60
+        assert (out[out["k"] == "hot"]["attr"] == "H").all()
