@@ -5295,3 +5295,24 @@ SELECT q.event_id, q.event_type,
 FROM q JOIN m USING (event_type)
 WHERE m.n > 1 AND (m.ss - m.s * m.s / m.n) / (m.n - 1.0) > 0
 """
+
+
+def events_type_distinct_users_exact(sf_dir: str):
+    """Exact per-type distinct-user counts (ops/relational.py
+    grouped_count_distinct) -- the exact complement of the HLL-sketch
+    query over the same grouping: pair-dedup combiner, one global
+    distinct, one tiny count-sum."""
+    from .ops.relational import grouped_count_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_count_distinct(
+        ds, key_col="event_type", value_col="user_id"
+    )
+
+
+QUERIES["events_type_distinct_users_exact"] = events_type_distinct_users_exact
+
+ORACLE_SQL["events_type_distinct_users_exact"] = """
+SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events GROUP BY event_type
+"""

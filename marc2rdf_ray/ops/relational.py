@@ -707,3 +707,49 @@ def zscore_per_group(
         return t.filter(pa.array(ok))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def grouped_count_distinct(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+):
+    """Exact COUNT(DISTINCT value) per group -- the exact complement of
+    the per-group HLL sketch (ops/sketches.py hll_registers_by): use this
+    when the distinct cardinality itself must be exact, the sketch when
+    the value domain is unbounded.
+
+    Scale shape: per-batch (key, value) dedup combiner -> ONE global
+    distinct groupby on the pair -> per-batch (key, 1) partials -> one
+    tiny groupby-sum.  Raw rows never shuffle; the exchange carries one
+    row per distinct (key, value) pair per batch.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def pair_dedup(b: pa.Table) -> pa.Table:
+        return (
+            b.select([key_col, value_col])
+            .group_by([key_col, value_col], use_threads=False)
+            .aggregate([])
+        )
+
+    distinct = (
+        ds.map_batches(pair_dedup, batch_format="pyarrow")
+        .groupby([key_col, value_col])
+        .aggregate(Count(alias_name="__c"))
+    )
+
+    def ones(b: pa.Table) -> pa.Table:
+        g = (
+            b.select([key_col])
+            .group_by([key_col], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([key_col, "n"])
+
+    return (
+        distinct.map_batches(ones, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n", alias_name="n_distinct"))
+    )

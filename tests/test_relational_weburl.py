@@ -454,6 +454,29 @@ class TestGroupedMoments:
         assert np.isnan(out["var_v"][1])
 
 
+class TestGroupedCountDistinct:
+    def test_exact_counts_across_batches(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import grouped_count_distinct
+
+        # duplicates of (key, value) pairs deliberately span batches so a
+        # per-batch-only dedup would overcount
+        rows = (
+            [{"k": "a", "v": 1}, {"k": "a", "v": 2}, {"k": "b", "v": 1}] * 5
+            + [{"k": "a", "v": 3}, {"k": "b", "v": 1}, {"k": "b", "v": 9}]
+        )
+        ds = rd.from_items(rows).repartition(4)
+        out = (
+            grouped_count_distinct(ds, key_col="k", value_col="v")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert out["k"].tolist() == ["a", "b"]
+        assert out["n_distinct"].tolist() == [3, 2]
+
+
 class TestGopherFilter:
     def test_rules(self, ray_session):
         import ray.data as rd
