@@ -5316,3 +5316,81 @@ ORACLE_SQL["events_type_distinct_users_exact"] = """
 SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_distinct
 FROM events GROUP BY event_type
 """
+
+
+def events_user_transitions(sf_dir: str):
+    """Markov transition-matrix counts over each user's event timeline
+    (ops/windows.py transition_counts): one slim bucketed shuffle, a
+    vectorized lexsort + shifted-equality pass per bucket emitting
+    per-bucket partials, one tiny (#types^2)-row groupby-sum finish."""
+    from .ops.windows import transition_counts
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    return transition_counts(
+        ds,
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        type_col="event_type",
+    )
+
+
+QUERIES["events_user_transitions"] = events_user_transitions
+
+ORACLE_SQL["events_user_transitions"] = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM events
+)
+SELECT prev AS prev_type, event_type AS next_type,
+       COUNT(*)::BIGINT AS n_transitions
+FROM s WHERE prev IS NOT NULL
+GROUP BY prev, event_type
+"""
+
+
+def orders_status_intervals(sf_dir: str):
+    """SCD-type-2 validity intervals of each customer's order status
+    (ops/windows.py validity_intervals): collapse consecutive same-status
+    runs per customer ordered by (o_orderdate, o_orderkey), stamp each
+    surviving row valid_from/valid_to -- the CDC dimension-table build."""
+    from .ops.windows import validity_intervals
+
+    ds = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
+    )
+    return validity_intervals(
+        ds,
+        key_col="o_custkey",
+        ts_col="o_orderdate",
+        id_col="o_orderkey",
+        value_col="o_orderstatus",
+    )
+
+
+QUERIES["orders_status_intervals"] = orders_status_intervals
+
+ORACLE_SQL["orders_status_intervals"] = """
+WITH s AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         LAG(o_orderstatus) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev
+  FROM orders
+), chg AS (
+  SELECT * FROM s WHERE prev IS NULL OR prev <> o_orderstatus
+)
+SELECT o_custkey, o_orderstatus,
+       epoch_us(o_orderdate) AS valid_from_us,
+       LEAD(epoch_us(o_orderdate)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS valid_to_us
+FROM chg
+"""

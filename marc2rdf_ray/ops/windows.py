@@ -852,3 +852,198 @@ def interarrival_stats(
         .groupby("bucket")
         .map_groups(gaps, batch_format="pyarrow")
     )
+
+
+def transition_counts(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    num_buckets: int | None = None,
+):
+    """Markov transition-matrix counts -- how often ``prev_type`` is
+    immediately followed by ``next_type`` within one key's timeline --
+    i.e. SQL's ``LAG(type) OVER (PARTITION BY key ORDER BY ts, id)``
+    folded into a global ``GROUP BY prev, next``.
+
+    Scale shape: ONE slim shuffle of (id, key, ts_us, type) hash-bucketed
+    by key -- no payload columns move -- then a vectorized lexsort +
+    shifted-equality pass per bucket that emits per-bucket PARTIAL
+    (prev, next, n) counts, finished by a tiny groupby-sum whose row
+    count is bounded by (#types)^2, not the event count.
+
+    Partitioning assumption (custom-operator rule, as sessionize /
+    interarrival_stats): one key's rows fit one bucket task; keys are
+    users, so per-key counts are human-bounded.  `_warn_hot_keys`
+    surfaces pathological skew as a log line.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import bucket_codes
+
+    if num_buckets is None:
+        try:
+            import ray
+
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_buckets = 16
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        t = pa.table(
+            {
+                "id": pc.cast(b[id_col], pa.int64()),
+                "u": pc.cast(b[key_col], pa.int64()),
+                "tus": pc.cast(ts, pa.int64()),
+                "ty": pc.cast(b[type_col], pa.string()),
+            }
+        )
+        return t.append_column(
+            "bucket", bucket_codes(pc.cast(t["u"], pa.string()), num_buckets)
+        )
+
+    empty = pa.table(
+        {
+            "prev_type": pa.array([], pa.string()),
+            "next_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return empty
+        u = group["u"].to_numpy(zero_copy_only=False)
+        tus = group["tus"].to_numpy(zero_copy_only=False)
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        # factorize the type strings ONCE per task; pairs combine codes
+        dictarr = pc.dictionary_encode(group["ty"].combine_chunks())
+        codes = dictarr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques = np.asarray(dictarr.dictionary.to_pylist(), dtype=object)
+        order = np.lexsort((ids, tus, u))
+        u, codes = u[order], codes[order]
+        _warn_hot_keys("transition_counts", u)
+        valid = u[1:] == u[:-1]
+        prev_c = codes[:-1][valid]
+        next_c = codes[1:][valid]
+        if len(prev_c) == 0:
+            return empty
+        k = len(uniques)
+        combo = prev_c * k + next_c
+        vals, cnts = np.unique(combo, return_counts=True)
+        return pa.table(
+            {
+                "prev_type": pa.array(uniques[vals // k], pa.string()),
+                "next_type": pa.array(uniques[vals % k], pa.string()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partial = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    return (
+        partial.groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n_transitions"))
+    )
+
+
+def validity_intervals(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    num_buckets: int | None = None,
+):
+    """SCD-type-2 validity intervals: per key, order rows by (ts, id),
+    COLLAPSE consecutive runs of an identical value (keep the run's first
+    row), and stamp each surviving row with ``valid_from_us`` = its own
+    timestamp and ``valid_to_us`` = the NEXT surviving row's timestamp
+    (null for the key's current value) -- SQL's LAG-change-filter +
+    LEAD composition, the standard CDC-to-dimension-table build.
+
+    Scale shape: ONE slim shuffle of (id, key, ts_us, value) bucketed by
+    key; each bucket task does a lexsort + two shifted compares -- no
+    iteration, no driver state.  Same one-key-one-task assumption as the
+    sibling window ops, `_warn_hot_keys`-guarded.
+    """
+    from ..functions.hashing import bucket_codes
+
+    if num_buckets is None:
+        try:
+            import ray
+
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_buckets = 16
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        t = pa.table(
+            {
+                "id": pc.cast(b[id_col], pa.int64()),
+                "u": pc.cast(b[key_col], pa.int64()),
+                "tus": pc.cast(ts, pa.int64()),
+                "v": pc.cast(b[value_col], pa.string()),
+            }
+        )
+        return t.append_column(
+            "bucket", bucket_codes(pc.cast(t["u"], pa.string()), num_buckets)
+        )
+
+    def intervals(group: pa.Table) -> pa.Table:
+        u = group["u"].to_numpy(zero_copy_only=False)
+        tus = group["tus"].to_numpy(zero_copy_only=False)
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        v = np.asarray(group["v"].to_pylist(), dtype=object)
+        order = np.lexsort((ids, tus, u))
+        u, tus, v = u[order], tus[order], v[order]
+        _warn_hot_keys("validity_intervals", u)
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    value_col: pa.array([], pa.string()),
+                    "valid_from_us": pa.array([], pa.int64()),
+                    "valid_to_us": pa.array([], pa.int64()),
+                }
+            )
+        keep = np.empty(n, bool)
+        keep[:1] = True
+        keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        ku, ktus, kv = u[keep], tus[keep], v[keep]
+        m = len(ku)
+        to = np.full(m, -1, np.int64)
+        same_next = np.zeros(m, bool)
+        if m > 1:
+            same_next[:-1] = ku[1:] == ku[:-1]
+            to[:-1][same_next[:-1]] = ktus[1:][same_next[:-1]]
+        return pa.table(
+            {
+                key_col: pa.array(ku, pa.int64()),
+                value_col: pa.array(kv, pa.string()),
+                "valid_from_us": pa.array(ktus, pa.int64()),
+                "valid_to_us": pa.array(
+                    np.where(same_next, to, None).tolist(), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(intervals, batch_format="pyarrow")
+    )

@@ -3350,3 +3350,80 @@ class TestZscorePerGroup:
         v = np.array(vals) * 1000
         want = (v - v.mean()) / v.std(ddof=1)
         assert np.allclose(out["z"].to_numpy(), want)
+
+
+class TestTransitionCounts:
+    def test_pairs_and_tiebreak(self, ray_session):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import transition_counts
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1: a -> b -> b   (ts tie between b/a broken by id)
+            {"event_id": 1, "user_id": 1, "ts": t0, "event_type": "a"},
+            {"event_id": 2, "user_id": 1, "ts": t0, "event_type": "b"},
+            {"event_id": 3, "user_id": 1,
+             "ts": t0 + dt.timedelta(hours=1), "event_type": "b"},
+            # user 2: single event -> no transition
+            {"event_id": 4, "user_id": 2, "ts": t0, "event_type": "a"},
+            # user 3: b -> a
+            {"event_id": 5, "user_id": 3, "ts": t0, "event_type": "b"},
+            {"event_id": 6, "user_id": 3,
+             "ts": t0 + dt.timedelta(hours=2), "event_type": "a"},
+        ]
+        out = (
+            transition_counts(rd.from_items(rows).repartition(3))
+            .to_pandas()
+            .sort_values(["prev_type", "next_type"])
+            .reset_index(drop=True)
+        )
+        got = {
+            (r.prev_type, r.next_type): r.n_transitions
+            for r in out.itertuples()
+        }
+        assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "a"): 1}
+
+
+class TestValidityIntervals:
+    def test_collapse_runs_and_open_tail(self, ray_session):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import validity_intervals
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ts(h):
+            return t0 + dt.timedelta(hours=h)
+
+        rows = [
+            # key 1: O,O,F,O -> runs O(0..2), F(2..3), O(3..open)
+            {"id": 1, "k": 1, "ts": ts(0), "v": "O"},
+            {"id": 2, "k": 1, "ts": ts(1), "v": "O"},
+            {"id": 3, "k": 1, "ts": ts(2), "v": "F"},
+            {"id": 4, "k": 1, "ts": ts(3), "v": "O"},
+            # key 2: single row -> one open interval
+            {"id": 5, "k": 2, "ts": ts(5), "v": "P"},
+        ]
+        out = (
+            validity_intervals(
+                rd.from_items(rows).repartition(3),
+                key_col="k", ts_col="ts", id_col="id", value_col="v",
+            )
+            .to_pandas()
+            .sort_values(["k", "valid_from_us"])
+            .reset_index(drop=True)
+        )
+        us = lambda h: int(ts(h).timestamp() * 1e6)  # noqa: E731
+        assert out["k"].tolist() == [1, 1, 1, 2]
+        assert out["v"].tolist() == ["O", "F", "O", "P"]
+        assert out["valid_from_us"].tolist() == [us(0), us(2), us(3), us(5)]
+        import pandas as pd
+
+        tos = out["valid_to_us"].tolist()
+        assert tos[0] == us(2) and tos[1] == us(3)
+        assert pd.isna(tos[2]) and pd.isna(tos[3])
