@@ -5394,3 +5394,34 @@ SELECT o_custkey, o_orderstatus,
        ) AS valid_to_us
 FROM chg
 """
+
+
+def events_hourly_gapfill(sf_dir: str):
+    """Dense per-type hourly counts with zero-filled gaps
+    (ops/relational.py gapfill_counts): per-batch count combiner ->
+    one groupby-sum -> per-key np.arange grid expansion."""
+    from .ops.relational import gapfill_counts
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    return gapfill_counts(ds, key_col="event_type", ts_col="ts")
+
+
+QUERIES["events_hourly_gapfill"] = events_hourly_gapfill
+
+ORACLE_SQL["events_hourly_gapfill"] = """
+WITH c AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) AS bucket_us,
+         COUNT(*)::BIGINT AS n
+  FROM events GROUP BY event_type, bucket_us
+), span AS (
+  SELECT event_type, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi
+  FROM c GROUP BY event_type
+), grid AS (
+  SELECT s.event_type,
+         unnest(generate_series(s.lo, s.hi, 3600000000)) AS bucket_us
+  FROM span s
+)
+SELECT g.event_type, g.bucket_us, COALESCE(c.n, 0)::BIGINT AS n_events
+FROM grid g LEFT JOIN c USING (event_type, bucket_us)
+"""

@@ -753,3 +753,69 @@ def grouped_count_distinct(
         .groupby(key_col)
         .aggregate(Sum("n", alias_name="n_distinct"))
     )
+
+
+def gapfill_counts(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    step_us: int = 3_600_000_000,
+):
+    """Dense time-bucketed counts per key with ZERO-filled gaps -- SQL's
+    ``generate_series`` grid LEFT JOIN -- as a distributed composition:
+
+    1. per-batch (key, bucket) count combiner (raw rows never shuffle --
+       the exchange carries one row per distinct key-bucket per batch),
+    2. one groupby-sum to globalize the sparse counts,
+    3. per-key grid expansion in a map_groups task: ``np.arange`` over
+       the key's [min, max] bucket span + one ``searchsorted`` scatter.
+
+    The expansion task holds one key's FULL span, which is output-sized
+    and time-bounded (a decade of hours is ~90k rows), not data-sized;
+    documented per the custom-operator rule.
+    """
+    from ray.data.aggregate import Sum
+
+    step = np.int64(step_us)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        tus = pc.cast(ts, pa.int64())
+        # floor-divide is the bucket truncation; timestamps are >= epoch
+        # in the contract tables so // matches date_trunc
+        bucket = pc.multiply(
+            pc.divide(tus, pa.scalar(step, pa.int64())),
+            pa.scalar(step, pa.int64()),
+        )
+        t = pa.table({"k": b[key_col], "bucket_us": bucket})
+        return (
+            t.group_by(["k", "bucket_us"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["k", "bucket_us", "n"])
+        )
+
+    sparse = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["k", "bucket_us"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+    def expand(group: pa.Table) -> pa.Table:
+        k = group["k"]
+        b = group["bucket_us"].to_numpy(zero_copy_only=False)
+        n = group["n_events"].to_numpy(zero_copy_only=False)
+        grid = np.arange(b.min(), b.max() + step, step, dtype=np.int64)
+        filled = np.zeros(len(grid), np.int64)
+        filled[np.searchsorted(grid, b)] = n
+        return pa.table(
+            {
+                key_col: pa.array([k[0].as_py()] * len(grid), k.type),
+                "bucket_us": pa.array(grid, pa.int64()),
+                "n_events": pa.array(filled, pa.int64()),
+            }
+        )
+
+    return sparse.groupby("k").map_groups(expand, batch_format="pyarrow")

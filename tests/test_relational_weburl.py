@@ -638,3 +638,41 @@ class TestSkewSaltedJoin:
         ).to_pandas()
         assert len(out) == 60
         assert (out[out["k"] == "hot"]["attr"] == "H").all()
+
+
+class TestGapfillCounts:
+    def test_zero_fills_interior_gaps(self, ray_session):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import gapfill_counts
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ts(h, m=0):
+            return t0 + dt.timedelta(hours=h, minutes=m)
+
+        rows = [
+            # key a: hours 0 (x2), 3 -> grid 0,1,2,3 with [2,0,0,1]
+            {"k": "a", "ts": ts(0)},
+            {"k": "a", "ts": ts(0, 30)},
+            {"k": "a", "ts": ts(3)},
+            # key b: single hour -> one row, no expansion
+            {"k": "b", "ts": ts(7)},
+        ]
+        out = (
+            gapfill_counts(
+                rd.from_items(rows).repartition(2), key_col="k", ts_col="ts"
+            )
+            .to_pandas()
+            .sort_values(["k", "bucket_us"])
+            .reset_index(drop=True)
+        )
+        us = lambda h: int(ts(h).timestamp() * 1e6)  # noqa: E731
+        a = out[out["k"] == "a"]
+        assert a["bucket_us"].tolist() == [us(0), us(1), us(2), us(3)]
+        assert a["n_events"].tolist() == [2, 0, 0, 1]
+        b = out[out["k"] == "b"]
+        assert b["bucket_us"].tolist() == [us(7)]
+        assert b["n_events"].tolist() == [1]
