@@ -4820,6 +4820,20 @@ def graph_link_prediction(sf_dir: str):
     return common_neighbors_topk(edges, k=50)
 
 
+def graph_link_prediction_aa(sf_dir: str):
+    """Adamic--Adar link prediction (ops/graph.py common_neighbors_topk
+    with adamic_adar=True): same wedge machinery as the common-neighbor
+    variant, but each shared neighbor w contributes
+    floor(1e6/ln(deg(w)) + 0.5) integer micro-units (rare shared
+    neighbors count more).  Per-wedge weights round BEFORE the sum, so
+    int64 addition is order-free and the DuckDB oracle replays the
+    score bit-for-bit; top-50 by (score_micro DESC, u, v)."""
+    from .ops.graph import common_neighbors_topk
+
+    edges, _, _ = _md5_link_graph(sf_dir)
+    return common_neighbors_topk(edges, k=50, adamic_adar=True)
+
+
 QUERIES["events_interarrival"] = events_interarrival
 QUERIES["events_user_top_type"] = events_user_top_type
 QUERIES["events_type_value_stats"] = events_type_value_stats
@@ -4827,6 +4841,7 @@ QUERIES["docs_gopher_filter"] = docs_gopher_filter
 QUERIES["docs_token_budget"] = docs_token_budget
 QUERIES["graph_hits"] = graph_hits
 QUERIES["graph_link_prediction"] = graph_link_prediction
+QUERIES["graph_link_prediction_aa"] = graph_link_prediction_aa
 
 
 ORACLE_SQL["events_interarrival"] = """
@@ -4983,6 +4998,26 @@ w AS (
 SELECT w.u, w.v, w.cnt FROM w
 WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.u = w.u AND e0.v = w.v)
 ORDER BY cnt DESC, u, v LIMIT 50
+"""
+
+ORACLE_SQL["graph_link_prediction_aa"] = f"""
+WITH {_MD5_EDGES_SQL},
+e0 AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM edges WHERE src <> dst GROUP BY 1, 2),
+adj AS (SELECT u AS node, v AS nb FROM e0
+        UNION ALL SELECT v, u FROM e0),
+deg AS (SELECT node, COUNT(*)::BIGINT AS d FROM adj GROUP BY node),
+w AS (
+  SELECT a.nb AS u, b.nb AS v,
+         CAST(SUM(CAST(FLOOR(1000000.0 / ln(CAST(deg.d AS DOUBLE)) + 0.5)
+                       AS BIGINT)) AS BIGINT) AS score_micro
+  FROM adj a JOIN adj b ON a.node = b.node AND a.nb < b.nb
+  JOIN deg ON deg.node = a.node
+  GROUP BY 1, 2
+)
+SELECT w.u, w.v, w.score_micro FROM w
+WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.u = w.u AND e0.v = w.v)
+ORDER BY score_micro DESC, u, v LIMIT 50
 """
 
 

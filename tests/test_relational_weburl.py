@@ -571,6 +571,37 @@ class TestCommonNeighbors:
         # (1,4) via 3; (2,3) via 1 -> edge; (1,3) edge suppressed.
         assert pairs == {(2, 4): 1, (1, 4): 1}
 
+    def test_adamic_adar_weights(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import common_neighbors_topk
+
+        # star 0-{1,2,3} plus path 1-4: deg(0)=3, deg(1)=2.
+        # (2,3),(2,4)... shared neighbors:
+        #   (1,2),(1,3),(2,3) via 0 (deg 3); (0,4) via 1 (deg 2).
+        edges = rd.from_items(
+            [
+                {"src": 0, "dst": 1},
+                {"src": 0, "dst": 2},
+                {"src": 0, "dst": 3},
+                {"src": 1, "dst": 4},
+            ]
+        )
+        out = common_neighbors_topk(
+            edges, k=10, adamic_adar=True
+        ).to_pandas()
+        got = {
+            (int(r["u"]), int(r["v"])): int(r["score_micro"])
+            for _, r in out.iterrows()
+        }
+        w3 = math.floor(1e6 / math.log(3.0) + 0.5)
+        w2 = math.floor(1e6 / math.log(2.0) + 0.5)
+        assert got == {
+            (1, 2): w3, (1, 3): w3, (2, 3): w3, (0, 4): w2,
+        }
+
     def test_strict_cap_raises(self, ray_session):
         import pytest
         import ray.data as rd
