@@ -5443,6 +5443,67 @@ def events_hourly_gapfill(sf_dir: str):
 
 QUERIES["events_hourly_gapfill"] = events_hourly_gapfill
 
+def events_type_top_values(sf_dir: str):
+    """Top-3 events per type by (value DESC, event_id ASC)
+    (ops/relational.py topk_per_group): a per-batch partial top-k
+    combiner cuts each group to at most k rows BEFORE the exchange, so
+    the shuffle carries O(k x groups x batches) slim rows; one bucketed
+    groupby finishes with the identical lexsort + run-position mask and
+    stamps the rank."""
+    from .ops.relational import topk_per_group
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return topk_per_group(
+        ds, key_col="event_type", value_col="value", id_col="event_id", k=3
+    )
+
+
+QUERIES["events_type_top_values"] = events_type_top_values
+
+ORACLE_SQL["events_type_top_values"] = """
+WITH q AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(value * 1000) AS BIGINT) AS value_units
+  FROM events
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY value_units DESC, event_id
+  ) AS rnk FROM q
+)
+SELECT event_type, event_id, value_units, rnk FROM r WHERE rnk <= 3
+"""
+
+
+def events_rolling_active_users(sf_dir: str):
+    """Trailing 7-day distinct active users per day
+    (ops/relational.py rolling_distinct_users): rows collapse to
+    distinct (user, day) pairs, each pair fans out to the 7 trailing
+    days it keeps alive, one more distinct, then count partials -- the
+    window COUNT(DISTINCT) SQL cannot express and a per-day recount
+    would make 7 passes over."""
+    from .ops.relational import rolling_distinct_users
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return rolling_distinct_users(ds, key_col="user_id", ts_col="ts")
+
+
+QUERIES["events_rolling_active_users"] = events_rolling_active_users
+
+ORACLE_SQL["events_rolling_active_users"] = """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS d
+  FROM events
+), w AS (
+  SELECT DISTINCT a.user_id, a.d + g.i AS wd
+  FROM a, (SELECT unnest(generate_series(0, 6)) AS i) g
+  WHERE a.d + g.i <= (SELECT MAX(d) FROM a)
+)
+SELECT wd AS day_bucket, COUNT(*)::BIGINT AS n_users
+FROM w GROUP BY wd
+"""
+
+
 ORACLE_SQL["events_hourly_gapfill"] = """
 WITH c AS (
   SELECT event_type,

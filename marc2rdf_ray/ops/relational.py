@@ -755,6 +755,181 @@ def grouped_count_distinct(
     )
 
 
+def topk_per_group(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    k: int,
+    cents_factor: float | None = 1000.0,
+    num_buckets: int | None = None,
+):
+    """Top-``k`` rows per group by ``(value DESC, id ASC)`` -- SQL's
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY value DESC, id)``
+    with a ``rnk <= k`` cut, as a distributed composition (reference
+    analog: the per-source "best records" reporting cut, SURVEY.md §2
+    O1/O6 family).
+
+    Scale shape: a per-batch partial top-k combiner (vectorized lexsort
+    + run-position mask -- at most k rows per group per batch survive)
+    runs BEFORE the exchange, so the shuffle carries O(k x groups x
+    batches) slim rows, never the data.  ONE groupby on the hashed key
+    bucket finishes with the identical sort + mask and stamps the rank.
+    Values are floored to integer units first (functions.numeric
+    .sql_round_i64) so ordering is total and replayable in SQL.
+    """
+    from ..functions.hashing import bucket_codes
+    from ..functions.numeric import sql_round_i64
+
+    nb = num_buckets or _default_buckets()
+
+    def _cut(t: pa.Table, stamp_rank: bool) -> pa.Table:
+        t = t.sort_by(
+            [(key_col, "ascending"), ("value_units", "descending"),
+             (id_col, "ascending")]
+        )
+        kk = t[key_col]
+        if isinstance(kk, pa.ChunkedArray):
+            kk = kk.combine_chunks()
+        kk = kk.to_numpy(zero_copy_only=False)
+        if not len(kk):
+            out = t.select([key_col, id_col, "value_units"])
+            return (
+                out.append_column("rnk", pa.array([], pa.int64()))
+                if stamp_rank else out
+            )
+        starts = np.flatnonzero(
+            np.concatenate([[True], kk[1:] != kk[:-1]])
+        )
+        run_id = np.cumsum(
+            np.concatenate([[True], kk[1:] != kk[:-1]])
+        ) - 1
+        pos = np.arange(len(kk)) - starts[run_id]
+        t = t.filter(pa.array(pos < k))
+        out = t.select([key_col, id_col, "value_units"])
+        if stamp_rank:
+            out = out.append_column(
+                "rnk", pa.array(pos[pos < k] + 1, pa.int64())
+            )
+        return out
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = (
+            sql_round_i64(b[value_col], cents_factor)
+            if cents_factor is not None
+            else pc.cast(b[value_col], pa.int64())
+        )
+        t = pa.table(
+            {key_col: b[key_col], id_col: b[id_col], "value_units": v}
+        )
+        t = _cut(t, stamp_rank=False)
+        return t.append_column(
+            "__bucket", bucket_codes(pc.cast(t[key_col], pa.string()), nb)
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        return _cut(group.select([key_col, id_col, "value_units"]), True)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def rolling_distinct_users(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    window_buckets: int = 7,
+    bucket_us: int = 86_400_000_000,
+):
+    """Trailing-window COUNT(DISTINCT key) per time bucket -- "7-day
+    rolling active users" -- which SQL windows cannot express directly
+    (no ``COUNT(DISTINCT) OVER RANGE``) and a naive per-day recount
+    makes O(window) passes over the data.
+
+    Scale shape: rows collapse to distinct (key, bucket) activity pairs
+    (per-batch dedup combiner -> one global distinct), each pair fans
+    out to the ``window_buckets`` trailing buckets it keeps alive
+    (xW on the already-collapsed pairs, never the raw rows), one more
+    distinct on (key, window-bucket), then per-batch count partials ->
+    a tiny groupby-sum.  Buckets past the corpus's last active bucket
+    are clamped with a driver-side scalar max (O(1) state).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    step = np.int64(bucket_us)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        d = pc.divide(pc.cast(ts, pa.int64()), pa.scalar(step, pa.int64()))
+        t = pa.table({"k": b[key_col], "d": d})
+        return t.group_by(["k", "d"], use_threads=False).aggregate([])
+
+    # materialized so the driver-side max() and the expansion pass read
+    # the SAME computed blocks instead of re-running the distinct; this
+    # is the collapsed activity table (one row per distinct key-bucket),
+    # output-sized, not data-sized
+    activity = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["k", "d"])
+        .aggregate(Count(alias_name="__c"))
+    ).materialize()
+    max_d = int(activity.max("d"))
+
+    def expand(b: pa.Table) -> pa.Table:
+        kk = b["k"]
+        if isinstance(kk, pa.ChunkedArray):
+            kk = kk.combine_chunks()
+        d = b["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(d)
+        wd = (
+            d[:, None] + np.arange(window_buckets, dtype=np.int64)[None, :]
+        ).ravel()
+        idx = np.repeat(np.arange(n), window_buckets)
+        keep = wd <= max_d
+        t = pa.table(
+            {"k": kk.take(pa.array(idx[keep])),
+             "wd": pa.array(wd[keep], pa.int64())}
+        )
+        return t.group_by(["k", "wd"], use_threads=False).aggregate([])
+
+    alive = (
+        activity.map_batches(expand, batch_format="pyarrow")
+        .groupby(["k", "wd"])
+        .aggregate(Count(alias_name="__c"))
+    )
+
+    def ones(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["wd"])
+            .group_by(["wd"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["wd", "n"])
+
+    out = (
+        alive.map_batches(ones, batch_format="pyarrow")
+        .groupby("wd")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+    def emit(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day_bucket": pc.cast(b["wd"], pa.int64()),
+                "n_users": pc.cast(b["n_users"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(emit, batch_format="pyarrow")
+
+
 def gapfill_counts(
     ds,
     *,

@@ -707,3 +707,94 @@ class TestGapfillCounts:
         b = out[out["k"] == "b"]
         assert b["bucket_us"].tolist() == [us(7)]
         assert b["n_events"].tolist() == [1]
+
+
+class TestTopkPerGroup:
+    def test_topk_across_batches(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import topk_per_group
+
+        # values chosen so the per-batch partial cut MUST keep ties and
+        # cross-batch winners; repartition forces multiple combiners
+        rows = [
+            {"k": "a", "id": i, "v": float(v)}
+            for i, v in enumerate([5, 1, 9, 9, 3, 7])
+        ] + [
+            {"k": "b", "id": 100 + i, "v": float(v)}
+            for i, v in enumerate([2, 2, 2])
+        ]
+        out = (
+            topk_per_group(
+                rd.from_items(rows).repartition(4),
+                key_col="k", value_col="v", id_col="id", k=2,
+            )
+            .to_pandas()
+            .sort_values(["k", "rnk"])
+            .reset_index(drop=True)
+        )
+        # a: 9@id2, 9@id3 ; b: 2@id100, 2@id101 (id asc tiebreak)
+        assert out["id"].tolist() == [2, 3, 100, 101]
+        assert out["rnk"].tolist() == [1, 2, 1, 2]
+        assert out["value_units"].tolist() == [9000, 9000, 2000, 2000]
+
+    def test_group_smaller_than_k(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import topk_per_group
+
+        rows = [{"k": "solo", "id": 1, "v": 4.0}]
+        out = topk_per_group(
+            rd.from_items(rows), key_col="k", value_col="v",
+            id_col="id", k=5,
+        ).to_pandas()
+        assert len(out) == 1 and out["rnk"].tolist() == [1]
+
+
+class TestRollingDistinctUsers:
+    def test_vs_duckdb_window_replay(self, ray_session):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import rolling_distinct_users
+
+        rng = np.random.default_rng(7)
+        rows = [
+            {
+                "user_id": int(rng.integers(0, 20)),
+                "ts": dt.datetime(2024, 1, 1)
+                + dt.timedelta(hours=int(rng.integers(0, 24 * 40))),
+            }
+            for _ in range(400)
+        ]
+        out = (
+            rolling_distinct_users(
+                rd.from_items(rows).repartition(3),
+                key_col="user_id", ts_col="ts",
+            )
+            .to_pandas()
+            .sort_values("day_bucket")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        df = pd.DataFrame(rows)
+        con = duckdb.connect()
+        con.register("ev", df)
+        exp = con.sql(
+            """
+            WITH a AS (
+              SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+              FROM ev
+            ), w AS (
+              SELECT DISTINCT a.user_id, a.d + g.i AS wd
+              FROM a, (SELECT unnest(generate_series(0, 6)) AS i) g
+              WHERE a.d + g.i <= (SELECT MAX(d) FROM a)
+            )
+            SELECT wd AS day_bucket, COUNT(*)::BIGINT AS n_users
+            FROM w GROUP BY wd ORDER BY wd
+            """
+        ).df()
+        assert out["day_bucket"].tolist() == exp["day_bucket"].tolist()
+        assert out["n_users"].tolist() == exp["n_users"].tolist()
