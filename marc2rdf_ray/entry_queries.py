@@ -5521,3 +5521,205 @@ WITH c AS (
 SELECT g.event_type, g.bucket_us, COALESCE(c.n, 0)::BIGINT AS n_events
 FROM grid g LEFT JOIN c USING (event_type, bucket_us)
 """
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped three-table join: BUILDING-segment customers'
+    orders placed before the cutoff, revenue from lineitems shipped
+    after it, top-10 orders by revenue.
+
+    Scale shape: customer and the date-filtered slim orders side are
+    byte-budgeted broadcasts (vectorized ``pc.is_in`` semi-joins inside
+    map_batches -- the fact table never shuffles) with distributed
+    ``ds.join`` fallbacks when either side outgrows the budget; revenue
+    partials combine per batch on exact integer micro-units
+    (cents x (100 - discount_units)) before ONE small groupby-sum; the
+    final top-10 sorts the per-order aggregate, never the data."""
+    import datetime as _dt
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    cut = pa.scalar(_dt.datetime(1998, 7, 1), pa.timestamp("us"))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda b: b.filter(
+            pc.equal(b["c_mktsegment"], "BUILDING")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    ctab, cmat = _small_side(cust)
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def slim_orders(b: pa.Table, ckeys=None) -> pa.Table:
+        d = pc.cast(b["o_orderdate"], pa.timestamp("us"))
+        b = b.set_column(
+            b.schema.get_field_index("o_orderdate"), "o_orderdate", d
+        )
+        b = b.filter(pc.less(d, cut))
+        if ckeys is not None:
+            b = b.filter(pc.is_in(b["o_custkey"], value_set=ckeys))
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_orderdate_us": pc.cast(b["o_orderdate"], pa.int64()),
+                "o_orderpriority": b["o_orderpriority"],
+            }
+        )
+
+    if ctab is not None:
+        ckeys = ctab["c_custkey"].combine_chunks()
+        orders_slim = orders.map_batches(
+            lambda b: slim_orders(b, ckeys), batch_format="pyarrow"
+        )
+    else:  # scale path: distributed semi join via hash join
+        orders_slim = orders.join(
+            cmat, join_type="inner", num_partitions=_join_nparts(),
+            on=("o_custkey",), right_on=("c_custkey",),
+        ).map_batches(slim_orders, batch_format="pyarrow")
+    otab, omat = _small_side(orders_slim)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev_partial(b: pa.Table, okeys=None) -> pa.Table:
+        b = b.filter(
+            pc.greater(pc.cast(b["l_shipdate"], pa.timestamp("us")), cut)
+        )
+        if okeys is not None:
+            b = b.filter(pc.is_in(b["l_orderkey"], value_set=okeys))
+        cents = sql_round_i64(b["l_extendedprice"], 100.0)
+        disc = sql_round_i64(b["l_discount"], 100.0)
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+        return (
+            t.group_by(["l_orderkey"], use_threads=False)
+            .aggregate([("rev", "sum")])
+            .rename_columns(["l_orderkey", "rev"])
+        )
+
+    if otab is not None:
+        okeys = otab["o_orderkey"].combine_chunks()
+        partials = li.map_batches(
+            lambda b: rev_partial(b, okeys), batch_format="pyarrow"
+        )
+    else:  # scale path
+        partials = li.join(
+            omat.select_columns(["o_orderkey"]),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        ).map_batches(rev_partial, batch_format="pyarrow")
+
+    agg = partials.groupby("l_orderkey").aggregate(
+        Sum("rev", alias_name="revenue_micro")
+    )
+
+    if otab is not None:
+        ref = ray.put(otab)
+
+        class AttachOrder:
+            def __init__(self):
+                t = ray.get(ref)
+                self.keys = t["o_orderkey"].combine_chunks()
+                self.dates = t["o_orderdate_us"].combine_chunks()
+                self.prio = t["o_orderpriority"].combine_chunks()
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                idx = pc.index_in(b["l_orderkey"], value_set=self.keys)
+                return pa.table(
+                    {
+                        "o_orderkey": b["l_orderkey"],
+                        "revenue_micro": b["revenue_micro"],
+                        "o_orderdate_us": self.dates.take(idx),
+                        "o_orderpriority": self.prio.take(idx),
+                    }
+                )
+
+        out = agg.map_batches(
+            AttachOrder, batch_format="pyarrow", concurrency=2
+        )
+    else:  # scale path
+        from .ops.joins import normalize_join_blocks
+
+        out = normalize_join_blocks(agg).join(
+            normalize_join_blocks(omat),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": b["l_orderkey"],
+                    "revenue_micro": b["revenue_micro"],
+                    "o_orderdate_us": b["o_orderdate_us"],
+                    "o_orderpriority": b["o_orderpriority"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    return out.sort(
+        ["revenue_micro", "o_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+QUERIES["q3_shipping_priority"] = q3_shipping_priority
+
+ORACLE_SQL["q3_shipping_priority"] = """
+WITH r AS (
+  SELECT l.l_orderkey,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+         ) AS BIGINT) AS revenue_micro
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-07-01'
+    AND l.l_shipdate > TIMESTAMP '1998-07-01'
+  GROUP BY l.l_orderkey
+)
+SELECT o.o_orderkey, r.revenue_micro,
+       epoch_us(o.o_orderdate) AS o_orderdate_us,
+       o.o_orderpriority
+FROM r JOIN orders o ON o.o_orderkey = r.l_orderkey
+ORDER BY r.revenue_micro DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+def parts_name_editdist(sf_dir: str):
+    """Fuzzy-name entity resolution over part names (ops/dedup.py
+    editdist_name_pairs): rows collapse to distinct names with
+    multiplicities before any pairing, one first-token block shuffle,
+    banded pair-vectorized Levenshtein DP within blocks -- pair work is
+    O(vocabulary^2 per block), independent of corpus row count."""
+    from .ops.dedup import editdist_name_pairs
+
+    ds = _read(sf_dir, "part", columns=["p_name"])
+    return editdist_name_pairs(ds, name_col="p_name", threshold=2)
+
+
+QUERIES["parts_name_editdist"] = parts_name_editdist
+
+ORACLE_SQL["parts_name_editdist"] = """
+WITH n AS (
+  SELECT p_name, COUNT(*)::BIGINT AS c FROM part GROUP BY p_name
+), b AS (
+  SELECT p_name, c, split_part(p_name, ' ', 1) AS blk FROM n
+)
+SELECT a.p_name AS name_a, bb.p_name AS name_b,
+       levenshtein(a.p_name, bb.p_name)::BIGINT AS dist,
+       (a.c * bb.c)::BIGINT AS n_pairs
+FROM b a JOIN b bb ON a.blk = bb.blk AND a.p_name < bb.p_name
+WHERE levenshtein(a.p_name, bb.p_name) <= 2
+UNION ALL
+SELECT p_name, p_name, 0::BIGINT, (c * (c - 1) // 2)::BIGINT
+FROM n WHERE c > 1
+"""

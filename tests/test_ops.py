@@ -3427,3 +3427,69 @@ class TestValidityIntervals:
         tos = out["valid_to_us"].tolist()
         assert tos[0] == us(2) and tos[1] == us(3)
         assert pd.isna(tos[2]) and pd.isna(tos[3])
+
+
+class TestEditdistNamePairs:
+    def test_dp_matches_reference(self, ray_session):
+        import itertools
+        import random
+
+        from marc2rdf_ray.ops.dedup import _encode_padded, _lev_pairs
+
+        def ref(a, b):
+            prev = list(range(len(b) + 1))
+            for i in range(1, len(a) + 1):
+                cur = [i] + [0] * len(b)
+                for j in range(1, len(b) + 1):
+                    cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                                 prev[j - 1] + (a[i - 1] != b[j - 1]))
+                prev = cur
+            return prev[len(b)]
+
+        rng = random.Random(3)
+        names = ["", "a", "ab", "käse", "kase", "red widget",
+                 "red gadget", "blue bolt"] + [
+            "".join(rng.choice("abcde") for _ in range(rng.randint(1, 9)))
+            for _ in range(30)
+        ]
+        names = sorted(set(names))
+        mat, ln = _encode_padded(names)
+        ia, ib = zip(*itertools.combinations(range(len(names)), 2))
+        ia = np.array(ia)
+        ib = np.array(ib)
+        got = _lev_pairs(mat, ln, ia, ib)
+        for x, y, d in zip(ia, ib, got):
+            assert d == ref(names[x], names[y]), (names[x], names[y])
+
+    def test_pairs_and_multiplicities(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.dedup import editdist_name_pairs
+
+        rows = (
+            [{"p_name": "red widget"}] * 3
+            + [{"p_name": "red widgex"}] * 2
+            + [{"p_name": "red gadget"}]   # dist 2 from widget -> included
+            + [{"p_name": "red gaxxxt"}]   # dist 4 from gadget -> excluded
+            + [{"p_name": "blue widget"}]  # other block, never a candidate
+        )
+        out = (
+            editdist_name_pairs(
+                rd.from_items(rows).repartition(3), name_col="p_name",
+                threshold=2,
+            )
+            .to_pandas()
+            .sort_values(["name_a", "name_b"])
+            .reset_index(drop=True)
+        )
+        recs = list(out.itertuples(index=False))
+        assert ("red widget", "red widgex", 1, 6) in [tuple(r) for r in recs]
+        assert ("red widget", "red widget", 0, 3) in [tuple(r) for r in recs]
+        assert ("red widgex", "red widgex", 0, 1) in [tuple(r) for r in recs]
+        assert ("red gadget", "red widget", 2, 3) in [tuple(r) for r in recs]
+        assert not any(r.name_a == "blue widget" or r.name_b == "blue widget"
+                       for r in recs if r.dist > 0)
+        # beyond-threshold pair in the same block stays out
+        assert not any("gaxxxt" in r.name_a and "gadget" in r.name_b
+                       or "gadget" in r.name_a and "gaxxxt" in r.name_b
+                       for r in recs)
