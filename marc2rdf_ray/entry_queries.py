@@ -5646,10 +5646,10 @@ def q3_shipping_priority(sf_dir: str):
             AttachOrder, batch_format="pyarrow", concurrency=2
         )
     else:  # scale path
-        from .ops.joins import normalize_join_blocks
+        from .ops.dedup import normalize_join_blocks
 
-        out = normalize_join_blocks(agg).join(
-            normalize_join_blocks(omat),
+        out = normalize_join_blocks(agg, _join_nparts()).join(
+            normalize_join_blocks(omat, _join_nparts()),
             join_type="inner", num_partitions=_join_nparts(),
             on=("l_orderkey",), right_on=("o_orderkey",),
         ).map_batches(
@@ -5722,4 +5722,169 @@ WHERE levenshtein(a.p_name, bb.p_name) <= 2
 UNION ALL
 SELECT p_name, p_name, 0::BIGINT, (c * (c - 1) // 2)::BIGINT
 FROM n WHERE c > 1
+"""
+
+
+def events_type_value_trend(sf_dir: str):
+    """Per-type OLS trend of value over time (ops/relational.py
+    grouped_linreg): exact int64 sufficient statistics (n, Sx, Sy, Sxy,
+    Sxx) combine per batch, one tiny groupby-sum, closed-form IEEE
+    finish replayed operand-for-operand in SQL -- float bits hash
+    equal."""
+    from .ops.relational import grouped_linreg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return grouped_linreg(
+        ds, key_col="event_type", ts_col="ts", value_col="value"
+    )
+
+
+QUERIES["events_type_value_trend"] = events_type_value_trend
+
+ORACLE_SQL["events_type_value_trend"] = """
+WITH q AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS x,
+         CAST(ROUND(value * 1000) AS BIGINT) AS y
+  FROM events
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM q GROUP BY event_type
+)
+SELECT event_type, n AS n_rows,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_units,
+       (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS intercept_units
+FROM m
+WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0
+"""
+
+
+def orders_skyline(sf_dir: str):
+    """2-D Pareto frontier over orders -- highest price, earliest date
+    (ops/relational.py skyline_2d): each batch collapses to its local
+    frontier before the exchange (dominance is transitive, so the local
+    cut is a sound pre-filter), one small final task repeats the
+    identical vectorized sort + strict running-min cut."""
+    from .ops.relational import skyline_2d
+
+    ds = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    return skyline_2d(
+        ds, id_col="o_orderkey", max_col="o_totalprice",
+        min_col="o_orderdate",
+    )
+
+
+QUERIES["orders_skyline"] = orders_skyline
+
+ORACLE_SQL["orders_skyline"] = """
+WITH p AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+         epoch_us(o_orderdate) AS y
+  FROM orders
+)
+SELECT a.o_orderkey, a.x AS max_units, a.y AS min_units
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.x >= a.x AND b.y <= a.y AND (b.x > a.x OR b.y < a.y)
+)
+"""
+
+
+def events_user_trigram_paths(sf_dir: str):
+    """Length-3 sequential path mining over each user's event timeline
+    (ops/windows.py path_trigram_counts): one slim bucketed shuffle,
+    vectorized lexsort + shifted-equality per bucket emitting partial
+    base-k-coded path counts, (#types)^3-bounded groupby-sum finish."""
+    from .ops.windows import path_trigram_counts
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    return path_trigram_counts(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        type_col="event_type",
+    )
+
+
+QUERIES["events_user_trigram_paths"] = events_user_trigram_paths
+
+ORACLE_SQL["events_user_trigram_paths"] = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type, 2) OVER w AS p2,
+         LAG(event_type, 1) OVER w AS p1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT p2 AS t0, p1 AS t1, event_type AS t2,
+       COUNT(*)::BIGINT AS n_paths
+FROM s WHERE p2 IS NOT NULL
+GROUP BY p2, p1, event_type
+"""
+
+
+def graph_clustering_coef(sf_dir: str):
+    """Per-node local clustering coefficient over the shared md5 link
+    graph (ops/graph.py clustering_coefficient): degree-rank-oriented
+    triangle LISTING (wedges carry their tail so all three corners get
+    credit), per-task np.unique corner combiners, one groupby-sum, LEFT
+    join back onto degrees so triangle-free nodes report 0; coefficient
+    in exact integer micro-units."""
+    from .ops.graph import clustering_coefficient
+
+    edges, _, _ = _md5_link_graph(sf_dir)
+    return clustering_coefficient(edges)
+
+
+QUERIES["graph_clustering_coef"] = graph_clustering_coef
+
+ORACLE_SQL["graph_clustering_coef"] = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+e0 AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM edges WHERE src <> dst GROUP BY 1, 2),
+tri AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM e0 a JOIN e0 b ON b.u = a.v JOIN e0 c ON c.u = a.u AND c.v = b.v
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+t AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM corners GROUP BY node),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        GROUP BY 1)
+SELECT d.node, d.deg,
+       COALESCE(t.n_tri, 0)::BIGINT AS n_triangles,
+       ((2 * COALESCE(t.n_tri, 0) * 1000000)
+        // (d.deg * (d.deg - 1)))::BIGINT AS coef_micro
+FROM deg d LEFT JOIN t USING (node)
+WHERE d.deg >= 2
 """

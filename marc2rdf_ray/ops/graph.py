@@ -1809,3 +1809,293 @@ def _hits_local(mat_edges, nodes_ds, *, rounds: int) -> "object":
         .groupby("_g")
         .map_groups(solve, batch_format="pyarrow")
     )
+
+
+def clustering_coefficient(
+    edges_ds,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int | None = None,
+    degree_budget: int = 256 << 20,
+    max_out: int = 4096,
+    strict: bool = False,
+):
+    """Local clustering coefficient per node of the UNDIRECTED simple
+    graph: ``coef_micro = (2 * triangles(v) * 1e6) // (deg(v) *
+    (deg(v) - 1))`` for every node with degree >= 2 -- exact integer
+    micro-units, so the DuckDB three-way-self-join oracle replays it
+    bit-for-bit.
+
+    This is triangle LISTING, not counting: per-corner attribution needs
+    each wedge's tail identity, so wedge rows ``(a, b, tail)`` ship
+    uncombined (the inherent listing/counting trade-off; the exchange is
+    O(#wedges), bounded O(m^1.5) by the same degree-rank orientation
+    that bounds ``triangle_count`` -- hubs become heads, never tails).
+    Matched wedges scatter +1 to all three corners with a per-task
+    ``np.unique`` combiner before ONE final groupby-sum; degrees come
+    from the same partial-combine groupby as ``triangle_count`` and join
+    back LEFT so triangle-free nodes emit ``coef_micro = 0``.  Tails
+    past ``max_out`` truncate loudly (``strict=True`` raises) -- the
+    same never-silent contract as ``triangle_count`` (ADVICE r3).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    logger = logging.getLogger(__name__)
+
+    if num_buckets is None:
+        num_buckets = max(4, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def distinct_uv(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        first = np.empty(len(u), bool)
+        first[:1] = True
+        if len(u) > 1:
+            first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        return pa.table(
+            {"u": pa.array(u[first], pa.int64()),
+             "v": pa.array(v[first], pa.int64())}
+        )
+
+    dedup = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_uv, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        n = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        nodes, cnts = np.unique(n, return_counts=True)
+        return pa.table(
+            {"node": pa.array(nodes, pa.int64()),
+             "deg": pa.array(cnts, pa.int64())}
+        )
+
+    deg_ds = (
+        dedup.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("deg", alias_name="deg"))
+        .materialize()
+    )
+
+    if deg_ds.size_bytes() <= degree_budget:
+        deg_tbl = pa.concat_tables(
+            ray.get(deg_ds.to_arrow_refs()), promote_options="default"
+        )
+        nodes_np = deg_tbl["node"].to_numpy(zero_copy_only=False)
+        degs_np = deg_tbl["deg"].to_numpy(zero_copy_only=False)
+        o = np.argsort(nodes_np, kind="stable")
+        deg_ref = ray.put({"node": nodes_np[o], "deg": degs_np[o]})
+    else:
+        deg_ref = None
+        logger.warning(
+            "clustering_coefficient: degree table over budget; id-rank "
+            "orientation fallback (hub-skew bound is weaker)"
+        )
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        if deg_ref is not None:
+            d = ray.get(deg_ref)
+            du = d["deg"][np.searchsorted(d["node"], u)]
+            dv = d["deg"][np.searchsorted(d["node"], v)]
+            fwd = (du < dv) | ((du == dv) & (u < v))
+        else:
+            fwd = u < v
+        tail = np.where(fwd, u, v)
+        head = np.where(fwd, v, u)
+        return pa.table(
+            {
+                "tail": pa.array(tail, pa.int64()),
+                "head": pa.array(head, pa.int64()),
+                "tb": pa.array((tail % num_buckets).astype(np.int32)),
+            }
+        )
+
+    oriented = dedup.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(g: pa.Table) -> pa.Table:
+        tails = g["tail"].to_numpy(zero_copy_only=False)
+        heads = g["head"].to_numpy(zero_copy_only=False)
+        d = ray.get(deg_ref) if deg_ref is not None else None
+        order = np.lexsort((heads, tails))
+        tails, heads = tails[order], heads[order]
+        brk = np.empty(len(tails), bool)
+        brk[:1] = True
+        if len(tails) > 1:
+            brk[1:] = tails[1:] != tails[:-1]
+        seg_of = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        local = np.arange(len(tails)) - starts[seg_of]
+        over = np.flatnonzero(
+            np.append(starts[1:], len(tails)) - starts > max_out
+        )
+        if len(over) and strict:
+            raise ValueError(
+                f"clustering_coefficient(strict=True): {len(over)} tail(s) "
+                f"exceed max_out={max_out}; per-node counts would "
+                "undercount -- raise max_out or drop strict"
+            )
+        for si in over:
+            logger.warning(
+                "clustering_coefficient: tail %d truncated to %d heads; "
+                "its (and its heads') triangle counts undercount",
+                int(tails[starts[si]]), max_out,
+            )
+        keep = local < max_out
+        tails, heads, seg_of = tails[keep], heads[keep], seg_of[keep]
+        if d is not None:
+            dh = d["deg"][np.searchsorted(d["node"], heads)]
+            order = np.lexsort((heads, dh, seg_of))
+        else:
+            order = np.lexsort((heads, seg_of))
+        heads, seg_of = heads[order], seg_of[order]
+        tails = tails[order]
+        brk2 = np.empty(len(seg_of), bool)
+        brk2[:1] = True
+        if len(seg_of) > 1:
+            brk2[1:] = seg_of[1:] != seg_of[:-1]
+        starts2 = np.flatnonzero(brk2)
+        sizes = np.diff(np.append(starts2, len(seg_of)))
+        seg_idx = np.cumsum(brk2) - 1
+        local2 = np.arange(len(seg_of)) - starts2[seg_idx]
+        counts = sizes[seg_idx] - 1 - local2
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()),
+                 "b": pa.array([], pa.int64()),
+                 "tail": pa.array([], pa.int64())}
+            )
+        a_idx = np.repeat(np.arange(len(seg_of)), counts)
+        excl = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        b_idx = a_idx + 1 + (np.arange(total) - excl[a_idx])
+        return pa.table(
+            {
+                "a": pa.array(heads[a_idx], pa.int64()),
+                "b": pa.array(heads[b_idx], pa.int64()),
+                "tail": pa.array(tails[a_idx], pa.int64()),
+            }
+        )
+
+    cand = oriented.groupby("tb").map_groups(wedges, batch_format="pyarrow")
+
+    P = np.int64(1_000_003)
+
+    def key_cand(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": b["a"], "b": b["b"], "tail": b["tail"],
+                "kind": pa.array(np.ones(len(b), np.int8)),
+                "kb": pa.array(((a * P + bb) % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def key_edge(b: pa.Table) -> pa.Table:
+        t = b["tail"].to_numpy(zero_copy_only=False)
+        h = b["head"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": b["tail"], "b": b["head"],
+                "tail": pa.array(np.zeros(len(b), np.int64)),
+                "kind": pa.array(np.zeros(len(b), np.int8)),
+                "kb": pa.array(((t * P + h) % num_buckets).astype(np.int32)),
+            }
+        )
+
+    both = cand.map_batches(key_cand, batch_format="pyarrow").union(
+        oriented.map_batches(key_edge, batch_format="pyarrow")
+    )
+
+    def match(g: pa.Table) -> pa.Table:
+        kind = g["kind"]
+        c = g.filter(pc.equal(kind, 1))
+        e = g.filter(pc.equal(kind, 0))
+        if len(c) == 0 or len(e) == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "n_tri": pa.array([], pa.int64())}
+            )
+        j = c.select(["a", "b", "tail"]).join(
+            e.select(["a", "b"]), keys=["a", "b"], join_type="inner",
+            use_threads=False,
+        )
+        corners = np.concatenate(
+            [
+                j["a"].to_numpy(zero_copy_only=False),
+                j["b"].to_numpy(zero_copy_only=False),
+                j["tail"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        nodes, cnts = np.unique(corners, return_counts=True)
+        return pa.table(
+            {"node": pa.array(nodes, pa.int64()),
+             "n_tri": pa.array(cnts.astype(np.int64), pa.int64())}
+        )
+
+    tri = (
+        both.groupby("kb")
+        .map_groups(match, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("n_tri", alias_name="n_tri"))
+    )
+
+    from .dedup import normalize_join_blocks
+
+    deg2 = deg_ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["deg"], 2)),
+        batch_format="pyarrow",
+    )
+
+    nparts = max(2, num_buckets // 4)
+    joined = normalize_join_blocks(deg2, nparts).join(
+        normalize_join_blocks(tri, nparts),
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=("node",),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        deg = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = pc.fill_null(b["n_tri"], 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        coef = (2 * nt * 1_000_000) // (deg * (deg - 1))
+        return pa.table(
+            {
+                "node": b["node"],
+                "deg": pa.array(deg, pa.int64()),
+                "n_triangles": pa.array(nt, pa.int64()),
+                "coef_micro": pa.array(coef, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -994,3 +994,192 @@ def gapfill_counts(
         )
 
     return sparse.groupby("k").map_groups(expand, batch_format="pyarrow")
+
+
+def grouped_linreg(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    scale: float = 1000.0,
+    x_step_us: int = 86_400_000_000,
+):
+    """Per-group OLS trend line (value vs. time) with a bit-exact SQL
+    oracle -- the sufficient-statistics pattern one notch past
+    ``grouped_moments``: per-batch combiners emit exact int64 partial
+    (n, Sx, Sy, Sxy, Sxx) per key (x = the timestamp's epoch bucket,
+    y = the value floored to integer ``scale``-units), ONE tiny
+    groupby-sum merges them, and the closed-form slope/intercept finish
+    runs in IEEE double with the exact operand order the oracle replays
+    -- so even the float bits hash equal.
+
+    Groups whose x is constant (denominator 0) are dropped in both
+    implementations.  Overflow bound (documented): per-group Sxy must
+    stay below 2^63 -- with day buckets (~2e4) and milli-units <= 1e6
+    that allows ~4e8 rows per group; widen ``x_step_us`` or shrink
+    ``scale`` for wider domains.
+
+    Scale shape: only one (key, n, Sx, Sy, Sxy, Sxx) row per key per
+    batch ever shuffles, never raw rows.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.numeric import sql_round_i64
+
+    step = pa.scalar(np.int64(x_step_us), pa.int64())
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        x = pc.divide(pc.cast(ts, pa.int64()), step)
+        y = sql_round_i64(b[value_col], scale)
+        t = pa.table(
+            {
+                key_col: b[key_col],
+                "x": x,
+                "y": y,
+                "xy": pc.multiply_checked(x, y),
+                "xx": pc.multiply_checked(x, x),
+            }
+        )
+        g = t.group_by([key_col], use_threads=False).aggregate(
+            [("x", "sum"), ("y", "sum"), ("xy", "sum"), ("xx", "sum"),
+             ([], "count_all")]
+        )
+        return g.rename_columns([key_col, "sx", "sy", "sxy", "sxx", "n"])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = b["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # EXACT oracle expressions, same operand order:
+        den = n * sxx - sx * sx
+        keep = den != 0.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = (n * sxy - sx * sy) / den
+            intercept = (sy * sxx - sx * sxy) / den
+        t = pa.table(
+            {
+                key_col: b[key_col],
+                "n_rows": pc.cast(b["n"], pa.int64()),
+                "slope_units": pa.array(slope, pa.float64()),
+                "intercept_units": pa.array(intercept, pa.float64()),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def skyline_2d(
+    ds,
+    *,
+    id_col: str,
+    max_col: str,
+    min_col: str,
+    cents_factor: float | None = 100.0,
+    warn_skyline: int = 1_000_000,
+):
+    """2-D Pareto frontier (skyline): rows not dominated by any other row
+    -- dominated means another row has ``max_col`` >= AND ``min_col`` <=
+    with at least one strict.  The classic multi-objective curation cut
+    ("highest value, earliest date").
+
+    Scale shape: dominance is transitive, so a LOCAL skyline per batch is
+    a sound pre-filter (any globally dominated point is dominated by a
+    global-skyline point, which survives its own batch cut) -- each batch
+    collapses to its frontier BEFORE the exchange, then one small final
+    task repeats the identical vectorized cut on the union of local
+    frontiers.  Each cut is a sort by (x desc, y asc) + one strict
+    running-min mask on DISTINCT (x, y) points, then a semi-join back so
+    exact-duplicate points all survive (duplicates never dominate each
+    other -- the at-least-one-strict clause).  Anti-correlated dimensions
+    can make frontiers large; past ``warn_skyline`` points the final
+    task logs loudly (observe-only, like the window-op hot-key guard).
+    """
+    from ..functions.numeric import sql_round_i64
+
+    def frontier(t: pa.Table) -> pa.Table:
+        # distinct (x, y) points
+        pts = (
+            t.select(["x", "y"])
+            .group_by(["x", "y"], use_threads=False)
+            .aggregate([])
+        )
+        pts = pts.sort_by([("x", "descending"), ("y", "ascending")])
+        x = pts["x"].to_numpy(zero_copy_only=False)
+        y = pts["y"].to_numpy(zero_copy_only=False)
+        if len(x) == 0:
+            return t
+        # keep a point iff its y is strictly below every earlier point's
+        # y (earlier = higher x, or same x with lower y -- which then
+        # dominates this one, caught by the same strict test)
+        runmin = np.minimum.accumulate(y)
+        keep = np.empty(len(y), bool)
+        keep[0] = True
+        keep[1:] = y[1:] < runmin[:-1]
+        surv = pa.table({"x": pts["x"].take(pa.array(np.flatnonzero(keep))),
+                         "y": pts["y"].take(pa.array(np.flatnonzero(keep)))})
+        # semi-join rows back onto surviving points (exact duplicates of
+        # a frontier point are mutually non-dominated: all survive)
+        combo = pc.binary_join_element_wise(
+            pc.cast(t["x"], pa.string()), pc.cast(t["y"], pa.string()), "|"
+        )
+        scombo = pc.binary_join_element_wise(
+            pc.cast(surv["x"], pa.string()), pc.cast(surv["y"], pa.string()),
+            "|",
+        )
+        return t.filter(pc.is_in(combo, value_set=scombo.combine_chunks()))
+
+    def local(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                id_col: b[id_col],
+                "x": (
+                    sql_round_i64(b[max_col], cents_factor)
+                    if cents_factor is not None
+                    else pc.cast(b[max_col], pa.int64())
+                ),
+                "y": pc.cast(
+                    pc.cast(b[min_col], pa.timestamp("us"))
+                    if pa.types.is_timestamp(b[min_col].type)
+                    else b[min_col],
+                    pa.int64(),
+                ),
+            }
+        )
+        return frontier(t)
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows > warn_skyline:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "skyline_2d: frontier union has %d rows (> %d); "
+                "anti-correlated dimensions produce large skylines",
+                b.num_rows, warn_skyline,
+            )
+        out = frontier(b)
+        return out.rename_columns([id_col, "max_units", "min_units"])
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -1047,3 +1047,100 @@ def validity_intervals(
         .groupby("bucket")
         .map_groups(intervals, batch_format="pyarrow")
     )
+
+
+def path_trigram_counts(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    num_buckets: int | None = None,
+):
+    """Sequential-pattern mining one notch past the Markov matrix: counts
+    of every LENGTH-3 consecutive type path within one key's timeline --
+    SQL's double-LAG composition folded into a global
+    ``GROUP BY (t0, t1, t2)``.
+
+    Scale shape identical to ``transition_counts`` (one slim bucketed
+    shuffle, vectorized lexsort + shifted-equality per bucket, per-bucket
+    partial counts, tiny (#types)^3-bounded groupby-sum finish); the
+    path codes combine in a single base-k integer so the per-bucket
+    ``np.unique`` never touches strings.  Same one-key-one-task
+    assumption, `_warn_hot_keys`-guarded.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import bucket_codes
+
+    if num_buckets is None:
+        try:
+            import ray
+
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_buckets = 16
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        t = pa.table(
+            {
+                "id": pc.cast(b[id_col], pa.int64()),
+                "u": pc.cast(b[key_col], pa.int64()),
+                "tus": pc.cast(ts, pa.int64()),
+                "ty": pc.cast(b[type_col], pa.string()),
+            }
+        )
+        return t.append_column(
+            "bucket", bucket_codes(pc.cast(t["u"], pa.string()), num_buckets)
+        )
+
+    empty = pa.table(
+        {
+            "t0": pa.array([], pa.string()),
+            "t1": pa.array([], pa.string()),
+            "t2": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def triples(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 3:
+            return empty
+        u = group["u"].to_numpy(zero_copy_only=False)
+        tus = group["tus"].to_numpy(zero_copy_only=False)
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        dictarr = pc.dictionary_encode(group["ty"].combine_chunks())
+        codes = dictarr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques = np.asarray(dictarr.dictionary.to_pylist(), dtype=object)
+        order = np.lexsort((ids, tus, u))
+        u, codes = u[order], codes[order]
+        _warn_hot_keys("path_trigram_counts", u)
+        valid = (u[2:] == u[:-2]) & (u[1:-1] == u[:-2])
+        if not valid.any():
+            return empty
+        k = len(uniques)
+        combo = (codes[:-2][valid] * k + codes[1:-1][valid]) * k \
+            + codes[2:][valid]
+        vals, cnts = np.unique(combo, return_counts=True)
+        return pa.table(
+            {
+                "t0": pa.array(uniques[vals // (k * k)], pa.string()),
+                "t1": pa.array(uniques[(vals // k) % k], pa.string()),
+                "t2": pa.array(uniques[vals % k], pa.string()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partial = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(triples, batch_format="pyarrow")
+    )
+    return partial.groupby(["t0", "t1", "t2"]).aggregate(
+        Sum("n", alias_name="n_paths")
+    )

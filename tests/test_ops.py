@@ -3493,3 +3493,181 @@ class TestEditdistNamePairs:
         assert not any("gaxxxt" in r.name_a and "gadget" in r.name_b
                        or "gadget" in r.name_a and "gaxxxt" in r.name_b
                        for r in recs)
+
+
+class TestPathTrigramCounts:
+    def test_vs_duckdb_double_lag(self, ray_session):
+        import datetime as dt
+
+        import pandas as pd
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import path_trigram_counts
+
+        rng = np.random.default_rng(11)
+        rows = [
+            {
+                "event_id": i,
+                "user_id": int(rng.integers(0, 6)),
+                "event_type": str(rng.choice(["a", "b", "c"])),
+                "ts": dt.datetime(2024, 1, 1)
+                + dt.timedelta(minutes=int(rng.integers(0, 5000))),
+            }
+            for i in range(300)
+        ]
+        out = (
+            path_trigram_counts(rd.from_items(rows).repartition(4))
+            .to_pandas()
+            .sort_values(["t0", "t1", "t2"])
+            .reset_index(drop=True)
+        )
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("ev", pd.DataFrame(rows))
+        exp = con.sql(
+            """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     LAG(event_type, 2) OVER w AS p2,
+                     LAG(event_type, 1) OVER w AS p1
+              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT p2 AS t0, p1 AS t1, event_type AS t2,
+                   COUNT(*)::BIGINT AS n_paths
+            FROM s WHERE p2 IS NOT NULL
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+            """
+        ).df()
+        assert out["t0"].tolist() == exp["t0"].tolist()
+        assert out["n_paths"].tolist() == exp["n_paths"].tolist()
+
+
+class TestGroupedLinreg:
+    def test_vs_numpy_polyfit(self, ray_session):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import grouped_linreg
+
+        rows = []
+        for i in range(60):
+            # key "up": y = 2x + 5 exactly; key "noisy": pseudo-random
+            rows.append({"k": "up", "ts": dt.datetime(2024, 1, 1 + i % 25),
+                         "value": 2.0 * ((i % 25) + 19723) + 5.0})
+            rows.append({"k": "noisy", "ts": dt.datetime(2024, 1, 1 + i % 28),
+                         "value": float((i * 37) % 11)})
+        rows.append({"k": "const_x", "ts": dt.datetime(2024, 2, 1),
+                     "value": 1.0})
+        rows.append({"k": "const_x", "ts": dt.datetime(2024, 2, 1),
+                     "value": 9.0})
+        out = (
+            grouped_linreg(
+                rd.from_items(rows).repartition(3),
+                key_col="k", ts_col="ts", value_col="value",
+            )
+            .to_pandas()
+            .set_index("k")
+        )
+        # constant-x group must drop (denominator zero)
+        assert "const_x" not in out.index
+        # exact line: slope 2000 milli-units/day, intercept 5000+2000*19723
+        assert abs(out.loc["up", "slope_units"] - 2000.0) < 1e-6
+        # noisy group matches numpy lstsq closed form
+        import pandas as pd
+
+        df = pd.DataFrame([r for r in rows if r["k"] == "noisy"])
+        x = (df["ts"].astype("int64") // 10**6 // 86_400_000).to_numpy()
+        y = np.round(df["value"].to_numpy() * 1000)
+        slope = np.polyfit(x, y, 1)[0]
+        assert abs(out.loc["noisy", "slope_units"] - slope) < 1e-6
+
+
+class TestSkyline2D:
+    def test_frontier_with_duplicates(self, ray_session):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import skyline_2d
+
+        rows = [
+            # (price, date): frontier should be (100, d1), (90, d0), dup of
+            # (100, d1); (95, d2) dominated by (100, d1); (90, d3) dominated
+            {"id": 1, "p": 100.0, "d": dt.datetime(2024, 1, 2)},
+            {"id": 2, "p": 100.0, "d": dt.datetime(2024, 1, 2)},  # dup point
+            {"id": 3, "p": 90.0, "d": dt.datetime(2024, 1, 1)},
+            {"id": 4, "p": 95.0, "d": dt.datetime(2024, 1, 3)},
+            {"id": 5, "p": 90.0, "d": dt.datetime(2024, 1, 4)},
+        ]
+        out = skyline_2d(
+            rd.from_items(rows).repartition(3),
+            id_col="id", max_col="p", min_col="d",
+        ).to_pandas()
+        assert sorted(out["id"].tolist()) == [1, 2, 3]
+
+    def test_vs_duckdb_not_exists(self, ray_session):
+        import datetime as dt
+
+        import pandas as pd
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import skyline_2d
+
+        rng = np.random.default_rng(5)
+        rows = [
+            {
+                "id": i,
+                "p": float(rng.integers(1, 500)),
+                "d": dt.datetime(2024, 1, 1)
+                + dt.timedelta(hours=int(rng.integers(0, 2000))),
+            }
+            for i in range(300)
+        ]
+        out = skyline_2d(
+            rd.from_items(rows).repartition(4),
+            id_col="id", max_col="p", min_col="d",
+        ).to_pandas()
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(rows))
+        exp = con.sql(
+            """
+            WITH p AS (
+              SELECT id, CAST(ROUND(p * 100) AS BIGINT) AS x,
+                     epoch_us(d) AS y
+              FROM t
+            )
+            SELECT a.id FROM p a WHERE NOT EXISTS (
+              SELECT 1 FROM p b
+              WHERE b.x >= a.x AND b.y <= a.y AND (b.x > a.x OR b.y < a.y)
+            ) ORDER BY a.id
+            """
+        ).df()
+        assert sorted(out["id"].tolist()) == exp["id"].tolist()
+
+
+class TestClusteringCoefficient:
+    def test_hand_graph(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import clustering_coefficient
+
+        edges = [(1, 2), (2, 3), (1, 3), (1, 4), (2, 4), (5, 6), (5, 7),
+                 (2, 1),  # reverse dup collapses
+                 (3, 3)]  # self-loop drops
+        ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+        out = (
+            clustering_coefficient(ds)
+            .to_pandas()
+            .set_index("node")
+            .sort_index()
+        )
+        assert out.index.tolist() == [1, 2, 3, 4, 5]
+        assert out["n_triangles"].tolist() == [2, 2, 1, 1, 0]
+        assert out["deg"].tolist() == [3, 3, 2, 2, 2]
+        assert out["coef_micro"].tolist() == [
+            666666, 666666, 1000000, 1000000, 0
+        ]
