@@ -287,6 +287,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_segment_revenue",
         "events_interarrival",
         "events_iqr_outliers",
+        "q3_shipping_priority",
+        "parts_name_editdist",
+        "graph_clustering_coef",
+        "events_rolling_active_users",
+        "events_type_top_values",
     ]
     out = {}
     for name in names:

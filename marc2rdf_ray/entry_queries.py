@@ -5888,3 +5888,109 @@ SELECT d.node, d.deg,
 FROM deg d LEFT JOIN t USING (node)
 WHERE d.deg >= 2
 """
+
+
+def events_click_auc(sf_dir: str):
+    """Exact ROC-AUC of value as a ranker for click events
+    (ops/relational.py exact_auc): Mann--Whitney rank-sum on doubled
+    integer ranks (average-rank tie handling kept exact), per-batch
+    per-score partials, one groupby-sum, O(#distinct scores) driver
+    finish -- the exact_quantiles contract."""
+    from .ops.relational import exact_auc
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return exact_auc(
+        ds, score_col="value", label_col="event_type",
+        positive_value="click",
+    )
+
+
+QUERIES["events_click_auc"] = events_click_auc
+
+ORACLE_SQL["events_click_auc"] = """
+WITH q AS (
+  SELECT CAST(ROUND(value * 1000) AS BIGINT) AS s,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS p
+  FROM events
+), g AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(p) AS BIGINT) AS cp
+  FROM q GROUP BY s
+), r AS (
+  SELECT s, c, cp,
+         CAST(COALESCE(SUM(c) OVER (
+           ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS below
+  FROM g
+), m AS (
+  SELECT CAST(SUM(cp * (2 * below + c + 1)) AS BIGINT) AS sr2,
+         CAST((SELECT SUM(cp) FROM g) AS BIGINT) AS np,
+         CAST((SELECT SUM(c) - SUM(cp) FROM g) AS BIGINT) AS nn
+  FROM r
+)
+SELECT np AS n_pos, nn AS n_neg,
+       ((sr2 - np * (np + 1)) * 1000000 // (2 * np * nn))::BIGINT
+         AS auc_micro
+FROM m
+"""
+
+
+def graph_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity of the md5 link graph
+    (ops/graph.py reciprocity): both directions of a node pair
+    canonicalize into the same low-endpoint bucket, one vectorized
+    dedup + adjacent-equality pass per bucket, O(#buckets) driver sum;
+    exact integer micro fraction."""
+    from .ops.graph import reciprocity
+
+    edges, _, _ = _md5_link_graph(sf_dir)
+    return reciprocity(edges)
+
+
+QUERIES["graph_reciprocity"] = graph_reciprocity
+
+ORACLE_SQL["graph_reciprocity"] = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+m AS (
+  SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+         CAST((SELECT COUNT(*) FROM e a JOIN e b
+               ON a.src = b.dst AND a.dst = b.src) AS BIGINT) AS n_recip
+)
+SELECT n_edges, n_recip AS n_reciprocated,
+       (n_recip * 1000000 // n_edges)::BIGINT AS reciprocity_micro
+FROM m
+"""
+
+
+def events_type_cooccurrence(sf_dir: str):
+    """Bipartite projection of the user-type incidence: per unordered
+    event-type pair, the number of distinct users who did both
+    (ops/relational.py cooccurrence_pairs): distinct incidence pairs
+    bucketed BY USER, segmented all-pairs emission with per-task
+    np.unique combiners, (#types^2)-bounded groupby-sum finish."""
+    from .ops.relational import cooccurrence_pairs
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return cooccurrence_pairs(
+        ds, entity_col="user_id", item_col="event_type"
+    )
+
+
+QUERIES["events_type_cooccurrence"] = events_type_cooccurrence
+
+ORACLE_SQL["events_type_cooccurrence"] = """
+WITH i AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS item_a, b.event_type AS item_b,
+       COUNT(*)::BIGINT AS n_entities
+FROM i a JOIN i b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""

@@ -2099,3 +2099,88 @@ def clustering_coefficient(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def reciprocity(
+    edges_ds,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int | None = None,
+):
+    """Edge reciprocity of the DIRECTED simple graph: the fraction of
+    distinct non-loop directed edges whose reverse edge also exists --
+    ``reciprocity_micro`` in exact integer micro-units.  Emits one row
+    ``(n_edges, n_reciprocated, reciprocity_micro)``.
+
+    Scale shape: edges canonicalize to ``(min, max, dir)`` and bucket by
+    the low endpoint, so BOTH directions of a pair land in the same
+    task; one vectorized sort + neighbor-mask pass per bucket dedups and
+    counts pairs seeing both directions; the only driver state is the
+    O(#buckets) final sum.
+    """
+    import ray  # noqa: F401
+    import ray.data as rd
+
+    if num_buckets is None:
+        import ray as _r
+
+        num_buckets = max(4, int(_r.cluster_resources().get("CPU", 8)) * 2)
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        rev = (s > d).astype(np.int8)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "r": pa.array(rev, pa.int8()),
+                "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def count_in_bucket(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        r = g["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((r, v, u))
+        u, v, r = u[order], v[order], r[order]
+        first = np.empty(len(u), bool)
+        first[:1] = True
+        if len(u) > 1:
+            first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1]) \
+                | (r[1:] != r[:-1])
+        u, v, r = u[first], v[first], r[first]
+        # distinct directed edges in this bucket
+        n_edges = len(u)
+        # a pair with both directions = two adjacent rows equal on (u,v)
+        both = np.zeros(0, bool)
+        if len(u) > 1:
+            both = (u[1:] == u[:-1]) & (v[1:] == v[:-1])
+        n_recip = 2 * int(both.sum())
+        return pa.table(
+            {"n_edges": pa.array([n_edges], pa.int64()),
+             "n_recip": pa.array([n_recip], pa.int64())}
+        )
+
+    parts = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_in_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    n_edges = int(parts.sum("n_edges") or 0)
+    n_recip = int(parts.sum("n_recip") or 0)
+    micro = (n_recip * 1_000_000 // n_edges) if n_edges else None
+    return rd.from_arrow(pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_reciprocated": pa.array([n_recip], pa.int64()),
+            "reciprocity_micro": pa.array([micro], pa.int64()),
+        }
+    ))

@@ -1183,3 +1183,192 @@ def skyline_2d(
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def exact_auc(
+    ds,
+    *,
+    score_col: str,
+    label_col: str,
+    positive_value,
+    scale: float = 1000.0,
+):
+    """Exact ROC-AUC of ``score_col`` as a ranker for ``label_col ==
+    positive_value`` via the Mann--Whitney rank-sum identity -- the
+    model-eval aggregate a training-data pipeline runs after scoring.
+
+    Ties use average ranks, kept EXACT by working in doubled ranks:
+    a tie group of ``c`` rows with ``below`` rows under it has
+    ``2*avg_rank = 2*below + c + 1`` (integer), so
+
+        auc_micro = (sum_pos(2r) - n_pos*(n_pos+1)) * 1e6
+                    // (2 * n_pos * n_neg)
+
+    is all-integer and bit-replayable in SQL.
+
+    Scale shape: one map_batches pass emits per-batch (score, n, n_pos)
+    partials (scores floored to integer ``scale``-units), one
+    groupby-sum globalizes them, and the rank-sum finish runs on the
+    driver over the per-score table -- O(#distinct scores) driver
+    state, the ``exact_quantiles`` contract (documented; bounded score
+    domains only -- quantize wider domains with a smaller ``scale``).
+    Emits one row: (n_pos, n_neg, auc_micro).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.numeric import sql_round_i64
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = sql_round_i64(b[score_col], scale)
+        p = pc.cast(
+            pc.equal(b[label_col], positive_value), pa.int64()
+        )
+        t = pa.table({"s": s, "p": p})
+        g = t.group_by(["s"], use_threads=False).aggregate(
+            [("p", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["s", "cp", "c"])
+
+    per_score = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Sum("cp", alias_name="cp"), Sum("c", alias_name="c"))
+        .materialize()
+    )
+    tab = pa.concat_tables(
+        ray.get(per_score.to_arrow_refs()), promote_options="default"
+    )
+    s = tab["s"].to_numpy(zero_copy_only=False)
+    cp = tab["cp"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = tab["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(s, kind="stable")
+    cp, c = cp[order], c[order]
+    below = np.concatenate(([0], np.cumsum(c)))[:-1]
+    n_pos = int(cp.sum())
+    n_neg = int(c.sum()) - n_pos
+    sr2 = int((cp * (2 * below + c + 1)).sum())
+    if n_pos == 0 or n_neg == 0:
+        return rd.from_arrow(pa.table(
+            {"n_pos": pa.array([n_pos], pa.int64()),
+             "n_neg": pa.array([n_neg], pa.int64()),
+             "auc_micro": pa.array([None], pa.int64())}
+        ))
+    auc_micro = (sr2 - n_pos * (n_pos + 1)) * 1_000_000 // (2 * n_pos * n_neg)
+    return rd.from_arrow(pa.table(
+        {"n_pos": pa.array([n_pos], pa.int64()),
+         "n_neg": pa.array([n_neg], pa.int64()),
+         "auc_micro": pa.array([auc_micro], pa.int64())}
+    ))
+
+
+def cooccurrence_pairs(
+    ds,
+    *,
+    entity_col: str,
+    item_col: str,
+    num_buckets: int | None = None,
+):
+    """Bipartite projection: for every unordered pair of ``item_col``
+    values, the number of DISTINCT ``entity_col`` values incident to
+    both ("users who did both A and B") -- the co-occurrence graph
+    behind recommendation and topic-affinity analyses.
+
+    Scale shape: rows collapse to distinct (entity, item) incidence
+    pairs (per-batch dedup combiner -> one global distinct bucketed BY
+    ENTITY so each entity's items land together), then one vectorized
+    segmented all-pairs emission per bucket (np.repeat/arange -- the
+    common_neighbors wedge pattern) with a per-task ``np.unique``
+    combiner, finished by a (#items^2)-bounded groupby-sum.  Per-entity
+    fan-out is quadratic in that entity's item count -- fine for
+    bounded item domains (document; cap entities with huge item sets
+    upstream).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.hashing import bucket_codes
+
+    nb = num_buckets or _default_buckets()
+
+    def pair_dedup(b: pa.Table) -> pa.Table:
+        return (
+            b.select([entity_col, item_col])
+            .group_by([entity_col, item_col], use_threads=False)
+            .aggregate([])
+        )
+
+    incidence = (
+        ds.map_batches(pair_dedup, batch_format="pyarrow")
+        .groupby([entity_col, item_col])
+        .aggregate(Count(alias_name="__c"))
+    )
+
+    def key(b: pa.Table) -> pa.Table:
+        t = b.select([entity_col, item_col])
+        return t.append_column(
+            "__bucket",
+            bucket_codes(pc.cast(t[entity_col], pa.string()), nb),
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [(entity_col, "ascending"), (item_col, "ascending")]
+        )
+        ent = t[entity_col]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        e = ent.to_numpy(zero_copy_only=False)
+        items = t[item_col]
+        if isinstance(items, pa.ChunkedArray):
+            items = items.combine_chunks()
+        dictarr = pc.dictionary_encode(items)
+        codes = dictarr.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uniques = np.asarray(dictarr.dictionary.to_pylist(), dtype=object)
+        n = len(e)
+        if n < 2:
+            return pa.table(
+                {"item_a": pa.array([], pa.string()),
+                 "item_b": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        brk = np.empty(n, bool)
+        brk[:1] = True
+        brk[1:] = e[1:] != e[:-1]
+        starts = np.flatnonzero(brk)
+        seg_of = np.cumsum(brk) - 1
+        sizes = np.diff(np.append(starts, n))
+        local = np.arange(n) - starts[seg_of]
+        counts = sizes[seg_of] - 1 - local
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table(
+                {"item_a": pa.array([], pa.string()),
+                 "item_b": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        a_idx = np.repeat(np.arange(n), counts)
+        excl = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        b_idx = a_idx + 1 + (np.arange(total) - excl[a_idx])
+        k = len(uniques)
+        # rows are sorted by (entity, item), so within a segment the pair
+        # (a_idx < b_idx) already has item_a < item_b by VALUE
+        combo = codes[a_idx] * k + codes[b_idx]
+        vals, cnts = np.unique(combo, return_counts=True)
+        return pa.table(
+            {
+                "item_a": pa.array(uniques[vals // k], pa.string()),
+                "item_b": pa.array(uniques[vals % k], pa.string()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        incidence.map_batches(key, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["item_a", "item_b"])
+        .aggregate(Sum("n", alias_name="n_entities"))
+    )

@@ -3671,3 +3671,94 @@ class TestClusteringCoefficient:
         assert out["coef_micro"].tolist() == [
             666666, 666666, 1000000, 1000000, 0
         ]
+
+
+class TestExactAuc:
+    def test_vs_sklearn_formula(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import exact_auc
+
+        rng = np.random.default_rng(9)
+        # positives shifted up -> AUC clearly above 0.5; ties included
+        rows = [
+            {"label": "pos", "score": float(rng.integers(3, 12))}
+            for _ in range(40)
+        ] + [
+            {"label": "neg", "score": float(rng.integers(0, 9))}
+            for _ in range(60)
+        ]
+        out = exact_auc(
+            rd.from_items(rows).repartition(4), score_col="score",
+            label_col="label", positive_value="pos",
+        ).to_pandas()
+        # brute-force pairwise AUC with half credit for ties
+        pos = [r["score"] for r in rows if r["label"] == "pos"]
+        neg = [r["score"] for r in rows if r["label"] == "neg"]
+        wins = sum(
+            1.0 if p > q else (0.5 if p == q else 0.0)
+            for p in pos for q in neg
+        )
+        expect = int(wins * 1_000_000 // (len(pos) * len(neg)))
+        assert out["n_pos"].tolist() == [40]
+        assert out["n_neg"].tolist() == [60]
+        assert out["auc_micro"].tolist() == [expect]
+
+    def test_degenerate_single_class(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import exact_auc
+
+        rows = [{"label": "neg", "score": 1.0}] * 5
+        out = exact_auc(
+            rd.from_items(rows), score_col="score", label_col="label",
+            positive_value="pos",
+        ).to_pandas()
+        assert out["n_pos"].tolist() == [0]
+        assert out["auc_micro"].isna().all()
+
+
+class TestReciprocity:
+    def test_hand_graph(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import reciprocity
+
+        edges = [(1, 2), (2, 1),          # reciprocated pair
+                 (1, 2),                  # duplicate collapses
+                 (3, 4),                  # one-way
+                 (5, 5),                  # self-loop drops
+                 (4, 5), (5, 4)]          # second reciprocated pair
+        out = reciprocity(
+            rd.from_items([{"src": s, "dst": d} for s, d in edges])
+            .repartition(3)
+        ).to_pandas()
+        # distinct non-loop edges: (1,2),(2,1),(3,4),(4,5),(5,4) = 5
+        assert out["n_edges"].tolist() == [5]
+        assert out["n_reciprocated"].tolist() == [4]
+        assert out["reciprocity_micro"].tolist() == [800000]
+
+
+class TestCooccurrencePairs:
+    def test_distinct_users_both(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import cooccurrence_pairs
+
+        rows = (
+            [{"u": 1, "it": "a"}, {"u": 1, "it": "b"}, {"u": 1, "it": "b"},
+             {"u": 2, "it": "a"}, {"u": 2, "it": "b"}, {"u": 2, "it": "c"},
+             {"u": 3, "it": "c"}]
+        )
+        out = (
+            cooccurrence_pairs(
+                rd.from_items(rows).repartition(3),
+                entity_col="u", item_col="it",
+            )
+            .to_pandas()
+            .sort_values(["item_a", "item_b"])
+            .reset_index(drop=True)
+        )
+        assert list(map(tuple, out.values)) == [
+            ("a", "b", 2), ("a", "c", 1), ("b", "c", 1)
+        ]
