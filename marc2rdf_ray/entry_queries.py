@@ -5994,3 +5994,64 @@ FROM i a JOIN i b
   ON a.user_id = b.user_id AND a.event_type < b.event_type
 GROUP BY 1, 2
 """
+
+
+def _mmr_oracle_sql(k: int = 8, dim: int = 64) -> str:
+    """Unrolled greedy-MMR CTE chain -- each step's argmax is a window
+    QUALIFY over integer dot products of the same 2^20-quantized
+    vectors the Ray operator uses (the _kmeans_ctes precedent)."""
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {dim}), "
+            f"d -> {a}.v[d] * {b}.v[d]), 'sum')"
+        )
+
+    sql = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+qv AS (SELECT v FROM q WHERE vec_id = 0),
+rel AS (SELECT t.vec_id, {dot('t', 'qv')} AS rel FROM q t CROSS JOIN qv),
+p1 AS (SELECT vec_id, rel AS score, 1 AS step FROM rel
+       QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) = 1),
+sel1 AS (SELECT vec_id FROM p1)"""
+    for i in range(2, k + 1):
+        p = i - 1
+        sql += f""",
+mx{i} AS (
+  SELECT t.vec_id, MAX({dot('t', 's')}) AS m
+  FROM q t CROSS JOIN
+       (SELECT q.v FROM q JOIN sel{p} USING (vec_id)) s
+  WHERE t.vec_id NOT IN (SELECT vec_id FROM sel{p})
+  GROUP BY t.vec_id
+),
+p{i} AS (
+  SELECT r.vec_id, r.rel - m.m AS score, {i} AS step
+  FROM rel r JOIN mx{i} m USING (vec_id)
+  QUALIFY row_number() OVER (ORDER BY score DESC, r.vec_id) = 1
+),
+sel{i} AS (SELECT vec_id FROM sel{p} UNION ALL SELECT vec_id FROM p{i})"""
+    union = " UNION ALL ".join(f"SELECT * FROM p{i}" for i in range(1, k + 1))
+    sql += (
+        "\nSELECT vec_id, CAST(step AS BIGINT) AS step, "
+        "CAST(score AS BIGINT) AS score_units FROM (" + union + ")"
+    )
+    return sql
+
+
+def embeddings_mmr_select(sf_dir: str):
+    """Greedy Maximal-Marginal-Relevance diverse selection (ops/ann.py
+    mmr_select): k integer-GEMM passes over the once-quantized
+    materialized vectors, each against the <k-row broadcast selected
+    matrix, one best-candidate row per batch per pass -- driver state is
+    the k picks, never the corpus."""
+    from .ops.ann import mmr_select
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return mmr_select(ds, k=8, query_id=0)
+
+
+QUERIES["embeddings_mmr_select"] = embeddings_mmr_select
+ORACLE_SQL["embeddings_mmr_select"] = _mmr_oracle_sql(k=8, dim=64)

@@ -777,3 +777,113 @@ def sq8_topk(
         return top.select(["qid", id_col, "score"])
 
     return partial.groupby("qid").map_groups(merge, batch_format="pyarrow")
+
+
+def _int_vecs(col) -> np.ndarray:
+    """Columnar ``list<int64>`` -> ``(n, d)`` int64, zero-copy flatten."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    d = int(pc.list_value_length(col)[0].as_py()) if n else 0
+    flat = pc.list_flatten(col)
+    return (
+        flat.to_numpy(zero_copy_only=False)
+        .astype(np.int64, copy=False)
+        .reshape(n, d)
+    )
+
+
+def mmr_select(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    query_id: int = 0,
+):
+    """Greedy Maximal-Marginal-Relevance selection (Carbonell &
+    Goldstein 1998) -- the diverse-subset curation cut over an embedding
+    table: step 1 picks the most query-relevant vector, each later step
+    picks ``argmax(rel(i) - max_{s in S} sim(i, s))`` (lambda = 1/2,
+    scores doubled so the trade-off is all-integer).  Relevance and
+    similarity are integer dot products of 2^20-quantized vectors, ties
+    break to the lowest id -- every step is exactly replayable in SQL.
+    Emits ``(vec_id, step, score_units)``.
+
+    Scale shape: vectors quantize ONCE into a materialized slim
+    (id, int64-vector) dataset; each of the k greedy steps is one
+    map_batches pass -- a (batch x dim) @ (dim x |S|) integer GEMM
+    against the BROADCAST selected matrix (|S| < k rows, shipped via
+    the closure) emitting ONE best-candidate row per batch -- plus an
+    O(#blocks) driver reduction.  Driver state is the k selected
+    vectors, never the corpus; k passes stream the same object-store
+    blocks (no re-read, no re-quantize).
+    """
+    import ray  # noqa: F401
+    import ray.data as rd
+
+    def quant(b: pa.Table) -> pa.Table:
+        v = _quantize(vecs_to_matrix(b[vec_col]))
+        n, d = v.shape
+        return pa.table(
+            {
+                "id": pc.cast(b[id_col], pa.int64()),
+                "v": pa.FixedSizeListArray.from_arrays(
+                    pa.array(v.ravel(), pa.int64()), d
+                ).cast(pa.list_(pa.int64())),
+            }
+        )
+
+    Q = ds.map_batches(quant, batch_format="pyarrow").materialize()
+
+    qrow = Q.filter(expr=f"id == {query_id}").take(1)
+    if not qrow:
+        raise ValueError(f"mmr_select: query id {query_id} not found")
+    qvec = np.asarray(qrow[0]["v"], dtype=np.int64)
+
+    sel_ids: list[int] = []
+    sel_vecs: list[np.ndarray] = []
+    out_steps: list[tuple[int, int, int]] = []
+
+    n_total = Q.count()
+    for step in range(1, min(k, n_total) + 1):
+        sel_mat = np.stack(sel_vecs) if sel_vecs else None
+        sel_set = np.array(sel_ids, dtype=np.int64)
+
+        def best_in_batch(b: pa.Table, _sm=sel_mat, _ss=sel_set) -> pa.Table:
+            ids = b["id"].to_numpy(zero_copy_only=False)
+            V = _int_vecs(b["v"])
+            score = V @ qvec
+            if _sm is not None:
+                score = score - (V @ _sm.T).max(axis=1)
+            if len(_ss):
+                keep = ~np.isin(ids, _ss)
+                ids, score, V = ids[keep], score[keep], V[keep]
+            if not len(ids):
+                return pa.table(
+                    {"id": pa.array([], pa.int64()),
+                     "score": pa.array([], pa.int64()),
+                     "v": pa.array([], pa.list_(pa.int64()))}
+                )
+            i = np.lexsort((ids, -score))[0]
+            return pa.table(
+                {
+                    "id": pa.array([int(ids[i])], pa.int64()),
+                    "score": pa.array([int(score[i])], pa.int64()),
+                    "v": pa.array([V[i].tolist()], pa.list_(pa.int64())),
+                }
+            )
+
+        cand = Q.map_batches(best_in_batch, batch_format="pyarrow").take_all()
+        best = min(cand, key=lambda r: (-r["score"], r["id"]))
+        sel_ids.append(int(best["id"]))
+        sel_vecs.append(np.asarray(best["v"], dtype=np.int64))
+        out_steps.append((int(best["id"]), step, int(best["score"])))
+
+    return rd.from_arrow(pa.table(
+        {
+            "vec_id": pa.array([t[0] for t in out_steps], pa.int64()),
+            "step": pa.array([t[1] for t in out_steps], pa.int64()),
+            "score_units": pa.array([t[2] for t in out_steps], pa.int64()),
+        }
+    ))

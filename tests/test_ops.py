@@ -3762,3 +3762,54 @@ class TestCooccurrencePairs:
         assert list(map(tuple, out.values)) == [
             ("a", "b", 2), ("a", "c", 1), ("b", "c", 1)
         ]
+
+
+class TestMmrSelect:
+    def test_serial_greedy_replay(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.ann import mmr_select
+
+        rng = np.random.default_rng(13)
+        vecs = rng.normal(size=(30, 8)).astype(np.float32)
+        rows = [
+            {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(30)
+        ]
+        out = (
+            mmr_select(
+                rd.from_items(rows).repartition(4), k=5, query_id=0,
+            )
+            .to_pandas()
+            .sort_values("step")
+            .reset_index(drop=True)
+        )
+        # serial replay of the exact integer greedy
+        q = np.floor(vecs.astype(np.float64) * (1 << 20) + 0.5).astype(
+            np.int64
+        )
+        rel = q @ q[0]
+        sel, scores = [], []
+        for _ in range(5):
+            if not sel:
+                score = rel.copy()
+            else:
+                score = rel - (q @ q[sel].T).max(axis=1)
+            score_l = [
+                (int(score[i]), i) for i in range(30) if i not in sel
+            ]
+            s, i = max(score_l, key=lambda t: (t[0], -t[1]))
+            sel.append(i)
+            scores.append(s)
+        assert out["vec_id"].tolist() == sel
+        assert out["score_units"].tolist() == scores
+
+    def test_k_exceeds_corpus(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.ann import mmr_select
+
+        rows = [
+            {"vec_id": i, "embedding": [float(i), 1.0]} for i in range(3)
+        ]
+        out = mmr_select(rd.from_items(rows), k=10, query_id=0).to_pandas()
+        assert len(out) == 3
