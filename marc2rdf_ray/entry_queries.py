@@ -6055,3 +6055,93 @@ def embeddings_mmr_select(sf_dir: str):
 
 QUERIES["embeddings_mmr_select"] = embeddings_mmr_select
 ORACLE_SQL["embeddings_mmr_select"] = _mmr_oracle_sql(k=8, dim=64)
+
+
+def events_value_winsorized(sf_dir: str):
+    """Per-type winsorization at the exact [p10, p90] fences
+    (ops/quantiles.py winsorize_per_group): distributed exact grouped
+    quantiles -> O(#groups) broadcast fence table -> stateless
+    vectorized clamp; event rows never shuffle."""
+    from .ops.quantiles import winsorize_per_group
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return winsorize_per_group(
+        ds, group_col="event_type", value_col="value", id_col="event_id",
+    )
+
+
+QUERIES["events_value_winsorized"] = events_value_winsorized
+
+ORACLE_SQL["events_value_winsorized"] = """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
+h AS (SELECT event_type, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+s AS (SELECT event_type, v,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum FROM h),
+nn AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+b AS (
+  SELECT nn.event_type,
+         (SELECT MIN(v) FROM s WHERE s.event_type = nn.event_type
+            AND cum >= (1 * nn.n + 9) // 10) AS lo,
+         (SELECT MIN(v) FROM s WHERE s.event_type = nn.event_type
+            AND cum >= (9 * nn.n + 9) // 10) AS hi
+  FROM nn
+)
+SELECT e.event_id, e.event_type,
+       LEAST(GREATEST(e.v, b.lo), b.hi) AS v_winsorized
+FROM e JOIN b USING (event_type)
+"""
+
+
+def parts_name_clusters(sf_dir: str):
+    """Entity-resolution composition: blocked edit-distance match pairs
+    (ops/dedup.py editdist_name_pairs) fed into connected components
+    (stages/canonicalize.py) -- fuzzy matches become merge clusters with
+    a min-name canonical, exactly the sameAs canonicalization shape the
+    KG flagship applies to page entities.  The pair list is orders
+    smaller than the corpus, so the budget-gated one-task CC fixpoint
+    solves it; over budget it falls back to the distributed
+    pointer-doubling rounds."""
+    from .ops.dedup import editdist_name_pairs
+    from .stages.canonicalize import (
+        connected_components,
+        connected_components_local,
+    )
+
+    pairs = editdist_name_pairs(
+        _read(sf_dir, "part", columns=["p_name"]),
+        name_col="p_name", threshold=2,
+    )
+    edges = pairs.map_batches(
+        lambda b: pa.table({"subj": b["name_a"], "obj": b["name_b"]}),
+        batch_format="pyarrow",
+    )
+    cc = connected_components_local(edges)
+    if cc is None:  # pragma: no cover - scale path
+        cc = connected_components(edges, rounds=8)
+    return cc
+
+
+QUERIES["parts_name_clusters"] = parts_name_clusters
+
+ORACLE_SQL["parts_name_clusters"] = """
+WITH RECURSIVE n AS (
+  SELECT p_name, COUNT(*)::BIGINT AS c FROM part GROUP BY p_name
+), b AS (
+  SELECT p_name, c, split_part(p_name, ' ', 1) AS blk FROM n
+), e AS (
+  SELECT a.p_name AS x, bb.p_name AS y
+  FROM b a JOIN b bb ON a.blk = bb.blk AND a.p_name < bb.p_name
+  WHERE levenshtein(a.p_name, bb.p_name) <= 2
+), und AS (
+  SELECT x, y FROM e UNION SELECT y, x FROM e
+), nodes AS (
+  SELECT x AS node FROM und
+  UNION SELECT p_name FROM n WHERE c > 1
+), reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.y, reach.r FROM reach JOIN und u ON u.x = reach.node
+)
+SELECT node, MIN(r) AS root FROM reach GROUP BY node
+"""

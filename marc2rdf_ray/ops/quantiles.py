@@ -565,3 +565,72 @@ def iqr_outliers(
         return t.filter(pa.array(mask))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def winsorize_per_group(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    lo: tuple = (1, 10),
+    hi: tuple = (9, 10),
+    cents: bool = True,
+):
+    """Per-group winsorization: clamp each row's value to its group's
+    exact [lo, hi] quantile fences -- the robust outlier-taming transform
+    (complement of ``iqr_outliers``, which REPORTS outliers; this one
+    REPAIRS them).
+
+    Composes :func:`grouped_quantiles` (distributed exact ranks, zero
+    driver state) into an O(#groups)-row fence table broadcast into a
+    stateless vectorized clamp map -- the event rows themselves never
+    shuffle.  Integer cents end-to-end, so the SQL oracle replays the
+    fences and the clamp bit-for-bit.
+    """
+    import ray
+
+    from ..functions.numeric import sql_round_i64
+
+    fences = grouped_quantiles(
+        ds, group_col, value_col, (lo, hi), cents=cents
+    ).materialize()
+    tab = pa.concat_tables(
+        ray.get(fences.to_arrow_refs()), promote_options="default"
+    )
+    lo_q = lo[0] / lo[1]
+    is_lo = pc.less(
+        pc.abs(pc.subtract(tab["q"], pa.scalar(lo_q))), pa.scalar(1e-12)
+    )
+    lo_tab = tab.filter(is_lo).sort_by(group_col)
+    hi_tab = tab.filter(pc.invert(is_lo)).sort_by(group_col)
+    ref = ray.put((
+        lo_tab[group_col].combine_chunks(),
+        lo_tab["value_cents"].combine_chunks(),
+        hi_tab["value_cents"].combine_chunks(),
+    ))
+
+    class Clamp:
+        def __init__(self):
+            self.keys, self.lo, self.hi = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            v = (
+                sql_round_i64(b[value_col], 100.0)
+                if cents
+                else pc.cast(b[value_col], pa.int64())
+            ).to_numpy(zero_copy_only=False)
+            idx = pc.index_in(b[group_col], value_set=self.keys)
+            lo_a = self.lo.take(idx).to_numpy(zero_copy_only=False)
+            hi_a = self.hi.take(idx).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    group_col: b[group_col],
+                    "v_winsorized": pa.array(
+                        np.minimum(np.maximum(v, lo_a), hi_a), pa.int64()
+                    ),
+                }
+            )
+
+    return ds.map_batches(Clamp, batch_format="pyarrow", concurrency=2)

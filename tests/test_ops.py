@@ -3813,3 +3813,63 @@ class TestMmrSelect:
         ]
         out = mmr_select(rd.from_items(rows), k=10, query_id=0).to_pandas()
         assert len(out) == 3
+
+
+class TestWinsorizePerGroup:
+    def test_clamps_at_exact_fences(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.quantiles import winsorize_per_group
+
+        # 10 rows 1..10 -> p10 fence = 1 (ceil(0.1*10)=1st), p90 = 9
+        rows = [
+            {"id": i, "g": "a", "v": float(i)} for i in range(1, 11)
+        ] + [{"id": 100, "g": "b", "v": 5.0}]
+        out = (
+            winsorize_per_group(
+                rd.from_items(rows).repartition(3),
+                group_col="g", value_col="v", id_col="id",
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        a = out[out["g"] == "a"]["v_winsorized"].tolist()
+        # cents: 100..1000; clamped to [100, 900]
+        assert a == [100, 200, 300, 400, 500, 600, 700, 800, 900, 900]
+        assert out[out["g"] == "b"]["v_winsorized"].tolist() == [500]
+
+
+class TestPartsNameClusters:
+    def test_transitive_merge(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.dedup import editdist_name_pairs
+        from marc2rdf_ray.stages.canonicalize import (
+            connected_components_local,
+        )
+
+        # chain: widget -- widgex -- widgyx (each 1 edit apart, ends 2)
+        rows = [{"p_name": n} for n in
+                ["red widget", "red widgex", "red widgyx", "red zzzzzz",
+                 "blue bolt"]]
+        pairs = editdist_name_pairs(
+            rd.from_items(rows), name_col="p_name", threshold=1,
+        )
+        edges = pairs.map_batches(
+            lambda b: pa.table({"subj": b["name_a"], "obj": b["name_b"]}),
+            batch_format="pyarrow",
+        )
+        out = (
+            connected_components_local(edges)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        # the 3-chain merges transitively under one canon despite the
+        # ends being 2 edits apart; loners never appear
+        assert sorted(out["node"].tolist()) == [
+            "red widget", "red widgex", "red widgyx"
+        ]
+        assert set(out["root"].tolist()) == {"red widget"}
+        assert len(out) == 3
