@@ -292,6 +292,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "graph_clustering_coef",
         "events_rolling_active_users",
         "events_type_top_values",
+        "events_value_robust_z",
+        "events_peak_sessions",
+        "embeddings_mmr_select",
+        "events_click_auc",
     ]
     out = {}
     for name in names:

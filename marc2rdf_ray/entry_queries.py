@@ -6145,3 +6145,99 @@ WITH RECURSIVE n AS (
 )
 SELECT node, MIN(r) AS root FROM reach GROUP BY node
 """
+
+
+def events_value_robust_z(sf_dir: str):
+    """Median/MAD robust z-scores per type (ops/quantiles.py
+    robust_zscore_per_group): two composed exact grouped-quantile passes
+    (median, then median absolute deviation), each an O(#groups)
+    broadcast; signed milli ratio via the offset-shifted floor division
+    so DuckDB's truncating // replays it exactly."""
+    from .ops.quantiles import robust_zscore_per_group
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return robust_zscore_per_group(
+        ds, group_col="event_type", value_col="value", id_col="event_id",
+    )
+
+
+QUERIES["events_value_robust_z"] = events_value_robust_z
+
+ORACLE_SQL["events_value_robust_z"] = """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
+h AS (SELECT event_type, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+s AS (SELECT event_type, v,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum FROM h),
+nn AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+med AS (
+  SELECT nn.event_type,
+         (SELECT MIN(v) FROM s WHERE s.event_type = nn.event_type
+            AND cum >= (1 * nn.n + 1) // 2) AS med
+  FROM nn
+),
+d AS (SELECT e.event_id, e.event_type, e.v, abs(e.v - med.med) AS dev
+      FROM e JOIN med USING (event_type)),
+h2 AS (SELECT event_type, dev, COUNT(*) AS c FROM d GROUP BY 1, 2),
+s2 AS (SELECT event_type, dev,
+              SUM(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+       FROM h2),
+mad AS (
+  SELECT nn.event_type,
+         (SELECT MIN(dev) FROM s2 WHERE s2.event_type = nn.event_type
+            AND cum >= (1 * nn.n + 1) // 2) AS mad
+  FROM nn
+)
+SELECT d.event_id, d.event_type,
+       (((d.v - med.med) * 1000 + mad.mad * 100000) // mad.mad
+        - 100000)::BIGINT AS rz_milli
+FROM d JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE mad.mad > 0
+"""
+
+
+def events_peak_sessions(sf_dir: str):
+    """Peak concurrent sessions (ops/windows.py max_concurrency over
+    sessionize(with_end=True) intervals): a distributed sweep-line --
+    intervals flatten to slim (t, ±1) deltas, per-range-bucket delta
+    totals seed each bucket's exclusive prefix, one range shuffle with a
+    vectorized cumsum sweep per bucket, O(#buckets) driver fold."""
+    from .ops.windows import max_concurrency, sessionize
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    sessions = sessionize(ds, with_end=True)
+    return max_concurrency(
+        sessions, start_col="session_start_us", end_col="session_end_us",
+    )
+
+
+QUERIES["events_peak_sessions"] = events_peak_sessions
+
+ORACLE_SQL["events_peak_sessions"] = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus FROM events
+), lagd AS (
+  SELECT user_id, tus,
+    CASE WHEN lag(tus) OVER w IS NULL
+           OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+), sess AS (
+  SELECT user_id, tus,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagd
+), iv AS (
+  SELECT MIN(tus) AS s, MAX(tus) AS e FROM sess GROUP BY user_id, sid
+), pts AS (
+  SELECT s AS t, 1 AS d FROM iv
+  UNION ALL SELECT e, -1 FROM iv
+), run AS (
+  SELECT t, d, SUM(d) OVER (ORDER BY t, d DESC
+                            ROWS UNBOUNDED PRECEDING) AS c
+  FROM pts
+), m AS (SELECT MAX(c) AS mx FROM run)
+SELECT CAST(m.mx AS BIGINT) AS max_concurrent,
+       CAST((SELECT MIN(t) FROM run WHERE c = m.mx) AS BIGINT)
+         AS first_at_us
+FROM m
+"""

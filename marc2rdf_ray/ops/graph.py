@@ -1811,6 +1811,99 @@ def _hits_local(mat_edges, nodes_ds, *, rounds: int) -> "object":
     )
 
 
+def _coef_local(u, v, max_out, strict):
+    """One-task exact solve of the clustering-coefficient recurrence over
+    a distinct canon edge list -- BIT-IDENTICAL to the distributed path
+    (same degree-rank orientation, same per-tail cap pick on the
+    id-sorted order, same integer micro coefficient), the
+    pagerank_local / _hits_local precedent.  Returns the output table.
+    """
+    logger = logging.getLogger(__name__)
+    nodes_all, deg = np.unique(np.concatenate([u, v]), return_counts=True)
+    deg = deg.astype(np.int64)
+    iu = np.searchsorted(nodes_all, u)
+    iv = np.searchsorted(nodes_all, v)
+    du, dv = deg[iu], deg[iv]
+    fwd = (du < dv) | ((du == dv) & (u < v))
+    tails = np.where(fwd, u, v)
+    heads = np.where(fwd, v, u)
+    # identical wedge construction to the distributed wedges() task
+    order = np.lexsort((heads, tails))
+    tails, heads = tails[order], heads[order]
+    brk = np.empty(len(tails), bool)
+    brk[:1] = True
+    if len(tails) > 1:
+        brk[1:] = tails[1:] != tails[:-1]
+    seg_of = np.cumsum(brk) - 1
+    starts = np.flatnonzero(brk)
+    local = np.arange(len(tails)) - starts[seg_of]
+    over = np.flatnonzero(
+        np.append(starts[1:], len(tails)) - starts > max_out
+    )
+    if len(over) and strict:
+        raise ValueError(
+            f"clustering_coefficient(strict=True): {len(over)} tail(s) "
+            f"exceed max_out={max_out}; per-node counts would "
+            "undercount -- raise max_out or drop strict"
+        )
+    for si in over:
+        logger.warning(
+            "clustering_coefficient: tail %d truncated to %d heads; "
+            "its (and its heads') triangle counts undercount",
+            int(tails[starts[si]]), max_out,
+        )
+    keep = local < max_out
+    tails, heads, seg_of = tails[keep], heads[keep], seg_of[keep]
+    n_tri = np.zeros(len(nodes_all), np.int64)
+    if len(tails):
+        dh = deg[np.searchsorted(nodes_all, heads)]
+        order = np.lexsort((heads, dh, seg_of))
+        heads, seg_of = heads[order], seg_of[order]
+        tails = tails[order]
+        brk2 = np.empty(len(seg_of), bool)
+        brk2[:1] = True
+        if len(seg_of) > 1:
+            brk2[1:] = seg_of[1:] != seg_of[:-1]
+        starts2 = np.flatnonzero(brk2)
+        sizes = np.diff(np.append(starts2, len(seg_of)))
+        seg_idx = np.cumsum(brk2) - 1
+        local2 = np.arange(len(seg_of)) - starts2[seg_idx]
+        counts = sizes[seg_idx] - 1 - local2
+        total = int(counts.sum())
+        if total:
+            a_idx = np.repeat(np.arange(len(seg_of)), counts)
+            excl = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            b_idx = a_idx + 1 + (np.arange(total) - excl[a_idx])
+            n = len(nodes_all)
+            ek = np.sort(
+                np.searchsorted(nodes_all, tails) * n
+                + np.searchsorted(nodes_all, heads)
+            )
+            wa = np.searchsorted(nodes_all, heads[a_idx])
+            wb = np.searchsorted(nodes_all, heads[b_idx])
+            wk = wa * n + wb
+            pos = np.searchsorted(ek, wk)
+            pos[pos >= len(ek)] = len(ek) - 1
+            hit = ek[pos] == wk
+            corners = np.concatenate(
+                [wa[hit], wb[hit],
+                 np.searchsorted(nodes_all, tails[a_idx][hit])]
+            )
+            np.add.at(n_tri, corners, 1)
+    keep2 = deg >= 2
+    deg2 = deg[keep2]
+    nt = n_tri[keep2]
+    coef = (2 * nt * 1_000_000) // (deg2 * (deg2 - 1))
+    return pa.table(
+        {
+            "node": pa.array(nodes_all[keep2], pa.int64()),
+            "deg": pa.array(deg2, pa.int64()),
+            "n_triangles": pa.array(nt, pa.int64()),
+            "coef_micro": pa.array(coef, pa.int64()),
+        }
+    )
+
+
 def clustering_coefficient(
     edges_ds,
     *,
@@ -1820,6 +1913,7 @@ def clustering_coefficient(
     degree_budget: int = 256 << 20,
     max_out: int = 4096,
     strict: bool = False,
+    local_budget: int = 64 << 20,
 ):
     """Local clustering coefficient per node of the UNDIRECTED simple
     graph: ``coef_micro = (2 * triangles(v) * 1e6) // (deg(v) *
@@ -1882,6 +1976,28 @@ def clustering_coefficient(
         .map_groups(distinct_uv, batch_format="pyarrow")
         .materialize()
     )
+
+    # budget-gated local fast path (pagerank_local precedent): in-budget
+    # edge lists solve in ONE task, bit-identical by construction; node
+    # count must also keep the dense n*n wedge key inside int64
+    if dedup.size_bytes() <= local_budget:
+        def tag(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "_g", pa.array(np.zeros(len(b), np.int8), pa.int8())
+            )
+
+        def solve(g: pa.Table) -> pa.Table:
+            return _coef_local(
+                g["u"].to_numpy(zero_copy_only=False),
+                g["v"].to_numpy(zero_copy_only=False),
+                max_out, strict,
+            )
+
+        return (
+            dedup.map_batches(tag, batch_format="pyarrow")
+            .groupby("_g")
+            .map_groups(solve, batch_format="pyarrow")
+        )
 
     def deg_partial(b: pa.Table) -> pa.Table:
         n = np.concatenate(

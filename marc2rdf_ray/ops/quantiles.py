@@ -634,3 +634,95 @@ def winsorize_per_group(
             )
 
     return ds.map_batches(Clamp, batch_format="pyarrow", concurrency=2)
+
+
+def robust_zscore_per_group(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+):
+    """Median/MAD robust z-score per group -- the outlier-resistant
+    complement of ``zscore_per_group`` (mean/std is itself dragged by
+    the outliers it is meant to expose).  Two composed
+    :func:`grouped_quantiles` passes (exact median, then exact median of
+    absolute deviations), each collapsing to an O(#groups) broadcast
+    table; the final stateless map emits
+
+        rz_milli = floor((v - med) * 1000 / mad)
+
+    computed with the shared offset trick (shift the numerator
+    non-negative so truncating and flooring division agree), making the
+    signed ratio bit-replayable in DuckDB.  Groups with MAD = 0 drop on
+    both sides (z undefined on a constant-majority group).  Values are
+    integer cents end-to-end; event rows never shuffle.
+    """
+    import ray
+
+    from ..functions.numeric import sql_round_i64
+
+    _OFF = 100_000  # |rz_milli| bound: shift keeps numerators >= 0
+
+    def _fence_map(q_ds):
+        tab = pa.concat_tables(
+            ray.get(q_ds.materialize().to_arrow_refs()),
+            promote_options="default",
+        ).sort_by(group_col)
+        return (
+            tab[group_col].combine_chunks(),
+            tab["value_cents"].combine_chunks(),
+        )
+
+    med_keys, med_vals = _fence_map(
+        grouped_quantiles(ds, group_col, value_col, ((1, 2),), cents=True)
+    )
+    med_ref = ray.put((med_keys, med_vals))
+
+    def dev(b: pa.Table) -> pa.Table:
+        keys, vals = ray.get(med_ref)
+        v = sql_round_i64(b[value_col], 100.0)
+        idx = pc.index_in(b[group_col], value_set=keys)
+        med = vals.take(idx)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                group_col: b[group_col],
+                "v": v,
+                "dev": pc.abs_checked(pc.subtract_checked(v, med)),
+            }
+        )
+
+    devs = ds.map_batches(dev, batch_format="pyarrow")
+    mad_keys, mad_vals = _fence_map(
+        grouped_quantiles(devs, group_col, "dev", ((1, 2),), cents=False)
+    )
+    mad_ref = ray.put((mad_keys, mad_vals))
+
+    def score(b: pa.Table) -> pa.Table:
+        keys, vals = ray.get(mad_ref)
+        mkeys, mvals = ray.get(med_ref)
+        v = sql_round_i64(b[value_col], 100.0).to_numpy(
+            zero_copy_only=False
+        )
+        med = mvals.take(
+            pc.index_in(b[group_col], value_set=mkeys)
+        ).to_numpy(zero_copy_only=False)
+        mad = vals.take(
+            pc.index_in(b[group_col], value_set=keys)
+        ).to_numpy(zero_copy_only=False)
+        keep = mad > 0
+        dv = v - med
+        rz = np.zeros(len(v), np.int64)
+        m = np.where(keep, mad, 1)
+        rz = (dv * 1000 + m * _OFF) // m - _OFF
+        t = pa.table(
+            {
+                id_col: b[id_col],
+                group_col: b[group_col],
+                "rz_milli": pa.array(rz, pa.int64()),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(score, batch_format="pyarrow")

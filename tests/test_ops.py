@@ -3873,3 +3873,123 @@ class TestPartsNameClusters:
         ]
         assert set(out["root"].tolist()) == {"red widget"}
         assert len(out) == 3
+
+
+class TestRobustZscore:
+    def test_vs_serial_median_mad(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.quantiles import robust_zscore_per_group
+
+        rng = np.random.default_rng(21)
+        rows = [
+            {"id": i, "g": "a", "v": float(rng.integers(0, 50))}
+            for i in range(41)
+        ] + [
+            {"id": 100 + i, "g": "const", "v": 7.0} for i in range(5)
+        ]
+        out = (
+            robust_zscore_per_group(
+                rd.from_items(rows).repartition(4),
+                group_col="g", value_col="v", id_col="id",
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        # MAD-0 group drops entirely
+        assert (out["g"] == "const").sum() == 0
+        vals = np.array(
+            [round(r["v"] * 100) for r in rows if r["g"] == "a"], np.int64
+        )
+        n = len(vals)
+        sv = np.sort(vals)
+        cum = np.arange(1, n + 1)
+        med = int(sv[np.searchsorted(cum, (n + 1) // 2)])
+        dev = np.sort(np.abs(vals - med))
+        mad = int(dev[np.searchsorted(cum, (n + 1) // 2)])
+        exp = ((vals - med) * 1000 + mad * 100000) // mad - 100000
+        got = out[out["g"] == "a"].sort_values("id")["rz_milli"].to_numpy()
+        assert (got == exp).all()
+
+
+class TestMaxConcurrency:
+    def test_sweep_with_touching_intervals(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import max_concurrency
+
+        rows = [
+            {"s": 0, "e": 10},
+            {"s": 10, "e": 20},   # touches the first: overlaps (closed)
+            {"s": 5, "e": 7},
+            {"s": 6, "e": 30},
+            {"s": 100, "e": 110},
+        ]
+        out = max_concurrency(
+            rd.from_items(rows).repartition(3), start_col="s", end_col="e",
+        ).to_pandas()
+        # at t=6: [0,10], [5,7], [6,30] open -> 3; t=10 has 3 too
+        # ([0,10] closes only after [10,20] opens) but 6 comes first
+        assert out["max_concurrent"].tolist() == [3]
+        assert out["first_at_us"].tolist() == [6]
+
+    def test_empty_and_vs_duckdb(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import max_concurrency
+
+        rng = np.random.default_rng(17)
+        rows = []
+        for i in range(200):
+            s = int(rng.integers(0, 10_000))
+            rows.append({"s": s, "e": s + int(rng.integers(0, 500))})
+        out = max_concurrency(
+            rd.from_items(rows).repartition(4), start_col="s", end_col="e",
+            num_buckets=16,
+        ).to_pandas()
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("iv", pd.DataFrame(rows))
+        exp = con.sql(
+            """
+            WITH pts AS (
+              SELECT s AS t, 1 AS d FROM iv
+              UNION ALL SELECT e, -1 FROM iv
+            ), run AS (
+              SELECT t, SUM(d) OVER (ORDER BY t, d DESC
+                                     ROWS UNBOUNDED PRECEDING) AS c
+              FROM pts
+            ), m AS (SELECT MAX(c) AS mx FROM run)
+            SELECT CAST(m.mx AS BIGINT) AS mx,
+                   (SELECT MIN(t) FROM run WHERE c = m.mx) AS at
+            FROM m
+            """
+        ).df()
+        assert out["max_concurrent"].tolist() == exp["mx"].tolist()
+        assert out["first_at_us"].tolist() == exp["at"].tolist()
+
+
+class TestClusteringCoefLocalParity:
+    def test_local_equals_distributed(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import clustering_coefficient
+
+        rng = np.random.default_rng(23)
+        edges = [
+            {"src": int(rng.integers(0, 60)), "dst": int(rng.integers(0, 60))}
+            for _ in range(400)
+        ]
+        ds = rd.from_items(edges).repartition(4)
+        a = (
+            clustering_coefficient(ds)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        b = (
+            clustering_coefficient(ds, local_budget=0)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert a.equals(b)
