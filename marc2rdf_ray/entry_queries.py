@@ -6241,3 +6241,62 @@ SELECT CAST(m.mx AS BIGINT) AS max_concurrent,
          AS first_at_us
 FROM m
 """
+
+
+def events_value_ntile(sf_dir: str):
+    """Global NTILE(4) equal-frequency binning (ops/relational.py
+    ntile): O(#distinct scores) broadcast cumulative table + one
+    score-bucketed shuffle with local id sort -- exact global ranks
+    without a global row sort."""
+    from .ops.relational import ntile
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    return ntile(ds, score_col="value", id_col="event_id", q=4)
+
+
+QUERIES["events_value_ntile"] = events_value_ntile
+
+ORACLE_SQL["events_value_ntile"] = """
+WITH q AS (
+  SELECT event_id, CAST(ROUND(value * 1000) AS BIGINT) AS s FROM events
+)
+SELECT event_id, s AS score_units,
+       CAST(NTILE(4) OVER (ORDER BY s, event_id) AS BIGINT) AS tile
+FROM q
+"""
+
+
+def embeddings_dim_stats(sf_dir: str):
+    """Per-dimension mean/variance of the embedding table (ops/ann.py
+    dim_stats): one (dim, n, sum, sumsq) partial row per dimension per
+    batch regardless of batch size, tiny groupby-sum, IEEE finish
+    replayed operand-for-operand -- float bits hash equal."""
+    from .ops.ann import dim_stats
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    return dim_stats(ds)
+
+
+QUERIES["embeddings_dim_stats"] = embeddings_dim_stats
+
+ORACLE_SQL["embeddings_dim_stats"] = """
+WITH q AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+         x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+), d AS (
+  SELECT g.d AS dim, q.v[g.d] AS x
+  FROM q CROSS JOIN generate_series(1, 64) g(d)
+), m AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS ss
+  FROM d GROUP BY dim
+)
+SELECT dim, n AS n_rows,
+       (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0 AS mean_v,
+       ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+         / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+       / (1048576.0 * 1048576.0) AS var_v
+FROM m
+"""

@@ -887,3 +887,65 @@ def mmr_select(
             "score_units": pa.array([t[2] for t in out_steps], pa.int64()),
         }
     ))
+
+
+def dim_stats(ds, *, vec_col: str = "embedding"):
+    """Per-dimension mean/variance of an embedding column -- the tensor
+    analog of ``grouped_moments``, the normalization-statistics pass a
+    feature pipeline runs before whitening.
+
+    Scale shape: each batch collapses to ONE (dim, n, sum, sumsq) partial
+    row per dimension (columnar ``V.sum(axis=0)`` over the 2^20-quantized
+    matrix -- d rows per batch regardless of batch size), one tiny
+    groupby-sum merges them, and the IEEE finish replays the oracle's
+    exact operand order so the float bits hash equal.  Overflow bound
+    (documented): per-dim sumsq < 2^63 -- unit-norm embeddings
+    (|x| <= 1 -> x_q^2 <= 2^40) allow ~8e6 rows per dim per PARTIAL and
+    the groupby-sum of partials shares the bound; rescale for wider
+    domains.  ``dim`` is 1-based to match SQL list indexing.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        V = _quantize(vecs_to_matrix(b[vec_col]))
+        n, d = V.shape
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "s": pa.array(V.sum(axis=0, dtype=np.int64), pa.int64()),
+                "ss": pa.array(
+                    (V * V).sum(axis=0, dtype=np.int64), pa.int64()
+                ),
+                "n": pa.array(np.full(d, n, np.int64), pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ss = b["ss"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qf = float(_QUANT)
+        mean = (s / n) / qf
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = ((ss - s * s / n) / (n - 1.0)) / (qf * qf)
+        var = np.where(n > 1, var, np.nan)
+        return pa.table(
+            {
+                "dim": b["dim"],
+                "n_rows": pc.cast(b["n"], pa.int64()),
+                "mean_v": pa.array(mean, pa.float64()),
+                "var_v": pa.array(var, pa.float64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -1372,3 +1372,110 @@ def cooccurrence_pairs(
         .groupby(["item_a", "item_b"])
         .aggregate(Sum("n", alias_name="n_entities"))
     )
+
+
+def ntile(
+    ds,
+    *,
+    score_col: str,
+    id_col: str,
+    q: int = 4,
+    scale: float = 1000.0,
+):
+    """SQL ``NTILE(q) OVER (ORDER BY score, id)`` -- equal-frequency
+    binning of the whole table into q tiles (quartiles/deciles), the
+    discretization step feature pipelines run before bucketed models.
+
+    Distributed ranking without a global sort of the rows:
+
+    1. per-batch per-score count partials -> ONE groupby-sum -> an
+       O(#distinct scores) driver table of EXCLUSIVE cumulative counts
+       (``below``) broadcast to the workers (the exact_auc contract;
+       quantize wider domains with a smaller ``scale``),
+    2. one shuffle bucketed BY SCORE; each score's rows sort locally by
+       id, so ``rank = below[score] + local_pos + 1`` is the exact
+       global rank (skew note: one score's rows share a task -- bounded
+       by score multiplicity, never the table),
+    3. the tile is pure arithmetic on the rank (first ``n % q`` tiles
+       take the extra row, SQL's NTILE contract).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.numeric import sql_round_i64
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = sql_round_i64(b[score_col], scale)
+        t = pa.table({"s": s})
+        g = t.group_by(["s"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["s", "c"])
+
+    per_score = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()
+    )
+    tab = pa.concat_tables(
+        ray.get(per_score.to_arrow_refs()), promote_options="default"
+    )
+    sv = tab["s"].to_numpy(zero_copy_only=False)
+    cv = tab["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(sv, kind="stable")
+    sv, cv = sv[order], cv[order]
+    below = np.concatenate(([0], np.cumsum(cv)))[:-1]
+    n = int(cv.sum())
+    ref = ray.put((sv, below))
+
+    big = n // q + 1
+    nbig = n % q
+    cut = nbig * big  # ranks <= cut live in the big tiles
+
+    nb = _default_buckets()
+
+    def prep(b: pa.Table) -> pa.Table:
+        s = sql_round_i64(b[score_col], scale)
+        sv_np = s.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                "score_units": s,
+                "__bucket": pa.array(
+                    (sv_np % nb).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def rank_in_bucket(group: pa.Table) -> pa.Table:
+        svv, bel = ray.get(ref)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        sc = group["score_units"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ids, sc))
+        ids, sc = ids[o], sc[o]
+        brk = np.empty(len(sc), bool)
+        brk[:1] = True
+        if len(sc) > 1:
+            brk[1:] = sc[1:] != sc[:-1]
+        starts = np.flatnonzero(brk)
+        pos = np.arange(len(sc)) - starts[np.cumsum(brk) - 1]
+        rank = bel[np.searchsorted(svv, sc)] + pos + 1
+        tile = np.where(
+            rank <= cut,
+            (rank - 1) // big + 1,
+            nbig + (rank - cut - 1) // max(n // q, 1) + 1,
+        ) if n else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "score_units": pa.array(sc, pa.int64()),
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(rank_in_bucket, batch_format="pyarrow")
+    )

@@ -3993,3 +3993,67 @@ class TestClusteringCoefLocalParity:
             .to_pandas().sort_values("node").reset_index(drop=True)
         )
         assert a.equals(b)
+
+
+class TestNtile:
+    def test_vs_duckdb_ntile_uneven(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import ntile
+
+        rng = np.random.default_rng(31)
+        # 103 rows / 4 tiles -> uneven split with heavy score ties
+        rows = [
+            {"id": i, "v": float(rng.integers(0, 9))} for i in range(103)
+        ]
+        out = (
+            ntile(
+                rd.from_items(rows).repartition(5),
+                score_col="v", id_col="id", q=4,
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(rows))
+        exp = con.sql(
+            """
+            WITH q AS (SELECT id, CAST(ROUND(v * 1000) AS BIGINT) AS s
+                       FROM t)
+            SELECT id, CAST(NTILE(4) OVER (ORDER BY s, id) AS BIGINT)
+                   AS tile
+            FROM q ORDER BY id
+            """
+        ).df()
+        assert out["tile"].tolist() == exp["tile"].tolist()
+
+
+class TestDimStats:
+    def test_vs_numpy(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.ann import dim_stats
+
+        rng = np.random.default_rng(33)
+        vecs = rng.normal(scale=0.3, size=(50, 6)).astype(np.float32)
+        rows = [{"embedding": vecs[i].tolist()} for i in range(50)]
+        out = (
+            dim_stats(rd.from_items(rows).repartition(4))
+            .to_pandas()
+            .sort_values("dim")
+            .reset_index(drop=True)
+        )
+        qm = np.floor(vecs.astype(np.float64) * (1 << 20) + 0.5).astype(
+            np.int64
+        )
+        s = qm.sum(0).astype(np.float64)
+        ss = (qm * qm).sum(0).astype(np.float64)
+        n = 50.0
+        mean = (s / n) / float(1 << 20)
+        var = ((ss - s * s / n) / (n - 1.0)) / float(1 << 20) ** 2
+        assert np.array_equal(out["mean_v"].to_numpy(), mean)
+        assert np.array_equal(out["var_v"].to_numpy(), var)
