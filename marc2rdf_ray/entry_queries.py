@@ -6300,3 +6300,77 @@ SELECT dim, n AS n_rows,
        / (1048576.0 * 1048576.0) AS var_v
 FROM m
 """
+
+
+def events_weekly_deltas(sf_dir: str):
+    """Week-over-week per-type deltas (ops/relational.py period_deltas):
+    per-batch count combiners, one groupby-sum, one key-bucketed shuffle
+    of the collapsed counts with a vectorized lexsort + shift."""
+    from .ops.relational import period_deltas
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    return period_deltas(ds, key_col="event_type", ts_col="ts")
+
+
+QUERIES["events_weekly_deltas"] = events_weekly_deltas
+
+ORACLE_SQL["events_weekly_deltas"] = """
+WITH c AS (
+  SELECT event_type,
+         (epoch_us(ts) // 604800000000) * 604800000000 AS bucket_us,
+         COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, bucket_us, n,
+         LAG(n) OVER (PARTITION BY event_type ORDER BY bucket_us) AS p
+  FROM c
+)
+SELECT event_type, bucket_us, n AS n_events, (n - p)::BIGINT AS delta
+FROM d WHERE p IS NOT NULL
+"""
+
+
+def graph_harmonic_seeds(sf_dir: str):
+    """Bounded-radius harmonic centrality of the doc_id%100==1 seeds
+    over the md5 link graph (ops/graph.py harmonic_centrality): one BFS
+    per seed (frontier semi-join / visited anti-join rounds), per-batch
+    floor(1e6/d) combiners, O(#seeds) driver state."""
+    from .ops.graph import harmonic_centrality
+
+    edges, nodes, _ = _md5_link_graph(sf_dir)
+
+    def pick(b: pa.Table) -> pa.Table:
+        v = b["node"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(v % 100 == 1))
+
+    seeds = nodes.map_batches(pick, batch_format="pyarrow")
+    return harmonic_centrality(edges, seeds, max_depth=4)
+
+
+QUERIES["graph_harmonic_seeds"] = graph_harmonic_seeds
+
+ORACLE_SQL["graph_harmonic_seeds"] = """
+WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+walk(seed, node, lvl) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT), 0
+  FROM documents WHERE doc_id % 100 = 1
+  UNION
+  SELECT w.seed, e.dst, w.lvl + 1
+  FROM walk w JOIN raw e ON e.src = w.node
+  WHERE w.lvl < 4
+),
+d AS (SELECT seed, node, MIN(lvl) AS lvl FROM walk GROUP BY 1, 2)
+SELECT seed,
+       (COUNT(*) FILTER (WHERE lvl > 0))::BIGINT AS n_reached,
+       COALESCE(SUM(1000000 // lvl) FILTER (WHERE lvl > 0), 0)::BIGINT
+         AS harmonic_micro
+FROM d GROUP BY seed
+"""

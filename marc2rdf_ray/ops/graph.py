@@ -2300,3 +2300,55 @@ def reciprocity(
             "reciprocity_micro": pa.array([micro], pa.int64()),
         }
     ))
+
+
+def harmonic_centrality(edges, seeds_ds, *, max_depth: int = 4):
+    """Harmonic centrality of a seed set within a hop cap: for each seed
+    s, ``sum over reachable v != s of floor(1e6 / d(s, v))`` (exact
+    integer micro-units) plus the reach count -- the bounded-radius
+    centrality crawl planners score hub candidates with.
+
+    Composes one :func:`bfs_levels` run PER SEED (the frontier
+    semi-join / visited anti-join machinery, unchanged) and reduces each
+    (node, lvl) result with a per-batch combiner into two scalars --
+    driver state is O(#seeds).  Per-wedge flooring before the sum keeps
+    int64 addition order-free, so the recursive-CTE oracle replays the
+    score bit-for-bit (the adamic-adar / trigram_bits contract).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    seed_rows = seeds_ds.take_all()
+    out = []
+    for r in seed_rows:
+        s = int(r["node"])
+        one = rd.from_arrow(
+            pa.table({"node": pa.array([s], pa.int64())})
+        )
+        res = bfs_levels(edges, one, max_depth=max_depth)
+
+        def partial(b: pa.Table) -> pa.Table:
+            lvl = b["lvl"].to_numpy(zero_copy_only=False)
+            lvl = lvl[lvl > 0]
+            return pa.table(
+                {
+                    "h": pa.array(
+                        [int((1_000_000 // lvl).sum()) if len(lvl) else 0],
+                        pa.int64(),
+                    ),
+                    "c": pa.array([len(lvl)], pa.int64()),
+                }
+            )
+
+        agg = res.map_batches(partial, batch_format="pyarrow").aggregate(
+            Sum("h", alias_name="h"), Sum("c", alias_name="c")
+        )
+        out.append((s, int(agg["c"] or 0), int(agg["h"] or 0)))
+    out.sort()
+    return rd.from_arrow(pa.table(
+        {
+            "seed": pa.array([t[0] for t in out], pa.int64()),
+            "n_reached": pa.array([t[1] for t in out], pa.int64()),
+            "harmonic_micro": pa.array([t[2] for t in out], pa.int64()),
+        }
+    ))

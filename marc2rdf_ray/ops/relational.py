@@ -1479,3 +1479,83 @@ def ntile(
         .groupby("__bucket")
         .map_groups(rank_in_bucket, batch_format="pyarrow")
     )
+
+
+def period_deltas(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    bucket_us: int = 604_800_000_000,
+):
+    """Period-over-period deltas: per key, counts per time bucket plus
+    the exact change vs the key's PREVIOUS OBSERVED bucket (SQL's
+    ``n - LAG(n) OVER (PARTITION BY key ORDER BY bucket)``) -- the
+    reporting staple behind week-over-week dashboards.  Each key's
+    first bucket has no predecessor and is dropped on both sides.
+
+    Scale shape: per-batch (key, bucket) count combiner -> ONE
+    groupby-sum -> one key-bucketed shuffle of the already-collapsed
+    counts (O(keys x buckets) rows, never events) with a vectorized
+    lexsort + shift per bucket task.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import bucket_codes
+
+    nb = _default_buckets()
+    step = pa.scalar(np.int64(bucket_us), pa.int64())
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        bucket = pc.multiply(
+            pc.divide(pc.cast(ts, pa.int64()), step), step
+        )
+        t = pa.table({"k": b[key_col], "bucket_us": bucket})
+        return (
+            t.group_by(["k", "bucket_us"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["k", "bucket_us", "n"])
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["k", "bucket_us"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def key(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__bucket", bucket_codes(pc.cast(b["k"], pa.string()), nb)
+        )
+
+    def deltas(group: pa.Table) -> pa.Table:
+        kk = group["k"]
+        if isinstance(kk, pa.ChunkedArray):
+            kk = kk.combine_chunks()
+        k = kk.to_numpy(zero_copy_only=False)
+        bu = group["bucket_us"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((bu, k))
+        k, bu, n = k[order], bu[order], n[order]
+        same = np.zeros(len(k), bool)
+        if len(k) > 1:
+            same[1:] = k[1:] == k[:-1]
+        prev = np.roll(n, 1)
+        t = pa.table(
+            {
+                key_col: kk.take(pa.array(order[same])),
+                "bucket_us": pa.array(bu[same], pa.int64()),
+                "n_events": pa.array(n[same], pa.int64()),
+                "delta": pa.array(n[same] - prev[same], pa.int64()),
+            }
+        )
+        return t
+
+    return (
+        counts.map_batches(key, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(deltas, batch_format="pyarrow")
+    )

@@ -4057,3 +4057,79 @@ class TestDimStats:
         var = ((ss - s * s / n) / (n - 1.0)) / float(1 << 20) ** 2
         assert np.array_equal(out["mean_v"].to_numpy(), mean)
         assert np.array_equal(out["var_v"].to_numpy(), var)
+
+
+class TestPeriodDeltas:
+    def test_vs_duckdb_lag(self, ray_session):
+        import datetime as dt
+
+        import pandas as pd
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import period_deltas
+
+        rng = np.random.default_rng(41)
+        rows = [
+            {
+                "k": str(rng.choice(["a", "b"])),
+                "ts": dt.datetime(2024, 1, 1)
+                + dt.timedelta(hours=int(rng.integers(0, 24 * 60))),
+            }
+            for _ in range(500)
+        ]
+        out = (
+            period_deltas(
+                rd.from_items(rows).repartition(4), key_col="k",
+                ts_col="ts",
+            )
+            .to_pandas()
+            .sort_values(["k", "bucket_us"])
+            .reset_index(drop=True)
+        )
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(rows))
+        exp = con.sql(
+            """
+            WITH c AS (
+              SELECT k, (epoch_us(ts) // 604800000000) * 604800000000
+                        AS bucket_us,
+                     COUNT(*)::BIGINT AS n
+              FROM t GROUP BY 1, 2
+            ), d AS (
+              SELECT k, bucket_us, n,
+                     LAG(n) OVER (PARTITION BY k ORDER BY bucket_us) AS p
+              FROM c
+            )
+            SELECT k, bucket_us, n, (n - p)::BIGINT AS delta
+            FROM d WHERE p IS NOT NULL ORDER BY k, bucket_us
+            """
+        ).df()
+        assert out["delta"].tolist() == exp["delta"].tolist()
+        assert out["n_events"].tolist() == exp["n"].tolist()
+
+
+class TestHarmonicCentrality:
+    def test_hand_graph(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import harmonic_centrality
+
+        # 1 -> 2 -> 3 -> 4, 1 -> 5; seed 1: d(2)=1, d(5)=1, d(3)=2, d(4)=3
+        edges = rd.from_items(
+            [{"src": 1, "dst": 2}, {"src": 2, "dst": 3},
+             {"src": 3, "dst": 4}, {"src": 1, "dst": 5}]
+        )
+        seeds = rd.from_items([{"node": 1}, {"node": 4}])
+        out = (
+            harmonic_centrality(edges, seeds, max_depth=4)
+            .to_pandas()
+            .sort_values("seed")
+            .reset_index(drop=True)
+        )
+        assert out["seed"].tolist() == [1, 4]
+        assert out["n_reached"].tolist() == [4, 0]
+        assert out["harmonic_micro"].tolist() == [
+            1_000_000 + 1_000_000 + 500_000 + 333_333, 0
+        ]
