@@ -6374,3 +6374,206 @@ SELECT seed,
          AS harmonic_micro
 FROM d GROUP BY seed
 """
+
+
+def events_user_gini(sf_dir: str):
+    """Gini coefficient of per-user event counts (ops/relational.py
+    gini_coefficient) -- the shuffle-key skew diagnostic; count
+    combiners, one groupby-sum, O(#keys) driver reduction, exact
+    integer micro-units."""
+    from .ops.relational import gini_coefficient
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return gini_coefficient(ds, key_col="user_id")
+
+
+QUERIES["events_user_gini"] = events_user_gini
+
+ORACLE_SQL["events_user_gini"] = """
+WITH pc AS (SELECT user_id, COUNT(*)::BIGINT AS c FROM events GROUP BY 1),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS i FROM pc),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(i * c) AS BIGINT) AS sic
+      FROM r)
+SELECT n AS n_keys, s AS total_rows,
+       ((2 * sic - (n + 1) * s) * 1000000 // (n * s))::BIGINT
+         AS gini_micro
+FROM m
+"""
+
+
+def events_trending_types(sf_dir: str):
+    """Trending types per week: weekly per-type counts fed into the
+    distributed top-k-per-group cut (ops/relational.py topk_per_group
+    with the week as the group) -- a pure composition of two existing
+    operators, counts collapse before every exchange."""
+    from ray.data.aggregate import Sum
+
+    from .ops.relational import topk_per_group
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    step = pa.scalar(np.int64(604_800_000_000), pa.int64())
+
+    def partial(b: pa.Table) -> pa.Table:
+        bucket = pc.multiply(
+            pc.divide(pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                              pa.int64()), step),
+            step,
+        )
+        t = pa.table({"bucket_us": bucket, "event_type": b["event_type"]})
+        return (
+            t.group_by(["bucket_us", "event_type"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["bucket_us", "event_type", "n"])
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["bucket_us", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return topk_per_group(
+        counts, key_col="bucket_us", value_col="n", id_col="event_type",
+        k=2, cents_factor=None,
+    )
+
+
+QUERIES["events_trending_types"] = events_trending_types
+
+ORACLE_SQL["events_trending_types"] = """
+WITH c AS (
+  SELECT (epoch_us(ts) // 604800000000) * 604800000000 AS bucket_us,
+         event_type, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT bucket_us, event_type, n,
+         ROW_NUMBER() OVER (
+           PARTITION BY bucket_us ORDER BY n DESC, event_type
+         ) AS rnk
+  FROM c
+)
+SELECT bucket_us, event_type, n AS value_units, rnk FROM r WHERE rnk <= 2
+"""
+
+
+def graph_avg_neighbor_degree(sf_dir: str):
+    """Average neighbor degree per node (ops/graph.py
+    avg_neighbor_degree): distinct canon edges, one partial-combine
+    degree groupby broadcast under budget, per-batch scatter combiners
+    (each edge credits its endpoint's degree to the other), one
+    groupby-sum, exact integer micro mean."""
+    from .ops.graph import avg_neighbor_degree
+
+    edges, _, _ = _md5_link_graph(sf_dir)
+    return avg_neighbor_degree(edges)
+
+
+QUERIES["graph_avg_neighbor_degree"] = graph_avg_neighbor_degree
+
+ORACLE_SQL["graph_avg_neighbor_degree"] = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+e0 AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM edges WHERE src <> dst GROUP BY 1, 2),
+und AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM und GROUP BY 1),
+s AS (SELECT und.a AS node, CAST(SUM(d2.deg) AS BIGINT) AS sum_nbr_deg
+      FROM und JOIN deg d2 ON d2.node = und.b GROUP BY 1)
+SELECT s.node, deg.deg, s.sum_nbr_deg,
+       (s.sum_nbr_deg * 1000000 // deg.deg)::BIGINT AS and_micro
+FROM s JOIN deg USING (node)
+"""
+
+
+def graph_negative_samples(sf_dir: str):
+    """Deterministic link-prediction negative sampling (ops/graph.py
+    negative_samples): md5 candidate proposals per node, int64-packed
+    (src, dst) keys through the shared broadcast-or-join anti-join
+    against the existing directed edge set."""
+    from .ops.graph import negative_samples
+
+    edges, nodes, n = _md5_link_graph(sf_dir)
+    return negative_samples(edges, nodes, n, k=2)
+
+
+QUERIES["graph_negative_samples"] = graph_negative_samples
+
+ORACLE_SQL["graph_negative_samples"] = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+cand AS (
+  SELECT DISTINCT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':n'
+               || CAST(t.t AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS neg_dst
+  FROM documents d CROSS JOIN (VALUES (0), (1)) t(t)
+)
+SELECT c.src, c.neg_dst FROM cand c
+WHERE c.src <> c.neg_dst
+  AND NOT EXISTS (SELECT 1 FROM raw e
+                  WHERE e.src = c.src AND e.dst = c.neg_dst)
+"""
+
+
+def events_class_balanced(sf_dir: str):
+    """Class-balanced downsampling: equalize every event type to the
+    SMALLEST class's size via the deterministic per-group quota sampler
+    (ops/corpus.py per_group_quota_sample) with the quota derived from a
+    tiny count aggregate -- the class-imbalance repair step of a
+    training-data pipeline, pure composition."""
+    from ray.data.aggregate import Sum
+
+    from .ops.corpus import per_group_quota_sample
+
+    ds = _read(sf_dir, "events", columns=["event_type", "event_id"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["event_type"])
+            .group_by(["event_type"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "c"])
+
+    per_class = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    m = int(per_class.min("c"))
+    return per_group_quota_sample(
+        ds, group_col="event_type", id_col="event_id", quota=m
+    )
+
+
+QUERIES["events_class_balanced"] = events_class_balanced
+
+ORACLE_SQL["events_class_balanced"] = """
+WITH m AS (
+  SELECT MIN(c)::BIGINT AS m
+  FROM (SELECT COUNT(*) AS c FROM events GROUP BY event_type)
+), r AS (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rnk
+  FROM events
+)
+SELECT event_type, event_id FROM r WHERE rnk <= (SELECT m FROM m)
+"""

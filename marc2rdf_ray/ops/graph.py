@@ -2352,3 +2352,262 @@ def harmonic_centrality(edges, seeds_ds, *, max_depth: int = 4):
             "harmonic_micro": pa.array([t[2] for t in out], pa.int64()),
         }
     ))
+
+
+def avg_neighbor_degree(
+    edges_ds,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int | None = None,
+    degree_budget: int = 256 << 20,
+):
+    """Average neighbor degree per node of the UNDIRECTED simple graph
+    -- the assortativity feature GNN pipelines compute as a one-hop
+    aggregation: ``and_micro = floor(1e6 * sum(deg(nbr)) / deg(node))``
+    in exact integer micro-units (all terms non-negative, so truncating
+    and flooring division agree and the SQL oracle replays it).
+
+    Scale shape: distinct canon edges (the triangle_count dedup pass),
+    ONE partial-combine degree groupby, degrees broadcast under
+    ``degree_budget`` (else a distributed join fallback on the same
+    keys), then a per-batch scatter combiner emits (node, sum_nbr_deg)
+    partials -- each edge contributes its endpoint's degree to the other
+    endpoint -- finished by one groupby-sum and a stateless divide.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    logger = logging.getLogger(__name__)
+
+    if num_buckets is None:
+        num_buckets = max(4, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def distinct_uv(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        first = np.empty(len(u), bool)
+        first[:1] = True
+        if len(u) > 1:
+            first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        return pa.table(
+            {"u": pa.array(u[first], pa.int64()),
+             "v": pa.array(v[first], pa.int64())}
+        )
+
+    dedup = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_uv, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        n = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        nodes, cnts = np.unique(n, return_counts=True)
+        return pa.table(
+            {"node": pa.array(nodes, pa.int64()),
+             "deg": pa.array(cnts, pa.int64())}
+        )
+
+    deg_ds = (
+        dedup.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("deg", alias_name="deg"))
+        .materialize()
+    )
+
+    if deg_ds.size_bytes() > degree_budget:  # pragma: no cover - scale path
+        logger.warning(
+            "avg_neighbor_degree: degree table over budget; join fallback"
+        )
+        from .dedup import normalize_join_blocks
+
+        nparts = max(2, num_buckets // 4)
+        withdeg = normalize_join_blocks(dedup, nparts).join(
+            normalize_join_blocks(deg_ds, nparts),
+            join_type="inner", num_partitions=nparts,
+            on=("u",), right_on=("node",),
+        )
+
+        def sums_joined(b: pa.Table) -> pa.Table:
+            # each edge contributes deg(u) to v and (via the second join
+            # orientation below) deg(v) to u; emitted per orientation
+            return pa.table(
+                {"node": b["v"], "s": pc.cast(b["deg"], pa.int64())}
+            )
+
+        part1 = withdeg.map_batches(sums_joined, batch_format="pyarrow")
+        withdeg2 = normalize_join_blocks(dedup, nparts).join(
+            normalize_join_blocks(deg_ds, nparts),
+            join_type="inner", num_partitions=nparts,
+            on=("v",), right_on=("node",),
+        )
+
+        def sums_joined2(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": b["u"], "s": pc.cast(b["deg"], pa.int64())}
+            )
+
+        partials = part1.union(
+            withdeg2.map_batches(sums_joined2, batch_format="pyarrow")
+        )
+    else:
+        deg_tbl = pa.concat_tables(
+            ray.get(deg_ds.to_arrow_refs()), promote_options="default"
+        )
+        nodes_np = deg_tbl["node"].to_numpy(zero_copy_only=False)
+        degs_np = deg_tbl["deg"].to_numpy(zero_copy_only=False)
+        o = np.argsort(nodes_np, kind="stable")
+        deg_ref = ray.put({"node": nodes_np[o], "deg": degs_np[o]})
+
+        def sums(b: pa.Table) -> pa.Table:
+            d = ray.get(deg_ref)
+            u = b["u"].to_numpy(zero_copy_only=False)
+            v = b["v"].to_numpy(zero_copy_only=False)
+            du = d["deg"][np.searchsorted(d["node"], u)]
+            dv = d["deg"][np.searchsorted(d["node"], v)]
+            n = np.concatenate([u, v])
+            s = np.concatenate([dv, du])
+            nodes, inv = np.unique(n, return_inverse=True)
+            acc = np.zeros(len(nodes), np.int64)
+            np.add.at(acc, inv, s)
+            return pa.table(
+                {"node": pa.array(nodes, pa.int64()),
+                 "s": pa.array(acc, pa.int64())}
+            )
+
+        partials = dedup.map_batches(sums, batch_format="pyarrow")
+
+    merged = partials.groupby("node").aggregate(Sum("s", alias_name="s"))
+
+    if deg_ds.size_bytes() <= degree_budget:
+        def finish(b: pa.Table) -> pa.Table:
+            d = ray.get(deg_ref)
+            node = b["node"].to_numpy(zero_copy_only=False)
+            s = b["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+            deg = d["deg"][np.searchsorted(d["node"], node)]
+            return pa.table(
+                {
+                    "node": pa.array(node, pa.int64()),
+                    "deg": pa.array(deg, pa.int64()),
+                    "sum_nbr_deg": pa.array(s, pa.int64()),
+                    "and_micro": pa.array(
+                        s * 1_000_000 // deg, pa.int64()
+                    ),
+                }
+            )
+
+        return merged.map_batches(finish, batch_format="pyarrow")
+
+    # scale path: join degrees back on  # pragma: no cover
+    from .dedup import normalize_join_blocks
+
+    nparts = max(2, num_buckets // 4)
+    out = normalize_join_blocks(merged, nparts).join(
+        normalize_join_blocks(deg_ds, nparts),
+        join_type="inner", num_partitions=nparts, on=("node",),
+    )
+
+    def finish2(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": b["node"],
+                "deg": pa.array(deg, pa.int64()),
+                "sum_nbr_deg": pa.array(s, pa.int64()),
+                "and_micro": pa.array(s * 1_000_000 // deg, pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish2, batch_format="pyarrow")
+
+
+def negative_samples(
+    edges_ds,
+    nodes_ds,
+    n_nodes: int,
+    *,
+    k: int = 2,
+    broadcast_budget: int = 256 << 20,
+):
+    """Deterministic negative sampling for link-prediction training:
+    for every node i, propose ``k`` pseudo-random candidate targets
+    ``md5(i:nt) % n`` and keep those that are NOT existing directed
+    edges and not self-loops -- the corrupted-pairs generator of
+    TransE-style training, replayable in SQL because the proposal
+    function is md5 (the _md5_link_graph contract).
+
+    Scale shape: candidates are generated per batch (k rows per node,
+    never materialized globally), duplicates collapse per node, and the
+    existing-edge membership test packs (src, dst) into one int64 key
+    (``src * n + dst``, valid while n^2 < 2^63) routed through the
+    shared broadcast-or-join anti-join (ops/dedup.py anti_join_filter)
+    -- a billion-edge set degrades to a distributed join, not a driver
+    OOM.  Per-row md5 is the documented SQL-replayability tradeoff.
+    """
+    import hashlib
+
+    from .dedup import anti_join_filter
+
+    if n_nodes * n_nodes >= (1 << 63):  # pragma: no cover - guard
+        raise ValueError("negative_samples: n^2 must fit int64 packing")
+
+    def cands(b: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for i in b["node"].to_pylist():
+            seen = set()
+            for t in range(k):
+                j = int(
+                    hashlib.md5(f"{i}:n{t}".encode()).hexdigest()[:8], 16
+                ) % n_nodes
+                if j != i and j not in seen:
+                    seen.add(j)
+                    src.append(i)
+                    dst.append(j)
+        s = np.asarray(src, np.int64)
+        d = np.asarray(dst, np.int64)
+        return pa.table(
+            {
+                "src": pa.array(s, pa.int64()),
+                "neg_dst": pa.array(d, pa.int64()),
+                "pk": pa.array(s * n_nodes + d, pa.int64()),
+            }
+        )
+
+    def edge_keys(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pk": pa.array(s * n_nodes + d, pa.int64())})
+
+    cand = nodes_ds.map_batches(cands, batch_format="pyarrow")
+    keys = edges_ds.map_batches(edge_keys, batch_format="pyarrow")
+    kept = anti_join_filter(
+        cand, keys, "pk", broadcast_budget=broadcast_budget
+    )
+    return kept.map_batches(
+        lambda b: b.select(["src", "neg_dst"]), batch_format="pyarrow"
+    )

@@ -1559,3 +1559,63 @@ def period_deltas(
         .groupby("__bucket")
         .map_groups(deltas, batch_format="pyarrow")
     )
+
+
+def gini_coefficient(
+    ds,
+    *,
+    key_col: str,
+):
+    """Gini coefficient of the per-key row-count distribution -- the
+    skew diagnostic that tells you whether a groupby/shuffle key is safe
+    BEFORE you pay for the exchange (0 = uniform keys, ->1 = one hot key
+    owns the table).  Emits one row (n_keys, total_rows, gini_micro),
+    exact integer micro-units via
+
+        G = (2 * sum(i * c_i) - (n + 1) * S) / (n * S),  c sorted asc
+
+    (all-integer numerator, non-negative, so floor == truncate and the
+    window-function oracle replays it bit-for-bit).
+
+    Scale shape: per-batch (key, count) combiners -> ONE groupby-sum ->
+    the sorted-count reduction on the driver -- O(#keys) driver state
+    (the exact_auc contract; keys are the thing being diagnosed, far
+    smaller than rows).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select([key_col])
+            .group_by([key_col], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["k", "c"])
+
+    per_key = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()
+    )
+    tab = pa.concat_tables(
+        ray.get(per_key.to_arrow_refs()), promote_options="default"
+    )
+    c = np.sort(tab["c"].to_numpy(zero_copy_only=False).astype(np.int64))
+    n = len(c)
+    s = int(c.sum())
+    if n == 0 or s == 0:
+        gini = None
+    else:
+        num = 2 * int((np.arange(1, n + 1, dtype=np.int64) * c).sum()) \
+            - (n + 1) * s
+        gini = num * 1_000_000 // (n * s)
+    return rd.from_arrow(pa.table(
+        {
+            "n_keys": pa.array([n], pa.int64()),
+            "total_rows": pa.array([s], pa.int64()),
+            "gini_micro": pa.array([gini], pa.int64()),
+        }
+    ))

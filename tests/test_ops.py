@@ -4133,3 +4133,78 @@ class TestHarmonicCentrality:
         assert out["harmonic_micro"].tolist() == [
             1_000_000 + 1_000_000 + 500_000 + 333_333, 0
         ]
+
+
+class TestGiniCoefficient:
+    def test_uniform_and_skewed(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import gini_coefficient
+
+        uniform = rd.from_items(
+            [{"k": i % 10} for i in range(100)]
+        ).repartition(3)
+        out = gini_coefficient(uniform, key_col="k").to_pandas()
+        assert out["gini_micro"].tolist() == [0]
+        # one key owns 91 of 100 rows -> strong skew
+        skewed = rd.from_items(
+            [{"k": 0}] * 91 + [{"k": i} for i in range(1, 10)]
+        ).repartition(3)
+        out2 = gini_coefficient(skewed, key_col="k").to_pandas()
+        c = np.sort(np.array([91] + [1] * 9, np.int64))
+        n, s = 10, 100
+        num = 2 * int((np.arange(1, 11) * c).sum()) - (n + 1) * s
+        assert out2["gini_micro"].tolist() == [num * 1_000_000 // (n * s)]
+        assert out2["n_keys"].tolist() == [10]
+
+
+class TestAvgNeighborDegree:
+    def test_hand_graph(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import avg_neighbor_degree
+
+        # star 1-{2,3,4} plus edge 2-3: deg 1=3, 2=2, 3=2, 4=1
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (3, 2)]  # dup collapses
+        out = (
+            avg_neighbor_degree(
+                rd.from_items([{"src": s, "dst": d} for s, d in edges])
+                .repartition(3)
+            )
+            .to_pandas()
+            .set_index("node")
+            .sort_index()
+        )
+        assert out.loc[1, "sum_nbr_deg"] == 5      # 2+2+1
+        assert out.loc[2, "sum_nbr_deg"] == 5      # 3+2
+        assert out.loc[4, "and_micro"] == 3_000_000
+        assert out.loc[1, "and_micro"] == 5 * 1_000_000 // 3
+
+
+class TestNegativeSamples:
+    def test_no_real_edges_no_self(self, ray_session):
+        import hashlib as _h
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import negative_samples
+
+        n = 20
+        edges = rd.from_items(
+            [{"src": i, "dst": (i + 1) % n} for i in range(n)]
+        )
+        nodes = rd.from_items([{"node": i} for i in range(n)])
+        out = negative_samples(edges, nodes, n, k=3).to_pandas()
+        real = {(i, (i + 1) % n) for i in range(n)}
+        got = set(zip(out["src"], out["neg_dst"]))
+        assert not (got & real)
+        assert all(s != d for s, d in got)
+        # deterministic replay
+        expect = set()
+        for i in range(n):
+            for t in range(3):
+                j = int(_h.md5(f"{i}:n{t}".encode()).hexdigest()[:8],
+                        16) % n
+                if j != i and (i, j) not in real:
+                    expect.add((i, j))
+        assert got == expect
