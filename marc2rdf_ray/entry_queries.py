@@ -6577,3 +6577,111 @@ WITH m AS (
 )
 SELECT event_type, event_id FROM r WHERE rnk <= (SELECT m FROM m)
 """
+
+
+def graph_assortativity(sf_dir: str):
+    """Degree assortativity of the md5 link graph (ops/graph.py
+    assortativity): exact int64 sufficient statistics over the directed
+    orientations of the distinct undirected edge set, ONE IEEE divide on
+    the driver -- the Pearson "hubs link to hubs" coefficient replayed
+    bit-for-bit by the HUGEINT-then-DOUBLE oracle."""
+    from .ops.graph import assortativity
+
+    edges, _, _ = _md5_link_graph(sf_dir)
+    return assortativity(edges)
+
+
+QUERIES["graph_assortativity"] = graph_assortativity
+
+ORACLE_SQL["graph_assortativity"] = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+e0 AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM edges WHERE src <> dst GROUP BY 1, 2),
+und AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM und GROUP BY 1),
+pairs AS (
+  SELECT d1.deg AS du, d2.deg AS dv
+  FROM und
+  JOIN deg d1 ON d1.node = und.a
+  JOIN deg d2 ON d2.node = und.b
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(du) AS BIGINT) AS sx,
+         CAST(SUM(du * dv) AS BIGINT) AS sxy,
+         CAST(SUM(du * du) AS BIGINT) AS sxx
+  FROM pairs
+)
+SELECT m, sx, sxy, sxx,
+       CAST(CAST(CAST(m AS HUGEINT) * sxy
+                 - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+            / CAST(CAST(m AS HUGEINT) * sxx
+                   - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+            AS DOUBLE) AS r_pearson
+FROM s
+"""
+
+
+def graph_sssp_weighted(sf_dir: str):
+    """Bounded-round weighted shortest paths over the md5 link graph
+    (ops/graph.py sssp_weighted): 3 Bellman-Ford relaxations from the
+    doc_id % 50 == 0 seed set, md5-derived 1..9 int weights, int64
+    min-plus arithmetic throughout -- bit-identical to the unrolled
+    DuckDB recurrence."""
+    from .ops.graph import sssp_weighted
+
+    edges, nodes, _ = _md5_link_graph(sf_dir)
+
+    def seed_mask(b: pa.Table) -> pa.Table:
+        n = b["node"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(n % 50 == 0))
+
+    seeds = nodes.map_batches(seed_mask, batch_format="pyarrow")
+    return sssp_weighted(edges, seeds, rounds=3)
+
+
+QUERIES["graph_sssp_weighted"] = graph_sssp_weighted
+
+ORACLE_SQL["graph_sssp_weighted"] = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+ew AS (
+  SELECT src, dst,
+         1 + CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':'
+               || CAST(dst AS VARCHAR) || 'w'), 1, 8)) AS BIGINT) % 9 AS w
+  FROM edges
+),
+d0 AS (
+  SELECT CAST(doc_id AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+  FROM documents WHERE doc_id % 50 = 0
+),
+c1 AS (SELECT e.dst AS node, d0.dist + e.w AS dist
+       FROM ew e JOIN d0 ON d0.node = e.src),
+d1 AS (SELECT node, MIN(dist) AS dist FROM
+       (SELECT * FROM d0 UNION ALL SELECT * FROM c1) GROUP BY node),
+c2 AS (SELECT e.dst AS node, d1.dist + e.w AS dist
+       FROM ew e JOIN d1 ON d1.node = e.src),
+d2 AS (SELECT node, MIN(dist) AS dist FROM
+       (SELECT * FROM d1 UNION ALL SELECT * FROM c2) GROUP BY node),
+c3 AS (SELECT e.dst AS node, d2.dist + e.w AS dist
+       FROM ew e JOIN d2 ON d2.node = e.src),
+d3 AS (SELECT node, MIN(dist) AS dist FROM
+       (SELECT * FROM d2 UNION ALL SELECT * FROM c3) GROUP BY node)
+SELECT node, dist FROM d3
+"""

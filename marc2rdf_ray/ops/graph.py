@@ -2611,3 +2611,354 @@ def negative_samples(
     return kept.map_batches(
         lambda b: b.select(["src", "neg_dst"]), batch_format="pyarrow"
     )
+
+
+def assortativity(
+    edges_ds,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int | None = None,
+    degree_budget: int = 256 << 20,
+):
+    """Degree assortativity of the UNDIRECTED simple graph: the Pearson
+    correlation of (deg(a), deg(b)) over the directed orientations of the
+    distinct edge set -- the one-number "do hubs link to hubs" diagnostic
+    (Newman 2002) crawl/KG pipelines run before choosing a partitioning
+    strategy (the reference eyeballs the same thing via its authority
+    cross-link counts; SURVEY.md §2.5 J4 neighborhood analysis).
+
+    **Exact by construction.**  Over the symmetric orientation multiset
+    Sx = Sy and Sxx = Syy, so
+
+        r = (m*Sxy - Sx^2) / (m*Sxx - Sx^2)
+
+    with m = 2 * #edges and every sufficient statistic an exact int64
+    (per-batch combiners -> one tiny sum; deg <= 2^21 and m <= 2^21 keep
+    m*Sxy < 2^63, documented bound).  The IEEE finish is one float divide
+    on the driver over two exact integers, rounded to 6 decimals -- the
+    DuckDB oracle replays it operand-for-operand in HUGEINT then DOUBLE.
+
+    Scale shape: distinct canon edges (the avg_neighbor_degree dedup
+    pass), ONE partial-combine degree groupby broadcast under
+    ``degree_budget`` (join fallback above it), then per-batch int64
+    partials (m, sx, sxy, sxx) -- O(1) rows per batch, O(1) driver state.
+
+    Returns a 1-row table (m, sx, sxy, sxx, r_pearson float64).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    logger = logging.getLogger(__name__)
+
+    if num_buckets is None:
+        num_buckets = max(4, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def distinct_uv(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        first = np.empty(len(u), bool)
+        first[:1] = True
+        if len(u) > 1:
+            first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        return pa.table(
+            {"u": pa.array(u[first], pa.int64()),
+             "v": pa.array(v[first], pa.int64())}
+        )
+
+    dedup = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_uv, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        n = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        nodes, cnts = np.unique(n, return_counts=True)
+        return pa.table(
+            {"node": pa.array(nodes, pa.int64()),
+             "deg": pa.array(cnts, pa.int64())}
+        )
+
+    deg_ds = (
+        dedup.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("deg", alias_name="deg"))
+        .materialize()
+    )
+
+    def stats_from(du: np.ndarray, dv: np.ndarray) -> pa.Table:
+        # symmetric orientations: each undirected edge contributes both
+        # (du, dv) and (dv, du), so sx == sy and sxx == syy by design
+        m = 2 * len(du)
+        sx = int(du.sum() + dv.sum())
+        sxy = 2 * int((du * dv).sum())
+        sxx = int((du * du).sum() + (dv * dv).sum())
+        return pa.table(
+            {
+                "m": pa.array([m], pa.int64()),
+                "sx": pa.array([sx], pa.int64()),
+                "sxy": pa.array([sxy], pa.int64()),
+                "sxx": pa.array([sxx], pa.int64()),
+            }
+        )
+
+    if deg_ds.size_bytes() > degree_budget:  # pragma: no cover - scale path
+        logger.warning(
+            "assortativity: degree table over budget; join fallback"
+        )
+        from .dedup import normalize_join_blocks
+
+        nparts = max(2, num_buckets // 4)
+        j1 = normalize_join_blocks(dedup, nparts).join(
+            normalize_join_blocks(deg_ds, nparts),
+            join_type="inner", num_partitions=nparts,
+            on=("u",), right_on=("node",),
+        )
+        j2 = normalize_join_blocks(
+            j1.map_batches(
+                lambda b: pa.table(
+                    {"u": b["u"], "v": b["v"],
+                     "du": pc.cast(b["deg"], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ),
+            nparts,
+        ).join(
+            normalize_join_blocks(deg_ds, nparts),
+            join_type="inner", num_partitions=nparts,
+            on=("v",), right_on=("node",),
+        )
+
+        def partial_joined(b: pa.Table) -> pa.Table:
+            du = b["du"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dv = pc.cast(b["deg"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            return stats_from(du, dv)
+
+        partials = j2.map_batches(partial_joined, batch_format="pyarrow")
+    else:
+        deg_tbl = pa.concat_tables(
+            ray.get(deg_ds.to_arrow_refs()), promote_options="default"
+        )
+        nodes_np = deg_tbl["node"].to_numpy(zero_copy_only=False)
+        degs_np = deg_tbl["deg"].to_numpy(zero_copy_only=False)
+        o = np.argsort(nodes_np, kind="stable")
+        ref = ray.put({"node": nodes_np[o], "deg": degs_np[o]})
+
+        class Partial:
+            def __init__(self):
+                d = ray.get(ref)
+                self.nodes = d["node"]
+                self.degs = d["deg"]
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                u = b["u"].to_numpy(zero_copy_only=False)
+                v = b["v"].to_numpy(zero_copy_only=False)
+                du = self.degs[np.searchsorted(self.nodes, u)]
+                dv = self.degs[np.searchsorted(self.nodes, v)]
+                return stats_from(du, dv)
+
+        partials = dedup.map_batches(
+            Partial, batch_format="pyarrow", concurrency=2
+        )
+
+    tot = pa.concat_tables(
+        ray.get(partials.materialize().to_arrow_refs()),
+        promote_options="default",
+    )
+    m = int(pc.sum(tot["m"]).as_py() or 0)
+    sx = int(pc.sum(tot["sx"]).as_py() or 0)
+    sxy = int(pc.sum(tot["sxy"]).as_py() or 0)
+    sxx = int(pc.sum(tot["sxx"]).as_py() or 0)
+    # exact integer operands (python ints are unbounded; the oracle uses
+    # HUGEINT); int->double casts are correctly rounded in both engines,
+    # then ONE IEEE divide -- bit-replayable without any decimal rounding
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    r = float(num) / float(den) if den else None
+    return pa.table(
+        {
+            "m": pa.array([m], pa.int64()),
+            "sx": pa.array([sx], pa.int64()),
+            "sxy": pa.array([sxy], pa.int64()),
+            "sxx": pa.array([sxx], pa.int64()),
+            "r_pearson": pa.array([r], pa.float64()),
+        }
+    )
+
+
+def sssp_weighted(
+    edges_ds,
+    seeds_ds,
+    *,
+    rounds: int = 3,
+    weight_of=None,
+):
+    """Bounded-round weighted single-source(-set) shortest paths:
+    ``rounds`` synchronous Bellman-Ford relaxations over int64 edge
+    weights -- d_r(v) = min(d_{r-1}(v), min over in-edges of
+    d_{r-1}(u) + w(u,v)) -- the bounded-radius cousin of bfs_levels for
+    weighted link graphs (crawl cost, latency, toll routing).
+
+    Exact by construction: distances are int64 mins of int64 sums, both
+    order-independent, so the result is bit-identical to the DuckDB
+    oracle that unrolls the same recurrence round-for-round.
+
+    Scale shape: the weighted edge list materializes ONCE (slim 3-int
+    columns); per-round state is the (node, dist) table -- O(reached
+    nodes) rows, never edges; each round is one broadcast-or-join of the
+    dist table onto edges (ops/dedup.py semi-join machinery shape) plus
+    one groupby-Min, so a billion-node dist table degrades to a shuffle,
+    not a driver OOM.
+
+    ``weight_of(src_np, dst_np) -> int64 np.ndarray`` defaults to the
+    md5-derived 1..9 weight the oracle replays (the documented per-edge
+    md5 tradeoff, as in negative_samples).
+
+    Returns (node, dist) for nodes reachable within ``rounds`` edges.
+    """
+    import hashlib as _hl
+
+    import ray
+    from ray.data.aggregate import Min
+
+    if weight_of is None:
+        def weight_of(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+            out = np.empty(len(s), np.int64)
+            for i in range(len(s)):
+                h = _hl.md5(f"{s[i]}:{d[i]}w".encode()).hexdigest()[:8]
+                out[i] = 1 + int(h, 16) % 9
+            return out
+
+    def weighted(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(s, pa.int64()),
+                "dst": pa.array(d, pa.int64()),
+                "w": pa.array(weight_of(s, d), pa.int64()),
+            }
+        )
+
+    ew = edges_ds.map_batches(weighted, batch_format="pyarrow").materialize()
+
+    def seed_dist(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(b["node"], pa.int64()),
+                "dist": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            }
+        )
+
+    from .dedup import distinct_first
+
+    dists = distinct_first(
+        seeds_ds.map_batches(seed_dist, batch_format="pyarrow"), "node"
+    ).materialize()
+
+    budget = 256 << 20
+    for _ in range(rounds):
+        if (dists.size_bytes() or 0) <= budget:
+            tab = pa.concat_tables(
+                ray.get(dists.to_arrow_refs()), promote_options="default"
+            )
+            nodes_np = tab["node"].to_numpy(zero_copy_only=False)
+            dist_np = tab["dist"].to_numpy(zero_copy_only=False)
+            o = np.argsort(nodes_np, kind="stable")
+            ref = ray.put({"node": nodes_np[o], "dist": dist_np[o]})
+
+            class Relax:
+                def __init__(self):
+                    d = ray.get(ref)
+                    self.nodes = d["node"]
+                    self.dists = d["dist"]
+
+                def __call__(self, b: pa.Table) -> pa.Table:
+                    s = b["src"].to_numpy(zero_copy_only=False)
+                    idx = np.searchsorted(self.nodes, s)
+                    idx = np.clip(idx, 0, max(len(self.nodes) - 1, 0))
+                    hit = (
+                        (self.nodes[idx] == s)
+                        if len(self.nodes)
+                        else np.zeros(len(s), bool)
+                    )
+                    if not hit.any():
+                        return pa.table(
+                            {
+                                "node": pa.array([], pa.int64()),
+                                "dist": pa.array([], pa.int64()),
+                            }
+                        )
+                    nd = (
+                        self.dists[idx[hit]]
+                        + b["w"].to_numpy(zero_copy_only=False)[hit]
+                    )
+                    dst = b["dst"].to_numpy(zero_copy_only=False)[hit]
+                    # per-batch combiner: min per dst before the exchange
+                    ud, inv = np.unique(dst, return_inverse=True)
+                    md = np.full(len(ud), np.iinfo(np.int64).max, np.int64)
+                    np.minimum.at(md, inv, nd)
+                    return pa.table(
+                        {
+                            "node": pa.array(ud, pa.int64()),
+                            "dist": pa.array(md, pa.int64()),
+                        }
+                    )
+
+            cand = ew.map_batches(Relax, batch_format="pyarrow", concurrency=2)
+        else:  # pragma: no cover - scale path
+            from .dedup import normalize_join_blocks
+
+            nparts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+            j = normalize_join_blocks(ew, nparts).join(
+                normalize_join_blocks(dists, nparts),
+                join_type="inner", num_partitions=nparts,
+                on=("src",), right_on=("node",),
+            )
+            cand = j.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["dst"],
+                        "dist": pc.add(
+                            pc.cast(b["dist"], pa.int64()),
+                            pc.cast(b["w"], pa.int64()),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+
+        dists = (
+            dists.union(cand)
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist"))
+            .materialize()
+        )
+
+    return dists

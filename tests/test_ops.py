@@ -4208,3 +4208,109 @@ class TestNegativeSamples:
                 if j != i and (i, j) not in real:
                     expect.add((i, j))
         assert got == expect
+
+
+class TestAssortativity:
+    def test_hand_graph(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import assortativity
+
+        # star 1-{2,3,4} plus edge 2-3 (dup + self-loop collapse)
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (3, 2), (4, 4)]
+        out = assortativity(
+            rd.from_items([{"src": s, "dst": d} for s, d in edges])
+            .repartition(3)
+        ).to_pandas()
+        # degrees: 1->3, 2->2, 3->2, 4->1; directed pairs of 4 edges
+        du = np.array([3, 3, 3, 2, 2, 2, 2, 1], np.int64)
+        dv = np.array([2, 2, 1, 3, 3, 2, 2, 3], np.int64)
+        m, sx = len(du), int(du.sum())
+        sxy, sxx = int((du * dv).sum()), int((du * du).sum())
+        assert out["m"].tolist() == [m]
+        assert out["sx"].tolist() == [sx]
+        assert out["sxy"].tolist() == [sxy]
+        assert out["sxx"].tolist() == [sxx]
+        want = float(m * sxy - sx * sx) / float(m * sxx - sx * sx)
+        assert out["r_pearson"].tolist() == [want]
+        # negative on a star-ish graph (hub links to leaves)
+        assert want < 0
+
+    def test_regular_graph_degenerate(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import assortativity
+
+        # 4-cycle: every degree 2 -> zero variance -> r is NULL
+        edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+        out = assortativity(
+            rd.from_items([{"src": s, "dst": d} for s, d in edges])
+        ).to_pandas()
+        assert out["m"].tolist() == [8]
+        assert out["r_pearson"].isna().all()
+
+
+class TestSsspWeighted:
+    def test_hand_path(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import sssp_weighted
+
+        # 0 ->(2) 1 ->(3) 2 ->(1) 3, shortcut 0 ->(9) 2; node 9 unreachable
+        edges = rd.from_items(
+            [
+                {"src": 0, "dst": 1},
+                {"src": 1, "dst": 2},
+                {"src": 2, "dst": 3},
+                {"src": 0, "dst": 2},
+            ]
+        ).repartition(2)
+        seeds = rd.from_items([{"node": 0}])
+        w = {(0, 1): 2, (1, 2): 3, (2, 3): 1, (0, 2): 9}
+
+        def weight_of(s, d):
+            return np.array(
+                [w[(a, b)] for a, b in zip(s.tolist(), d.tolist())], np.int64
+            )
+
+        out = (
+            sssp_weighted(edges, seeds, rounds=3, weight_of=weight_of)
+            .to_pandas()
+            .set_index("node")["dist"]
+            .sort_index()
+        )
+        assert out.to_dict() == {0: 0, 1: 2, 2: 5, 3: 6}
+
+    def test_round_bound_and_min(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import sssp_weighted
+
+        # long cheap path vs short pricey edge: with rounds=1 only the
+        # direct edge is seen; with rounds=3 the cheap path wins
+        edges = rd.from_items(
+            [
+                {"src": 0, "dst": 1},
+                {"src": 1, "dst": 2},
+                {"src": 2, "dst": 3},
+                {"src": 0, "dst": 3},
+            ]
+        )
+        seeds = rd.from_items([{"node": 0}])
+        w = {(0, 1): 1, (1, 2): 1, (2, 3): 1, (0, 3): 10}
+
+        def weight_of(s, d):
+            return np.array(
+                [w[(a, b)] for a, b in zip(s.tolist(), d.tolist())], np.int64
+            )
+
+        one = (
+            sssp_weighted(edges, seeds, rounds=1, weight_of=weight_of)
+            .to_pandas().set_index("node")["dist"]
+        )
+        assert one[3] == 10
+        three = (
+            sssp_weighted(edges, seeds, rounds=3, weight_of=weight_of)
+            .to_pandas().set_index("node")["dist"]
+        )
+        assert three[3] == 3
