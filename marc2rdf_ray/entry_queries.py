@@ -6685,3 +6685,547 @@ d3 AS (SELECT node, MIN(dist) AS dist FROM
        (SELECT * FROM d2 UNION ALL SELECT * FROM c3) GROUP BY node)
 SELECT node, dist FROM d3
 """
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5-shaped six-table star join: revenue per ASIA nation from
+    1996 orders whose lineitem supplier sits in the ordering customer's
+    own nation.
+
+    Scale shape: region and nation pin the nation-key set on the driver
+    (dimension tables, O(10) rows); customer, the date-filtered slim
+    orders side, and supplier each go through the byte-budgeted
+    broadcast-or-join helper (_small_side) -- the lineitem fact table
+    NEVER shuffles on the broadcast path: both attachments are
+    vectorized ``index_in`` lookups inside one map_batches pass, revenue
+    partials combine per batch on exact integer micro-units before ONE
+    tiny per-nation groupby-sum, and the nation name attaches from a
+    driver-side 5-row map.  Above budget each side degrades to a
+    distributed hash join on the same keys (the q3 fallback contract)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    import datetime as _dt
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+
+    region = pa.concat_tables(
+        ray.get(_read(sf_dir, "region").materialize().to_arrow_refs()),
+        promote_options="default",
+    )
+    rkeys = region.filter(pc.equal(region["r_name"], "ASIA"))[
+        "r_regionkey"
+    ].combine_chunks()
+    nation = pa.concat_tables(
+        ray.get(_read(sf_dir, "nation").materialize().to_arrow_refs()),
+        promote_options="default",
+    )
+    nation = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkeys))
+    nkeys = nation["n_nationkey"].combine_chunks()
+    nname = dict(
+        zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+        )
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda b: b.filter(pc.is_in(b["c_nationkey"], value_set=nkeys)),
+        batch_format="pyarrow",
+    )
+    ctab, cmat = _small_side(cust)
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def slim_orders(b: pa.Table, ckeys=None, cnk=None) -> pa.Table:
+        d = pc.cast(b["o_orderdate"], pa.timestamp("us"))
+        b = b.filter(
+            pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        )
+        if ckeys is not None:
+            idx = pc.index_in(b["o_custkey"], value_set=ckeys)
+            hit = pc.is_valid(idx)
+            b = b.filter(hit)
+            nk = cnk.take(pc.index_in(b["o_custkey"], value_set=ckeys))
+            return pa.table({"o_orderkey": b["o_orderkey"], "cust_nk": nk})
+        return pa.table(
+            {"o_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"]}
+        )
+
+    if ctab is not None:
+        ckeys = ctab["c_custkey"].combine_chunks()
+        cnk = pc.cast(ctab["c_nationkey"], pa.int64()).combine_chunks()
+        orders_slim = orders.map_batches(
+            lambda b: slim_orders(b, ckeys, cnk), batch_format="pyarrow"
+        )
+    else:  # pragma: no cover - scale path
+        orders_slim = orders.map_batches(
+            slim_orders, batch_format="pyarrow"
+        ).join(
+            cmat, join_type="inner", num_partitions=_join_nparts(),
+            on=("o_custkey",), right_on=("c_custkey",),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "cust_nk": pc.cast(b["c_nationkey"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    otab, omat = _small_side(orders_slim)
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.map_batches(
+        lambda b: b.filter(pc.is_in(b["s_nationkey"], value_set=nkeys)),
+        batch_format="pyarrow",
+    )
+    stab, smat = _small_side(supp)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_partial(b: pa.Table, okeys=None, onk=None,
+                    skeys=None, snk=None) -> pa.Table:
+        cust_nk = None
+        if okeys is not None:
+            idx = pc.index_in(b["l_orderkey"], value_set=okeys)
+            b = b.filter(pc.is_valid(idx))
+            cust_nk = onk.take(
+                pc.index_in(b["l_orderkey"], value_set=okeys)
+            )
+        else:
+            cust_nk = pc.cast(b["cust_nk"], pa.int64())
+        if skeys is not None:
+            sidx = pc.index_in(b["l_suppkey"], value_set=skeys)
+            hit = pc.is_valid(sidx)
+            b, cust_nk = b.filter(hit), cust_nk.filter(hit)
+            supp_nk = snk.take(
+                pc.index_in(b["l_suppkey"], value_set=skeys)
+            )
+        else:
+            supp_nk = pc.cast(b["s_nationkey"], pa.int64())
+        same = pc.equal(cust_nk, supp_nk)
+        b, cust_nk = b.filter(same), cust_nk.filter(same)
+        cents = sql_round_i64(b["l_extendedprice"], 100.0)
+        disc = sql_round_i64(b["l_discount"], 100.0)
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        t = pa.table({"nk": cust_nk, "rev": rev})
+        return (
+            t.group_by(["nk"], use_threads=False)
+            .aggregate([("rev", "sum")])
+            .rename_columns(["nk", "rev"])
+        )
+
+    fact = li
+    okeys = onk = skeys = snk = None
+    if otab is not None:
+        okeys = otab["o_orderkey"].combine_chunks()
+        onk = pc.cast(otab["cust_nk"], pa.int64()).combine_chunks()
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        fact = normalize_join_blocks(fact, _join_nparts()).join(
+            normalize_join_blocks(omat, _join_nparts()),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+    if stab is not None:
+        skeys = stab["s_suppkey"].combine_chunks()
+        snk = pc.cast(stab["s_nationkey"], pa.int64()).combine_chunks()
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        fact = normalize_join_blocks(fact, _join_nparts()).join(
+            normalize_join_blocks(smat, _join_nparts()),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("l_suppkey",), right_on=("s_suppkey",),
+        )
+
+    partials = fact.map_batches(
+        lambda b: rev_partial(b, okeys, onk, skeys, snk),
+        batch_format="pyarrow",
+    )
+    agg = partials.groupby("nk").aggregate(Sum("rev", alias_name="revenue_micro"))
+
+    def attach_name(b: pa.Table) -> pa.Table:
+        names = [nname[k] for k in b["nk"].to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue_micro": b["revenue_micro"],
+            }
+        )
+
+    return agg.map_batches(attach_name, batch_format="pyarrow")
+
+
+QUERIES["q5_local_supplier_volume"] = q5_local_supplier_volume
+
+ORACLE_SQL["q5_local_supplier_volume"] = """
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+       ) AS BIGINT) AS revenue_micro
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS count: orders placed in 1996Q3 that have at
+    least one lineitem shipped more than 60 days after the order date,
+    counted per order priority.
+
+    Scale shape: the date-windowed slim orders side (orderkey, date,
+    priority) is a byte-budgeted broadcast; lineitem streams ONCE through
+    a vectorized semi-join + per-row date predicate and collapses to
+    per-batch DISTINCT qualifying orderkeys before the one small global
+    distinct (ops/dedup.py distinct_first) -- the EXISTS is set algebra
+    over orderkeys, never a row-multiplying join; the final count
+    attaches priorities via index_in and sums O(#priorities) partials.
+    Above budget the semi-join degrades to a distributed hash join on
+    the same keys."""
+    import datetime as _dt
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .ops.dedup import distinct_first
+
+    lo = pa.scalar(_dt.datetime(1996, 7, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 10, 1), pa.timestamp("us"))
+    lag_us = 60 * 86400 * 1_000_000
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def slim(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["o_orderdate"], pa.timestamp("us"))
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "odate_us": pc.cast(
+                    pc.cast(b["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+                "o_orderpriority": b["o_orderpriority"],
+            }
+        )
+
+    otab, omat = _small_side(orders.map_batches(slim, batch_format="pyarrow"))
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    if otab is not None:
+        okeys = otab["o_orderkey"].combine_chunks()
+        odates = pc.cast(otab["odate_us"], pa.int64()).combine_chunks()
+
+        def qualify(b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b["l_orderkey"], value_set=okeys)
+            hit = pc.is_valid(idx)
+            b = b.filter(hit)
+            od = odates.take(pc.index_in(b["l_orderkey"], value_set=okeys))
+            ship = pc.cast(
+                pc.cast(b["l_shipdate"], pa.timestamp("us")), pa.int64()
+            )
+            late = pc.greater(
+                ship, pc.add(od, pa.scalar(lag_us, pa.int64()))
+            )
+            keys = b.filter(late)["l_orderkey"].to_numpy(
+                zero_copy_only=False
+            )
+            return pa.table(
+                {"o_orderkey": pa.array(np.unique(keys), pa.int64())}
+            )
+
+        qual = li.map_batches(qualify, batch_format="pyarrow")
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        j = normalize_join_blocks(li, _join_nparts()).join(
+            normalize_join_blocks(omat, _join_nparts()),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+
+        def qualify_joined(b: pa.Table) -> pa.Table:
+            ship = pc.cast(
+                pc.cast(b["l_shipdate"], pa.timestamp("us")), pa.int64()
+            )
+            late = pc.greater(
+                ship,
+                pc.add(
+                    pc.cast(b["odate_us"], pa.int64()),
+                    pa.scalar(lag_us, pa.int64()),
+                ),
+            )
+            keys = b.filter(late)["l_orderkey"].to_numpy(
+                zero_copy_only=False
+            )
+            return pa.table(
+                {"o_orderkey": pa.array(np.unique(keys), pa.int64())}
+            )
+
+        qual = j.map_batches(qualify_joined, batch_format="pyarrow")
+
+    qual = distinct_first(qual, "o_orderkey")
+
+    if otab is not None:
+        okeys2 = otab["o_orderkey"].combine_chunks()
+        prio = otab["o_orderpriority"].combine_chunks()
+
+        def count_partial(b: pa.Table) -> pa.Table:
+            p = prio.take(pc.index_in(b["o_orderkey"], value_set=okeys2))
+            t = pa.table({"o_orderpriority": p})
+            g = (
+                t.group_by(["o_orderpriority"], use_threads=False)
+                .aggregate([([], "count_all")])
+            )
+            return g.rename_columns(["o_orderpriority", "c"])
+
+        partials = qual.map_batches(count_partial, batch_format="pyarrow")
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        partials = normalize_join_blocks(qual, _join_nparts()).join(
+            normalize_join_blocks(
+                omat.select_columns(["o_orderkey", "o_orderpriority"]),
+                _join_nparts(),
+            ),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("o_orderkey",), right_on=("o_orderkey",),
+        ).map_batches(
+            lambda b: (
+                b.select(["o_orderpriority"])
+                .group_by(["o_orderpriority"], use_threads=False)
+                .aggregate([([], "count_all")])
+                .rename_columns(["o_orderpriority", "c"])
+            ),
+            batch_format="pyarrow",
+        )
+
+    return partials.groupby("o_orderpriority").aggregate(
+        Sum("c", alias_name="order_count")
+    )
+
+
+QUERIES["q4_order_priority"] = q4_order_priority
+
+ORACLE_SQL["q4_order_priority"] = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17-shaped correlated-average filter: total revenue from
+    Brand#13 lineitems whose quantity is below 20% of that part's own
+    average lineitem quantity.
+
+    Scale shape: the brand part-key set broadcasts (dimension-sized);
+    lineitem streams TWICE -- pass 1 collapses to exact per-part
+    (sum_qty, cnt) sufficient statistics via per-batch combiners + one
+    tiny groupby (never shipping rows), pass 2 re-applies the broadcast
+    stats with the integer cross-multiplied predicate
+    ``5 * qty * cnt < sum_qty`` (no float division anywhere) and sums
+    revenue cents per batch -- O(1) rows cross the wire per batch.
+    Above budget the stats side degrades to a distributed hash join."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    part = part.map_batches(
+        lambda b: b.filter(pc.equal(b["p_brand"], "Brand#13")).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    ptab, pmat = _small_side(part)
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def stats_partial(b: pa.Table, pkeys=None) -> pa.Table:
+        if pkeys is not None:
+            b = b.filter(pc.is_in(b["l_partkey"], value_set=pkeys))
+        q = sql_round_i64(b["l_quantity"])
+        t = pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "sq": q,
+                "cnt": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        )
+        g = (
+            t.group_by(["l_partkey"], use_threads=False)
+            .aggregate([("sq", "sum"), ("cnt", "sum")])
+        )
+        return g.rename_columns(["l_partkey", "sq", "cnt"])
+
+    if ptab is not None:
+        pkeys = ptab["p_partkey"].combine_chunks()
+        stats = li.map_batches(
+            lambda b: stats_partial(b, pkeys), batch_format="pyarrow"
+        )
+    else:  # pragma: no cover - scale path
+        stats = li.join(
+            pmat, join_type="inner", num_partitions=_join_nparts(),
+            on=("l_partkey",), right_on=("p_partkey",),
+        ).map_batches(stats_partial, batch_format="pyarrow")
+
+    stats = (
+        stats.groupby("l_partkey")
+        .aggregate(Sum("sq", alias_name="sq"), Sum("cnt", alias_name="cnt"))
+    )
+    stab, smat = _small_side(stats)
+
+    if stab is not None:
+        skeys = stab["l_partkey"].combine_chunks()
+        ssq = pc.cast(stab["sq"], pa.int64()).combine_chunks()
+        scnt = pc.cast(stab["cnt"], pa.int64()).combine_chunks()
+
+        def rev_partial(b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b["l_partkey"], value_set=skeys)
+            hit = pc.is_valid(idx)
+            b = b.filter(hit)
+            idx = pc.index_in(b["l_partkey"], value_set=skeys)
+            sq = ssq.take(idx)
+            cnt = scnt.take(idx)
+            q = sql_round_i64(b["l_quantity"])
+            keep = pc.less(
+                pc.multiply(
+                    pc.multiply(q, pa.scalar(5, pa.int64())), cnt
+                ),
+                sq,
+            )
+            cents = sql_round_i64(b.filter(keep)["l_extendedprice"], 100.0)
+            s = pc.sum(cents).as_py()
+            return pa.table(
+                {"rc": pa.array([0 if s is None else s], pa.int64())}
+            )
+
+        partials = li.map_batches(rev_partial, batch_format="pyarrow")
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        j = normalize_join_blocks(li, _join_nparts()).join(
+            normalize_join_blocks(smat, _join_nparts()),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("l_partkey",), right_on=("l_partkey",),
+        )
+
+        def rev_joined(b: pa.Table) -> pa.Table:
+            q = sql_round_i64(b["l_quantity"])
+            keep = pc.less(
+                pc.multiply(
+                    pc.multiply(q, pa.scalar(5, pa.int64())),
+                    pc.cast(b["cnt"], pa.int64()),
+                ),
+                pc.cast(b["sq"], pa.int64()),
+            )
+            cents = sql_round_i64(b.filter(keep)["l_extendedprice"], 100.0)
+            s = pc.sum(cents).as_py()
+            return pa.table(
+                {"rc": pa.array([0 if s is None else s], pa.int64())}
+            )
+
+        partials = j.map_batches(rev_joined, batch_format="pyarrow")
+
+    import ray as _ray
+
+    tot = pa.concat_tables(
+        _ray.get(partials.materialize().to_arrow_refs()),
+        promote_options="default",
+    )
+    total = int(pc.sum(tot["rc"]).as_py() or 0)
+    return pa.table({"revenue_cents": pa.array([total], pa.int64())})
+
+
+QUERIES["q17_small_quantity_revenue"] = q17_small_quantity_revenue
+
+ORACLE_SQL["q17_small_quantity_revenue"] = """
+SELECT COALESCE(CAST(SUM(
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT), 0)
+       AS revenue_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND CAST(ROUND(l.l_quantity) AS BIGINT) * 5
+      * (SELECT COUNT(*) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+    < (SELECT CAST(SUM(CAST(ROUND(l2.l_quantity) AS BIGINT)) AS BIGINT)
+       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def events_type_hour_chisq(sf_dir: str):
+    """Chi-square contingency contributions between event type and
+    hour-of-day (ops/relational.py chisq_contingency): exact int64
+    counts/marginals/cross terms with a fixed-operand-order IEEE finish
+    the DuckDB oracle replays bit-for-bit -- the "is the event mix
+    independent of time" drift screen."""
+    from .ops.relational import chisq_contingency
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def with_hour(b: pa.Table) -> pa.Table:
+        hr = pc.cast(
+            pc.hour(pc.cast(b["ts"], pa.timestamp("us"))), pa.int64()
+        )
+        return pa.table({"event_type": b["event_type"], "hr": hr})
+
+    return chisq_contingency(
+        ds.map_batches(with_hour, batch_format="pyarrow"),
+        "event_type", "hr",
+    )
+
+
+QUERIES["events_type_hour_chisq"] = events_type_hour_chisq
+
+ORACLE_SQL["events_type_hour_chisq"] = """
+WITH cells AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+),
+nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+rt AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt
+       FROM cells GROUP BY 1),
+ct AS (SELECT hr, CAST(SUM(obs) AS BIGINT) AS ct FROM cells GROUP BY 1)
+SELECT cells.event_type, cells.hr, cells.obs,
+       (CAST(cells.obs * nn.n - rt.rt * ct.ct AS DOUBLE)
+        * CAST(cells.obs * nn.n - rt.rt * ct.ct AS DOUBLE))
+       / (CAST(rt.rt * ct.ct AS DOUBLE) * CAST(nn.n AS DOUBLE)) AS contrib
+FROM cells
+JOIN rt USING (event_type)
+JOIN ct USING (hr)
+CROSS JOIN nn
+"""

@@ -1619,3 +1619,79 @@ def gini_coefficient(
             "gini_micro": pa.array([gini], pa.int64()),
         }
     ))
+
+
+def chisq_contingency(ds, row_col: str, col_col: str):
+    """Chi-square contingency table: the per-cell independence-test
+    contributions ``(obs - exp)^2 / exp`` for every (row, col) category
+    pair -- the feature-vs-label drift screen corpus pipelines run before
+    trusting a stratified split (is event mix independent of hour /
+    shard / source?).
+
+    **Exact-then-IEEE by construction.**  Observed counts, marginals and
+    the cross term are exact int64 (per-batch combiners -> one tiny
+    cell groupby -> O(#cells) driver finish, the exact_quantiles driver
+    contract); with ``diff = obs*N - rt*ct`` the contribution
+
+        contrib = (diff/dbl * diff/dbl) / ((rt*ct)/dbl * N/dbl)
+
+    is computed with the operand order fixed above -- int64 -> double
+    casts are correctly rounded in both engines, so the DuckDB oracle
+    replays it bit-for-bit.  Documented bound: ``obs * N`` and
+    ``rt * ct`` must fit int64 (N < ~3e9 rows; beyond that the exact
+    cross term needs the HUGEINT/i128 scale path).
+
+    Returns (row_col, col_col, obs, contrib float64), one row per
+    observed cell.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        t = b.select([row_col, col_col])
+        g = (
+            t.group_by([row_col, col_col], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([row_col, col_col, "c"])
+
+    cells_ds = (
+        ds.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby([row_col, col_col])
+        .aggregate(Sum("c", alias_name="obs"))
+        .materialize()
+    )
+    cells = pa.concat_tables(
+        ray.get(cells_ds.to_arrow_refs()), promote_options="default"
+    )
+    if not len(cells):
+        return pa.table(
+            {
+                row_col: pa.array([], pa.string()),
+                col_col: pa.array([], pa.int64()),
+                "obs": pa.array([], pa.int64()),
+                "contrib": pa.array([], pa.float64()),
+            }
+        )
+    rows = cells[row_col].to_numpy(zero_copy_only=False)
+    cols = cells[col_col].to_numpy(zero_copy_only=False)
+    obs = cells["obs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(obs.sum())
+    ur, ri = np.unique(rows, return_inverse=True)
+    uc, ci = np.unique(cols, return_inverse=True)
+    rt = np.zeros(len(ur), np.int64)
+    np.add.at(rt, ri, obs)
+    ct = np.zeros(len(uc), np.int64)
+    np.add.at(ct, ci, obs)
+    cross = rt[ri] * ct[ci]
+    diff = obs * n - cross
+    d = diff.astype(np.float64)
+    contrib = (d * d) / (cross.astype(np.float64) * np.float64(n))
+    return pa.table(
+        {
+            row_col: cells[row_col],
+            col_col: cells[col_col],
+            "obs": pa.array(obs, pa.int64()),
+            "contrib": pa.array(contrib, pa.float64()),
+        }
+    )

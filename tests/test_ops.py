@@ -4314,3 +4314,96 @@ class TestSsspWeighted:
             .to_pandas().set_index("node")["dist"]
         )
         assert three[3] == 3
+
+
+class TestTpchShapedJoins:
+    def _frames_equal(self, a, b, keys):
+        import pandas as pd
+
+        a = a.to_pandas().sort_values(keys).reset_index(drop=True)
+        b = b.to_pandas().sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_q5_fallback_matches_broadcast(self, ray_session, monkeypatch):
+        import marc2rdf_ray.entry_queries as eq
+
+        sf = "/root/testdata/sf0.001"
+        want = eq.q5_local_supplier_volume(sf)
+        orig = eq._small_side
+        monkeypatch.setattr(
+            eq, "_small_side", lambda ds, limit_bytes=0: orig(ds, 1)
+        )
+        got = eq.q5_local_supplier_volume(sf)
+        self._frames_equal(want, got, ["n_name"])
+
+    def test_q4_fallback_matches_broadcast(self, ray_session, monkeypatch):
+        import marc2rdf_ray.entry_queries as eq
+
+        sf = "/root/testdata/sf0.001"
+        want = eq.q4_order_priority(sf)
+        orig = eq._small_side
+        monkeypatch.setattr(
+            eq, "_small_side", lambda ds, limit_bytes=0: orig(ds, 1)
+        )
+        got = eq.q4_order_priority(sf)
+        self._frames_equal(want, got, ["o_orderpriority"])
+
+    def test_q17_fallback_matches_broadcast(self, ray_session, monkeypatch):
+        import pandas as pd
+
+        import marc2rdf_ray.entry_queries as eq
+
+        sf = "/root/testdata/sf0.001"
+        want = eq.q17_small_quantity_revenue(sf).to_pandas()
+        orig = eq._small_side
+        monkeypatch.setattr(
+            eq, "_small_side", lambda ds, limit_bytes=0: orig(ds, 1)
+        )
+        got = eq.q17_small_quantity_revenue(sf).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+        assert int(want["revenue_cents"].iloc[0]) > 0
+
+
+class TestChisqContingency:
+    def test_hand_table(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import chisq_contingency
+
+        rows = (
+            [{"t": "a", "h": 0}] * 30
+            + [{"t": "a", "h": 1}] * 10
+            + [{"t": "b", "h": 0}] * 10
+            + [{"t": "b", "h": 1}] * 30
+        )
+        out = (
+            chisq_contingency(rd.from_items(rows).repartition(4), "t", "h")
+            .to_pandas()
+            .set_index(["t", "h"])
+            .sort_index()
+        )
+        n = 80
+        # marginals: rt(a)=rt(b)=40, ct(0)=ct(1)=40 -> exp = 20 per cell
+        for (t, h), obs in [(("a", 0), 30), (("a", 1), 10),
+                            (("b", 0), 10), (("b", 1), 30)]:
+            assert out.loc[(t, h), "obs"] == obs
+            diff = float(obs * n - 40 * 40)
+            want = (diff * diff) / (float(40 * 40) * float(n))
+            assert out.loc[(t, h), "contrib"] == want
+        # chi2 = sum contrib = 4 * (800^2 / (1600*80)) = 20.0
+        assert out["contrib"].sum() == 20.0
+
+    def test_independent_is_zero(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import chisq_contingency
+
+        rows = [
+            {"t": t, "h": h}
+            for t in ("a", "b", "c")
+            for h in (0, 1)
+            for _ in range(5)
+        ]
+        out = chisq_contingency(rd.from_items(rows), "t", "h").to_pandas()
+        assert (out["contrib"] == 0.0).all()
+        assert len(out) == 6
