@@ -51,7 +51,7 @@ from typing import Any, Optional
 
 from .functions.textops import (
     condition_normalize,
-    generate_objects,
+    compile_object_pipeline,
     generate_uri,
     ruby_strip,
     scan_last_match,
@@ -89,7 +89,11 @@ def _opts_entry(spec: dict) -> tuple:
         and not opts["regex_strip"]
         and not opts["urlize_opt"]
     )
-    hit = (spec, opts, trivial)
+    # compiled per-rule closure: only the steps this rule uses, regexes
+    # prebound (functions/textops.py compile_object_pipeline) -- the hot
+    # loop calls obj_fn(value, field) instead of the 9-kwarg spec mirror
+    obj_fn = None if trivial else compile_object_pipeline(**opts)
+    hit = (spec, opts, trivial, obj_fn)
     _OPTS_CACHE[key] = hit
     return hit
 
@@ -251,18 +255,18 @@ def validate_mapping(mapping: dict) -> None:
 
 def _compile_control(rule: dict, vocab: Vocabulary) -> tuple:
     """Lower a control rule (rdfmodeler.rb:160-186) to emission tuples:
-    (pred_uri|None, opts, trivial, is_literal, prefix, relcls_uri|None)."""
+    (pred_uri|None, obj_fn|None, trivial, is_literal, prefix, relcls_uri|None)."""
     entries = []
     for _, value in rule.items():
         if not isinstance(value, dict) or "object" not in value:
             continue
         spec = value["object"]
-        _, opts, trivial = _opts_entry(spec)
+        _, _, trivial, obj_fn = _opts_entry(spec)
         pred_name = value.get("predicate") or ""
         entries.append(
             (
                 vocab.resolve(pred_name) if pred_name else None,
-                opts,
+                obj_fn,
                 trivial,
                 spec.get("datatype") == "literal",
                 spec.get("prefix") or "",
@@ -280,15 +284,15 @@ _DT_CODE = {"uri": 0, "integer": 1, "float": 2}  # anything else: literal=3
 def _compile_data(subfield_rules: dict, vocab: Vocabulary) -> tuple:
     """Lower data rules (rdfmodeler.rb:188-304) to emission tuples:
     (code, cond_sub|None, pred_uri|None, relinfo|None, dt_code, lang,
-    opts, trivial, prefix).  Constant predicates are vocab-resolved HERE
+    obj_fn|None, trivial, prefix).  Constant predicates are vocab-resolved HERE
     (once per worker) instead of per field; conditioned predicates keep
     the original sub dict and go through _predicate_name at runtime.
-    relinfo = (relcls_uri, ((code2, rpred_uri, is_uri, prefix2, opts2,
+    relinfo = (relcls_uri, ((code2, rpred_uri, is_uri, prefix2, obj_fn2,
     trivial2, lang2), ...))."""
     entries = []
     for code, sub in subfield_rules.items():
         spec = sub.get("object", {})
-        _, opts, trivial = _opts_entry(spec)
+        _, _, trivial, obj_fn = _opts_entry(spec)
         cond = sub if "conditions" in sub else None
         pred = None
         if cond is None:
@@ -299,14 +303,14 @@ def _compile_data(subfield_rules: dict, vocab: Vocabulary) -> tuple:
             rel_subs = []
             for code2, rs in (sub["relation"].get("subfield") or {}).items():
                 rspec = rs["object"]
-                _, opts2, trivial2 = _opts_entry(rspec)
+                _, _, trivial2, obj_fn2 = _opts_entry(rspec)
                 rel_subs.append(
                     (
                         code2,
                         vocab.resolve(rs["predicate"]),
                         rspec.get("datatype") == "uri",
                         rspec.get("prefix") or "",
-                        opts2,
+                        obj_fn2,
                         trivial2,
                         _norm_lang(rspec.get("lang")),
                     )
@@ -329,7 +333,7 @@ def _compile_data(subfield_rules: dict, vocab: Vocabulary) -> tuple:
                 relinfo,
                 _DT_CODE.get(spec.get("datatype"), 3),
                 _norm_lang(spec.get("lang")),
-                opts,
+                obj_fn,
                 trivial,
                 spec.get("prefix") or "",
             )
@@ -480,11 +484,9 @@ class RuleEngine:
         marc_object = fld.value or ""
         if not ruby_strip(marc_object):
             return
-        for pred, opts, trivial, is_literal, prefix, relcls in entries:
+        for pred, obj_fn, trivial, is_literal, prefix, relcls in entries:
             objects = (
-                (marc_object,)
-                if trivial
-                else generate_objects(marc_object, marcfield=fld, **opts)
+                (marc_object,) if trivial else obj_fn(marc_object, fld)
             )
             for o in objects:
                 if o is None or not ruby_strip(o):
@@ -534,7 +536,7 @@ class RuleEngine:
     ) -> None:
         first = fld.first
         resolve = self.vocab.resolve
-        for code, cond, pred, relinfo, dt, lang, opts, trivial, prefix in entries:
+        for code, cond, pred, relinfo, dt, lang, obj_fn, trivial, prefix in entries:
             if cond is not None:
                 name = self._predicate_name(fld, cond)
                 pred = resolve(name) if name else None
@@ -544,9 +546,7 @@ class RuleEngine:
             if not marc_object:
                 continue
             objects = (
-                (marc_object,)
-                if trivial
-                else generate_objects(marc_object, marcfield=fld, **opts)
+                (marc_object,) if trivial else obj_fn(marc_object, fld)
             )
             if relinfo is not None:
                 relcls, rel_subs = relinfo
@@ -557,7 +557,7 @@ class RuleEngine:
                     if pred is not None:
                         out.append((subj, pred, val, kind, None))
                     out.append((val, RDF_TYPE, relcls, "uri", None))
-                    for (code2, rpred, is_uri, prefix2, opts2, trivial2,
+                    for (code2, rpred, is_uri, prefix2, obj_fn2, trivial2,
                          lang2) in rel_subs:
                         relobject = first(code2)
                         if not relobject:
@@ -565,9 +565,7 @@ class RuleEngine:
                         relobjects = (
                             (relobject,)
                             if trivial2
-                            else generate_objects(
-                                relobject, marcfield=fld, **opts2
-                            )
+                            else obj_fn2(relobject, fld)
                         )
                         for ro in relobjects:
                             if ro is None:

@@ -96,13 +96,21 @@ class _TokenIndexMatcher:
         self.run = re.compile(r"\b[" + cls + r"]\w*") if cls else run
 
     def finditer_aliases(self, text: str):
-        toks = [(m.group(0), m.start()) for m in self.run.finditer(text)]
+        # lazy over the match stream: no (token, start) list materializes
+        # (the list+tuple build was ~0.2 ms/page of the fused extractor,
+        # tools/profile_flagship.py --hotpath); semantics identical --
+        # "skip tokens starting inside a match" becomes a start cursor
         n = len(text)
-        i = 0
-        while i < len(toks):
-            first, start = toks[i]
-            matched_end = None
-            for cand in self.by_first.get(first, ()):  # longest first
+        by_first_get = self.by_first.get
+        skip_until = 0
+        for m in self.run.finditer(text):
+            start = m.start()
+            if start < skip_until:  # token starts inside a prior match
+                continue
+            cands = by_first_get(m.group(0))
+            if cands is None:
+                continue
+            for cand in cands:  # longest first
                 end = start + len(cand)
                 if end > n or text[start:end] != cand:
                     continue
@@ -115,14 +123,9 @@ class _TokenIndexMatcher:
                 nxt_w = end < n and bool(_WORDCH.match(text[end]))
                 if last_w == nxt_w:
                     continue
-                matched_end = end
+                skip_until = end
                 yield cand
                 break
-            i += 1
-            if matched_end is not None:
-                # non-overlapping: skip tokens starting inside the match
-                while i < len(toks) and toks[i][1] < matched_end:
-                    i += 1
 
 
 class _AhoCorasickMatcher:

@@ -181,3 +181,71 @@ class TestSplitInvertedName:
 
         assert split_inverted_name("Halldór Laxness") == (
             None, None, "Halldór Laxness")
+
+
+class TestCompiledObjectPipeline:
+    """compile_object_pipeline must equal generate_objects byte-for-byte
+    over the option lattice (rules.py swaps the spec mirror for the
+    compiled closure in the hot loop)."""
+
+    def test_differential_lattice(self):
+        from itertools import product
+
+        from marc2rdf_ray.functions.textops import (
+            compile_object_pipeline,
+            generate_objects,
+        )
+
+        class F:
+            subfields = [("a", "Alpha"), ("b", "Beta"), ("a", "Aria"),
+                         ("c", None)]
+
+        inputs = [
+            "Hello, World", "  padded  ", "a, b, c", "UPPER lower",
+            "aeøå Æ", "x", "", "no-commas-here",
+            "12345678", "Tri, cky, ", "mixed,SEP,vals",
+        ]
+        opt_axes = [
+            ({}, {"regex_split": ", *"}, {"substr_offset": 2,
+                                          "substr_length": 4}),
+            ({}, {"regex_substitute": {
+                "orig": "helloworld|abc|upperlower",
+                "subs": {"helloworld": "HW", "abc": "letters"},
+            }},),
+            ({}, {"combine": ["a", "b"], "combinestring": "-"}),
+            ({}, {"regex_strip": "[aeiou]"},),
+            ({}, {"urlize_opt": True},
+             {"urlize_opt": True, "no_downcase": True,
+              "no_convert_spaces": True, "urlize_regexp": "[^A-Za-z]"}),
+        ]
+        n_cases = 0
+        for combo in product(*opt_axes):
+            opts = {}
+            for c in combo:
+                opts.update(c)
+            full = {
+                "regex_split": None, "urlize_opt": None,
+                "no_downcase": False, "no_convert_spaces": False,
+                "urlize_regexp": None, "regex_strip": None,
+                "regex_substitute": None, "substr_offset": None,
+                "substr_length": None, "combine": None,
+                "combinestring": None,
+            }
+            full.update(opts)
+            fn = compile_object_pipeline(**full)
+            for s in inputs:
+                want = generate_objects(s, marcfield=F(), **full)
+                got = fn(s, F())
+                assert got == want, (full, s, got, want)
+                n_cases += 1
+        assert n_cases == len(inputs) * 3 * 2 * 2 * 2 * 3
+
+    def test_no_marcfield(self):
+        from marc2rdf_ray.functions.textops import (
+            compile_object_pipeline,
+            generate_objects,
+        )
+
+        full = dict(combine=["a"], combinestring="+")
+        fn = compile_object_pipeline(**full)
+        assert fn("x") == generate_objects("x", **full)
