@@ -7229,3 +7229,161 @@ JOIN rt USING (event_type)
 JOIN ct USING (hr)
 CROSS JOIN nn
 """
+
+
+def graph_link_prediction_jaccard(sf_dir: str):
+    """Neighborhood-Jaccard link prediction (ops/graph.py
+    common_neighbors_topk with jaccard=True): the common-neighbor wedge
+    machinery plus a degree broadcast, scoring candidate pairs
+    ``floor(1e6 * cn / (deg(u) + deg(v) - cn))`` in exact integer
+    micro-units; top-50 re-ranked by (jac_micro DESC, u, v)."""
+    from .ops.graph import common_neighbors_topk
+
+    edges, _, _ = _md5_link_graph(sf_dir)
+    return common_neighbors_topk(edges, k=50, jaccard=True)
+
+
+QUERIES["graph_link_prediction_jaccard"] = graph_link_prediction_jaccard
+
+ORACLE_SQL["graph_link_prediction_jaccard"] = f"""
+WITH {_MD5_EDGES_SQL},
+e0 AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM edges WHERE src <> dst GROUP BY 1, 2),
+adj AS (SELECT u AS node, v AS nb FROM e0
+        UNION ALL SELECT v, u FROM e0),
+deg AS (SELECT node, COUNT(*)::BIGINT AS d FROM adj GROUP BY node),
+w AS (
+  SELECT a.nb AS u, b.nb AS v, COUNT(*)::BIGINT AS cnt
+  FROM adj a JOIN adj b ON a.node = b.node AND a.nb < b.nb
+  GROUP BY 1, 2
+)
+SELECT w.u, w.v, w.cnt,
+       (w.cnt * 1000000 // (d1.d + d2.d - w.cnt))::BIGINT AS jac_micro
+FROM w
+JOIN deg d1 ON d1.node = w.u
+JOIN deg d2 ON d2.node = w.v
+WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.u = w.u AND e0.v = w.v)
+ORDER BY jac_micro DESC, u, v LIMIT 50
+"""
+
+
+def events_value_ewma(sf_dir: str):
+    """Bounded-window EWMA / trailing weighted sum per user
+    (ops/windows.py trailing_weighted_sum): dyadic 8/4/2/1 weights over
+    the last 4 events' value cents, ordered (ts, event_id) within user;
+    boundary-masked shifted adds after ONE hash(user) shuffle -- all
+    integer, replayed bit-for-bit by the unrolled-LAG oracle."""
+    from .ops.windows import trailing_weighted_sum
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return trailing_weighted_sum(ds)
+
+
+QUERIES["events_value_ewma"] = events_value_ewma
+
+ORACLE_SQL["events_value_ewma"] = """
+WITH v AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc,
+         ts
+  FROM events
+)
+SELECT event_id, user_id, ts_us,
+       (8 * vc
+        + 4 * COALESCE(LAG(vc, 1) OVER w, 0)
+        + 2 * COALESCE(LAG(vc, 2) OVER w, 0)
+        + 1 * COALESCE(LAG(vc, 3) OVER w, 0))::BIGINT AS wsum_cents
+FROM v
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def events_user_rfm(sf_dir: str):
+    """RFM scoring composition: per-user recency (last event ts) /
+    frequency (event count) / monetary (value cents) sufficient
+    statistics via per-batch combiners + ONE groupby, then three
+    independent exact global NTILE(4) passes (ops/relational.py ntile --
+    no global row sort), joined back onto the user table.  The
+    segmentation every retention pipeline computes before a campaign
+    split."""
+    import ray
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .ops.dedup import normalize_join_blocks
+    from .ops.relational import ntile
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "tus": pc.cast(
+                    pc.cast(b["ts"], pa.timestamp("us")), pa.int64()
+                ),
+                "vc": sql_round_i64(b["value"], 100.0),
+                "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by(["user_id"], use_threads=False).aggregate(
+            [("tus", "max"), ("one", "sum"), ("vc", "sum")]
+        )
+        return g.rename_columns(["user_id", "r_units", "f_cnt", "m_cents"])
+
+    base = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("r_units", alias_name="r_units"),
+            Sum("f_cnt", alias_name="f_cnt"),
+            Sum("m_cents", alias_name="m_cents"),
+        )
+        .materialize()
+    )
+
+    out = base
+    nparts = _join_nparts()
+    for col, alias in (
+        ("r_units", "r_tile"), ("f_cnt", "f_tile"), ("m_cents", "m_tile")
+    ):
+        tiles = ntile(
+            base, score_col=col, id_col="user_id", q=4, scale=1.0
+        ).map_batches(
+            lambda b, a=alias: pa.table(
+                {"user_id": b["user_id"], a: b["tile"]}
+            ),
+            batch_format="pyarrow",
+        )
+        out = normalize_join_blocks(out, nparts).join(
+            normalize_join_blocks(tiles, nparts),
+            join_type="inner", num_partitions=nparts,
+            on=("user_id",),
+        )
+
+    return out.map_batches(
+        lambda b: b.select(
+            ["user_id", "r_units", "f_cnt", "m_cents",
+             "r_tile", "f_tile", "m_tile"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["events_user_rfm"] = events_user_rfm
+
+ORACLE_SQL["events_user_rfm"] = """
+WITH a AS (
+  SELECT user_id,
+         MAX(epoch_us(ts))::BIGINT AS r_units,
+         COUNT(*)::BIGINT AS f_cnt,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+  FROM events GROUP BY 1
+)
+SELECT user_id, r_units, f_cnt, m_cents,
+       CAST(NTILE(4) OVER (ORDER BY r_units, user_id) AS BIGINT) AS r_tile,
+       CAST(NTILE(4) OVER (ORDER BY f_cnt, user_id) AS BIGINT) AS f_tile,
+       CAST(NTILE(4) OVER (ORDER BY m_cents, user_id) AS BIGINT) AS m_tile
+FROM a
+"""

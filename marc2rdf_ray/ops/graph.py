@@ -1411,6 +1411,8 @@ def common_neighbors_topk(
     num_buckets: int | None = None,
     strict: bool = True,
     adamic_adar: bool = False,
+    jaccard: bool = False,
+    degree_budget: int = 256 << 20,
 ):
     """Common-neighbor link prediction over the undirected simple form of
     a directed edge table: for every non-adjacent node pair (u < v) that
@@ -1437,6 +1439,15 @@ def common_neighbors_topk(
     distributed sort + limit.  Node ids must fit 31 bits (the packed
     u<<32|v pair key -- validated, fail loud).
 
+    With ``jaccard=True`` the pair score is neighborhood Jaccard in
+    exact integer micro-units: ``jac_micro = floor(1e6 * cn /
+    (deg(u) + deg(v) - cn))`` (all terms positive, so truncating and
+    flooring division agree and the SQL oracle replays it) -- degrees of
+    the undirected simple graph attach via one partial-combine groupby
+    broadcast under ``degree_budget`` (join fallback above it), and the
+    top-k re-ranks by (jac_micro DESC, u, v).  Output columns
+    (u, v, cnt, jac_micro).
+
     A node with more than ``max_neighbors`` neighbors would emit O(d^2)
     pairs; ``strict=True`` raises (the triangle_count contract), else the
     node's pair list truncates to the id-smallest ``max_neighbors``
@@ -1446,6 +1457,8 @@ def common_neighbors_topk(
 
     from .dedup import anti_join_filter
 
+    if adamic_adar and jaccard:
+        raise ValueError("adamic_adar and jaccard are mutually exclusive")
     if num_buckets is None:
         try:
             import ray
@@ -1597,6 +1610,123 @@ def common_neighbors_topk(
         batch_format="pyarrow",
     )
     fresh = anti_join_filter(counts, existing, "pair")
+
+    if jaccard:
+        import ray
+
+        def deg_partial(b: pa.Table) -> pa.Table:
+            n = np.concatenate(
+                [
+                    b["u"].to_numpy(zero_copy_only=False),
+                    b["v"].to_numpy(zero_copy_only=False),
+                ]
+            )
+            nodes, cnts = np.unique(n, return_counts=True)
+            return pa.table(
+                {"node": pa.array(nodes, pa.int64()),
+                 "deg": pa.array(cnts, pa.int64())}
+            )
+
+        deg_ds = (
+            e0.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("deg", alias_name="deg"))
+            .materialize()
+        )
+        def finish(b: pa.Table, du, dv) -> pa.Table:
+            cn = b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+            jac = cn * 1_000_000 // (du + dv - cn)
+            return pa.table(
+                {
+                    "u": b["u"], "v": b["v"],
+                    "cnt": pa.array(cn, pa.int64()),
+                    "jac_micro": pa.array(jac, pa.int64()),
+                }
+            )
+
+        if deg_ds.size_bytes() > degree_budget:  # pragma: no cover - scale
+            from .dedup import normalize_join_blocks
+
+            nparts = max(2, num_buckets // 4)
+
+            def unpack_pair(b: pa.Table) -> pa.Table:
+                p = b["pair"].to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "u": pa.array(p >> 32, pa.int64()),
+                        "v": pa.array(p & 0xFFFFFFFF, pa.int64()),
+                        "cnt": b["cnt"],
+                    }
+                )
+
+            scored = normalize_join_blocks(
+                fresh.map_batches(unpack_pair, batch_format="pyarrow"),
+                nparts,
+            ).join(
+                normalize_join_blocks(deg_ds, nparts),
+                join_type="inner", num_partitions=nparts,
+                on=("u",), right_on=("node",),
+            ).map_batches(
+                lambda b: b.rename_columns(
+                    [
+                        "du" if c == "deg" else c
+                        for c in b.schema.names
+                    ]
+                ),
+                batch_format="pyarrow",
+            )
+            scored = normalize_join_blocks(scored, nparts).join(
+                normalize_join_blocks(deg_ds, nparts),
+                join_type="inner", num_partitions=nparts,
+                on=("v",), right_on=("node",),
+            ).map_batches(
+                lambda b: finish(
+                    b,
+                    pc.cast(b["du"], pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    pc.cast(b["deg"], pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ),
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            deg_tbl = pa.concat_tables(
+                ray.get(deg_ds.to_arrow_refs()), promote_options="default"
+            )
+            nodes_np = deg_tbl["node"].to_numpy(zero_copy_only=False)
+            degs_np = deg_tbl["deg"].to_numpy(zero_copy_only=False)
+            o = np.argsort(nodes_np, kind="stable")
+            ref = ray.put({"node": nodes_np[o], "deg": degs_np[o]})
+
+            class Score:
+                def __init__(self):
+                    d = ray.get(ref)
+                    self.nodes = d["node"]
+                    self.degs = d["deg"]
+
+                def __call__(self, b: pa.Table) -> pa.Table:
+                    p = b["pair"].to_numpy(zero_copy_only=False)
+                    u = p >> 32
+                    v = p & 0xFFFFFFFF
+                    du = self.degs[np.searchsorted(self.nodes, u)]
+                    dv = self.degs[np.searchsorted(self.nodes, v)]
+                    t = pa.table(
+                        {
+                            "u": pa.array(u, pa.int64()),
+                            "v": pa.array(v, pa.int64()),
+                            "cnt": b["cnt"],
+                        }
+                    )
+                    return finish(t, du, dv)
+
+            scored = fresh.map_batches(
+                Score, batch_format="pyarrow", concurrency=2
+            )
+        return scored.sort(
+            key=["jac_micro", "u", "v"], descending=[True, False, False]
+        ).limit(k)
 
     score_col = "score_micro" if adamic_adar else "cnt"
 

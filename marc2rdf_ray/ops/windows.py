@@ -1259,3 +1259,109 @@ def max_concurrency(
         {"max_concurrent": pa.array([mx], pa.int64()),
          "first_at_us": pa.array([at], pa.int64())}
     ))
+
+
+def trailing_weighted_sum(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    weights: tuple = (8, 4, 2, 1),
+    num_buckets: int | None = None,
+):
+    """Per-key trailing WEIGHTED window sum -- the bounded-window EWMA
+    shape ``y_i = w0*x_i + w1*x_{i-1} + ... + w_{W-1}*x_{i-W+1}`` with
+    integer weights (dyadic 8/4/2/1 by default, the alpha=1/2
+    exponential-decay profile) over value cents; lags that cross a key
+    boundary or run off the front contribute 0, exactly like
+    ``COALESCE(LAG(v, j) OVER (PARTITION BY key ORDER BY ts, id), 0)``.
+
+    All-integer (cents x integer weights), so the result is bit-exact
+    against the unrolled-LAG SQL oracle.  Same scale shape as
+    running_totals: ONE hash(key) shuffle, then a single lexsort +
+    boundary-masked shifted adds per bucket -- no Python per event, and
+    the per-key-fits-one-task partitioning assumption (keys are users).
+
+    Emits (id, key, ts_us, wsum_cents).
+    """
+    from ..functions.hashing import bucket_codes
+    from ..functions.numeric import sql_round_i64
+
+    if num_buckets is None:
+        try:
+            import ray
+
+            num_buckets = max(
+                16, int(ray.cluster_resources().get("CPU", 8)) * 2
+            )
+        except Exception:  # pragma: no cover
+            num_buckets = 16
+
+    weights = tuple(int(w) for w in weights)
+    if not weights:
+        raise ValueError("trailing_weighted_sum: weights must be non-empty")
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "id": pc.cast(b[id_col], pa.int64()),
+                "u": b[user_col],
+                "tus": pc.cast(
+                    pc.cast(b[ts_col], pa.timestamp("us")), pa.int64()
+                ),
+                "vc": sql_round_i64(b[value_col], 100.0),
+            }
+        )
+        return t.append_column(
+            "bucket", bucket_codes(pc.cast(t["u"], pa.string()), num_buckets)
+        )
+
+    def weighted(group: pa.Table) -> pa.Table:
+        u = group["u"].to_numpy(zero_copy_only=False)
+        tus = group["tus"].to_numpy(zero_copy_only=False)
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        vc = group["vc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, tus, u))
+        u, tus, ids, vc = u[order], tus[order], ids[order], vc[order]
+        _warn_hot_keys("trailing_weighted_sum", u)
+        n = len(u)
+        out = np.zeros(n, np.int64)
+        # adj[i]: u[i] == u[i-1]; rows are key-sorted, so u[i] == u[i-j]
+        # iff every adjacent pair in between is equal -- samej chains
+        # samej[i] = samej_{j-1}[i] & adj[i-(j-1)]
+        adj = np.zeros(n, bool)
+        if n > 1:
+            adj[1:] = u[1:] == u[:-1]
+        samej = None
+        for j, w in enumerate(weights):
+            if j == 0:
+                out += w * vc
+                continue
+            if j >= n:
+                break
+            if j == 1:
+                samej = adj.copy()
+            else:
+                shifted = np.zeros(n, bool)
+                shifted[j - 1:] = adj[: n - (j - 1)]
+                samej = samej & shifted
+            # lag-j value, masked where the lag crosses a key boundary
+            lag = np.zeros(n, np.int64)
+            lag[j:] = np.where(samej[j:], vc[: n - j], 0)
+            out += w * lag
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "user_id": pa.array(u),
+                "ts_us": pa.array(tus, pa.int64()),
+                "wsum_cents": pa.array(out, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(weighted, batch_format="pyarrow")
+    )

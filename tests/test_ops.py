@@ -4407,3 +4407,113 @@ class TestChisqContingency:
         out = chisq_contingency(rd.from_items(rows), "t", "h").to_pandas()
         assert (out["contrib"] == 0.0).all()
         assert len(out) == 6
+
+
+class TestJaccardLinkPrediction:
+    def test_hand_graph(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import common_neighbors_topk
+
+        # path 1-2-3 plus 2-4: candidates (1,3),(1,4),(3,4) all share {2}
+        edges = [(1, 2), (2, 3), (2, 4)]
+        out = (
+            common_neighbors_topk(
+                rd.from_items([{"src": s, "dst": d} for s, d in edges]),
+                k=10, jaccard=True,
+            )
+            .to_pandas()
+            .set_index(["u", "v"])
+            .sort_index()
+        )
+        # degrees: 1->1, 2->3, 3->1, 4->1; each pair cn=1,
+        # jac = 1e6 // (1 + 1 - 1) = 1e6
+        for pair in [(1, 3), (1, 4), (3, 4)]:
+            assert out.loc[pair, "cnt"] == 1
+            assert out.loc[pair, "jac_micro"] == 1_000_000
+        assert len(out) == 3
+
+    def test_rerank_differs_from_cn(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import common_neighbors_topk
+
+        # hub 0 connects to 1..5; 1 and 2 also share private neighbor 6;
+        # (1,2): cn=2 (0 and 6), deg1=deg2=2+... construct:
+        edges = (
+            [(0, i) for i in range(1, 6)]
+            + [(6, 1), (6, 2), (7, 1), (8, 1), (9, 1)]
+        )
+        out = common_neighbors_topk(
+            rd.from_items([{"src": s, "dst": d} for s, d in edges]),
+            k=100, jaccard=True,
+        ).to_pandas().set_index(["u", "v"])
+        # (1,2): cn=2 (0,6); deg(1)=5 (0,6,7,8,9), deg(2)=2 (0,6)
+        assert out.loc[(1, 2), "cnt"] == 2
+        assert out.loc[(1, 2), "jac_micro"] == 2 * 1_000_000 // (5 + 2 - 2)
+        # (3,4): cn=1 (0); deg=1 each -> jac 1e6 ranks ABOVE (1,2)'s 400000
+        assert out.loc[(3, 4), "jac_micro"] == 1_000_000
+
+    def test_mutually_exclusive_modes(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import common_neighbors_topk
+
+        with pytest.raises(ValueError):
+            common_neighbors_topk(
+                rd.from_items([{"src": 1, "dst": 2}]),
+                adamic_adar=True, jaccard=True,
+            )
+
+
+class TestTrailingWeightedSum:
+    def test_hand_sequence(self, ray_session):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import trailing_weighted_sum
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = []
+        # user A: values 1, 2, 3, 4, 5 in ts order
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0]):
+            rows.append({"event_id": i, "user_id": 1,
+                         "ts": t0 + dt.timedelta(hours=i), "value": v})
+        # user B: single event (no lags)
+        rows.append({"event_id": 100, "user_id": 2, "ts": t0, "value": 7.0})
+        out = (
+            trailing_weighted_sum(rd.from_items(rows).repartition(3))
+            .to_pandas()
+            .set_index("event_id")["wsum_cents"]
+            .sort_index()
+        )
+        # cents: 100,200,300,400,500; weights 8/4/2/1
+        assert out[0] == 8 * 100
+        assert out[1] == 8 * 200 + 4 * 100
+        assert out[2] == 8 * 300 + 4 * 200 + 2 * 100
+        assert out[3] == 8 * 400 + 4 * 300 + 2 * 200 + 1 * 100
+        assert out[4] == 8 * 500 + 4 * 400 + 2 * 300 + 1 * 200
+        assert out[100] == 8 * 700  # boundary: no bleed from user A
+
+    def test_key_boundary_no_bleed(self, ray_session):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import trailing_weighted_sum
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            {"event_id": 1, "user_id": 1, "ts": t0, "value": 9.0},
+            {"event_id": 2, "user_id": 2, "ts": t0, "value": 1.0},
+            {"event_id": 3, "user_id": 2,
+             "ts": t0 + dt.timedelta(minutes=1), "value": 1.0},
+        ]
+        out = (
+            trailing_weighted_sum(rd.from_items(rows))
+            .to_pandas().set_index("event_id")["wsum_cents"]
+        )
+        assert out[2] == 800
+        assert out[3] == 8 * 100 + 4 * 100  # only user-2 history
