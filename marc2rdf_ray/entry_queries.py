@@ -7387,3 +7387,80 @@ SELECT user_id, r_units, f_cnt, m_cents,
        CAST(NTILE(4) OVER (ORDER BY m_cents, user_id) AS BIGINT) AS m_tile
 FROM a
 """
+
+
+def events_value_cusum(sf_dir: str):
+    """Per-user one-sided CUSUM drift scan (ops/windows.py cusum_scan):
+    s_i = max(0, s_{i-1} + value_cents - 7500), alarm at s > 20000,
+    computed via the prefix identity c - min(0, running_min(c)) -- one
+    hash(user) shuffle, segmented cumsum + band-offset cumulative min,
+    all integer cents, bit-exact vs the nested-window oracle."""
+    from .ops.windows import cusum_scan
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return cusum_scan(ds)
+
+
+QUERIES["events_value_cusum"] = events_value_cusum
+
+ORACLE_SQL["events_value_cusum"] = """
+WITH v AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 100) AS BIGINT) - 7500 AS xk
+  FROM events
+), c AS (
+  SELECT event_id, user_id, ts, ts_us,
+         SUM(xk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS c
+  FROM v
+)
+SELECT event_id, user_id, ts_us,
+       CAST(c - LEAST(0, MIN(c) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum_cents,
+       CASE WHEN c - LEAST(0, MIN(c) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING)) > 20000
+            THEN 1 ELSE 0 END::BIGINT AS alarm
+FROM c
+"""
+
+
+def docs_setsim_pairs(sf_dir: str):
+    """Exact prefix-filtered set-similarity self-join (ops/dedup.py
+    setsim_join_exact): ALL document pairs with token-set Jaccard >=
+    0.9, candidate generation COMPLETE by the prefix-filter lemma
+    (rarest-df-first global token order), verification by memoized
+    frozen token sets, threshold tested as the integer
+    cross-multiplication inter*1e6 >= 9e5*uni -- no float anywhere."""
+    from .ops.dedup import setsim_join_exact
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return setsim_join_exact(ds, threshold_micro=900_000)
+
+
+QUERIES["docs_setsim_pairs"] = docs_setsim_pairs
+
+ORACLE_SQL["docs_setsim_pairs"] = """
+WITH tok AS (
+  SELECT DISTINCT d.doc_id, u.tok
+  FROM documents d,
+       unnest(regexp_split_to_array(lower(d.text), '[^a-z0-9]+')) AS u(tok)
+  WHERE u.tok <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*)::BIGINT AS inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.inter,
+       (sa.sz + sb.sz - i.inter)::BIGINT AS uni,
+       (i.inter * 1000000 // (sa.sz + sb.sz - i.inter))::BIGINT AS jac_micro
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.inter * 1000000 >= 900000 * (sa.sz + sb.sz - i.inter)
+"""

@@ -890,3 +890,285 @@ def editdist_name_pairs(
         .groupby("blk")
         .map_groups(pairs_in_block, batch_format="pyarrow")
     )
+
+
+_TOKEN_SPLIT = re.compile(r"[^a-z0-9]+")
+
+
+def _token_set(text: str) -> list[str]:
+    """Distinct lowercase [a-z0-9]+ tokens -- the exact split the SQL
+    oracle replays with regexp_split_to_array(lower(text), '[^a-z0-9]+')."""
+    return sorted({t for t in _TOKEN_SPLIT.split(text.lower()) if t})
+
+
+def setsim_join_exact(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_micro: int = 900_000,
+    num_buckets: int | None = None,
+    token_cap: int = 4096,
+    strict: bool = False,
+    broadcast_budget: int = 256 << 20,
+):
+    """EXACT token-set similarity self-join via prefix filtering
+    (SSJoin/PPJoin family, Chaudhuri et al. ICDE'06): every pair with
+    ``jaccard(tokens(a), tokens(b)) >= threshold`` -- COMPLETE by the
+    prefix-filter lemma, unlike MinHash-LSH whose candidates are
+    probabilistic (minhash_lsh_pairs is the recall-tuned scale path;
+    this is the guarantee-grade one).
+
+    Prefix-filter lemma: under ANY global token order, if
+    |A∩B| >= k then the first |A|-k+1 tokens of A intersect the first
+    |B|-k+1 tokens of B.  J(A,B) >= t implies |A∩B| >= ceil(t*|X|) for
+    each side X, so emitting postings for only each doc's first
+    ``|s| - ceil(t*|s|) + 1`` tokens -- ordered rarest-first by global
+    document frequency -- misses nothing.
+
+    Scale shape: tokenize once (per-doc distinct sets); ONE groupby for
+    global df; df broadcast under ``broadcast_budget`` (distributed join
+    fallback above it); prefix postings bucket BY TOKEN, each bucket
+    emits its doc pairs with a per-task np.unique combiner
+    (``token_cap`` bounds a hot token's doc list -- loud truncation or
+    strict raise, the _log_capped contract; truncation can only LOSE
+    candidate pairs, never invent them); one groupby dedupes pair keys;
+    exact verification attaches memoized frozen token sets via the
+    byte-budgeted broadcast (two-hash-join fallback).  The jaccard test
+    is the integer cross-multiplication ``inter * 1e6 >= t_micro * uni``
+    -- no float anywhere, bit-exact vs the quadratic SQL oracle.
+
+    Emits (a, b, inter, uni, jac_micro) with a < b.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if num_buckets is None:
+        num_buckets = _coarse_buckets_default()
+    t_micro = int(threshold_micro)
+
+    def tokenize(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        texts = b[text_col].to_pylist()
+        out_id, out_tok = [], []
+        for i, txt in zip(ids, texts):
+            toks = _token_set(txt or "")
+            out_id.extend([i] * len(toks))
+            out_tok.extend(toks)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "tok": pa.array(out_tok, pa.string()),
+            }
+        )
+
+    toks = ds.map_batches(tokenize, batch_format="pyarrow").materialize()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["tok"])
+            .group_by(["tok"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["tok", "c"])
+
+    df_ds = (
+        toks.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("c", alias_name="df"))
+        .materialize()
+    )
+
+    # ---- postings with df attached (broadcast-or-join) ----------------
+    if (df_ds.size_bytes() or 0) <= broadcast_budget:
+        df_tab = pa.concat_tables(
+            ray.get(df_ds.to_arrow_refs()), promote_options="default"
+        )
+        vocab = np.asarray(df_tab["tok"].to_pylist())
+        dfs = df_tab["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(vocab, kind="stable")
+        ref = ray.put({"tok": vocab[o], "df": dfs[o]})
+
+        class AttachDf:
+            def __init__(self):
+                d = ray.get(ref)
+                self.tok = d["tok"]
+                self.df = d["df"]
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                tv = np.asarray(b["tok"].to_pylist())
+                idx = np.searchsorted(self.tok, tv)
+                return b.append_column(
+                    "df", pa.array(self.df[idx], pa.int64())
+                )
+
+        posted = toks.map_batches(
+            AttachDf, batch_format="pyarrow", concurrency=2
+        )
+    else:  # pragma: no cover - scale path
+        posted = normalize_join_blocks(toks, num_buckets // 4).join(
+            normalize_join_blocks(df_ds, num_buckets // 4),
+            join_type="inner", num_partitions=max(2, num_buckets // 4),
+            on=("tok",), right_on=("tok",),
+        )
+
+    # ---- per-doc prefix selection (bucket by doc) ----------------------
+    def doc_bucket(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_db", pa.array((d % num_buckets).astype(np.int32), pa.int32())
+        )
+
+    def prefix_of(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        tv = np.asarray(group["tok"].to_pylist())
+        dfv = group["df"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tv, dfv, d))  # per doc: rarest df, then token
+        d, tv, dfv = d[order], tv[order], dfv[order]
+        brk = np.empty(len(d), bool)
+        brk[:1] = True
+        if len(d) > 1:
+            brk[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.append(starts, len(d)))
+        # prefix length |s| - ceil(t*|s|) + 1 (integer ceil)
+        need = -(-t_micro * sizes // 1_000_000)  # ceil(t*|s|)
+        plen = sizes - need + 1
+        seg = np.cumsum(brk) - 1
+        local = np.arange(len(d)) - starts[seg]
+        keep = local < plen[seg]
+        return pa.table(
+            {
+                "tok": pa.array(tv[keep], pa.string()),
+                "doc_id": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    prefixes = (
+        posted.map_batches(doc_bucket, batch_format="pyarrow")
+        .groupby("_db")
+        .map_groups(prefix_of, batch_format="pyarrow")
+    )
+
+    # ---- candidate pairs per token (bucket by token) -------------------
+    from ..functions.hashing import bucket_codes
+
+    def tok_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("_tb", bucket_codes(b["tok"], num_buckets))
+
+    def pairs_of(group: pa.Table) -> pa.Table:
+        tv = np.asarray(group["tok"].to_pylist())
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, tv))
+        tv, d = tv[order], d[order]
+        brk = np.empty(len(tv), bool)
+        brk[:1] = True
+        if len(tv) > 1:
+            brk[1:] = tv[1:] != tv[:-1]
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.append(starts, len(tv)))
+        over = np.flatnonzero(sizes > token_cap)
+        if len(over):
+            if strict:
+                raise ValueError(
+                    "setsim_join_exact: token %r posted by %d docs "
+                    "(token_cap=%d)"
+                    % (tv[starts[over[0]]], int(sizes[over[0]]), token_cap)
+                )
+            for i in over:
+                _log_capped(
+                    "setsim_join_exact", tv[starts[i]], int(sizes[i]),
+                    token_cap,
+                )
+            seg = np.cumsum(brk) - 1
+            local = np.arange(len(tv)) - starts[seg]
+            keepm = local < token_cap
+            tv, d = tv[keepm], d[keepm]
+            brk = np.empty(len(tv), bool)
+            brk[:1] = True
+            if len(tv) > 1:
+                brk[1:] = tv[1:] != tv[:-1]
+            starts = np.flatnonzero(brk)
+            sizes = np.diff(np.append(starts, len(tv)))
+        m = sizes * (sizes - 1) // 2
+        total = int(m.sum())
+        if not total:
+            return pa.table({"pk": pa.array([], pa.int64())})
+        if len(d) and d.max() >= (1 << 31):
+            raise ValueError("setsim_join_exact: doc ids must fit 31 bits")
+        seg_rep = np.repeat(np.arange(len(sizes)), m)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(m)[:-1])), m
+        )
+        j = np.floor((1.0 + np.sqrt(1.0 + 8.0 * within)) / 2.0).astype(
+            np.int64
+        )
+        i = within - j * (j - 1) // 2
+        x = d[starts[seg_rep] + i]
+        y = d[starts[seg_rep] + j]
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        pk = np.unique((lo << 32) | hi)  # per-task combiner
+        return pa.table({"pk": pa.array(pk, pa.int64())})
+
+    cand = (
+        prefixes.map_batches(tok_bucket, batch_format="pyarrow")
+        .groupby("_tb")
+        .map_groups(pairs_of, batch_format="pyarrow")
+    )
+    cand = distinct_first(cand, "pk")
+
+    # ---- exact verify ---------------------------------------------------
+    sets_tab = None
+    toks_mat = toks
+    if (toks.size_bytes() or 0) <= broadcast_budget:
+        sets_tab = pa.concat_tables(
+            ray.get(toks.to_arrow_refs()), promote_options="default"
+        )
+    if sets_tab is not None:
+        sref = ray.put(sets_tab)
+
+        class Verify:
+            def __init__(self):
+                t = ray.get(sref)
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                tkn = t["tok"].to_pylist()
+                self.sets: dict = {}
+                for i, tk in zip(ids, tkn):
+                    self.sets.setdefault(int(i), set()).add(tk)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                pk = b["pk"].to_numpy(zero_copy_only=False)
+                a = pk >> 32
+                bb = pk & 0xFFFFFFFF
+                rows_a, rows_b, ri, ru, rj = [], [], [], [], []
+                empty: set = set()
+                for x, y in zip(a.tolist(), bb.tolist()):
+                    sa = self.sets.get(x, empty)
+                    sb = self.sets.get(y, empty)
+                    inter = len(sa & sb)
+                    uni = len(sa) + len(sb) - inter
+                    if uni and inter * 1_000_000 >= t_micro * uni:
+                        rows_a.append(x)
+                        rows_b.append(y)
+                        ri.append(inter)
+                        ru.append(uni)
+                        rj.append(inter * 1_000_000 // uni)
+                return pa.table(
+                    {
+                        "a": pa.array(rows_a, pa.int64()),
+                        "b": pa.array(rows_b, pa.int64()),
+                        "inter": pa.array(ri, pa.int64()),
+                        "uni": pa.array(ru, pa.int64()),
+                        "jac_micro": pa.array(rj, pa.int64()),
+                    }
+                )
+
+        return cand.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+
+    # pragma: no cover - scale path: group pair candidates and token rows
+    # by doc and count intersections distributively (two joins)
+    raise NotImplementedError(
+        "setsim_join_exact: corpus token table exceeds the broadcast "
+        "budget; use minhash_lsh_pairs + exact verify as the scale path"
+    )

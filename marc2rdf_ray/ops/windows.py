@@ -1365,3 +1365,125 @@ def trailing_weighted_sum(
         .groupby("bucket")
         .map_groups(weighted, batch_format="pyarrow")
     )
+
+
+def cusum_scan(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    drift_cents: int = 7500,
+    alarm_cents: int = 20000,
+    num_buckets: int | None = None,
+):
+    """Per-key one-sided CUSUM drift scan -- the classic sequential
+    changepoint statistic ``s_i = max(0, s_{i-1} + (x_i - k))`` with an
+    alarm at ``s_i > h``, computed WITHOUT a sequential loop via the
+    prefix identity
+
+        s_i = c_i - min(0, min_{j<=i} c_j),   c = cumsum(x - k)
+
+    (the running-max-drawdown trick) -- so one lexsort + a segmented
+    cumsum + a segmented cumulative-min per bucket does it all
+    vectorized, all on integer cents (bit-exact vs the nested-window SQL
+    oracle).
+
+    The segmented cumulative min uses per-segment band offsets
+    (seg_id * BIG with BIG > the value spread) so one global
+    ``np.minimum.accumulate`` respects key boundaries; the documented
+    int64 bound (#segments-per-task x spread < 2^62) is checked and
+    fails loud.
+
+    Emits (id, key, ts_us, cusum_cents, alarm 0/1).
+    """
+    from ..functions.hashing import bucket_codes
+    from ..functions.numeric import sql_round_i64
+
+    if num_buckets is None:
+        try:
+            import ray
+
+            num_buckets = max(
+                16, int(ray.cluster_resources().get("CPU", 8)) * 2
+            )
+        except Exception:  # pragma: no cover
+            num_buckets = 16
+
+    k = int(drift_cents)
+    h = int(alarm_cents)
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "id": pc.cast(b[id_col], pa.int64()),
+                "u": b[user_col],
+                "tus": pc.cast(
+                    pc.cast(b[ts_col], pa.timestamp("us")), pa.int64()
+                ),
+                "vc": sql_round_i64(b[value_col], 100.0),
+            }
+        )
+        return t.append_column(
+            "bucket", bucket_codes(pc.cast(t["u"], pa.string()), num_buckets)
+        )
+
+    def scan(group: pa.Table) -> pa.Table:
+        u = group["u"].to_numpy(zero_copy_only=False)
+        tus = group["tus"].to_numpy(zero_copy_only=False)
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        vc = group["vc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, tus, u))
+        u, tus, ids, vc = u[order], tus[order], ids[order], vc[order]
+        _warn_hot_keys("cusum_scan", u)
+        n = len(u)
+        if not n:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], group["u"].type),
+                    "ts_us": pa.array([], pa.int64()),
+                    "cusum_cents": pa.array([], pa.int64()),
+                    "alarm": pa.array([], pa.int64()),
+                }
+            )
+        brk = np.empty(n, bool)
+        brk[:1] = True
+        if n > 1:
+            brk[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        xk = vc - k
+        cum = np.cumsum(xk)
+        base = np.concatenate(([0], cum))[starts]
+        c = cum - base[seg]  # segmented cumsum of (x - k)
+        # segmented running min via band offsets
+        spread = int(c.max() - c.min()) + 1 if n else 1
+        nseg = int(seg[-1]) + 1
+        if nseg * spread >= (1 << 62):  # pragma: no cover - absurd input
+            raise ValueError(
+                "cusum_scan: segment-band offset would overflow int64; "
+                "split the input"
+            )
+        # later segments occupy strictly LOWER bands, so the accumulated
+        # min resets at every segment start (any value of segment k is
+        # below every value of segments < k by construction)
+        banded = c - seg * spread
+        runmin = np.minimum.accumulate(banded) + seg * spread
+        s = c - np.minimum(runmin, 0)
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "user_id": pa.array(u),
+                "ts_us": pa.array(tus, pa.int64()),
+                "cusum_cents": pa.array(s, pa.int64()),
+                "alarm": pa.array((s > h).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pyarrow")
+    )

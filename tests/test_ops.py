@@ -4517,3 +4517,124 @@ class TestTrailingWeightedSum:
         )
         assert out[2] == 800
         assert out[3] == 8 * 100 + 4 * 100  # only user-2 history
+
+
+class TestCusumScan:
+    def test_hand_sequence(self, ray_session):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import cusum_scan
+
+        t0 = dt.datetime(2026, 1, 1)
+        # k=100 cents, h=150: values 3,0,0,2,4 dollars
+        vals = [3.0, 0.0, 0.0, 2.0, 4.0]
+        rows = [
+            {"event_id": i, "user_id": 1,
+             "ts": t0 + dt.timedelta(hours=i), "value": v}
+            for i, v in enumerate(vals)
+        ]
+        out = (
+            cusum_scan(
+                rd.from_items(rows).repartition(2),
+                drift_cents=100, alarm_cents=150,
+            )
+            .to_pandas().set_index("event_id").sort_index()
+        )
+        # serial replay: s = max(0, s + vc - 100)
+        s, want = 0, []
+        for v in vals:
+            s = max(0, s + int(round(v * 100)) - 100)
+            want.append(s)
+        assert out["cusum_cents"].tolist() == want  # [200,100,0,100,400]
+        assert out["alarm"].tolist() == [int(x > 150) for x in want]
+
+    def test_key_reset(self, ray_session):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import cusum_scan
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            {"event_id": 1, "user_id": 1, "ts": t0, "value": 100.0},
+            {"event_id": 2, "user_id": 2,
+             "ts": t0 + dt.timedelta(hours=1), "value": 1.0},
+        ]
+        out = (
+            cusum_scan(rd.from_items(rows), drift_cents=50, alarm_cents=10)
+            .to_pandas().set_index("event_id")
+        )
+        assert out.loc[1, "cusum_cents"] == 10000 - 50
+        # user 2 starts fresh: max(0, 100 - 50) = 50, no bleed from user 1
+        assert out.loc[2, "cusum_cents"] == 50
+
+
+class TestSetsimJoinExact:
+    def test_hand_corpus_complete(self, ray_session):
+        from itertools import combinations
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.dedup import _token_set, setsim_join_exact
+
+        docs = {
+            0: "alpha beta gamma delta epsilon",
+            1: "alpha beta gamma delta zeta",       # jac 4/6 with 0
+            2: "alpha beta gamma delta epsilon",    # jac 1.0 with 0
+            3: "totally different words here now",
+            4: "alpha beta gamma delta epsilon ex", # jac 5/6 with 0,2
+        }
+        ds = rd.from_items(
+            [{"doc_id": i, "text": t} for i, t in docs.items()]
+        ).repartition(3)
+        got = (
+            setsim_join_exact(ds, threshold_micro=800_000)
+            .to_pandas().set_index(["a", "b"]).sort_index()
+        )
+        # brute force truth
+        want = {}
+        for x, y in combinations(sorted(docs), 2):
+            sa, sb = set(_token_set(docs[x])), set(_token_set(docs[y]))
+            inter = len(sa & sb)
+            uni = len(sa | sb)
+            if uni and inter * 1_000_000 >= 800_000 * uni:
+                want[(x, y)] = (inter, uni, inter * 1_000_000 // uni)
+        assert set(got.index) == set(want)
+        for k, (i, u, j) in want.items():
+            assert got.loc[k, "inter"] == i
+            assert got.loc[k, "uni"] == u
+            assert got.loc[k, "jac_micro"] == j
+        assert (0, 2) in want and want[(0, 2)][2] == 1_000_000
+
+    def test_prefix_filter_misses_nothing_random(self, ray_session):
+        from itertools import combinations
+
+        import numpy as np
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.dedup import _token_set, setsim_join_exact
+
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = {
+            i: " ".join(
+                rng.choice(vocab, size=rng.integers(5, 15), replace=True)
+            )
+            for i in range(40)
+        }
+        ds = rd.from_items(
+            [{"doc_id": i, "text": t} for i, t in docs.items()]
+        ).repartition(4)
+        gdf = setsim_join_exact(ds, threshold_micro=300_000).to_pandas()
+        got = set(map(tuple, gdf[["a", "b"]].values.tolist()))
+        want = set()
+        for x, y in combinations(sorted(docs), 2):
+            sa, sb = set(_token_set(docs[x])), set(_token_set(docs[y]))
+            inter, uni = len(sa & sb), len(sa | sb)
+            if uni and inter * 1_000_000 >= 300_000 * uni:
+                want.add((x, y))
+        assert want, "fixture must produce pairs for the test to bite"
+        assert got == want
