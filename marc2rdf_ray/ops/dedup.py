@@ -1005,7 +1005,7 @@ def setsim_join_exact(
         posted = toks.map_batches(
             AttachDf, batch_format="pyarrow", concurrency=2
         )
-    else:  # pragma: no cover - scale path
+    else:  # scale path (covered by the forced-budget parity test)
         posted = normalize_join_blocks(toks, num_buckets // 4).join(
             normalize_join_blocks(df_ds, num_buckets // 4),
             join_type="inner", num_partitions=max(2, num_buckets // 4),
@@ -1166,9 +1166,129 @@ def setsim_join_exact(
 
         return cand.map_batches(Verify, batch_format="pyarrow", concurrency=2)
 
-    # pragma: no cover - scale path: group pair candidates and token rows
-    # by doc and count intersections distributively (two joins)
-    raise NotImplementedError(
-        "setsim_join_exact: corpus token table exceeds the broadcast "
-        "budget; use minhash_lsh_pairs + exact verify as the scale path"
+    # scale path: verify distributively.  Each candidate pair probes the
+    # token table once per side (join by doc); a (pk, tok) key seen twice
+    # means BOTH docs carry the token, so inter(pk) = #keys with count 2.
+    # Cost is candidate_pairs x avg tokens/doc rows through one join --
+    # the inherent price of exact verification without a resident corpus.
+    from ray.data.aggregate import Sum
+
+    nparts = max(2, num_buckets // 4)
+
+    def probes(b: pa.Table) -> pa.Table:
+        pk = b["pk"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pk": pa.array(np.concatenate([pk, pk]), pa.int64()),
+                "doc_id": pa.array(
+                    np.concatenate([pk >> 32, pk & 0xFFFFFFFF]), pa.int64()
+                ),
+            }
+        )
+
+    probe_ds = cand.map_batches(probes, batch_format="pyarrow")
+    matched = normalize_join_blocks(probe_ds, nparts).join(
+        normalize_join_blocks(toks_mat, nparts),
+        join_type="inner", num_partitions=nparts,
+        on=("doc_id",), right_on=("doc_id",),
     )
+
+    def pair_tok_partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["pk", "tok"])
+            .group_by(["pk", "tok"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["pk", "tok", "c"])
+
+    inter_ds = (
+        matched.map_batches(pair_tok_partial, batch_format="pyarrow")
+        .groupby(["pk", "tok"])
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(
+            lambda b: (
+                b.filter(pc.equal(b["c"], 2))
+                .select(["pk"])
+                .group_by(["pk"], use_threads=False)
+                .aggregate([([], "count_all")])
+                .rename_columns(["pk", "i"])
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("pk")
+        .aggregate(Sum("i", alias_name="inter"))
+    )
+
+    def size_partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["doc_id"])
+            .group_by(["doc_id"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["doc_id", "sz"])
+
+    sizes_ds = (
+        toks_mat.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("sz", alias_name="sz"))
+        .materialize()
+    )
+
+    def split_pk(b: pa.Table) -> pa.Table:
+        pk = b["pk"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pk": b["pk"],
+                "inter": pc.cast(b["inter"], pa.int64()),
+                "a": pa.array(pk >> 32, pa.int64()),
+                "b": pa.array(pk & 0xFFFFFFFF, pa.int64()),
+            }
+        )
+
+    with_a = normalize_join_blocks(
+        inter_ds.map_batches(split_pk, batch_format="pyarrow"), nparts
+    ).join(
+        normalize_join_blocks(sizes_ds, nparts),
+        join_type="inner", num_partitions=nparts,
+        on=("a",), right_on=("doc_id",),
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "pk": b["pk"], "inter": b["inter"], "a": b["a"],
+                "b": b["b"], "sza": pc.cast(b["sz"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    with_both = normalize_join_blocks(with_a, nparts).join(
+        normalize_join_blocks(sizes_ds, nparts),
+        join_type="inner", num_partitions=nparts,
+        on=("b",), right_on=("doc_id",),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        inter = b["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uni = (
+            b["sza"].to_numpy(zero_copy_only=False).astype(np.int64)
+            + pc.cast(b["sz"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            - inter
+        )
+        keep = inter * 1_000_000 >= t_micro * uni
+        t = pa.table(
+            {
+                "a": b["a"], "b": b["b"],
+                "inter": pa.array(inter, pa.int64()),
+                "uni": pa.array(uni, pa.int64()),
+                "jac_micro": pa.array(
+                    np.where(uni > 0, inter * 1_000_000 // np.where(
+                        uni > 0, uni, 1
+                    ), 0),
+                    pa.int64(),
+                ),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    return with_both.map_batches(finish, batch_format="pyarrow")

@@ -4638,3 +4638,39 @@ class TestSetsimJoinExact:
                 want.add((x, y))
         assert want, "fixture must produce pairs for the test to bite"
         assert got == want
+
+
+class TestSetsimScalePathParity:
+    def test_distributed_verify_matches_broadcast(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.dedup import setsim_join_exact
+
+        rng = np.random.default_rng(5)
+        vocab = [f"w{i}" for i in range(25)]
+        rows = [
+            {"doc_id": i,
+             "text": " ".join(rng.choice(vocab, size=rng.integers(4, 12)))}
+            for i in range(30)
+        ]
+
+        def frame(budget):
+            return (
+                setsim_join_exact(
+                    rd.from_items(rows).repartition(3),
+                    threshold_micro=300_000, broadcast_budget=budget,
+                )
+                .to_pandas()
+                .sort_values(["a", "b"])
+                .reset_index(drop=True)
+            )
+
+        want = frame(256 << 20)
+        got = frame(0)  # force df-join + distributed pair-token verify
+        assert len(want) > 0
+        pd.testing.assert_frame_equal(
+            got[["a", "b", "inter", "uni", "jac_micro"]],
+            want[["a", "b", "inter", "uni", "jac_micro"]],
+        )
