@@ -7464,3 +7464,78 @@ JOIN sizes sa ON sa.doc_id = i.a
 JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.inter * 1000000 >= 900000 * (sa.sz + sb.sz - i.inter)
 """
+
+
+def events_value_mlr(sf_dir: str):
+    """Per-type two-feature regression value_cents ~ b0 + b1*hour +
+    b2*weekday (ops/relational.py grouped_mlr2): exact int64 normal-
+    equation partials per batch, ONE tiny groupby-sum, Cramer
+    determinants in Python big ints (HUGEINT in the oracle), one IEEE
+    divide per coefficient -- bit-replayed by DuckDB."""
+    from .ops.relational import grouped_mlr2
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def featurize(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.timestamp("us"))
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "hr": pc.cast(pc.hour(ts), pa.int64()),
+                # Monday=0..Sunday=6 == DuckDB isodow-1
+                "dow": pc.cast(pc.day_of_week(ts), pa.int64()),
+                "vc": sql_round_i64(b["value"], 100.0),
+            }
+        )
+
+    out = grouped_mlr2(
+        ds.map_batches(featurize, batch_format="pyarrow"),
+        group_col="event_type", x1_col="hr", x2_col="dow", y_col="vc",
+    )
+    return out.rename_columns(["event_type", "n", "det", "b0", "b1", "b2"])
+
+
+QUERIES["events_value_mlr"] = events_value_mlr
+
+ORACLE_SQL["events_value_mlr"] = """
+WITH f AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x1,
+         CAST(EXTRACT(isodow FROM ts) - 1 AS BIGINT) AS x2,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type,
+         COUNT(*)::HUGEINT AS n,
+         CAST(SUM(x1) AS HUGEINT) AS sx1,
+         CAST(SUM(x2) AS HUGEINT) AS sx2,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+         CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+         CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+         CAST(SUM(x1 * y) AS HUGEINT) AS s1y,
+         CAST(SUM(x2 * y) AS HUGEINT) AS s2y
+  FROM f GROUP BY event_type
+), d AS (
+  SELECT event_type, n,
+         n * (s11 * s22 - s12 * s12)
+           - sx1 * (sx1 * s22 - s12 * sx2)
+           + sx2 * (sx1 * s12 - s11 * sx2) AS det,
+         sy * (s11 * s22 - s12 * s12)
+           - sx1 * (s1y * s22 - s12 * s2y)
+           + sx2 * (s1y * s12 - s11 * s2y) AS det0,
+         n * (s1y * s22 - s12 * s2y)
+           - sy * (sx1 * s22 - s12 * sx2)
+           + sx2 * (sx1 * s2y - s1y * sx2) AS det1,
+         n * (s11 * s2y - s1y * s12)
+           - sx1 * (sx1 * s2y - s1y * sx2)
+           + sy * (sx1 * s12 - s11 * sx2) AS det2
+  FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(det AS DOUBLE) AS det,
+       CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS b0,
+       CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
+       CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2
+FROM d WHERE det <> 0
+"""

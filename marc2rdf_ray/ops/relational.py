@@ -1695,3 +1695,121 @@ def chisq_contingency(ds, row_col: str, col_col: str):
             "contrib": pa.array(contrib, pa.float64()),
         }
     )
+
+
+def grouped_mlr2(
+    ds,
+    *,
+    group_col: str,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+):
+    """Per-group TWO-feature least squares (y ~ b0 + b1*x1 + b2*x2) via
+    exact integer normal equations + Cramer's rule -- the multivariate
+    step past grouped_linreg, same sufficient-statistics contract:
+    per-batch int64 partial sums of (n, Sx1, Sx2, Sy, S11, S12, S22,
+    S1y, S2y), ONE tiny groupby-sum, then an O(#groups) driver finish
+    where the 3x3 determinants are computed in PYTHON BIG INTS (they
+    overflow int64 by design -- the DuckDB oracle replays them in
+    HUGEINT) and each coefficient is ONE correctly-rounded int->double
+    cast pair and ONE IEEE divide: bit-replayable.
+
+    Inputs must be integer-valued columns (already exact int64).
+    Singular groups (det == 0) are dropped on both sides.
+
+    Returns (group, n, det, b0, b1, b2) with det emitted as float64
+    (the exact HUGEINT value may not fit int64; both engines cast the
+    same exact integer, so the doubles are bit-equal).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b[group_col]
+        x1 = b[x1_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x2 = b[x2_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "g": g,
+                "n": pa.array(np.ones(len(b), np.int64), pa.int64()),
+                "sx1": pa.array(x1, pa.int64()),
+                "sx2": pa.array(x2, pa.int64()),
+                "sy": pa.array(y, pa.int64()),
+                "s11": pa.array(x1 * x1, pa.int64()),
+                "s12": pa.array(x1 * x2, pa.int64()),
+                "s22": pa.array(x2 * x2, pa.int64()),
+                "s1y": pa.array(x1 * y, pa.int64()),
+                "s2y": pa.array(x2 * y, pa.int64()),
+            }
+        )
+        agg = t.group_by(["g"], use_threads=False).aggregate(
+            [(c, "sum") for c in
+             ("n", "sx1", "sx2", "sy", "s11", "s12", "s22", "s1y", "s2y")]
+        )
+        return agg.rename_columns(
+            ["g", "n", "sx1", "sx2", "sy", "s11", "s12", "s22", "s1y",
+             "s2y"]
+        )
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            *[
+                Sum(c, alias_name=c)
+                for c in ("n", "sx1", "sx2", "sy", "s11", "s12", "s22",
+                          "s1y", "s2y")
+            ]
+        )
+        .materialize()
+    )
+    tab = pa.concat_tables(
+        ray.get(sums.to_arrow_refs()), promote_options="default"
+    )
+    out_g, out_n, out_det, b0s, b1s, b2s = [], [], [], [], [], []
+    for row in tab.to_pylist():
+        n, sx1, sx2 = int(row["n"]), int(row["sx1"]), int(row["sx2"])
+        sy = int(row["sy"])
+        s11, s12, s22 = int(row["s11"]), int(row["s12"]), int(row["s22"])
+        s1y, s2y = int(row["s1y"]), int(row["s2y"])
+        # A = [[n,sx1,sx2],[sx1,s11,s12],[sx2,s12,s22]], b = [sy,s1y,s2y]
+        det = (
+            n * (s11 * s22 - s12 * s12)
+            - sx1 * (sx1 * s22 - s12 * sx2)
+            + sx2 * (sx1 * s12 - s11 * sx2)
+        )
+        if det == 0:
+            continue
+        det0 = (
+            sy * (s11 * s22 - s12 * s12)
+            - sx1 * (s1y * s22 - s12 * s2y)
+            + sx2 * (s1y * s12 - s11 * s2y)
+        )
+        det1 = (
+            n * (s1y * s22 - s12 * s2y)
+            - sy * (sx1 * s22 - s12 * sx2)
+            + sx2 * (sx1 * s2y - s1y * sx2)
+        )
+        det2 = (
+            n * (s11 * s2y - s1y * s12)
+            - sx1 * (sx1 * s2y - s1y * sx2)
+            + sy * (sx1 * s12 - s11 * sx2)
+        )
+        out_g.append(row["g"])
+        out_n.append(n)
+        out_det.append(float(det))
+        b0s.append(float(det0) / float(det))
+        b1s.append(float(det1) / float(det))
+        b2s.append(float(det2) / float(det))
+    return pa.table(
+        {
+            "g": pa.array(out_g),
+            "n": pa.array(out_n, pa.int64()),
+            "det": pa.array(out_det, pa.float64()),
+            "b0": pa.array(b0s, pa.float64()),
+            "b1": pa.array(b1s, pa.float64()),
+            "b2": pa.array(b2s, pa.float64()),
+        }
+    )

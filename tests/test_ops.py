@@ -4674,3 +4674,59 @@ class TestSetsimScalePathParity:
             got[["a", "b", "inter", "uni", "jac_micro"]],
             want[["a", "b", "inter", "uni", "jac_micro"]],
         )
+
+
+class TestGroupedMlr2:
+    def test_numpy_parity(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import grouped_mlr2
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for g in ("a", "b"):
+            for _ in range(200):
+                x1 = int(rng.integers(0, 24))
+                x2 = int(rng.integers(0, 7))
+                y = int(50 + 3 * x1 - 2 * x2 + rng.integers(-5, 6))
+                rows.append({"g": g, "x1": x1, "x2": x2, "y": y})
+        out = (
+            grouped_mlr2(
+                rd.from_items(rows).repartition(4),
+                group_col="g", x1_col="x1", x2_col="x2", y_col="y",
+            )
+            .to_pandas().set_index("g")
+        )
+        import pandas as pd
+
+        df = pd.DataFrame(rows)
+        for g in ("a", "b"):
+            sub = df[df["g"] == g]
+            A = np.column_stack(
+                [np.ones(len(sub)), sub["x1"], sub["x2"]]
+            ).astype(float)
+            beta, *_ = np.linalg.lstsq(A, sub["y"].astype(float), rcond=None)
+            got = out.loc[g]
+            assert abs(got["b0"] - beta[0]) < 1e-8
+            assert abs(got["b1"] - beta[1]) < 1e-8
+            assert abs(got["b2"] - beta[2]) < 1e-8
+            # coefficients recover the generating line within noise
+            assert abs(got["b1"] - 3) < 0.2 and abs(got["b2"] + 2) < 0.4
+
+    def test_singular_group_dropped(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import grouped_mlr2
+
+        rows = [
+            {"g": "const", "x1": 5, "x2": 3, "y": v} for v in (1, 2, 3)
+        ] + [
+            {"g": "ok", "x1": x, "x2": x * x % 7, "y": x * 2}
+            for x in range(10)
+        ]
+        out = grouped_mlr2(
+            rd.from_items(rows), group_col="g",
+            x1_col="x1", x2_col="x2", y_col="y",
+        ).to_pandas()
+        assert set(out["g"]) == {"ok"}
