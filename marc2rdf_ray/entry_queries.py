@@ -152,6 +152,18 @@ def _join_nparts() -> int:
     return max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
 
 
+def _mat_table(ds) -> pa.Table:
+    """Pull a DIMENSION-sized dataset (nation/region scale, O(10..100)
+    rows) to one driver Arrow table.  Unbudgeted by design -- callers
+    must only pass sides that are small by schema, not by data volume;
+    data-dependent sides go through ``_small_side``."""
+    import ray
+
+    return pa.concat_tables(
+        ray.get(ds.materialize().to_arrow_refs()), promote_options="default"
+    )
+
+
 # -- KG queries ------------------------------------------------------------
 
 def kg_triples(sf_dir: str):
@@ -7538,4 +7550,354 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
        CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
        CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2
 FROM d WHERE det <> 0
+"""
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10-shaped returned-item report: top-20 customers by revenue
+    of 'R'-flag lineitems on Q1-1996 orders, with the customer's nation.
+
+    Scale shape: the date-sliced orders side and the slim customer side
+    each go through the byte-budgeted broadcast-or-join helper
+    (``_small_side``); on the broadcast path the lineitem fact table
+    never shuffles -- order->customer and customer->name/nation attach
+    as vectorized ``index_in`` lookups inside one map_batches pass and
+    revenue partials combine per batch on exact integer micro-units
+    before ONE tiny per-customer groupby-sum.  The top-20 is a global
+    sort of the (small) per-customer aggregate, deterministic under
+    ties via the trailing c_custkey sort key (reference analog: ranked
+    per-entity reports over converted triples, oai2rdf.rb's ordered
+    harvest summaries)."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 4, 1), pa.timestamp("us"))
+
+    nation = _mat_table(_read(sf_dir, "nation"))
+    nname = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    ctab, cmat = _small_side(cust)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def slim_orders(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["o_orderdate"], pa.timestamp("us"))
+        b = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        return pa.table(
+            {"o_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"]}
+        )
+
+    orders_slim = orders.map_batches(slim_orders, batch_format="pyarrow")
+    otab, omat = _small_side(orders_slim)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def rev_partial(b: pa.Table, okeys=None, ock=None) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        if okeys is not None:
+            idx = pc.index_in(b["l_orderkey"], value_set=okeys)
+            hit = pc.is_valid(idx)
+            b = b.filter(hit)
+            ck = ock.take(pc.index_in(b["l_orderkey"], value_set=okeys))
+        else:
+            ck = pc.cast(b["o_custkey"], pa.int64())
+        cents = sql_round_i64(b["l_extendedprice"], 100.0)
+        disc = sql_round_i64(b["l_discount"], 100.0)
+        rev = pc.multiply(cents,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc))
+        t = pa.table({"c_custkey": ck, "rev": rev})
+        return (
+            t.group_by(["c_custkey"], use_threads=False)
+            .aggregate([("rev", "sum")])
+            .rename_columns(["c_custkey", "rev"])
+        )
+
+    fact = li
+    okeys = ock = None
+    if otab is not None:
+        okeys = otab["o_orderkey"].combine_chunks()
+        ock = pc.cast(otab["o_custkey"], pa.int64()).combine_chunks()
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        fact = normalize_join_blocks(fact, _join_nparts()).join(
+            normalize_join_blocks(omat, _join_nparts()),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+    partials = fact.map_batches(
+        lambda b: rev_partial(b, okeys, ock), batch_format="pyarrow"
+    )
+    agg = partials.groupby("c_custkey").aggregate(
+        Sum("rev", alias_name="revenue_micro")
+    )
+
+    if ctab is not None:
+        ckeys = ctab["c_custkey"].combine_chunks()
+        cnames = ctab["c_name"].combine_chunks()
+        cnk = pc.cast(ctab["c_nationkey"], pa.int64()).combine_chunks()
+
+        def attach(b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b["c_custkey"], value_set=ckeys)
+            hit = pc.is_valid(idx)
+            b = b.filter(hit)
+            idx = pc.index_in(b["c_custkey"], value_set=ckeys)
+            nk = cnk.take(idx)
+            return pa.table(
+                {
+                    "c_custkey": b["c_custkey"],
+                    "c_name": cnames.take(idx),
+                    "n_name": pa.array(
+                        [nname[k] for k in nk.to_pylist()], pa.string()
+                    ),
+                    "revenue_micro": b["revenue_micro"],
+                }
+            )
+
+        out = agg.map_batches(attach, batch_format="pyarrow")
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        out = normalize_join_blocks(agg, _join_nparts()).join(
+            normalize_join_blocks(cmat, _join_nparts()),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("c_custkey",), right_on=("c_custkey",),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "c_custkey": b["c_custkey"],
+                    "c_name": b["c_name"],
+                    "n_name": pa.array(
+                        [nname[k] for k in pc.cast(
+                            b["c_nationkey"], pa.int64()).to_pylist()],
+                        pa.string(),
+                    ),
+                    "revenue_micro": b["revenue_micro"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    return out.sort(
+        ["revenue_micro", "c_custkey"], descending=[True, False]
+    ).limit(20)
+
+
+QUERIES["q10_returned_items"] = q10_returned_items
+
+ORACLE_SQL["q10_returned_items"] = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+       ) AS BIGINT) AS revenue_micro
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_micro DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed exactly k orders, INCLUDING the zero bucket that a
+    plain inner join would silently drop.
+
+    Scale shape: per-customer order counts are a per-batch partial
+    count combiner followed by ONE groupby-sum keyed on o_custkey (the
+    only shuffle that touches fact-table volume); the count-of-counts
+    second aggregation runs over at most #customers rows, and the zero
+    bucket is computed from two driver scalars (total customers minus
+    customers seen in orders) instead of materializing a LEFT-join of
+    the full customer table against orders.  Customer-key membership
+    semi-joins through the byte-budgeted broadcast with a distributed
+    join fallback."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    ctab, cmat = _small_side(cust)
+    n_customers = cmat.count()
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"c_custkey": pc.cast(b["o_custkey"], pa.int64())})
+        out = (
+            t.group_by(["c_custkey"], use_threads=False)
+            .aggregate([("c_custkey", "count")])
+        )
+        return pa.table(
+            {"c_custkey": out["c_custkey"],
+             "n": pc.cast(out["c_custkey_count"], pa.int64())}
+        )
+
+    per_cust = orders.map_batches(
+        count_partial, batch_format="pyarrow"
+    ).groupby("c_custkey").aggregate(Sum("n", alias_name="c_count"))
+
+    if ctab is not None:
+        ckeys = ctab["c_custkey"].combine_chunks()
+        per_cust = per_cust.map_batches(
+            lambda b: b.filter(pc.is_in(b["c_custkey"], value_set=ckeys)),
+            batch_format="pyarrow",
+        )
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        per_cust = normalize_join_blocks(per_cust, _join_nparts()).join(
+            normalize_join_blocks(cmat, _join_nparts()),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("c_custkey",), right_on=("c_custkey",),
+        ).select_columns(["c_custkey", "c_count"])
+
+    per_cust = per_cust.materialize()
+    n_with_orders = per_cust.count()
+    hist = per_cust.groupby("c_count").aggregate(
+        Count(alias_name="custdist")
+    ).map_batches(
+        lambda b: pa.table(
+            {"c_count": pc.cast(b["c_count"], pa.int64()),
+             "custdist": pc.cast(b["custdist"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    n_zero = n_customers - n_with_orders
+    if n_zero > 0:
+        zero = rd.from_arrow(
+            pa.table(
+                {"c_count": pa.array([0], pa.int64()),
+                 "custdist": pa.array([n_zero], pa.int64())}
+            )
+        )
+        hist = hist.union(zero)
+    return hist
+
+
+QUERIES["q13_customer_distribution"] = q13_customer_distribution
+
+ORACLE_SQL["q13_customer_distribution"] = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14-shaped promotion effect: revenue from PROMO-type parts
+    vs total revenue for one shipping month, reported as the two exact
+    integer micro-unit sums (numerator and denominator) instead of the
+    lossy percentage -- the caller divides (the ratio is where
+    float drift would break bit-exactness, so it stays out of the
+    contract; same discipline as docs_dsir_weights' micro-nats).
+
+    Scale shape: part (p_partkey -> is-promo bit) broadcasts under the
+    byte budget with a distributed-join fallback; the lineitem scan
+    reduces per batch to ONE two-column partial (promo, total), so the
+    global finish aggregates #batches rows."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(_dt.datetime(1996, 6, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 7, 1), pa.timestamp("us"))
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    ptab, pmat = _small_side(part)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table, pkeys=None, promo=None) -> pa.Table:
+        d = pc.cast(b["l_shipdate"], pa.timestamp("us"))
+        b = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        if pkeys is not None:
+            idx = pc.index_in(b["l_partkey"], value_set=pkeys)
+            hit = pc.is_valid(idx)
+            b = b.filter(hit)
+            is_promo = promo.take(
+                pc.index_in(b["l_partkey"], value_set=pkeys)
+            )
+        else:
+            is_promo = pc.equal(b["p_type"], "PROMO")
+        cents = sql_round_i64(b["l_extendedprice"], 100.0)
+        disc = sql_round_i64(b["l_discount"], 100.0)
+        rev = pc.multiply(cents,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc))
+        total = pc.sum(rev).as_py() or 0
+        promo_rev = pc.sum(
+            pc.if_else(is_promo, rev, pa.scalar(0, pa.int64()))
+        ).as_py() or 0
+        return pa.table(
+            {"promo_micro": pa.array([promo_rev], pa.int64()),
+             "total_micro": pa.array([total], pa.int64())}
+        )
+
+    fact = li
+    pkeys = promo = None
+    if ptab is not None:
+        pkeys = ptab["p_partkey"].combine_chunks()
+        promo = pc.equal(ptab["p_type"], "PROMO").combine_chunks()
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        fact = normalize_join_blocks(fact, _join_nparts()).join(
+            normalize_join_blocks(pmat, _join_nparts()),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("l_partkey",), right_on=("p_partkey",),
+        )
+    partials = fact.map_batches(
+        lambda b: partial(b, pkeys, promo), batch_format="pyarrow"
+    )
+    out = partials.aggregate(
+        Sum("promo_micro", alias_name="promo_micro"),
+        Sum("total_micro", alias_name="total_micro"),
+    )
+    return pa.table(
+        {
+            "promo_micro": pa.array([out["promo_micro"]], pa.int64()),
+            "total_micro": pa.array([out["total_micro"]], pa.int64()),
+        }
+    )
+
+
+QUERIES["q14_promo_revenue"] = q14_promo_revenue
+
+ORACLE_SQL["q14_promo_revenue"] = """
+SELECT
+  CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+      THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+      ELSE 0 END) AS BIGINT) AS promo_micro,
+  CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+  ) AS BIGINT) AS total_micro
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-06-01'
+  AND l.l_shipdate < TIMESTAMP '1996-07-01'
 """
