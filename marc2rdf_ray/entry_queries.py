@@ -7901,3 +7901,654 @@ JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-06-01'
   AND l.l_shipdate < TIMESTAMP '1996-07-01'
 """
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7-shaped volume shipping, widened to the full inter-region
+    trade matrix: revenue flowing supplier-region -> customer-region
+    (all ordered pairs of DISTINCT regions) by ship year over a
+    two-year window.
+
+    Scale shape: nation x region collapse to O(25)-entry driver maps;
+    supplier and customer reduce to (key -> region code) sides through
+    the byte-budgeted broadcast-or-join helper, orders slims to
+    (orderkey, cust region), and the lineitem scan attaches both
+    regions with vectorized ``index_in`` lookups, keeps cross-region
+    flows, and emits per-batch integer micro revenue partials grouped
+    by (supp region, cust region, year) -- at most R*(R-1)*years rows
+    per batch cross the final tiny groupby."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1998, 1, 1), pa.timestamp("us"))
+
+    region = _mat_table(_read(sf_dir, "region"))
+    rname = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    nation = _mat_table(_read(sf_dir, "nation"))
+    nat2reg = dict(
+        zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+    )
+
+    def to_region(nk_col) -> pa.Array:
+        return pa.array(
+            [nat2reg[k] for k in nk_col.to_pylist()], pa.int64()
+        )
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.map_batches(
+        lambda b: pa.table(
+            {"s_suppkey": b["s_suppkey"], "s_reg": to_region(b["s_nationkey"])}
+        ),
+        batch_format="pyarrow",
+    )
+    stab, smat = _small_side(supp)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b["c_custkey"], "c_reg": to_region(b["c_nationkey"])}
+        ),
+        batch_format="pyarrow",
+    )
+    ctab, cmat = _small_side(cust)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    if ctab is not None:
+        ckeys = ctab["c_custkey"].combine_chunks()
+        creg = pc.cast(ctab["c_reg"], pa.int64()).combine_chunks()
+
+        def slim(b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b["o_custkey"], value_set=ckeys)
+            hit = pc.is_valid(idx)
+            b = b.filter(hit)
+            rg = creg.take(pc.index_in(b["o_custkey"], value_set=ckeys))
+            return pa.table({"o_orderkey": b["o_orderkey"], "cust_reg": rg})
+
+        orders_slim = orders.map_batches(slim, batch_format="pyarrow")
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        orders_slim = normalize_join_blocks(orders, _join_nparts()).join(
+            normalize_join_blocks(cmat, _join_nparts()),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("o_custkey",), right_on=("c_custkey",),
+        ).map_batches(
+            lambda b: pa.table(
+                {"o_orderkey": b["o_orderkey"],
+                 "cust_reg": pc.cast(b["c_reg"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    otab, omat = _small_side(orders_slim)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table, okeys=None, oreg=None,
+                skeys=None, sreg=None) -> pa.Table:
+        d = pc.cast(b["l_shipdate"], pa.timestamp("us"))
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        b, d = b.filter(keep), d.filter(keep)
+        if okeys is not None:
+            idx = pc.index_in(b["l_orderkey"], value_set=okeys)
+            hit = pc.is_valid(idx)
+            b, d = b.filter(hit), d.filter(hit)
+            cust_reg = oreg.take(
+                pc.index_in(b["l_orderkey"], value_set=okeys)
+            )
+        else:
+            cust_reg = pc.cast(b["cust_reg"], pa.int64())
+        if skeys is not None:
+            sidx = pc.index_in(b["l_suppkey"], value_set=skeys)
+            hit = pc.is_valid(sidx)
+            b, d, cust_reg = (
+                b.filter(hit), d.filter(hit), cust_reg.filter(hit)
+            )
+            supp_reg = sreg.take(pc.index_in(b["l_suppkey"], value_set=skeys))
+        else:
+            supp_reg = pc.cast(b["s_reg"], pa.int64())
+        cross = pc.not_equal(cust_reg, supp_reg)
+        b, d = b.filter(cross), d.filter(cross)
+        cust_reg, supp_reg = cust_reg.filter(cross), supp_reg.filter(cross)
+        cents = sql_round_i64(b["l_extendedprice"], 100.0)
+        disc = sql_round_i64(b["l_discount"], 100.0)
+        rev = pc.multiply(cents,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc))
+        t = pa.table(
+            {
+                "supp_reg": supp_reg,
+                "cust_reg": cust_reg,
+                "l_year": pc.cast(pc.year(d), pa.int64()),
+                "rev": rev,
+            }
+        )
+        return (
+            t.group_by(["supp_reg", "cust_reg", "l_year"], use_threads=False)
+            .aggregate([("rev", "sum")])
+            .rename_columns(["supp_reg", "cust_reg", "l_year", "rev"])
+        )
+
+    fact = li
+    okeys = oreg = skeys = sreg = None
+    if otab is not None:
+        okeys = otab["o_orderkey"].combine_chunks()
+        oreg = pc.cast(otab["cust_reg"], pa.int64()).combine_chunks()
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        fact = normalize_join_blocks(fact, _join_nparts()).join(
+            normalize_join_blocks(omat, _join_nparts()),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+    if stab is not None:
+        skeys = stab["s_suppkey"].combine_chunks()
+        sreg = pc.cast(stab["s_reg"], pa.int64()).combine_chunks()
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        fact = normalize_join_blocks(fact, _join_nparts()).join(
+            normalize_join_blocks(smat, _join_nparts()),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("l_suppkey",), right_on=("s_suppkey",),
+        )
+
+    agg = fact.map_batches(
+        lambda b: partial(b, okeys, oreg, skeys, sreg),
+        batch_format="pyarrow",
+    ).groupby(["supp_reg", "cust_reg", "l_year"]).aggregate(
+        Sum("rev", alias_name="revenue_micro")
+    )
+
+    def attach(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "supp_region": pa.array(
+                    [rname[k] for k in b["supp_reg"].to_pylist()],
+                    pa.string(),
+                ),
+                "cust_region": pa.array(
+                    [rname[k] for k in b["cust_reg"].to_pylist()],
+                    pa.string(),
+                ),
+                "l_year": b["l_year"],
+                "revenue_micro": b["revenue_micro"],
+            }
+        )
+
+    return agg.map_batches(attach, batch_format="pyarrow")
+
+
+QUERIES["q7_volume_shipping"] = q7_volume_shipping
+
+ORACLE_SQL["q7_volume_shipping"] = """
+SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+       ) AS BIGINT) AS revenue_micro
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN region sr ON sr.r_regionkey = sn.n_regionkey
+JOIN region cr ON cr.r_regionkey = cn.n_regionkey
+WHERE sr.r_name <> cr.r_name
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY sr.r_name, cr.r_name, l_year
+"""
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15-shaped top supplier: the supplier(s) with MAXIMUM
+    revenue over one ship quarter -- ties all surface (the reason Q15
+    is a view + scalar subquery, not an ORDER BY ... LIMIT 1).
+
+    Scale shape: per-supplier revenue is a per-batch partial combiner
+    then ONE groupby-sum keyed on l_suppkey; the global max is an
+    ``Aggregate.Max`` over that (#suppliers-sized) result pulled as a
+    driver scalar, and the winners filter + name attach run over the
+    same small aggregate (supplier broadcast under budget with a join
+    fallback)."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Max, Sum
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 4, 1), pa.timestamp("us"))
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["l_shipdate"], pa.timestamp("us"))
+        b = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        cents = sql_round_i64(b["l_extendedprice"], 100.0)
+        disc = sql_round_i64(b["l_discount"], 100.0)
+        rev = pc.multiply(cents,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc))
+        t = pa.table({"s_suppkey": b["l_suppkey"], "rev": rev})
+        return (
+            t.group_by(["s_suppkey"], use_threads=False)
+            .aggregate([("rev", "sum")])
+            .rename_columns(["s_suppkey", "rev"])
+        )
+
+    per_supp = li.map_batches(partial, batch_format="pyarrow").groupby(
+        "s_suppkey"
+    ).aggregate(Sum("rev", alias_name="total_rev_micro")).materialize()
+
+    best = per_supp.aggregate(Max("total_rev_micro", alias_name="best"))[
+        "best"
+    ]
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    stab, smat = _small_side(supp)
+
+    winners = per_supp.map_batches(
+        lambda b: b.filter(pc.equal(b["total_rev_micro"], best)),
+        batch_format="pyarrow",
+    )
+    if stab is not None:
+        skeys = stab["s_suppkey"].combine_chunks()
+        snames = stab["s_name"].combine_chunks()
+
+        def attach(b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b["s_suppkey"], value_set=skeys)
+            hit = pc.is_valid(idx)
+            b = b.filter(hit)
+            idx = pc.index_in(b["s_suppkey"], value_set=skeys)
+            return pa.table(
+                {
+                    "s_suppkey": b["s_suppkey"],
+                    "s_name": snames.take(idx),
+                    "total_rev_micro": b["total_rev_micro"],
+                }
+            )
+
+        return winners.map_batches(attach, batch_format="pyarrow")
+    # pragma: no cover - scale path
+    from .ops.dedup import normalize_join_blocks
+
+    return normalize_join_blocks(winners, _join_nparts()).join(
+        normalize_join_blocks(smat, _join_nparts()),
+        join_type="inner", num_partitions=_join_nparts(),
+        on=("s_suppkey",), right_on=("s_suppkey",),
+    ).select_columns(["s_suppkey", "s_name", "total_rev_micro"])
+
+
+QUERIES["q15_top_supplier"] = q15_top_supplier
+
+ORACLE_SQL["q15_top_supplier"] = """
+WITH revenue AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+         ) AS BIGINT) AS total_rev_micro
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev_micro
+FROM supplier s
+JOIN revenue r ON r.s_suppkey = s.s_suppkey
+WHERE r.total_rev_micro = (SELECT MAX(total_rev_micro) FROM revenue)
+"""
+
+
+def q18_large_volume_customers(sf_dir: str):
+    """TPC-H Q18-shaped large-volume customers: orders whose total
+    lineitem quantity exceeds a threshold, with the ordering customer
+    and the order's total price.
+
+    Scale shape: the ONLY fact-volume shuffle is the per-orderkey
+    quantity sum (per-batch partial combiner first); the surviving
+    large-order key set is tiny by construction (the threshold is the
+    filter), so it broadcasts into the orders scan as a vectorized
+    ``is_in`` semi-join and the customer name attaches from the
+    byte-budgeted broadcast with distributed-join fallbacks on both."""
+    from ray.data.aggregate import Sum
+
+    threshold = 300
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"o_orderkey": b["l_orderkey"],
+             "q": sql_round_i64(b["l_quantity"])}
+        )
+        return (
+            t.group_by(["o_orderkey"], use_threads=False)
+            .aggregate([("q", "sum")])
+            .rename_columns(["o_orderkey", "q"])
+        )
+
+    big = li.map_batches(qty_partial, batch_format="pyarrow").groupby(
+        "o_orderkey"
+    ).aggregate(Sum("q", alias_name="sum_qty")).map_batches(
+        lambda b: b.filter(pc.greater(b["sum_qty"], threshold)),
+        batch_format="pyarrow",
+    )
+    btab, bmat = _small_side(big)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    if btab is not None:
+        bkeys = btab["o_orderkey"].combine_chunks()
+        bqty = pc.cast(btab["sum_qty"], pa.int64()).combine_chunks()
+
+        def slim(b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b["o_orderkey"], value_set=bkeys)
+            hit = pc.is_valid(idx)
+            b = b.filter(hit)
+            q = bqty.take(pc.index_in(b["o_orderkey"], value_set=bkeys))
+            return pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "c_custkey": b["o_custkey"],
+                    "o_totalprice_cents": sql_round_i64(
+                        b["o_totalprice"], 100.0
+                    ),
+                    "sum_qty": q,
+                }
+            )
+
+        hits = orders.map_batches(slim, batch_format="pyarrow")
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        hits = normalize_join_blocks(orders, _join_nparts()).join(
+            normalize_join_blocks(bmat, _join_nparts()),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("o_orderkey",), right_on=("o_orderkey",),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "c_custkey": b["o_custkey"],
+                    "o_totalprice_cents": sql_round_i64(
+                        b["o_totalprice"], 100.0
+                    ),
+                    "sum_qty": pc.cast(b["sum_qty"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    ctab, cmat = _small_side(cust)
+    if ctab is not None:
+        ckeys = ctab["c_custkey"].combine_chunks()
+        cnames = ctab["c_name"].combine_chunks()
+
+        def attach(b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b["c_custkey"], value_set=ckeys)
+            hit = pc.is_valid(idx)
+            b = b.filter(hit)
+            idx = pc.index_in(b["c_custkey"], value_set=ckeys)
+            return b.append_column("c_name", cnames.take(idx))
+
+        return hits.map_batches(attach, batch_format="pyarrow")
+    # pragma: no cover - scale path
+    from .ops.dedup import normalize_join_blocks
+
+    return normalize_join_blocks(hits, _join_nparts()).join(
+        normalize_join_blocks(cmat, _join_nparts()),
+        join_type="inner", num_partitions=_join_nparts(),
+        on=("c_custkey",), right_on=("c_custkey",),
+    ).select_columns(
+        ["o_orderkey", "c_custkey", "o_totalprice_cents", "sum_qty",
+         "c_name"]
+    )
+
+
+QUERIES["q18_large_volume_customers"] = q18_large_volume_customers
+
+ORACLE_SQL["q18_large_volume_customers"] = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+         AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 300
+)
+SELECT o.o_orderkey, o.o_custkey AS c_custkey,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
+       b.sum_qty, c.c_name
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19-shaped disjunctive predicate revenue: three OR'd
+    (brand, size-range, quantity-range) clause groups over
+    lineitem x part, one scalar revenue out.
+
+    Scale shape: part reduces to three broadcast-side columns (key,
+    brand code, size) under the byte budget; the lineitem scan
+    evaluates the whole disjunction as vectorized boolean algebra
+    (no row loop, no post-join filter pass) and each batch emits ONE
+    partial-sum row."""
+    from ray.data.aggregate import Sum
+
+    clauses = (
+        ("Brand#11", 1, 10, 1, 11),
+        ("Brand#16", 1, 15, 10, 20),
+        ("Brand#21", 1, 20, 20, 30),
+    )
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    ptab, pmat = _small_side(part)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table, pkeys=None, pbrand=None, psize=None) -> pa.Table:
+        if pkeys is not None:
+            idx = pc.index_in(b["l_partkey"], value_set=pkeys)
+            hit = pc.is_valid(idx)
+            b = b.filter(hit)
+            idx = pc.index_in(b["l_partkey"], value_set=pkeys)
+            brand, size = pbrand.take(idx), psize.take(idx)
+        else:
+            brand = b["p_brand"]
+            size = pc.cast(b["p_size"], pa.int64())
+        qty = sql_round_i64(b["l_quantity"])
+        keep = None
+        for br, slo, shi, qlo, qhi in clauses:
+            m = pc.and_(
+                pc.equal(brand, br),
+                pc.and_(
+                    pc.and_(pc.greater_equal(size, slo),
+                            pc.less_equal(size, shi)),
+                    pc.and_(pc.greater_equal(qty, qlo),
+                            pc.less_equal(qty, qhi)),
+                ),
+            )
+            keep = m if keep is None else pc.or_(keep, m)
+        b = b.filter(keep)
+        cents = sql_round_i64(b["l_extendedprice"], 100.0)
+        disc = sql_round_i64(b["l_discount"], 100.0)
+        rev = pc.sum(
+            pc.multiply(cents,
+                        pc.subtract(pa.scalar(100, pa.int64()), disc))
+        ).as_py() or 0
+        return pa.table({"revenue_micro": pa.array([rev], pa.int64())})
+
+    fact = li
+    pkeys = pbrand = psize = None
+    if ptab is not None:
+        pkeys = ptab["p_partkey"].combine_chunks()
+        pbrand = ptab["p_brand"].combine_chunks()
+        psize = pc.cast(ptab["p_size"], pa.int64()).combine_chunks()
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        fact = normalize_join_blocks(fact, _join_nparts()).join(
+            normalize_join_blocks(pmat, _join_nparts()),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("l_partkey",), right_on=("p_partkey",),
+        )
+    out = fact.map_batches(
+        lambda b: partial(b, pkeys, pbrand, psize), batch_format="pyarrow"
+    ).aggregate(Sum("revenue_micro", alias_name="revenue_micro"))
+    return pa.table(
+        {"revenue_micro": pa.array([out["revenue_micro"]], pa.int64())}
+    )
+
+
+QUERIES["q19_disjunctive_revenue"] = q19_disjunctive_revenue
+
+ORACLE_SQL["q19_disjunctive_revenue"] = """
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+) AS BIGINT) AS revenue_micro
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE
+  (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 10
+   AND CAST(ROUND(l.l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+  OR
+  (p.p_brand = 'Brand#16' AND p.p_size BETWEEN 1 AND 15
+   AND CAST(ROUND(l.l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+  OR
+  (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 20
+   AND CAST(ROUND(l.l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+"""
+
+
+def q22_idle_balance(sf_dir: str):
+    """TPC-H Q22-shaped global sales opportunity: customers whose
+    account balance beats the average POSITIVE balance and who placed
+    no RECENT orders (none on/after 2000-01-01 -- every synthetic
+    customer has at least one lifetime order, so the classic
+    no-orders-ever predicate selects nothing at any scale), bucketed by a derived country code (here c_custkey % 10
+    -- the synthetic schema has no phone column), reporting customer
+    count and total balance per bucket.
+
+    The above-average comparison is EXACT: balances quantize to integer
+    cents and ``bal * n_pos > sum_pos`` cross-multiplies instead of
+    dividing (the docs_gopher_filter discipline), so no float average
+    ever exists to drift.  Scale shape: (n_pos, sum_pos) is one
+    driver-scalar aggregate pass; the no-orders test reuses
+    ``anti_join_filter`` -- distinct order custkeys broadcast under the
+    byte budget, distributed left-outer anti-join above it; the final
+    per-bucket rollup aggregates <= 10 groups."""
+    from ray.data.aggregate import Count, Sum
+
+    from .ops.dedup import anti_join_filter
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    cents = cust.map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b["c_custkey"],
+             "bal_cents": sql_round_i64(b["c_acctbal"], 100.0)}
+        ),
+        batch_format="pyarrow",
+    )
+    pos = cents.map_batches(
+        lambda b: b.filter(pc.greater(b["bal_cents"], 0)),
+        batch_format="pyarrow",
+    ).aggregate(Count(alias_name="n"), Sum("bal_cents", alias_name="s"))
+    n_pos, sum_pos = int(pos["n"]), int(pos["s"])
+
+    rich = cents.map_batches(
+        lambda b: b.filter(
+            pc.greater(pc.multiply(b["bal_cents"], n_pos), sum_pos)
+        ),
+        batch_format="pyarrow",
+    )
+
+    import datetime as _dt
+
+    cutoff = pa.scalar(_dt.datetime(2000, 1, 1), pa.timestamp("us"))
+    order_custs = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": pc.unique(
+                    b.filter(
+                        pc.greater_equal(
+                            pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                            cutoff,
+                        )
+                    )["o_custkey"]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    idle = anti_join_filter(rich, order_custs, "c_custkey")
+
+    return idle.map_batches(
+        lambda b: pa.table(
+            {
+                "cntrycode": pc.subtract(
+                    b["c_custkey"],
+                    pc.multiply(pc.divide(b["c_custkey"], 10),
+                                pa.scalar(10, pa.int64())),
+                ),
+                "bal_cents": b["bal_cents"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).groupby("cntrycode").aggregate(
+        Count(alias_name="numcust"),
+        Sum("bal_cents", alias_name="totacctbal_cents"),
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "cntrycode": pc.cast(b["cntrycode"], pa.int64()),
+                "numcust": pc.cast(b["numcust"], pa.int64()),
+                "totacctbal_cents": pc.cast(
+                    b["totacctbal_cents"], pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q22_idle_balance"] = q22_idle_balance
+
+ORACLE_SQL["q22_idle_balance"] = """
+WITH cents AS (
+  SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+), pos AS (
+  SELECT COUNT(*)::BIGINT AS n, CAST(SUM(bal_cents) AS BIGINT) AS s
+  FROM cents WHERE bal_cents > 0
+)
+SELECT c.c_custkey % 10 AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(c.bal_cents) AS BIGINT) AS totacctbal_cents
+FROM cents c, pos
+WHERE c.bal_cents * pos.n > pos.s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY cntrycode
+"""
