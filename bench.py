@@ -296,6 +296,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_peak_sessions",
         "embeddings_mmr_select",
         "events_click_auc",
+        "q7_volume_shipping",
+        "q10_returned_items",
+        "q13_customer_distribution",
+        "q18_large_volume_customers",
+        "q22_idle_balance",
     ]
     out = {}
     for name in names:

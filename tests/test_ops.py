@@ -4363,6 +4363,56 @@ class TestTpchShapedJoins:
         pd.testing.assert_frame_equal(got, want)
         assert int(want["revenue_cents"].iloc[0]) > 0
 
+    def test_q7_fallback_matches_broadcast(self, ray_session, monkeypatch):
+        import marc2rdf_ray.entry_queries as eq
+
+        sf = "/root/testdata/sf0.001"
+        want = eq.q7_volume_shipping(sf)
+        orig = eq._small_side
+        monkeypatch.setattr(
+            eq, "_small_side", lambda ds, limit_bytes=0: orig(ds, 1)
+        )
+        got = eq.q7_volume_shipping(sf)
+        self._frames_equal(
+            want, got, ["supp_region", "cust_region", "l_year"]
+        )
+
+    def test_q10_fallback_matches_broadcast(self, ray_session, monkeypatch):
+        import marc2rdf_ray.entry_queries as eq
+
+        sf = "/root/testdata/sf0.001"
+        want = eq.q10_returned_items(sf)
+        orig = eq._small_side
+        monkeypatch.setattr(
+            eq, "_small_side", lambda ds, limit_bytes=0: orig(ds, 1)
+        )
+        got = eq.q10_returned_items(sf)
+        self._frames_equal(want, got, ["c_custkey"])
+
+    def test_q18_fallback_matches_broadcast(self, ray_session, monkeypatch):
+        import marc2rdf_ray.entry_queries as eq
+
+        sf = "/root/testdata/sf0.001"
+        want = eq.q18_large_volume_customers(sf)
+        orig = eq._small_side
+        monkeypatch.setattr(
+            eq, "_small_side", lambda ds, limit_bytes=0: orig(ds, 1)
+        )
+        got = eq.q18_large_volume_customers(sf)
+        self._frames_equal(want, got, ["o_orderkey"])
+
+    def test_q13_fallback_matches_broadcast(self, ray_session, monkeypatch):
+        import marc2rdf_ray.entry_queries as eq
+
+        sf = "/root/testdata/sf0.001"
+        want = eq.q13_customer_distribution(sf)
+        orig = eq._small_side
+        monkeypatch.setattr(
+            eq, "_small_side", lambda ds, limit_bytes=0: orig(ds, 1)
+        )
+        got = eq.q13_customer_distribution(sf)
+        self._frames_equal(want, got, ["c_count"])
+
 
 class TestChisqContingency:
     def test_hand_table(self, ray_session):
