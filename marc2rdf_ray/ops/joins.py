@@ -260,12 +260,17 @@ def asof_join_wide(
     num_buckets: int | None = None,
     num_partitions: int | None = None,
     direction: str = "backward",
+    broadcast_budget: int = 256 << 20,
 ):
     """Wide-table as-of join (VERDICT r2 #6): the bucket exchange carries
     ONLY the slim (key, time, tiebreak, row-id) projection -- wide payload
     columns never ship through the as-of shuffle.  Matches are computed by
-    ``asof_join`` on the slim sides, then payloads are attached with two
-    distributed hash joins on the row ids (the post-join gather).
+    ``asof_join`` on the slim sides, then payloads are attached by the
+    post-join gather: when BOTH the match table and the projected right
+    payload fit ``broadcast_budget`` they broadcast once and attach as
+    vectorized ``index_in`` lookups inside one map-only pass over the
+    left table (zero additional exchanges); above budget each attach
+    degrades independently to a distributed hash join on the row ids.
 
     Row-id contract: ``left_id`` / ``right_id`` must be unique AND
     NON-NULL within their tables (they key the gather joins; a null id
@@ -332,22 +337,69 @@ def asof_join_wide(
         _uniq([right_id] + right_cols)
     ).map_batches(project_right, batch_format="pyarrow")
 
+    def _broadcast(ds):
+        """(driver table | None, materialized ds) under the byte budget."""
+        import ray
+
+        mat = ds.materialize()
+        if (mat.size_bytes() or 0) > broadcast_budget:
+            return None, mat
+        tabs = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            sch = mat.schema()
+            return pa.table(
+                {n: pa.array([], t)
+                 for n, t in zip(sch.names, sch.types)}
+            ), mat
+        return pa.concat_tables(tabs, promote_options="default"), mat
+
+    mtab, mmat = _broadcast(matches)
+    rtab, rmat = (None, None)
+    if mtab is not None:
+        rtab, rmat = _broadcast(right_proj)
+    out_cols = left_cols + [c + suffix for c in right_cols]
+
+    if mtab is not None and rtab is not None:
+        mkeys = mtab[left_id].combine_chunks()
+        mrid = mtab[rid_match].combine_chunks()
+        rkeys = rtab["__rid"].combine_chunks()
+        rcols = {
+            c + suffix: rtab[c + suffix].combine_chunks()
+            for c in right_cols
+        }
+
+        def attach(b: pa.Table) -> pa.Table:
+            _check_ids(b, left_id, "left")
+            rid = mrid.take(pc.index_in(b[left_id], value_set=mkeys))
+            ridx = pc.index_in(rid, value_set=rkeys)
+            cols = {c: b[c] for c in left_cols}
+            for c in right_cols:
+                # null rid (no as-of match) -> null index -> null payload,
+                # preserving asof_join's LEFT semantics
+                cols[c + suffix] = rcols[c + suffix].take(ridx)
+            return pa.table(cols)
+
+        return left_ds.select_columns(
+            _uniq(left_cols + [left_id])
+        ).map_batches(attach, batch_format="pyarrow")
+
+    # pragma: no cover start - exercised via budget-forcing tests
     gathered = (
         left_ds.select_columns(_uniq(left_cols + [left_id]))
         .map_batches(
             lambda b: _check_ids(b, left_id, "left"), batch_format="pyarrow"
         )
         .join(  # every left row has a match-table row (LEFT semantics)
-            matches, join_type="inner", num_partitions=num_partitions,
+            mmat, join_type="inner", num_partitions=num_partitions,
             on=(left_id,),
         )
         .join(  # unmatched rows carry a null rid -> left_outer keeps them
-            right_proj, join_type="left_outer",
+            rmat if rmat is not None else right_proj,
+            join_type="left_outer",
             num_partitions=num_partitions,
             on=(rid_match,), right_on=("__rid",),
         )
     )
-    out_cols = left_cols + [c + suffix for c in right_cols]
     return gathered.map_batches(
         lambda b: b.select(out_cols), batch_format="pyarrow"
     )

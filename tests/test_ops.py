@@ -844,6 +844,44 @@ class TestAdviceFixes:
         )
         assert not slim_f["rid_match"].equals(slim["rid_match"])
 
+    def test_asof_wide_join_fallback_matches_broadcast(self, ray_session):
+        """Forcing broadcast_budget=0 must route the payload gather
+        through the distributed hash joins and produce identical rows."""
+        import random
+
+        import pandas as pd
+
+        from marc2rdf_ray.ops.joins import asof_join_wide
+
+        import ray.data as rd
+
+        rng = random.Random(33)
+        right = [
+            {"rid": i, "k": rng.randrange(5), "t": rng.randrange(60),
+             "payload": f"r{i}"}
+            for i in range(70)
+        ]
+        left = [
+            {"lid": i, "k": rng.randrange(7), "t": rng.randrange(60),
+             "note": f"l{i}"}
+            for i in range(50)
+        ]
+        kw = dict(
+            by="k", on="t", tiebreak="rid", left_id="lid", right_id="rid",
+            left_cols=["lid", "note"], right_cols=["rid", "payload"],
+            num_buckets=4, num_partitions=3,
+        )
+        bcast = asof_join_wide(
+            rd.from_items(left), rd.from_items(right), **kw
+        ).to_pandas().sort_values("lid").reset_index(drop=True)
+        joined = asof_join_wide(
+            rd.from_items(left), rd.from_items(right),
+            broadcast_budget=0, **kw
+        ).to_pandas().sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            joined[bcast.columns.tolist()], bcast, check_dtype=False
+        )
+
 
 class TestCorpusOps:
     def test_top_ngrams_matches_counter(self, ray_session):
