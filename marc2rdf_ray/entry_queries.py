@@ -8552,3 +8552,67 @@ WHERE c.bal_cents * pos.n > pos.s
   )
 GROUP BY cntrycode
 """
+
+
+def embeddings_gram_matrix(sf_dir: str):
+    """Exact integer Gram (second-moment) matrix over the embeddings
+    table (ops/ann.py embedding_gram) -- the distributed statistics
+    pass feeding PCA / whitening, d*(d+1)/2 int64 rows out, vectors
+    never leave their tasks."""
+    from .ops.ann import embedding_gram
+
+    return embedding_gram(_read(sf_dir, "embeddings"))
+
+
+QUERIES["embeddings_gram_matrix"] = embeddings_gram_matrix
+
+ORACLE_SQL["embeddings_gram_matrix"] = """
+WITH q AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings
+)
+SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS g
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY a.i, b.i
+"""
+
+
+def events_locf_hourly(sf_dir: str):
+    """Dense hourly per-user grid with last-observation-carried-forward
+    (ops/windows.py locf_gapfill): each user's span of hours between
+    their first and last event, carrying the hour's closing value (max
+    (ts, event_id) within the hour) across gap hours -- time-series
+    densification as one bucket shuffle + numpy index algebra."""
+    from .ops.windows import locf_gapfill
+
+    return locf_gapfill(_read(sf_dir, "events"))
+
+
+QUERIES["events_locf_hourly"] = events_locf_hourly
+
+ORACLE_SQL["events_locf_hourly"] = """
+WITH per AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, epoch_us(ts) // 3600000000
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+), hourly AS (
+  SELECT user_id, h, vc FROM per WHERE rn = 1
+), bounds AS (
+  SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY user_id
+), grid AS (
+  SELECT user_id, UNNEST(generate_series(lo, hi)) AS h FROM bounds
+)
+SELECT g.user_id, g.h AS hour,
+       LAST_VALUE(o.vc IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_cents
+FROM grid g LEFT JOIN hourly o ON o.user_id = g.user_id AND o.h = g.h
+"""

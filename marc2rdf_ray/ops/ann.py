@@ -949,3 +949,64 @@ def dim_stats(ds, *, vec_col: str = "embedding"):
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def embedding_gram(ds, *, vec_col: str = "embedding",
+                   scale: float = 1_000_000.0):
+    """Exact integer Gram (second-moment) matrix of an embedding column:
+    ``G[i, j] = sum_rows v_i * v_j`` over coordinates quantized to
+    ``scale`` micro-units with SQL ROUND tie semantics -- the
+    distributed statistics pass that feeds PCA / whitening / covariance
+    estimation without ever centralizing a single vector.
+
+    Each batch computes its whole ``M.T @ M`` contribution as ONE int64
+    matmul (object arithmetic never overflows silently: numpy int64
+    matmul wraps, so entries are checked against the theoretical bound
+    and the op fails loudly if ``scale`` is too hot for the data); the
+    exchange then carries only d*(d+1)/2 upper-triangle rows per batch
+    into a tiny groupby-sum.  Returns rows (i, j, g) with i <= j,
+    int64.
+
+    Overflow contract: |v| <= Vmax quantized gives per-pair products
+    <= (scale*Vmax)^2; with n rows the sum is bounded by
+    n*(scale*Vmax)^2, which must stay under 2^63.  At web scale drop
+    ``scale`` to 1e3 (milli-units) -- the check recomputes the bound
+    from the observed max magnitude per batch either way.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.numeric import sql_round_i64
+
+    def partial(b: pa.Table) -> pa.Table:
+        mat = vecs_to_matrix(b[vec_col])
+        n, d = mat.shape
+        if n == 0:
+            return pa.table(
+                {"i": pa.array([], pa.int64()),
+                 "j": pa.array([], pa.int64()),
+                 "g": pa.array([], pa.int64())}
+            )
+        flat = pa.array(mat.reshape(-1), pa.float64())
+        q = sql_round_i64(flat, scale).to_numpy().reshape(n, d)
+        vmax = int(np.abs(q).max())
+        # n * vmax^2 bounds every |G| entry of this batch's contribution
+        if vmax and n > (2**62) // (vmax * vmax):
+            raise OverflowError(
+                f"embedding_gram: batch of {n} rows with max |v|={vmax} "
+                f"micro-units can overflow int64; lower scale={scale}"
+            )
+        g = q.T @ q
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64), pa.int64()),
+                "j": pa.array(ju.astype(np.int64), pa.int64()),
+                "g": pa.array(g[iu, ju], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("g", alias_name="g"))
+    )

@@ -1487,3 +1487,126 @@ def cusum_scan(
         .groupby("bucket")
         .map_groups(scan, batch_format="pyarrow")
     )
+
+
+def locf_gapfill(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    num_buckets: int | None = None,
+    hour_us: int = 3_600_000_000,
+):
+    """Dense hourly grid per user with Last-Observation-Carried-Forward:
+    one row per (user, hour) from the user's first observed hour through
+    the last, carrying the most recent hourly closing value (the value
+    of the max-(ts, tiebreak) event within the hour) forward across gap
+    hours -- the standard densification step before training on regular
+    time series.
+
+    One shuffle (hash(user) % B); inside each bucket a single lexsort
+    produces per-hour closes, and the gap expansion + forward fill are
+    pure numpy index algebra (a cumulative-max over observation slots),
+    no Python per row.  Output: (user_id, hour, value_cents) with hour
+    in epoch hours, money on integer cents (bit-exact vs SQL).
+
+    Skew contract: a user's grid is (last hour - first hour + 1) rows;
+    a key whose span blows past the per-task guard is warned loudly
+    (same policy as sessionize) -- pre-split such users by coarse time
+    range upstream."""
+    from ..functions.hashing import bucket_codes
+    from ..functions.numeric import sql_round_i64
+
+    if num_buckets is None:
+        try:
+            import ray
+
+            num_buckets = max(
+                16, int(ray.cluster_resources().get("CPU", 8)) * 2
+            )
+        except Exception:  # pragma: no cover
+            num_buckets = 16
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "u": b[user_col],
+                "tus": pc.cast(
+                    pc.cast(b[ts_col], pa.timestamp("us")), pa.int64()
+                ),
+                "eid": pc.cast(b[tiebreak_col], pa.int64()),
+                "vc": sql_round_i64(b[value_col], 100.0),
+            }
+        )
+        return t.append_column(
+            "bucket", bucket_codes(pc.cast(t["u"], pa.string()), num_buckets)
+        )
+
+    def fill(group: pa.Table) -> pa.Table:
+        u = np.asarray(group["u"].to_numpy(zero_copy_only=False), np.int64)
+        if not len(u):
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "hour": pa.array([], pa.int64()),
+                 "value_cents": pa.array([], pa.int64())}
+            )
+        tus = np.asarray(group["tus"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        eid = np.asarray(group["eid"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        vc = np.asarray(group["vc"].to_numpy(zero_copy_only=False), np.int64)
+        h = tus // hour_us
+        order = np.lexsort((eid, tus, h, u))
+        u, h, vc = u[order], h[order], vc[order]
+        _warn_hot_keys("locf_gapfill", u)
+        # close of each (user, hour) run = its LAST row in sort order
+        brk = np.empty(len(u), bool)
+        brk[:1] = True
+        brk[1:] = (u[1:] != u[:-1]) | (h[1:] != h[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(u)) - 1
+        ou, oh, ov = u[starts], h[starts], vc[ends]
+        # per-user grid bounds over the hourly closes
+        ubrk = np.empty(len(ou), bool)
+        ubrk[:1] = True
+        ubrk[1:] = ou[1:] != ou[:-1]
+        ustarts = np.flatnonzero(ubrk)
+        uends = np.append(ustarts[1:], len(ou)) - 1
+        lo, hi = oh[ustarts], oh[uends]
+        lengths = (hi - lo + 1).astype(np.int64)
+        _warn_hot_keys(
+            "locf_gapfill(grid)",
+            np.repeat(ou[ustarts], np.minimum(lengths, KEY_CAP_ROWS + 1)),
+        )
+        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        total = int(lengths.sum())
+        pos = np.arange(total, dtype=np.int64)
+        lo_rep = np.repeat(lo, lengths)
+        off_rep = np.repeat(offsets, lengths)
+        hour_out = pos - off_rep + lo_rep
+        user_out = np.repeat(ou[ustarts], lengths)
+        # observation slots: obs k of user i lands at offset_i + (h - lo_i)
+        uidx = np.repeat(np.arange(len(ustarts)), uends - ustarts + 1)
+        slot = offsets[uidx] + (oh - lo[uidx])
+        slotval = np.zeros(total, np.int64)
+        slotval[slot] = ov
+        valid = np.full(total, -1, np.int64)
+        valid[slot] = slot
+        fillpos = np.maximum.accumulate(valid)
+        # every user's first grid hour IS an observation, so fillpos never
+        # crosses a user boundary backwards
+        return pa.table(
+            {
+                "user_id": pa.array(user_out, pa.int64()),
+                "hour": pa.array(hour_out, pa.int64()),
+                "value_cents": pa.array(slotval[fillpos], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fill, batch_format="pyarrow")
+    )

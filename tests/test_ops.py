@@ -4818,3 +4818,103 @@ class TestGroupedMlr2:
             x1_col="x1", x2_col="x2", y_col="y",
         ).to_pandas()
         assert set(out["g"]) == {"ok"}
+
+
+class TestLocfGapfill:
+    def test_hand_grid(self, ray_session):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import locf_gapfill
+
+        H = dt.datetime(2024, 1, 1)
+
+        def at(hours, minutes=0):
+            return H + dt.timedelta(hours=hours, minutes=minutes)
+
+        rows = [
+            # user 1: hours 0 and 3; hour 0 has an intra-hour tie on ts
+            # (event_id 11 wins) and a later-ts close (12 wins over both)
+            {"event_id": 10, "user_id": 1, "ts": at(0, 5), "value": 1.0},
+            {"event_id": 11, "user_id": 1, "ts": at(0, 5), "value": 2.0},
+            {"event_id": 12, "user_id": 1, "ts": at(0, 30), "value": 3.0},
+            {"event_id": 13, "user_id": 1, "ts": at(3, 0), "value": 9.0},
+            # user 2: single hour
+            {"event_id": 20, "user_id": 2, "ts": at(5, 0), "value": 4.5},
+        ]
+        out = (
+            locf_gapfill(rd.from_items(rows).repartition(3))
+            .to_pandas().sort_values(["user_id", "hour"])
+            .reset_index(drop=True)
+        )
+        base = int(H.timestamp() // 3600)
+        u1 = out[out.user_id == 1]
+        assert u1["hour"].tolist() == [base, base + 1, base + 2, base + 3]
+        # hour 0 close is event 12 (later ts beats the id tie pair),
+        # carried through the two gap hours
+        assert u1["value_cents"].tolist() == [300, 300, 300, 900]
+        u2 = out[out.user_id == 2]
+        assert u2["hour"].tolist() == [base + 5]
+        assert u2["value_cents"].tolist() == [450]
+
+    def test_id_tiebreak_same_ts(self, ray_session):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.windows import locf_gapfill
+
+        t = dt.datetime(2024, 1, 1, 10, 15)
+        rows = [
+            {"event_id": 2, "user_id": 7, "ts": t, "value": 5.0},
+            {"event_id": 1, "user_id": 7, "ts": t, "value": 8.0},
+        ]
+        out = locf_gapfill(rd.from_items(rows)).to_pandas()
+        assert len(out) == 1
+        assert out["value_cents"].iloc[0] == 500  # max event_id wins
+
+
+class TestEmbeddingGram:
+    def test_matches_numpy(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.ann import embedding_gram
+
+        rng = np.random.default_rng(5)
+        vecs = rng.normal(size=(40, 6)).astype(np.float32)
+        ds = rd.from_items(
+            [{"embedding": v.tolist()} for v in vecs]
+        ).repartition(4)
+        out = (
+            embedding_gram(ds)
+            .to_pandas().set_index(["i", "j"]).sort_index()
+        )
+        q = np.where(
+            vecs.astype(np.float64) * 1e6 >= 0,
+            np.floor(vecs.astype(np.float64) * 1e6 + 0.5),
+            np.ceil(vecs.astype(np.float64) * 1e6 - 0.5),
+        ).astype(np.int64)
+        want = q.T @ q
+        assert len(out) == 6 * 7 // 2
+        for i in range(6):
+            for j in range(i, 6):
+                assert out.loc[(i, j), "g"] == want[i, j]
+
+    def test_overflow_guard(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        import pytest
+
+        from marc2rdf_ray.ops.ann import embedding_gram
+
+        # |v| = 4e3 -> quantized 4e9 micro-units; one pair product 1.6e19
+        # already exceeds int64: the guard must fail loudly, not wrap
+        ds = rd.from_items([{"embedding": [4000.0, 4000.0]}] * 10)
+        with pytest.raises(Exception) as ei:
+            embedding_gram(ds).materialize()
+        assert "overflow" in str(ei.value).lower() or "OverflowError" in str(
+            ei.getrepr()
+        )
