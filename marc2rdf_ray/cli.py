@@ -31,16 +31,25 @@ import sys
 
 
 def _ray_init(num_cpus=None):
+    """Own the Ray session.  ``RAY_ADDRESS`` decides the deployment:
+    unset/"local" starts a local session (the test/sandbox shape); any
+    other value (``auto``, ``ray://head:10001``) attaches to the running
+    cluster -- the ``ray job submit`` path, where the cluster's own
+    resources apply and ``num_cpus`` must NOT be constrained here."""
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
+        address = os.environ.get("RAY_ADDRESS") or "local"
+        kwargs = dict(
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        if address == "local":
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address=address, **kwargs)
     return ray
 
 

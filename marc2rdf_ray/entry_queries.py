@@ -8616,3 +8616,70 @@ SELECT g.user_id, g.h AS hour,
        ) AS value_cents
 FROM grid g LEFT JOIN hourly o ON o.user_id = g.user_id AND o.h = g.h
 """
+
+
+def dedup_cluster_sizes(sf_dir: str):
+    """Near-dup observability: the histogram of MinHash-LSH duplicate
+    CLUSTER sizes over the perturbed-augmented corpus -- (cluster_size,
+    n_clusters), the first diagnostic a 100-TB dedup run reads (one
+    mega-cluster = boilerplate eating the corpus; all-2-clusters =
+    mirrors).  Pairs -> connected components (converged one-task solve
+    under the broadcast budget, distributed hashmin rounds above it,
+    corpus-flagship shape) -> per-root counts -> count-of-counts.
+
+    Both aggregations run over pair/cluster-scale data (orders smaller
+    than the corpus); document text never moves past the LSH stage."""
+    from ray.data.aggregate import Count
+
+    from .ops.dedup import minhash_lsh_pairs
+    from .stages.canonicalize import (
+        connected_components,
+        connected_components_local,
+    )
+
+    pairs = minhash_lsh_pairs(_augmented_docs(sf_dir, perturb=True),
+                              threshold=0.7)
+    edges = pairs.map_batches(
+        lambda b: pa.table({"subj": b["a"], "obj": b["b"]}),
+        batch_format="pyarrow",
+    )
+    comp = connected_components_local(edges)
+    if comp is None:  # pragma: no cover - scale path
+        comp = connected_components(edges, rounds=4)
+    sizes = comp.groupby("root").aggregate(Count(alias_name="cluster_size"))
+    return sizes.groupby("cluster_size").aggregate(
+        Count(alias_name="n_clusters")
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "cluster_size": pc.cast(b["cluster_size"], pa.int64()),
+                "n_clusters": pc.cast(b["n_clusters"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["dedup_cluster_sizes"] = dedup_cluster_sizes
+
+ORACLE_SQL["dedup_cluster_sizes"] = _MINHASH_CTES.replace(
+    "WITH aug", "WITH RECURSIVE aug", 1
+) + """,
+pairs AS (
+  SELECT a, b FROM est WHERE ej >= 0.7
+), und AS (
+  SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
+), nodes AS (
+  SELECT DISTINCT x AS node FROM und
+), reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.y, reach.r FROM reach JOIN und u ON u.x = reach.node
+), roots AS (
+  SELECT node, MIN(r) AS root FROM reach GROUP BY node
+), sizes AS (
+  SELECT root, COUNT(*)::BIGINT AS cluster_size FROM roots GROUP BY root
+)
+SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters
+FROM sizes GROUP BY cluster_size
+"""
