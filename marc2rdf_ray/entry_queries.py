@@ -8683,3 +8683,75 @@ pairs AS (
 SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters
 FROM sizes GROUP BY cluster_size
 """
+
+
+def ann_recall_eval(sf_dir: str):
+    """ANN quality gate: recall@10 of the IVF index (nprobe=2) against
+    exact brute-force cosine top-10, per query -- the evaluation loop a
+    production similarity-search deployment runs before trusting an
+    approximate index at scale.
+
+    Both sides are existing contract operators (ann_brute_topk /
+    ann_ivf_topk) whose outputs are k x Q rows -- legitimately tiny, so
+    the set intersection runs on the driver (the distributed work IS the
+    two top-k computations)."""
+    exact = ann_brute_topk(sf_dir).to_pandas()
+    approx = ann_ivf_topk(sf_dir).to_pandas()
+    want = exact.groupby("qid")["vec_id"].apply(set)
+    got = approx.groupby("qid")["vec_id"].apply(set)
+    qids = sorted(want.index)
+    hits = [len(want[q] & got.get(q, set())) for q in qids]
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "hits": pa.array(hits, pa.int64()),
+            "recall": pa.array([h / 10.0 for h in hits], pa.float64()),
+        }
+    )
+
+
+QUERIES["ann_recall_eval"] = ann_recall_eval
+
+ORACLE_SQL["ann_recall_eval"] = """
+WITH qv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < 16
+), dist AS (
+  SELECT qv.vec_id, cent.cid,
+    list_aggregate(list_transform(generate_series(1, 64),
+      d -> (qv.q[d] - cent.cq[d]) * (qv.q[d] - cent.cq[d])), 'sum') AS d2
+  FROM qv CROSS JOIN cent
+), assign AS (
+  SELECT vec_id, cid FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+), qprobe AS (
+  SELECT vec_id AS qid, cid FROM dist WHERE vec_id < 8
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= 2
+), cand AS (
+  SELECT qp.qid, a.vec_id FROM qprobe qp JOIN assign a ON a.cid = qp.cid
+), ivf AS (
+  SELECT c.qid, c.vec_id
+  FROM cand c
+  JOIN qv e ON e.vec_id = c.vec_id
+  JOIN qv qe ON qe.vec_id = c.qid
+  QUALIFY row_number() OVER (
+    PARTITION BY c.qid
+    ORDER BY ROUND(list_cosine_similarity(e.v, qe.v), 4) DESC,
+             c.vec_id ASC) <= 10
+), exact AS (
+  SELECT qq.vec_id AS qid, e.vec_id
+  FROM qv e CROSS JOIN (SELECT vec_id, v FROM qv WHERE vec_id < 8) qq
+  QUALIFY row_number() OVER (
+    PARTITION BY qq.vec_id
+    ORDER BY list_cosine_similarity(e.v, qq.v) DESC, e.vec_id ASC) <= 10
+)
+SELECT x.qid, CAST(COUNT(i.vec_id) AS BIGINT) AS hits,
+       CAST(COUNT(i.vec_id) AS DOUBLE) / 10.0 AS recall
+FROM exact x
+LEFT JOIN ivf i ON i.qid = x.qid AND i.vec_id = x.vec_id
+GROUP BY x.qid
+"""
