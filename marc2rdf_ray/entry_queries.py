@@ -8755,3 +8755,494 @@ FROM exact x
 LEFT JOIN ivf i ON i.qid = x.qid AND i.vec_id = x.vec_id
 GROUP BY x.qid
 """
+
+
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21-shaped suppliers-who-kept-orders-waiting, adapted to
+    the available columns: within finished ('F') orders, find suppliers
+    whose lineitem shipped >100 days after the order date while EVERY
+    other supplier on the same (multi-supplier) order shipped on time
+    -- the classic EXISTS + NOT-EXISTS double correlated subquery
+    (reference analog: the MINUS anti-join family, J2/J5,
+    batch_harvest.rb:108-129).
+
+    Scale shape: no EXISTS evaluation anywhere -- the two correlated
+    subqueries collapse into ONE (orderkey, suppkey) groupby with a
+    per-batch combiner, then an order-level aggregate where
+    ``sum(late * suppkey)`` recovers the sole late supplier's key
+    without carrying per-supplier rows (valid exactly when
+    ``sum(late) == 1``, which is the filter).  Orders broadcast under
+    the byte budget with a hash-join fallback; the final numwait count
+    crosses the exchange as per-batch partials."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    late_us = np.int64(100 * 86_400_000_000)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderstatus"])
+    orders = orders.map_batches(
+        lambda b: pa.table(
+            {"o_orderkey": b["o_orderkey"],
+             "o_us": pc.cast(pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                             pa.int64())}
+        ).filter(pc.equal(b["o_orderstatus"], "F")),
+        batch_format="pyarrow",
+    )
+    otab, omat = _small_side(orders)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def partial(b: pa.Table, okeys=None, ous=None) -> pa.Table:
+        ship = pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                       pa.int64())
+        if okeys is not None:
+            idx = pc.index_in(b["l_orderkey"], value_set=okeys)
+            hit = pc.is_valid(idx)
+            b, ship = b.filter(hit), ship.filter(hit)
+            ous_row = ous.take(pc.index_in(b["l_orderkey"], value_set=okeys))
+        else:
+            ous_row = b["o_us"]
+        late = pc.cast(
+            pc.greater(ship, pc.add(ous_row, pa.scalar(late_us, pa.int64()))),
+            pa.int64(),
+        )
+        t = pa.table(
+            {"l_orderkey": b["l_orderkey"], "l_suppkey": b["l_suppkey"],
+             "late": late}
+        )
+        return (
+            t.group_by(["l_orderkey", "l_suppkey"], use_threads=False)
+            .aggregate([("late", "max")])
+            .rename_columns(["l_orderkey", "l_suppkey", "late"])
+        )
+
+    if otab is not None:
+        okeys = otab["o_orderkey"].combine_chunks()
+        ous = pc.cast(otab["o_us"], pa.int64()).combine_chunks()
+        fact = li.map_batches(
+            lambda b: partial(b, okeys, ous), batch_format="pyarrow"
+        )
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        fact = normalize_join_blocks(li, _join_nparts()).join(
+            normalize_join_blocks(omat, _join_nparts()),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        ).map_batches(partial, batch_format="pyarrow")
+
+    per_supp = fact.groupby(["l_orderkey", "l_suppkey"]).aggregate(
+        Max("late", alias_name="late")
+    )
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+                "late": pc.cast(b["late"], pa.int64()),
+                "late_skey": pc.multiply(pc.cast(b["late"], pa.int64()),
+                                         b["l_suppkey"]),
+            }
+        )
+        return (
+            t.group_by(["l_orderkey"], use_threads=False)
+            .aggregate([("one", "sum"), ("late", "sum"), ("late_skey", "sum")])
+            .rename_columns(["l_orderkey", "ns", "nl", "lsk"])
+        )
+
+    st = per_supp.map_batches(order_partial, batch_format="pyarrow").groupby(
+        "l_orderkey"
+    ).aggregate(
+        Sum("ns", alias_name="ns"), Sum("nl", alias_name="nl"),
+        Sum("lsk", alias_name="lsk"),
+    )
+
+    waits = st.map_batches(
+        lambda b: pa.table(
+            {"s_suppkey": b["lsk"].filter(
+                pc.and_(pc.equal(b["nl"], 1), pc.greater(b["ns"], 1))
+            )}
+        ),
+        batch_format="pyarrow",
+    ).groupby("s_suppkey").aggregate(Count(alias_name="numwait"))
+
+    supp = _mat_table(_read(sf_dir, "supplier",
+                            columns=["s_suppkey", "s_name"]))
+    sname = dict(zip(supp["s_suppkey"].to_pylist(),
+                     supp["s_name"].to_pylist()))
+
+    def attach(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "s_name": pa.array(
+                    [sname[k] for k in b["s_suppkey"].to_pylist()],
+                    pa.string(),
+                ),
+                "numwait": pc.cast(b["numwait"], pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["s_name"], use_threads=False)
+            .aggregate([("numwait", "sum")])
+            .rename_columns(["s_name", "numwait"])
+        )
+
+    return waits.map_batches(attach, batch_format="pyarrow")
+
+
+QUERIES["q21_waiting_suppliers"] = q21_waiting_suppliers
+
+ORACLE_SQL["q21_waiting_suppliers"] = """
+WITH ls AS (
+  SELECT l_orderkey AS okey, l_suppkey AS skey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 100 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+), st AS (
+  SELECT okey, COUNT(*) AS ns, SUM(late) AS nl, SUM(late * skey) AS lsk
+  FROM ls GROUP BY okey
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM st JOIN supplier s ON s.s_suppkey = st.lsk
+WHERE st.nl = 1 AND st.ns > 1
+GROUP BY s.s_name
+"""
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8-shaped national market share: NATION_12's share of
+    ASIA-region customers' revenue on PROMO parts per order year
+    (1996-1997).  The two-role nation join (supplier nation in the
+    numerator, customer nation restricting the region) is the Q8
+    signature.
+
+    Scale shape: part keys, region membership, and the supplier ->
+    target-nation flag are O(dimension) driver maps; orders slim to
+    (orderkey, year) through the byte-budgeted broadcast (join
+    fallback); the lineitem scan emits per-batch integer-micro
+    (numerator, denominator) partials keyed by year -- 2 rows per batch
+    cross the final groupby.  The share itself is ONE float division
+    on exact int64 sums, bit-replayed in the oracle."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1998, 1, 1), pa.timestamp("us"))
+
+    nation = _mat_table(_read(sf_dir, "nation"))
+    nat2reg = dict(zip(nation["n_nationkey"].to_pylist(),
+                       nation["n_regionkey"].to_pylist()))
+    region = _mat_table(_read(sf_dir, "region"))
+    asia = next(k for k, v in zip(region["r_regionkey"].to_pylist(),
+                                  region["r_name"].to_pylist())
+                if v == "ASIA")
+    target = next(k for k, v in zip(nation["n_nationkey"].to_pylist(),
+                                    nation["n_name"].to_pylist())
+                  if v == "NATION_12")
+
+    part = _mat_table(
+        _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    )
+    pkeys = pa.array(
+        [k for k, t in zip(part["p_partkey"].to_pylist(),
+                           part["p_type"].to_pylist()) if t == "PROMO"],
+        pa.int64(),
+    )
+
+    cust = _mat_table(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    )
+    asia_cust = pa.array(
+        [k for k, nk in zip(cust["c_custkey"].to_pylist(),
+                            cust["c_nationkey"].to_pylist())
+         if nat2reg[nk] == asia],
+        pa.int64(),
+    )
+
+    supp = _mat_table(
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    )
+    skeys = pc.cast(supp["s_suppkey"], pa.int64()).combine_chunks()
+    sflag = pa.array(
+        [1 if nk == target else 0 for nk in supp["s_nationkey"].to_pylist()],
+        pa.int64(),
+    )
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["o_orderdate"], pa.timestamp("us"))
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)),
+            pc.is_in(b["o_custkey"], value_set=asia_cust),
+        )
+        b, d = b.filter(keep), d.filter(keep)
+        return pa.table(
+            {"o_orderkey": b["o_orderkey"],
+             "o_year": pc.cast(pc.year(d), pa.int64())}
+        )
+
+    otab, omat = _small_side(orders.map_batches(slim, batch_format="pyarrow"))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table, okeys=None, oyr=None) -> pa.Table:
+        b = b.filter(pc.is_in(b["l_partkey"], value_set=pkeys))
+        if okeys is not None:
+            idx = pc.index_in(b["l_orderkey"], value_set=okeys)
+            hit = pc.is_valid(idx)
+            b = b.filter(hit)
+            yr = oyr.take(pc.index_in(b["l_orderkey"], value_set=okeys))
+        else:
+            yr = pc.cast(b["o_year"], pa.int64())
+        cents = sql_round_i64(b["l_extendedprice"], 100.0)
+        disc = sql_round_i64(b["l_discount"], 100.0)
+        rev = pc.multiply(cents,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc))
+        flag = sflag.take(pc.index_in(b["l_suppkey"], value_set=skeys))
+        t = pa.table(
+            {"o_year": yr, "den": rev, "num": pc.multiply(rev, flag)}
+        )
+        return (
+            t.group_by(["o_year"], use_threads=False)
+            .aggregate([("den", "sum"), ("num", "sum")])
+            .rename_columns(["o_year", "den", "num"])
+        )
+
+    if otab is not None:
+        okeys = otab["o_orderkey"].combine_chunks()
+        oyr = pc.cast(otab["o_year"], pa.int64()).combine_chunks()
+        fact = li.map_batches(
+            lambda b: partial(b, okeys, oyr), batch_format="pyarrow"
+        )
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        fact = normalize_join_blocks(li, _join_nparts()).join(
+            normalize_join_blocks(omat, _join_nparts()),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        ).map_batches(partial, batch_format="pyarrow")
+
+    agg = fact.groupby("o_year").aggregate(
+        Sum("num", alias_name="share_num_micro"),
+        Sum("den", alias_name="share_den_micro"),
+    )
+
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_year": b["o_year"],
+                "share_num_micro": b["share_num_micro"],
+                "share_den_micro": b["share_den_micro"],
+                "mkt_share": pc.divide(
+                    pc.cast(b["share_num_micro"], pa.float64()),
+                    pc.cast(b["share_den_micro"], pa.float64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q8_market_share"] = q8_market_share
+
+ORACLE_SQL["q8_market_share"] = """
+WITH f AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS rev,
+         CASE WHEN sn.n_name = 'NATION_12' THEN 1 ELSE 0 END AS flag
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region cr ON cr.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE cr.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       CAST(SUM(rev * flag) AS BIGINT) AS share_num_micro,
+       CAST(SUM(rev) AS BIGINT) AS share_den_micro,
+       CAST(CAST(SUM(rev * flag) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE) AS mkt_share
+FROM f GROUP BY o_year
+"""
+
+
+def events_rollup_report(sf_dir: str):
+    """OLAP ROLLUP over (event_type, hour-of-day): counts and exact
+    integer-micro value sums at three levels -- finest, per-type, and
+    grand total -- in ONE pass over events.
+
+    Scale shape: the classic partial-aggregate-reuse cube trick.  Only
+    the FINEST level (#types x 24 groups) is computed distributed
+    (per-batch combiners, one tiny groupby); both supergroup levels are
+    derived by re-aggregating that <=O(types*24)-row result on the
+    driver -- additive measures roll up without touching the fact table
+    again.  Sentinels ('ALL', -1) stand for the rolled-up levels so the
+    hash compare never depends on NULL-ordering conventions."""
+    from ray.data.aggregate import Sum
+
+    hour_us = pa.scalar(np.int64(3_600_000_000), pa.int64())
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        # pyarrow.compute has no mod kernel in this version; epoch us are
+        # non-negative so numpy remainder matches SQL semantics exactly.
+        hod = pa.array(
+            (pc.divide(us, hour_us).to_numpy(zero_copy_only=False) % 24)
+            .astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "hod": hod,
+                "n_events": pa.array(np.ones(b.num_rows, np.int64)),
+                "value_micro": sql_round_i64(b["value"], 1e6),
+            }
+        )
+        return (
+            t.group_by(["event_type", "hod"], use_threads=False)
+            .aggregate([("n_events", "sum"), ("value_micro", "sum")])
+            .rename_columns(["event_type", "hod", "n_events", "value_micro"])
+        )
+
+    finest = _mat_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hod"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("value_micro", alias_name="value_micro"))
+    )
+
+    per_type = (
+        finest.group_by(["event_type"], use_threads=False)
+        .aggregate([("n_events", "sum"), ("value_micro", "sum")])
+        .rename_columns(["event_type", "n_events", "value_micro"])
+    )
+    n_all = pc.sum(finest["n_events"]).as_py()
+    v_all = pc.sum(finest["value_micro"]).as_py()
+
+    neg1 = pa.array(
+        np.full(per_type.num_rows, -1, np.int64)
+    )
+    out = pa.concat_tables(
+        [
+            finest.select(["event_type", "hod", "n_events", "value_micro"]),
+            pa.table(
+                {
+                    "event_type": per_type["event_type"],
+                    "hod": pa.chunked_array([neg1]),
+                    "n_events": per_type["n_events"],
+                    "value_micro": per_type["value_micro"],
+                }
+            ),
+            pa.table(
+                {
+                    "event_type": pa.array(["ALL"], pa.string()),
+                    "hod": pa.array([-1], pa.int64()),
+                    "n_events": pa.array([n_all], pa.int64()),
+                    "value_micro": pa.array([v_all], pa.int64()),
+                }
+            ),
+        ]
+    )
+    return out
+
+
+QUERIES["events_rollup_report"] = events_rollup_report
+
+ORACLE_SQL["events_rollup_report"] = """
+WITH f AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+  FROM events
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(hod, -1) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(vm) AS BIGINT) AS value_micro
+FROM f
+GROUP BY ROLLUP (event_type, hod)
+"""
+
+
+def embeddings_random_projection(sf_dir: str):
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    deterministic LCG-derived +/-1 matrix, in exact int64 arithmetic
+    (embeddings quantized at 2^20 like the ANN oracles) -- the
+    dimensionality-reduction front end a 100-TB embedding pipeline runs
+    before sketching/bucketing.
+
+    Scale shape: stateless vectorized map -- the 64x16 sign matrix is
+    rebuilt from the LCG formula inside each task (microseconds, no
+    broadcast needed) and each batch is ONE int64 GEMM; output is the
+    long (vec_id, out_dim, proj_val) form, 16 rows per vector, no
+    shuffle anywhere."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def project(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        n = len(emb)
+        dim = 64 if n == 0 else len(emb[0])
+        x = np.asarray(emb.flatten().to_numpy(zero_copy_only=False),
+                       np.float64).reshape(n, dim)
+        q = np.floor(x * 1048576.0 + 0.5).astype(np.int64)
+        idx = 64 * np.arange(16, dtype=np.int64)[None, :] \
+            + np.arange(dim, dtype=np.int64)[:, None]
+        sgn = np.where(
+            ((1103515245 * idx + 12345) % 2147483648) // 65536 % 2 == 0,
+            np.int64(1), np.int64(-1),
+        )
+        proj = q @ sgn  # (n, 16) exact int64
+        vec_ids = np.asarray(b["vec_id"].to_numpy(zero_copy_only=False),
+                             np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vec_ids, 16)),
+                "out_dim": pa.array(
+                    np.tile(np.arange(16, dtype=np.int64), n)
+                ),
+                "proj_val": pa.array(proj.reshape(-1)),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+QUERIES["embeddings_random_projection"] = embeddings_random_projection
+
+ORACLE_SQL["embeddings_random_projection"] = """
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+), s AS (
+  SELECT d.d, o.o,
+         CASE WHEN (((1103515245 * (64 * o.o + d.d) + 12345)
+                     % 2147483648) // 65536) % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT UNNEST(generate_series(0, 63)) AS d) d
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS o) o
+)
+SELECT qv.vec_id, s.o AS out_dim,
+       CAST(SUM(qv.q[s.d + 1] * s.sgn) AS BIGINT) AS proj_val
+FROM qv CROSS JOIN s
+GROUP BY qv.vec_id, s.o
+"""
