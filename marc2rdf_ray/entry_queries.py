@@ -9246,3 +9246,719 @@ SELECT qv.vec_id, s.o AS out_dim,
 FROM qv CROSS JOIN s
 GROUP BY qv.vec_id, s.o
 """
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-shaped forecast-revenue: one filter + one global sum over
+    lineitem (shipdate in 1996, discount 5-7%, quantity < 24), revenue =
+    SUM(extendedprice * discount) in exact cents*pct integer units
+    (reference analog: the single-pass counter aggregations, SURVEY
+    SS2.6 A2/A3).
+
+    Scale shape: the minimal streaming aggregate -- column-pruned read,
+    per-batch predicate + one-row partial sums, O(#batches) rows to the
+    driver, no shuffle at all.  This is the floor every other query's
+    overhead is judged against."""
+    lo = np.int64(pa.scalar(
+        pa.scalar("1996-01-01").cast(pa.timestamp("us"))).cast(
+            pa.int64()).as_py())
+    hi = np.int64(pa.scalar(
+        pa.scalar("1997-01-01").cast(pa.timestamp("us"))).cast(
+            pa.int64()).as_py())
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                     pa.int64())
+        disc_pct = sql_round_i64(b["l_discount"], 100.0)
+        qty = sql_round_i64(b["l_quantity"])
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(us, pa.scalar(lo, pa.int64())),
+                    pc.less(us, pa.scalar(hi, pa.int64()))),
+            pc.and_(
+                pc.and_(pc.greater_equal(disc_pct, pa.scalar(5, pa.int64())),
+                        pc.less_equal(disc_pct, pa.scalar(7, pa.int64()))),
+                pc.less(qty, pa.scalar(24, pa.int64())),
+            ),
+        )
+        f = b.filter(keep)
+        rev = pc.sum(pc.multiply(
+            sql_round_i64(f["l_extendedprice"], 100.0),
+            sql_round_i64(f["l_discount"], 100.0),
+        )).as_py()
+        return pa.table({"rc": pa.array([0 if rev is None else rev],
+                                        pa.int64())})
+
+    parts = _mat_table(li.map_batches(partial, batch_format="pyarrow"))
+    total = int(pc.sum(parts["rc"]).as_py() or 0)
+    return pa.table({"revenue_cents_pct": pa.array([total], pa.int64())})
+
+
+QUERIES["q6_forecast_revenue"] = q6_forecast_revenue
+
+ORACLE_SQL["q6_forecast_revenue"] = """
+SELECT COALESCE(CAST(SUM(
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT), 0)
+       AS revenue_cents_pct
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+"""
+
+
+def q12_priority_by_delay(sf_dir: str):
+    """TPC-H Q12-shaped priority split, adapted to the available columns
+    (no l_shipmode/commitdate in this table): bucket 1997-shipped
+    lineitems into FAST (shipped within 30 days of the order date) vs
+    SLOW, and count high-priority (1-URGENT/2-HIGH) vs low-priority
+    order lines per bucket -- the CASE-sum aggregation shape.
+
+    Scale shape: the slim (o_orderkey, o_us, hi) order side broadcasts
+    under the byte budget (hash-join fallback above it); lineitem
+    streams once with per-batch (bucket, hi, lo) count partials -- four
+    numbers per batch cross the wire ahead of one tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    lo_96 = np.int64(pa.scalar(
+        pa.scalar("1997-01-01").cast(pa.timestamp("us"))).cast(
+            pa.int64()).as_py())
+    hi_96 = np.int64(pa.scalar(
+        pa.scalar("1998-01-01").cast(pa.timestamp("us"))).cast(
+            pa.int64()).as_py())
+    month_us = np.int64(30 * 86_400_000_000)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_us": pc.cast(pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                            pa.int64()),
+            "hi": pc.cast(pc.is_in(
+                b["o_orderpriority"],
+                value_set=pa.array(["1-URGENT", "2-HIGH"])), pa.int64()),
+        })
+
+    otab, omat = _small_side(orders.map_batches(slim,
+                                                batch_format="pyarrow"))
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                       pa.int64())
+        keep = pc.and_(pc.greater_equal(ship, pa.scalar(lo_96, pa.int64())),
+                       pc.less(ship, pa.scalar(hi_96, pa.int64())))
+        b, ship = b.filter(keep), ship.filter(keep)
+        if "o_us" in b.column_names:  # join fallback path
+            ous, hi = b["o_us"], b["hi"]
+        else:
+            idx = pc.index_in(b["l_orderkey"], value_set=okeys)
+            ok = pc.is_valid(idx)
+            b, ship, idx = b.filter(ok), ship.filter(ok), idx.filter(ok)
+            ous, hi = o_us.take(idx), o_hi.take(idx)
+        fast = pc.less_equal(
+            pc.subtract(ship, ous),
+            pa.scalar(month_us, pa.int64()),
+        )
+        hi64 = pc.cast(hi, pa.int64())
+        t = pa.table({
+            "bucket": pc.if_else(fast, pa.scalar("FAST"), pa.scalar("SLOW")),
+            "hi_lines": hi64,
+            "lo_lines": pc.subtract(pa.scalar(1, pa.int64()), hi64),
+        })
+        g = (t.group_by(["bucket"], use_threads=False)
+             .aggregate([("hi_lines", "sum"), ("lo_lines", "sum")]))
+        return g.rename_columns(["bucket", "hi_lines", "lo_lines"])
+
+    if otab is not None:
+        okeys = otab["o_orderkey"].combine_chunks()
+        o_us = pc.cast(otab["o_us"], pa.int64()).combine_chunks()
+        o_hi = pc.cast(otab["hi"], pa.int64()).combine_chunks()
+        fact = li.map_batches(partial, batch_format="pyarrow")
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        fact = normalize_join_blocks(li, _join_nparts()).join(
+            normalize_join_blocks(omat, _join_nparts()),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        ).map_batches(partial, batch_format="pyarrow")
+
+    return fact.groupby("bucket").aggregate(
+        Sum("hi_lines", alias_name="hi_lines"),
+        Sum("lo_lines", alias_name="lo_lines"),
+    )
+
+
+QUERIES["q12_priority_by_delay"] = q12_priority_by_delay
+
+ORACLE_SQL["q12_priority_by_delay"] = """
+SELECT CASE WHEN l.l_shipdate - o.o_orderdate
+              <= INTERVAL '30 days' THEN 'FAST' ELSE 'SLOW' END AS bucket,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS hi_lines,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS lo_lines
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11-shaped important-stock scan, adapted to the available
+    tables (no partsupp; lineitem is the part-supplier incidence):
+    parts whose total extended-price value from EUROPE-region suppliers
+    exceeds 1/1000 of that region's total -- the group-sum vs
+    global-sum fraction filter.
+
+    Scale shape: the supplier->region membership is dimension-sized and
+    pins driver-side; lineitem streams ONCE into per-batch per-part
+    cent partials -> one groupby-sum; the global total then derives
+    from the per-part aggregate itself (no second pass) and the
+    fraction test is the integer cross-multiply ``1000 * value >
+    total`` -- no float division, no re-scan."""
+    from ray.data.aggregate import Sum
+
+    sup = _mat_table(_read(sf_dir, "supplier",
+                           columns=["s_suppkey", "s_nationkey"]))
+    nat = _mat_table(_read(sf_dir, "nation",
+                           columns=["n_nationkey", "n_regionkey"]))
+    reg = _mat_table(_read(sf_dir, "region",
+                           columns=["r_regionkey", "r_name"]))
+    rkey = reg.filter(pc.equal(reg["r_name"], "EUROPE"))["r_regionkey"]
+    nkeys = nat.filter(pc.is_in(nat["n_regionkey"],
+                                value_set=rkey.combine_chunks()))[
+                                    "n_nationkey"]
+    skeys = sup.filter(pc.is_in(sup["s_nationkey"],
+                                value_set=nkeys.combine_chunks()))[
+                                    "s_suppkey"].combine_chunks()
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["l_suppkey"], value_set=skeys))
+        t = pa.table({
+            "p_partkey": b["l_partkey"],
+            "value_cents": sql_round_i64(b["l_extendedprice"], 100.0),
+        })
+        g = (t.group_by(["p_partkey"], use_threads=False)
+             .aggregate([("value_cents", "sum")]))
+        return g.rename_columns(["p_partkey", "value_cents"])
+
+    per_part = _mat_table(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("value_cents", alias_name="value_cents"))
+    )
+    total = int(pc.sum(per_part["value_cents"]).as_py() or 0)
+    vals = pc.cast(per_part["value_cents"], pa.int64())
+    keep = pc.greater(
+        pc.multiply(vals, pa.scalar(1000, pa.int64())),
+        pa.scalar(total, pa.int64()),
+    )
+    return per_part.filter(keep).select(["p_partkey", "value_cents"])
+
+
+QUERIES["q11_important_parts"] = q11_important_parts
+
+ORACLE_SQL["q11_important_parts"] = """
+WITH v AS (
+  SELECT l.l_partkey AS p_partkey,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS value_cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY l.l_partkey
+)
+SELECT p_partkey, value_cents FROM v
+WHERE value_cents * 1000 > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM v)
+"""
+
+
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9-shaped product-profit report: for parts named like
+    '%bolt%', profit by (supplier nation, order year), where profit =
+    extendedprice*(1-discount) - retailprice*quantity in exact
+    micro-dollar integers (cents x pct; no partsupp table in this
+    corpus, so retailprice stands in for supplycost).
+
+    Scale shape: part-key set and supplier->nation map are
+    dimension-sized driver pins; the slim (o_orderkey, o_year) order
+    side broadcasts under the byte budget with a hash-join fallback;
+    lineitem streams ONCE into per-batch (nation, year) profit
+    partials -- O(#nations x #years) rows per batch cross the wire
+    ahead of one tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    part = _mat_table(_read(sf_dir, "part",
+                            columns=["p_partkey", "p_name",
+                                     "p_retailprice"]))
+    hit = pc.match_substring(part["p_name"], "bolt")
+    part = part.filter(hit)
+    pkeys = part["p_partkey"].combine_chunks()
+    pretail = sql_round_i64(part["p_retailprice"], 100.0).combine_chunks()
+
+    sup = _mat_table(_read(sf_dir, "supplier",
+                           columns=["s_suppkey", "s_nationkey"]))
+    nat = _mat_table(_read(sf_dir, "nation",
+                           columns=["n_nationkey", "n_name"]))
+    nidx = pc.index_in(sup["s_nationkey"], value_set=nat["n_nationkey"]
+                       .combine_chunks())
+    snation = pc.take(nat["n_name"].combine_chunks(), nidx).combine_chunks()
+    skeys = sup["s_suppkey"].combine_chunks()
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_year": pc.cast(pc.year(pc.cast(b["o_orderdate"],
+                                              pa.timestamp("us"))),
+                              pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    otab, omat = _small_side(orders)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pidx = pc.index_in(b["l_partkey"], value_set=pkeys)
+        keep = pc.is_valid(pidx)
+        b, pidx = b.filter(keep), pidx.filter(keep)
+        if "o_year" in b.column_names:  # join fallback carried the year
+            oyear = b["o_year"]
+        else:
+            oidx = pc.index_in(b["l_orderkey"], value_set=okeys)
+            ok = pc.is_valid(oidx)
+            b, pidx, oidx = b.filter(ok), pidx.filter(ok), oidx.filter(ok)
+            oyear = o_year.take(oidx)
+        sidx = pc.index_in(b["l_suppkey"], value_set=skeys)
+        nation = snation.take(sidx)
+        retail = pretail.take(pidx)
+        cents = sql_round_i64(b["l_extendedprice"], 100.0)
+        pct = pc.subtract(pa.scalar(100, pa.int64()),
+                          sql_round_i64(b["l_discount"], 100.0))
+        qty = sql_round_i64(b["l_quantity"])
+        profit = pc.subtract(
+            pc.multiply(cents, pct),
+            pc.multiply(pc.multiply(qty, retail),
+                        pa.scalar(100, pa.int64())),
+        )
+        t = pa.table({"n_name": nation, "o_year": oyear,
+                      "profit_micro": profit})
+        g = (t.group_by(["n_name", "o_year"], use_threads=False)
+             .aggregate([("profit_micro", "sum")]))
+        return g.rename_columns(["n_name", "o_year", "profit_micro"])
+
+    if otab is not None:
+        okeys = otab["o_orderkey"].combine_chunks()
+        o_year = pc.cast(otab["o_year"], pa.int64()).combine_chunks()
+        fact = li.map_batches(partial, batch_format="pyarrow")
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        fact = normalize_join_blocks(li, _join_nparts()).join(
+            normalize_join_blocks(omat, _join_nparts()),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        ).map_batches(partial, batch_format="pyarrow")
+
+    return fact.groupby(["n_name", "o_year"]).aggregate(
+        Sum("profit_micro", alias_name="profit_micro")
+    )
+
+
+QUERIES["q9_product_profit"] = q9_product_profit
+
+ORACLE_SQL["q9_product_profit"] = """
+SELECT n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+         - CAST(ROUND(l.l_quantity) AS BIGINT)
+           * CAST(ROUND(p.p_retailprice * 100) AS BIGINT) * 100
+       ) AS BIGINT) AS profit_micro
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY n.n_name, o_year
+"""
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2-shaped min-cost-supplier lookup, adapted to the
+    available tables (lineitem is the part-supplier incidence; the
+    observed minimum extendedprice cents per (part, supplier) stands in
+    for ps_supplycost): for every LARGE-type part, list the
+    EUROPE-region supplier(s) whose best observed price equals the
+    part's region-wide minimum -- the correlated-MIN-subquery shape.
+
+    Scale shape: region membership is a dimension-sized driver pin;
+    lineitem streams ONCE into per-batch (part, supp) MIN partials ->
+    one groupby-min; the per-part global min then derives from that
+    aggregate itself (local re-aggregation of an already-tiny table),
+    and the winners filter is a vectorized dictionary lookup -- no
+    second fact scan, no float anywhere."""
+    from ray.data.aggregate import Min
+
+    part = _mat_table(_read(sf_dir, "part",
+                            columns=["p_partkey", "p_type"]))
+    pkeys = part.filter(pc.equal(part["p_type"], "LARGE"))[
+        "p_partkey"].combine_chunks()
+
+    sup = _mat_table(_read(sf_dir, "supplier",
+                           columns=["s_suppkey", "s_name",
+                                    "s_nationkey"]))
+    nat = _mat_table(_read(sf_dir, "nation",
+                           columns=["n_nationkey", "n_regionkey"]))
+    reg = _mat_table(_read(sf_dir, "region",
+                           columns=["r_regionkey", "r_name"]))
+    rkey = reg.filter(pc.equal(reg["r_name"], "EUROPE"))["r_regionkey"]
+    nkeys = nat.filter(pc.is_in(nat["n_regionkey"],
+                                value_set=rkey.combine_chunks()))[
+                                    "n_nationkey"]
+    sup_eu = sup.filter(pc.is_in(sup["s_nationkey"],
+                                 value_set=nkeys.combine_chunks()))
+    skeys = sup_eu["s_suppkey"].combine_chunks()
+    snames = sup_eu["s_name"].combine_chunks()
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_in(b["l_partkey"], value_set=pkeys),
+                       pc.is_in(b["l_suppkey"], value_set=skeys))
+        b = b.filter(keep)
+        t = pa.table({
+            "p_partkey": b["l_partkey"],
+            "s_suppkey": b["l_suppkey"],
+            "cost_cents": sql_round_i64(b["l_extendedprice"], 100.0),
+        })
+        g = (t.group_by(["p_partkey", "s_suppkey"], use_threads=False)
+             .aggregate([("cost_cents", "min")]))
+        return g.rename_columns(["p_partkey", "s_suppkey", "cost_cents"])
+
+    pairs = _mat_table(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["p_partkey", "s_suppkey"])
+        .aggregate(Min("cost_cents", alias_name="cost_cents"))
+    )
+    best = (pairs.group_by(["p_partkey"], use_threads=False)
+            .aggregate([("cost_cents", "min")])
+            .rename_columns(["p_partkey", "best_cents"]))
+    bidx = pc.index_in(pairs["p_partkey"],
+                       value_set=best["p_partkey"].combine_chunks())
+    bmin = pc.take(pc.cast(best["best_cents"], pa.int64()).combine_chunks(),
+                   bidx)
+    win = pairs.filter(pc.equal(pc.cast(pairs["cost_cents"], pa.int64()),
+                                bmin))
+    sidx = pc.index_in(win["s_suppkey"], value_set=skeys)
+    return pa.table({
+        "p_partkey": win["p_partkey"],
+        "s_suppkey": win["s_suppkey"],
+        "s_name": pc.take(snames, sidx),
+        "cost_cents": pc.cast(win["cost_cents"], pa.int64()),
+    })
+
+
+QUERIES["q2_min_cost_supplier"] = q2_min_cost_supplier
+
+ORACLE_SQL["q2_min_cost_supplier"] = """
+WITH pairs AS (
+  SELECT l.l_partkey AS p_partkey, l.l_suppkey AS s_suppkey,
+         CAST(MIN(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cost_cents
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'LARGE'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+  GROUP BY 1, 2
+)
+SELECT pr.p_partkey, pr.s_suppkey, s.s_name, pr.cost_cents
+FROM pairs pr
+JOIN supplier s ON s.s_suppkey = pr.s_suppkey
+WHERE pr.cost_cents = (SELECT MIN(p2.cost_cents) FROM pairs p2
+                       WHERE p2.p_partkey = pr.p_partkey)
+"""
+
+
+def q16_supplier_counts(sf_dir: str):
+    """TPC-H Q16-shaped supplier-relationship count: distinct suppliers
+    per (p_brand, p_type, p_size) over the lineitem incidence, for
+    small-size parts, excluding Brand#13 and excluding suppliers with a
+    negative account balance (the 'complaints' NOT-IN analog).
+
+    Scale shape: the part attribute map and the excluded-supplier set
+    are dimension-sized driver pins; lineitem collapses per batch to
+    DISTINCT (brand, type, size, suppkey) incidence rows before ONE
+    global distinct pass, then an O(#groups) count -- raw rows never
+    shuffle, and the count-distinct is exact."""
+    from ray.data.aggregate import Count
+
+    part = _mat_table(_read(sf_dir, "part",
+                            columns=["p_partkey", "p_brand", "p_type",
+                                     "p_size"]))
+    keep = pc.and_(
+        pc.invert(pc.equal(part["p_brand"], "Brand#13")),
+        pc.less_equal(part["p_size"], 10),
+    )
+    part = part.filter(keep)
+    pkeys = part["p_partkey"].combine_chunks()
+    pbrand = part["p_brand"].combine_chunks()
+    ptype = part["p_type"].combine_chunks()
+    psize = pc.cast(part["p_size"], pa.int64()).combine_chunks()
+
+    sup = _mat_table(_read(sf_dir, "supplier",
+                           columns=["s_suppkey", "s_acctbal"]))
+    bad = sup.filter(pc.less(sup["s_acctbal"], 0.0))[
+        "s_suppkey"].combine_chunks()
+
+    def partial(b: pa.Table) -> pa.Table:
+        pidx = pc.index_in(b["l_partkey"], value_set=pkeys)
+        ok = pc.and_(pc.is_valid(pidx),
+                     pc.invert(pc.is_in(b["l_suppkey"], value_set=bad)))
+        b, pidx = b.filter(ok), pidx.filter(ok)
+        t = pa.table({
+            "p_brand": pbrand.take(pidx),
+            "p_type": ptype.take(pidx),
+            "p_size": psize.take(pidx),
+            "s_suppkey": b["l_suppkey"],
+        })
+        # per-batch distinct: only unique incidence rows cross the wire
+        return (t.group_by(["p_brand", "p_type", "p_size", "s_suppkey"],
+                           use_threads=False)
+                .aggregate([]))
+
+    inc = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]
+                ).map_batches(partial, batch_format="pyarrow")
+    distinct = inc.groupby(
+        ["p_brand", "p_type", "p_size", "s_suppkey"]).aggregate(
+            Count(alias_name="_n"))
+    return distinct.map_batches(
+        lambda b: (
+            b.select(["p_brand", "p_type", "p_size"])
+            .group_by(["p_brand", "p_type", "p_size"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["p_brand", "p_type", "p_size",
+                             "supplier_cnt"])
+        ),
+        batch_format="pyarrow",
+    ).groupby(["p_brand", "p_type", "p_size"]).sum("supplier_cnt").map_batches(
+        lambda b: b.rename_columns(
+            ["p_brand", "p_type", "p_size", "supplier_cnt"]),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q16_supplier_counts"] = q16_supplier_counts
+
+ORACLE_SQL["q16_supplier_counts"] = """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#13' AND p.p_size <= 10
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q20_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20-shaped nested-aggregate semi-join, adapted (no
+    partsupp/availqty): suppliers in the EUROPE region who shipped MORE
+    THAN AN EIGHTH of some PROMO part's total 1996+ shipped quantity --
+    the supplier-dominance screen (exists-a-part-where nested
+    aggregation; the 1/8 share clears the ~1/#suppliers noise floor at
+    every test scale where 1/2 matches nothing).
+
+    Scale shape: per-batch (part, supp) quantity partials -> one
+    groupby-sum; the per-part totals re-derive from that aggregate
+    locally (no second fact scan); dominance is the integer
+    cross-multiply ``8 * qty_sp > qty_p``; region/part memberships are
+    dimension-sized driver pins."""
+    from ray.data.aggregate import Sum
+
+    part = _mat_table(_read(sf_dir, "part",
+                            columns=["p_partkey", "p_type"]))
+    pkeys = part.filter(pc.equal(part["p_type"], "PROMO"))[
+        "p_partkey"].combine_chunks()
+
+    sup = _mat_table(_read(sf_dir, "supplier",
+                           columns=["s_suppkey", "s_name", "s_nationkey"]))
+    nat = _mat_table(_read(sf_dir, "nation",
+                           columns=["n_nationkey", "n_regionkey"]))
+    reg = _mat_table(_read(sf_dir, "region",
+                           columns=["r_regionkey", "r_name"]))
+    rkey = reg.filter(pc.equal(reg["r_name"], "EUROPE"))["r_regionkey"]
+    nkeys = nat.filter(pc.is_in(nat["n_regionkey"],
+                                value_set=rkey.combine_chunks()))[
+                                    "n_nationkey"]
+    sup_eu = sup.filter(pc.is_in(sup["s_nationkey"],
+                                 value_set=nkeys.combine_chunks()))
+    skeys = sup_eu["s_suppkey"].combine_chunks()
+    snames = sup_eu["s_name"].combine_chunks()
+
+    cutoff = np.int64(pa.scalar(
+        pa.scalar("1996-01-01").cast(pa.timestamp("us"))).cast(
+            pa.int64()).as_py())
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                       pa.int64())
+        keep = pc.and_(
+            pc.is_in(b["l_partkey"], value_set=pkeys),
+            pc.greater_equal(ship, pa.scalar(cutoff, pa.int64())),
+        )
+        b = b.filter(keep)
+        t = pa.table({
+            "p_partkey": b["l_partkey"],
+            "s_suppkey": b["l_suppkey"],
+            "qty": sql_round_i64(b["l_quantity"]),
+        })
+        g = (t.group_by(["p_partkey", "s_suppkey"], use_threads=False)
+             .aggregate([("qty", "sum")]))
+        return g.rename_columns(["p_partkey", "s_suppkey", "qty"])
+
+    pairs = _mat_table(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["p_partkey", "s_suppkey"])
+        .aggregate(Sum("qty", alias_name="qty"))
+    )
+    tot = (pairs.group_by(["p_partkey"], use_threads=False)
+           .aggregate([("qty", "sum")])
+           .rename_columns(["p_partkey", "qty_tot"]))
+    tidx = pc.index_in(pairs["p_partkey"],
+                       value_set=tot["p_partkey"].combine_chunks())
+    qtot = pc.take(pc.cast(tot["qty_tot"], pa.int64()).combine_chunks(),
+                   tidx)
+    dom = pairs.filter(pc.greater(
+        pc.multiply(pc.cast(pairs["qty"], pa.int64()),
+                    pa.scalar(8, pa.int64())),
+        qtot,
+    ))
+    # EUROPE suppliers only, then distinct winners
+    eu = dom.filter(pc.is_in(dom["s_suppkey"], value_set=skeys))
+    winners = (eu.select(["s_suppkey"])
+               .group_by(["s_suppkey"], use_threads=False)
+               .aggregate([]))
+    sidx = pc.index_in(winners["s_suppkey"], value_set=skeys)
+    return pa.table({
+        "s_suppkey": winners["s_suppkey"],
+        "s_name": pc.take(snames, sidx),
+    })
+
+
+QUERIES["q20_dominant_suppliers"] = q20_dominant_suppliers
+
+ORACLE_SQL["q20_dominant_suppliers"] = """
+WITH pairs AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  GROUP BY 1, 2
+)
+SELECT DISTINCT pr.l_suppkey AS s_suppkey, s.s_name
+FROM pairs pr
+JOIN supplier s ON s.s_suppkey = pr.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+WHERE pr.qty * 8 > (SELECT CAST(SUM(p2.qty) AS BIGINT) FROM pairs p2
+                    WHERE p2.l_partkey = pr.l_partkey)
+"""
+
+
+def kg_bgp_star(sf_dir: str):
+    """SPARQL-style star BGP over the rule-lowered document graph:
+
+        ?doc  dc:language  ?lang .
+        ?doc  dc:source    ?src .
+        ?doc  deich:nChars ?nchars .
+
+    executed by ops/bgp.bgp_star_match -- the Ray-native analog of the
+    reference's pattern-shaped SPARQL SELECT/UPDATE blocks against its
+    materialized store (sparql_update.rb; rdfmodeler.rb:314-324 writes
+    the triples those patterns run against).
+
+    Scale shape: one subject-hash bucket shuffle of slim (subj, int8
+    pattern-index, obj) rows -- non-matching predicates never leave the
+    scan -- then per-bucket DISTINCT + in-task Arrow hash joins (SPARQL
+    set semantics; the rule engine's deliberate duplicate language
+    emission collapses here)."""
+    from .ops.bgp import bgp_star_match
+
+    return bgp_star_match(
+        kg_triples(sf_dir),
+        [
+            ("http://purl.org/dc/terms/language", "lang"),
+            ("http://purl.org/dc/terms/source", "src"),
+            ("http://data.deichman.no/nChars", "nchars"),
+        ],
+    )
+
+
+QUERIES["kg_bgp_star"] = kg_bgp_star
+
+ORACLE_SQL["kg_bgp_star"] = f"""
+WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({_KG_TRIPLES_SQL}))
+SELECT a.subj, a.obj AS lang, b.obj AS src, c.obj AS nchars
+FROM t a
+JOIN t b ON b.subj = a.subj
+JOIN t c ON c.subj = a.subj
+WHERE a.pred = 'http://purl.org/dc/terms/language'
+  AND b.pred = 'http://purl.org/dc/terms/source'
+  AND c.pred = 'http://data.deichman.no/nChars'
+"""
+
+
+def kg_predicate_stats(sf_dir: str):
+    """VoID-style dataset profiling of the document graph: per predicate,
+    the DISTINCT-triple count and the distinct subject / object
+    cardinalities (ops/bgp.predicate_stats) -- the partition statistics
+    the reference tracks per conversion cycle, generalized to the
+    ontology level.
+
+    Scale shape: triples lower to slim (pred, role, val) rows with
+    per-batch local dedup before ONE global distinct groupby; the final
+    pivot is O(#preds) driver work."""
+    from .ops.bgp import predicate_stats
+
+    return predicate_stats(kg_triples(sf_dir))
+
+
+QUERIES["kg_predicate_stats"] = kg_predicate_stats
+
+ORACLE_SQL["kg_predicate_stats"] = f"""
+WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({_KG_TRIPLES_SQL}))
+SELECT pred,
+       CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_objects
+FROM t GROUP BY pred
+"""

@@ -4918,3 +4918,126 @@ class TestEmbeddingGram:
         assert "overflow" in str(ei.value).lower() or "OverflowError" in str(
             ei.getrepr()
         )
+
+
+class TestBgpStarMatch:
+    def _triples(self, rows):
+        import ray.data as rd
+
+        return rd.from_items(
+            [{"subj": s, "pred": p, "obj": o} for s, p, o in rows]
+        ).repartition(3)
+
+    def test_hand_graph_bindings(self, ray_session):
+        from marc2rdf_ray.ops.bgp import bgp_star_match
+
+        LANG = "urn:lang"
+        SRC = "urn:src"
+        rows = [
+            ("d1", LANG, "en"),
+            ("d1", LANG, "en"),       # duplicate triple -> set semantics
+            ("d1", SRC, "web"),
+            ("d2", LANG, "no"),
+            ("d2", LANG, "fr"),       # multi-valued -> cross product
+            ("d2", SRC, "mail"),
+            ("d2", SRC, "feed"),
+            ("d3", LANG, "en"),       # missing SRC -> no binding
+            ("d4", SRC, "web"),       # missing LANG -> no binding
+            ("d4", "urn:other", "x"), # non-pattern predicate ignored
+        ]
+        got = (
+            bgp_star_match(self._triples(rows),
+                           [(LANG, "lang"), (SRC, "src")])
+            .to_pandas().sort_values(["subj", "lang", "src"])
+            .reset_index(drop=True)
+        )
+        want = sorted(
+            [("d1", "en", "web"),
+             ("d2", "no", "mail"), ("d2", "no", "feed"),
+             ("d2", "fr", "mail"), ("d2", "fr", "feed")]
+        )
+        assert [tuple(r) for r in got.values] == want
+
+    def test_empty_pattern_rejected(self, ray_session):
+        import pytest as _pytest
+
+        from marc2rdf_ray.ops.bgp import bgp_star_match
+
+        with _pytest.raises(ValueError):
+            bgp_star_match(self._triples([]), [])
+        with _pytest.raises(ValueError):
+            bgp_star_match(self._triples([]), [("p", "v"), ("q", "v")])
+
+
+class TestPredicateStats:
+    def test_hand_graph_counts(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.bgp import predicate_stats
+
+        rows = [
+            ("d1", "urn:p", "a"),
+            ("d1", "urn:p", "a"),   # duplicate triple collapses
+            ("d1", "urn:p", "b"),
+            ("d2", "urn:p", "a"),
+            ("d2", "urn:q", "d2"),  # value equal to a subject elsewhere
+        ]
+        ds = rd.from_items(
+            [{"subj": s, "pred": p, "obj": o} for s, p, o in rows]
+        ).repartition(2)
+        got = predicate_stats(ds).to_pandas().set_index("pred")
+        assert got.loc["urn:p", "n_triples"] == 3
+        assert got.loc["urn:p", "n_subjects"] == 2
+        assert got.loc["urn:p", "n_objects"] == 2
+        assert got.loc["urn:q", "n_triples"] == 1
+        assert got.loc["urn:q", "n_subjects"] == 1
+        assert got.loc["urn:q", "n_objects"] == 1
+
+
+class TestNewTpchShapedFallbacks:
+    def _frames_equal(self, a, b, keys):
+        import pandas as pd
+
+        if not isinstance(a, pd.DataFrame):
+            a = a.to_pandas()
+        if not isinstance(b, pd.DataFrame):
+            b = b.to_pandas()
+        a = a.sort_values(keys).reset_index(drop=True)
+        b = b.sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_q12_fallback_matches_broadcast(self, ray_session, monkeypatch):
+        import marc2rdf_ray.entry_queries as eq
+
+        sf = "/root/testdata/sf0.001"
+        want = eq.q12_priority_by_delay(sf)
+        orig = eq._small_side
+        monkeypatch.setattr(
+            eq, "_small_side", lambda ds, limit_bytes=0: orig(ds, 1)
+        )
+        got = eq.q12_priority_by_delay(sf)
+        self._frames_equal(want, got, ["bucket"])
+
+    def test_q9_fallback_matches_broadcast(self, ray_session, monkeypatch):
+        import marc2rdf_ray.entry_queries as eq
+
+        sf = "/root/testdata/sf0.001"
+        want = eq.q9_product_profit(sf)
+        orig = eq._small_side
+        monkeypatch.setattr(
+            eq, "_small_side", lambda ds, limit_bytes=0: orig(ds, 1)
+        )
+        got = eq.q9_product_profit(sf)
+        self._frames_equal(want, got, ["n_name", "o_year"])
+
+    def test_q21_fallback_matches_broadcast(self, ray_session, monkeypatch):
+        import marc2rdf_ray.entry_queries as eq
+
+        sf = "/root/testdata/sf0.001"
+        want = eq.q21_waiting_suppliers(sf)
+        orig = eq._small_side
+        monkeypatch.setattr(
+            eq, "_small_side", lambda ds, limit_bytes=0: orig(ds, 1)
+        )
+        got = eq.q21_waiting_suppliers(sf)
+        self._frames_equal(want, got, ["s_name"])
