@@ -301,6 +301,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "q13_customer_distribution",
         "q18_large_volume_customers",
         "q22_idle_balance",
+        "q21_waiting_suppliers",
+        "q9_product_profit",
+        "events_rollup_report",
+        "embeddings_random_projection",
+        "kg_bgp_star",
+        "kg_predicate_stats",
+        "kg_chain_language",
+        "kg_inferred_types",
     ]
     out = {}
     for name in names:

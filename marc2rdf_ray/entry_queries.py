@@ -9962,3 +9962,121 @@ SELECT pred,
        CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_objects
 FROM t GROUP BY pred
 """
+
+
+def kg_chain_language(sf_dir: str):
+    """SPARQL chain BGP (property-path shape) over the flagship graph:
+
+        ?doc  owl:sameAs   ?canon .
+        ?canon dc:language ?lang .
+
+    -- 'resolve every aliased document's language through its sameAs
+    link', the lookup the reference's SPARQL store answers after
+    sameAs merging (sparql_update.rb patterns over rdfmodeler.rb
+    output).  Executed by ops/bgp.bgp_chain_match: one slim pass tags
+    each hop's triples, distributed hash joins connect obj->subj, one
+    global distinct enforces SPARQL set semantics.
+
+    Scale shape: k-1 binding-column-only exchanges for a k-hop chain;
+    non-pattern triples never leave the scan."""
+    from .ops.bgp import bgp_chain_match
+    from .stages.canonicalize import sameas_by_shared_key, symmetry_closure
+
+    docs = _read(sf_dir, "documents")
+
+    def shift(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in batch.column_names}
+        cols["doc_id"] = pc.add(batch["doc_id"], pa.scalar(1000000))
+        return pa.table(cols)
+
+    aug = docs.union(docs.map_batches(shift, batch_format="pyarrow"))
+    base = aug.map_batches(DocsToTriples, batch_format="pyarrow",
+                           concurrency=2)
+    sameas = symmetry_closure(
+        sameas_by_shared_key(_augmented_doc_hashes(sf_dir), "hash"),
+        dedup=False,
+    )
+    slim3 = lambda b: b.select(["subj", "pred", "obj"])  # noqa: E731
+    triples = base.map_batches(slim3, batch_format="pyarrow").union(
+        sameas.map_batches(slim3, batch_format="pyarrow")
+    )
+    return bgp_chain_match(
+        triples,
+        ["http://www.w3.org/2002/07/owl#sameAs",
+         "http://purl.org/dc/terms/language"],
+        ["doc", "canon", "lang"],
+    )
+
+
+QUERIES["kg_chain_language"] = kg_chain_language
+
+ORACLE_SQL["kg_chain_language"] = """
+WITH hashes AS (
+  SELECT 'http://data.example.org/doc/' || CAST(doc_id AS VARCHAR) AS subj,
+         md5(text) AS h FROM documents
+  UNION ALL
+  SELECT 'http://data.example.org/doc/' || CAST(doc_id + 1000000 AS VARCHAR),
+         md5(text) FROM documents
+), m AS (
+  SELECT h, min(subj) AS canon FROM hashes GROUP BY h
+), sameas AS (
+  SELECT a.subj AS s, m.canon AS o FROM hashes a
+  JOIN m ON a.h = m.h WHERE a.subj <> m.canon
+  UNION ALL
+  SELECT m.canon, a.subj FROM hashes a
+  JOIN m ON a.h = m.h WHERE a.subj <> m.canon
+), langs AS (
+  SELECT 'http://data.example.org/doc/' || CAST(doc_id AS VARCHAR) AS s,
+         'http://lexvo.org/id/iso639-3/' || lang AS o FROM documents
+  UNION ALL
+  SELECT 'http://data.example.org/doc/' || CAST(doc_id + 1000000 AS VARCHAR),
+         'http://lexvo.org/id/iso639-3/' || lang FROM documents
+)
+SELECT DISTINCT sa.s AS doc, sa.o AS canon, l.o AS lang
+FROM sameas sa JOIN langs l ON l.s = sa.o
+"""
+
+
+def kg_inferred_types(sf_dir: str):
+    """RDFS subclass-closure materialization (ops/bgp.infer_types) over
+    the document graph: with the T-Box ``foaf:Document [= sdo:CreativeWork
+    [= sdo:Thing``, emit every inferred transitive rdf:type triple --
+    the forward-chaining step a KG store runs after the converter's
+    asserted types (reference: the type emission, rdfmodeler.rb set_type
+    / SURVEY SS2.3 M1, composed with ontology knowledge).
+
+    Scale shape: the ontology closes transitively ON THE DRIVER
+    (T-Boxes are ontology-sized) and rides into tasks as a broadcast
+    constant; instances expand via one vectorized run-gather; only the
+    final distinct shuffles."""
+    from .ops.bgp import infer_types
+
+    return infer_types(
+        kg_triples(sf_dir),
+        [
+            ("http://xmlns.com/foaf/0.1/Document",
+             "https://schema.org/CreativeWork"),
+            ("https://schema.org/CreativeWork", "https://schema.org/Thing"),
+        ],
+    )
+
+
+QUERIES["kg_inferred_types"] = kg_inferred_types
+
+ORACLE_SQL["kg_inferred_types"] = f"""
+WITH RECURSIVE t AS (SELECT DISTINCT subj, pred, obj FROM ({_KG_TRIPLES_SQL})),
+tbox(sub, sup) AS (VALUES
+  ('http://xmlns.com/foaf/0.1/Document', 'https://schema.org/CreativeWork'),
+  ('https://schema.org/CreativeWork', 'https://schema.org/Thing')
+), closure AS (
+  SELECT sub, sup FROM tbox
+  UNION
+  SELECT c.sub, b.sup FROM closure c JOIN tbox b ON b.sub = c.sup
+)
+SELECT DISTINCT t.subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       c.sup AS obj, 'uri' AS obj_kind
+FROM t
+JOIN closure c ON c.sub = t.obj
+WHERE t.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+"""

@@ -224,3 +224,174 @@ def predicate_stats(
             ),
         }
     )
+
+
+def bgp_chain_match(
+    triples_ds,
+    preds,
+    var_names,
+    *,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    num_partitions: int | None = None,
+):
+    """Match a chain BGP ``?x0 <p1> ?x1 . ?x1 <p2> ?x2 ...`` (SPARQL
+    property-path shape) and return DISTINCT bindings, one column per
+    variable in ``var_names`` (len(preds) + 1 names).
+
+    Scale shape: the scan lowers each hop to a slim (subj, obj) stream
+    in ONE pass (rows matching no hop predicate never leave the scan);
+    hops then connect with distributed hash joins on ``x_i`` -- k-1
+    exchanges for a k-hop chain, each carrying only binding columns.
+    SPARQL set semantics come from ONE global distinct on the final
+    bindings (duplicate input triples multiply through joins, so the
+    distinct collapses exactly the artifact copies).
+    """
+    import ray
+
+    from .dedup import normalize_join_blocks
+
+    if len(var_names) != len(preds) + 1:
+        raise ValueError("need len(preds)+1 variable names")
+    if len(set(var_names)) != len(var_names):
+        raise ValueError("variable names must be distinct")
+    preds_arr = pa.array(list(preds), pa.string())
+
+    def slim(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b[pred_col], value_set=preds_arr)
+        hit = pc.is_valid(idx)
+        return pa.table(
+            {
+                "s": pc.cast(b[subj_col].filter(hit), pa.string()),
+                "pi": pc.cast(idx.filter(hit), pa.int8()),
+                "o": pc.cast(b[obj_col].filter(hit), pa.string()),
+            }
+        )
+
+    hops = triples_ds.map_batches(slim, batch_format="pyarrow").materialize()
+    np_ = num_partitions or max(
+        2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    )
+
+    def hop(i: int):
+        a, b = var_names[i], var_names[i + 1]
+
+        def pick(t: pa.Table, _i=i, _a=a, _b=b) -> pa.Table:
+            f = t.filter(pc.equal(t["pi"], pa.scalar(_i, pa.int8())))
+            return pa.table({_a: f["s"], _b: f["o"]})
+
+        return hops.map_batches(pick, batch_format="pyarrow")
+
+    acc = hop(0)
+    for i in range(1, len(preds)):
+        acc = normalize_join_blocks(acc, np_).join(
+            normalize_join_blocks(hop(i), np_),
+            join_type="inner",
+            num_partitions=np_,
+            on=(var_names[i],),
+            right_on=(var_names[i],),
+        )
+    # SPARQL set semantics: one global distinct over the bindings
+    return (
+        acc.groupby(list(var_names))
+        .count()
+        .select_columns(list(var_names))
+    )
+
+
+def infer_types(
+    triples_ds,
+    subclass_pairs,
+    *,
+    type_pred: str = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+):
+    """RDFS subclass materialization: given ``rdf:type`` triples in the
+    Dataset and a T-Box of ``(subclass, superclass)`` pairs, emit every
+    INFERRED ``rdf:type`` triple (instance typed with each transitive
+    superclass) as a distinct Dataset of (subj, pred, obj, obj_kind)
+    rows; callers wanting only NET-NEW triples anti-join the asserted
+    set (ops/dedup.anti_join machinery) downstream.
+
+    Scale shape: the T-Box is ontology-sized by nature, so its
+    transitive closure is computed ONCE on the driver (BFS per class)
+    and the class -> superclass-list map rides into every task as a
+    broadcast closure constant; the instance stream lowers to its type
+    triples and expands via one vectorized dictionary gather -- no
+    shuffle except the final distinct that collapses already-asserted
+    or duplicate inferences.
+    """
+    from ray.data.aggregate import Count
+
+    # driver-side transitive closure of the (small) ontology
+    up: dict[str, set] = {}
+    for a, b in subclass_pairs:
+        up.setdefault(a, set()).add(b)
+    closure: dict[str, list] = {}
+    for cls in up:
+        seen, todo = set(), [cls]
+        while todo:
+            c = todo.pop()
+            for s in up.get(c, ()):
+                if s not in seen:
+                    seen.add(s)
+                    todo.append(s)
+        closure[cls] = sorted(seen)
+
+    classes = pa.array(sorted(closure), pa.string())
+    offsets = [0]
+    flat = []
+    for c in sorted(closure):
+        flat.extend(closure[c])
+        offsets.append(len(flat))
+    flat_arr = np.asarray(flat, dtype=object)
+    offs = np.asarray(offsets, dtype=np.int64)
+
+    def expand(b: pa.Table) -> pa.Table:
+        is_type = pc.equal(b[pred_col], type_pred)
+        t = b.filter(is_type)
+        cidx = pc.index_in(t[obj_col], value_set=classes)
+        hit = pc.is_valid(cidx)
+        t, cidx = t.filter(hit), cidx.filter(hit)
+        ci = cidx.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = offs[ci + 1] - offs[ci]
+        subj = np.repeat(
+            t[subj_col].to_numpy(zero_copy_only=False), counts
+        )
+        # vectorized run gather: row i contributes positions
+        # offs[ci[i]] .. offs[ci[i]+1] of the flat closure array
+        total = int(counts.sum())
+        starts = np.repeat(offs[ci], counts)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        pos = starts + within
+        out = pa.table(
+            {
+                "subj": pa.array(subj, pa.string()),
+                "pred": pa.array(
+                    np.full(len(subj), type_pred, dtype=object), pa.string()
+                ),
+                "obj": pa.array(flat_arr[pos], pa.string()),
+                "obj_kind": pa.array(
+                    np.full(len(subj), "uri", dtype=object), pa.string()
+                ),
+            }
+        )
+        # local dedup before the exchange
+        return (
+            out.group_by(["subj", "pred", "obj", "obj_kind"],
+                         use_threads=False)
+            .aggregate([])
+        )
+
+    inferred = (
+        triples_ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["subj", "pred", "obj", "obj_kind"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["subj", "pred", "obj", "obj_kind"])
+    )
+    return inferred

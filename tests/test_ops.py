@@ -5041,3 +5041,72 @@ class TestNewTpchShapedFallbacks:
         )
         got = eq.q21_waiting_suppliers(sf)
         self._frames_equal(want, got, ["s_name"])
+
+
+class TestBgpChainMatch:
+    def test_two_hop_chain(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.bgp import bgp_chain_match
+
+        SAME = "urn:sameAs"
+        LANG = "urn:lang"
+        rows = [
+            ("a", SAME, "b"),
+            ("a", SAME, "b"),     # duplicate triple -> one binding
+            ("b", LANG, "en"),
+            ("b", LANG, "fr"),    # multi-valued tail -> two bindings
+            ("c", SAME, "d"),     # d has no language -> no binding
+            ("e", LANG, "no"),    # no incoming sameAs -> no binding
+        ]
+        ds = rd.from_items(
+            [{"subj": s, "pred": p, "obj": o} for s, p, o in rows]
+        ).repartition(3)
+        got = (
+            bgp_chain_match(ds, [SAME, LANG], ["doc", "canon", "lang"])
+            .to_pandas().sort_values(["doc", "canon", "lang"])
+            .reset_index(drop=True)
+        )
+        assert [tuple(r) for r in got.values] == [
+            ("a", "b", "en"), ("a", "b", "fr")
+        ]
+
+    def test_bad_args_rejected(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.bgp import bgp_chain_match
+
+        ds = rd.from_items([{"subj": "a", "pred": "p", "obj": "b"}])
+        with _pytest.raises(ValueError):
+            bgp_chain_match(ds, ["p"], ["x"])
+        with _pytest.raises(ValueError):
+            bgp_chain_match(ds, ["p"], ["x", "x"])
+
+
+class TestInferTypes:
+    def test_transitive_closure_inference(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.bgp import infer_types
+
+        TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        rows = [
+            ("d1", TYPE, "A", "uri"),
+            ("d1", TYPE, "A", "uri"),   # duplicate assertion collapses
+            ("d2", TYPE, "B", "uri"),
+            ("d3", TYPE, "Z", "uri"),   # class outside the T-Box
+            ("d1", "urn:other", "A", "uri"),  # non-type triple ignored
+        ]
+        ds = rd.from_items(
+            [{"subj": s, "pred": p, "obj": o, "obj_kind": k}
+             for s, p, o, k in rows]
+        ).repartition(2)
+        got = (
+            infer_types(ds, [("A", "B"), ("B", "C")])
+            .to_pandas().sort_values(["subj", "obj"]).reset_index(drop=True)
+        )
+        want = sorted([("d1", "B"), ("d1", "C"), ("d2", "C")])
+        assert [(r.subj, r.obj) for r in got.itertuples()] == want
+        assert set(got["pred"]) == {TYPE}
+        assert set(got["obj_kind"]) == {"uri"}
