@@ -10080,3 +10080,137 @@ FROM t
 JOIN closure c ON c.sub = t.obj
 WHERE t.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
 """
+
+
+def kg_bgp_optional(sf_dir: str):
+    """SPARQL OPTIONAL over the flagship graph:
+
+        ?doc dc:language ?lang .
+        OPTIONAL { ?doc owl:sameAs ?canon }
+
+    -- every document's language, plus its sameAs link where one exists
+    (NULL otherwise): the left-outer BGP shape
+    (ops/bgp.bgp_star_match_optional), same one-bucket-shuffle execution
+    as the inner star with a per-bucket left outer Arrow join."""
+    from .ops.bgp import bgp_star_match_optional
+    from .stages.canonicalize import sameas_by_shared_key, symmetry_closure
+
+    docs = _read(sf_dir, "documents")
+
+    def shift(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in batch.column_names}
+        cols["doc_id"] = pc.add(batch["doc_id"], pa.scalar(1000000))
+        return pa.table(cols)
+
+    aug = docs.union(docs.map_batches(shift, batch_format="pyarrow"))
+    base = aug.map_batches(DocsToTriples, batch_format="pyarrow",
+                           concurrency=2)
+    sameas = symmetry_closure(
+        sameas_by_shared_key(_augmented_doc_hashes(sf_dir), "hash"),
+        dedup=False,
+    )
+    slim3 = lambda b: b.select(["subj", "pred", "obj"])  # noqa: E731
+    triples = base.map_batches(slim3, batch_format="pyarrow").union(
+        sameas.map_batches(slim3, batch_format="pyarrow")
+    )
+    return bgp_star_match_optional(
+        triples,
+        [("http://purl.org/dc/terms/language", "lang")],
+        [("http://www.w3.org/2002/07/owl#sameAs", "canon")],
+    )
+
+
+QUERIES["kg_bgp_optional"] = kg_bgp_optional
+
+ORACLE_SQL["kg_bgp_optional"] = """
+WITH hashes AS (
+  SELECT 'http://data.example.org/doc/' || CAST(doc_id AS VARCHAR) AS subj,
+         md5(text) AS h FROM documents
+  UNION ALL
+  SELECT 'http://data.example.org/doc/' || CAST(doc_id + 1000000 AS VARCHAR),
+         md5(text) FROM documents
+), m AS (
+  SELECT h, min(subj) AS canon FROM hashes GROUP BY h
+), sameas AS (
+  SELECT a.subj AS s, m.canon AS o FROM hashes a
+  JOIN m ON a.h = m.h WHERE a.subj <> m.canon
+  UNION ALL
+  SELECT m.canon, a.subj FROM hashes a
+  JOIN m ON a.h = m.h WHERE a.subj <> m.canon
+), langs AS (
+  SELECT DISTINCT
+         'http://data.example.org/doc/' || CAST(doc_id AS VARCHAR) AS s,
+         'http://lexvo.org/id/iso639-3/' || lang AS o FROM documents
+  UNION
+  SELECT 'http://data.example.org/doc/' || CAST(doc_id + 1000000 AS VARCHAR),
+         'http://lexvo.org/id/iso639-3/' || lang FROM documents
+)
+SELECT l.s AS subj, l.o AS lang, sa.o AS canon
+FROM langs l LEFT JOIN sameas sa ON sa.s = l.s
+"""
+
+
+def kg_update_language(sf_dir: str):
+    """SPARQL UPDATE analog (ops/bgp.update_where) over the document
+    graph -- the reference's DELETE/INSERT pattern blocks
+    (sparql_update.rb; SURVEY §2.2 K4) lifted to a distributed rewrite:
+
+        DELETE { ?doc dc:language ?lang }
+        INSERT { ?doc dc:language <iso639-3/deu> .
+                 ?doc ex:langNormalized "true" }
+        WHERE  { ?doc dc:language ?lang . ?doc dc:source ?src
+                 FILTER(?lang = <iso639-3/de>) }
+
+    i.e. retag ISO-639-1 'de' docs with the 639-3 code and stamp a
+    provenance marker, leaving every other triple intact.  Returns the
+    full rewritten graph (distinct).
+
+    Scale shape: bindings from one star-BGP bucket exchange; the delete
+    set applies as a byte-budgeted broadcast anti-join on the composite
+    triple key (distributed join fallback); one final global
+    distinct."""
+    from .ops.bgp import update_where
+
+    LX = "http://lexvo.org/id/iso639-3/"
+    return update_where(
+        kg_triples(sf_dir),
+        [("http://purl.org/dc/terms/language", "lang"),
+         ("http://purl.org/dc/terms/source", "src")],
+        delete_templates=[
+            ("?subj", "http://purl.org/dc/terms/language", "?lang", "uri"),
+        ],
+        insert_templates=[
+            ("?subj", "http://purl.org/dc/terms/language", LX + "deu",
+             "uri"),
+            ("?subj", "http://example.org/langNormalized", "true",
+             "literal"),
+        ],
+        filters={"lang": LX + "de"},
+    )
+
+
+QUERIES["kg_update_language"] = kg_update_language
+
+ORACLE_SQL["kg_update_language"] = f"""
+WITH t AS (SELECT DISTINCT subj, pred, obj, obj_kind
+           FROM ({_KG_TRIPLES_SQL})),
+hits AS (
+  SELECT subj FROM t
+  WHERE pred = 'http://purl.org/dc/terms/language'
+    AND obj = 'http://lexvo.org/id/iso639-3/de'
+),
+kept AS (
+  SELECT * FROM t
+  WHERE NOT (pred = 'http://purl.org/dc/terms/language'
+             AND subj IN (SELECT subj FROM hits))
+),
+ins AS (
+  SELECT subj, 'http://purl.org/dc/terms/language' AS pred,
+         'http://lexvo.org/id/iso639-3/deu' AS obj, 'uri' AS obj_kind
+  FROM hits
+  UNION ALL
+  SELECT subj, 'http://example.org/langNormalized', 'true', 'literal'
+  FROM hits
+)
+SELECT DISTINCT * FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+"""

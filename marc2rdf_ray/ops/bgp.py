@@ -395,3 +395,199 @@ def infer_types(
         .select_columns(["subj", "pred", "obj", "obj_kind"])
     )
     return inferred
+
+
+def bgp_star_match_optional(
+    triples_ds,
+    required,
+    optional,
+    *,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    num_buckets: int | None = None,
+):
+    """Star BGP with SPARQL OPTIONAL semantics: ``required`` patterns
+    (list of ``(pred_uri, var_name)``) must all bind; ``optional``
+    patterns bind where present and yield NULL where absent -- the
+    left-outer-join analog of :func:`bgp_star_match`.
+
+    Same execution shape as the inner star: one subject-hash bucket
+    shuffle of slim (subj, int8 pi, obj) rows, per-bucket DISTINCT,
+    then in-task Arrow joins -- inner for the required prefix, left
+    outer for each optional pattern.  Order of OPTIONALs does not
+    change results for star shapes (each joins only on ``subj``).
+    """
+    if not required:
+        raise ValueError("need at least one required pattern")
+    names = [v for _, v in required] + [v for _, v in optional]
+    if len(set(names)) != len(names):
+        raise ValueError("pattern variable names must be distinct")
+    patterns = list(required) + list(optional)
+    preds = pa.array([p for p, _ in patterns], pa.string())
+    n_req = len(required)
+    nb = num_buckets or _num_buckets_default()
+
+    def slim(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b[pred_col], value_set=preds)
+        hit = pc.is_valid(idx)
+        t = pa.table(
+            {
+                "subj": pc.cast(b[subj_col].filter(hit), pa.string()),
+                "pi": pc.cast(idx.filter(hit), pa.int8()),
+                "obj": pc.cast(b[obj_col].filter(hit), pa.string()),
+            }
+        )
+        return t.append_column("_cb", bucket_codes(t["subj"], nb))
+
+    out_schema = pa.schema(
+        [pa.field("subj", pa.string())]
+        + [pa.field(v, pa.string()) for v in names]
+    )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["subj", "pi", "obj"])
+            .group_by(["subj", "pi", "obj"], use_threads=False)
+            .aggregate([])
+        )
+        tab = None
+        for i, v in enumerate(names):
+            side = g.filter(pc.equal(g["pi"], pa.scalar(i, pa.int8())))
+            side = pa.table({"subj": side["subj"], v: side["obj"]})
+            if tab is None:
+                tab = side
+            else:
+                jt = "inner" if i < n_req else "left outer"
+                tab = tab.join(side, keys="subj", join_type=jt,
+                               use_threads=False)
+            if tab.num_rows == 0 and i < n_req:
+                return out_schema.empty_table()
+        return tab.select(out_schema.names).cast(out_schema)
+
+    return (
+        triples_ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(assemble, batch_format="pyarrow")
+    )
+
+
+def update_where(
+    triples_ds,
+    pattern,
+    delete_templates,
+    insert_templates,
+    *,
+    filters: dict | None = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    kind_col: str = "obj_kind",
+    num_buckets: int | None = None,
+):
+    """SPARQL ``DELETE { ... } INSERT { ... } WHERE { star BGP }`` over a
+    triple Dataset -- the pattern-driven graph-rewrite the reference runs
+    against its store (sparql_update.rb DELETE/INSERT blocks; SURVEY
+    §2.2 K4's record-level semantics lifted to pattern level).
+
+    ``pattern`` is a star BGP as in :func:`bgp_star_match` (list of
+    ``(pred_uri, var_name)``; the shared subject variable is ``subj``).
+    Each template is ``(s, p, o, kind)`` where any term starting with
+    ``"?"`` references a pattern variable (``?subj`` or a ``var_name``)
+    and anything else is a constant.  ``filters`` (the SPARQL FILTER
+    analog) maps variable names to constants the binding must equal.
+    Returns the rewritten graph as a distinct (subj, pred, obj,
+    obj_kind) Dataset.
+
+    Scale shape: bindings come from the star match (one bucket
+    exchange); templates instantiate VECTORIZED (column takes /
+    constant fills, no Python rows); the delete applies as a
+    broadcast-or-anti-join on a composite triple key
+    (ops/dedup.anti_join_filter -- byte-budgeted broadcast with a
+    distributed join fallback), and the insert unions in ahead of ONE
+    global distinct.  The full graph streams; only bindings, delete
+    keys and inserted rows are materialized."""
+    from ray.data.aggregate import Count
+
+    from .dedup import anti_join_filter
+
+    bindings = bgp_star_match(
+        triples_ds, pattern,
+        subj_col=subj_col, pred_col=pred_col, obj_col=obj_col,
+        num_buckets=num_buckets,
+    )
+    if filters:
+        def keep(b: pa.Table, _f=dict(filters)) -> pa.Table:
+            mask = None
+            for var, const in _f.items():
+                m = pc.equal(b[var], pa.scalar(const, pa.string()))
+                mask = m if mask is None else pc.and_(mask, m)
+            return b.filter(mask)
+
+        bindings = bindings.map_batches(keep, batch_format="pyarrow")
+
+    def _instantiate(templates):
+        def build(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            out = {"subj": [], "pred": [], "obj": [], "obj_kind": []}
+            tabs = []
+            for (s, p, o, k) in templates:
+                cols = {}
+                for name, term in zip(
+                    ("subj", "pred", "obj", "obj_kind"), (s, p, o, k)
+                ):
+                    if isinstance(term, str) and term.startswith("?"):
+                        cols[name] = pc.cast(b[term[1:]], pa.string())
+                    else:
+                        cols[name] = pa.array(
+                            np.full(n, term, dtype=object), pa.string()
+                        )
+                tabs.append(pa.table(cols))
+            if not tabs:
+                return pa.schema(
+                    [pa.field(c, pa.string()) for c in out]
+                ).empty_table()
+            t = pa.concat_tables(tabs)
+            # local dedup before any exchange
+            return (
+                t.group_by(["subj", "pred", "obj", "obj_kind"],
+                           use_threads=False)
+                .aggregate([])
+            )
+
+        return bindings.map_batches(build, batch_format="pyarrow")
+
+    SEP = "\x1f"
+
+    def with_key(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(b["subj"], pa.string()),
+            pc.cast(b["pred"], pa.string()),
+            pc.cast(b["obj"], pa.string()),
+            SEP,
+        )
+        return b.append_column("_tk", key)
+
+    graph = triples_ds.map_batches(
+        lambda b: with_key(
+            pa.table(
+                {
+                    "subj": pc.cast(b[subj_col], pa.string()),
+                    "pred": pc.cast(b[pred_col], pa.string()),
+                    "obj": pc.cast(b[obj_col], pa.string()),
+                    "obj_kind": pc.cast(b[kind_col], pa.string()),
+                }
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    del_keys = _instantiate(delete_templates).map_batches(
+        lambda b: with_key(b).select(["_tk"]), batch_format="pyarrow"
+    )
+    kept = anti_join_filter(graph, del_keys, "_tk").drop_columns(["_tk"])
+    out = kept.union(_instantiate(insert_templates))
+    return (
+        out.groupby(["subj", "pred", "obj", "obj_kind"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["subj", "pred", "obj", "obj_kind"])
+    )

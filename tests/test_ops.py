@@ -5110,3 +5110,76 @@ class TestInferTypes:
         assert [(r.subj, r.obj) for r in got.itertuples()] == want
         assert set(got["pred"]) == {TYPE}
         assert set(got["obj_kind"]) == {"uri"}
+
+
+class TestBgpStarOptional:
+    def test_optional_binds_or_null(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.bgp import bgp_star_match_optional
+
+        LANG, SAME = "urn:lang", "urn:same"
+        rows = [
+            ("d1", LANG, "en"),
+            ("d1", SAME, "c1"),
+            ("d2", LANG, "no"),          # no sameAs -> NULL canon
+            ("d3", SAME, "c3"),          # no lang -> excluded (required)
+        ]
+        ds = rd.from_items(
+            [{"subj": s, "pred": p, "obj": o} for s, p, o in rows]
+        ).repartition(2)
+        got = (
+            bgp_star_match_optional(ds, [(LANG, "lang")], [(SAME, "canon")])
+            .to_pandas().sort_values("subj").reset_index(drop=True)
+        )
+        assert got["subj"].tolist() == ["d1", "d2"]
+        assert got["lang"].tolist() == ["en", "no"]
+        assert got["canon"].tolist()[0] == "c1"
+        assert got["canon"].isna().tolist() == [False, True]
+
+    def test_required_empty_rejected(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.bgp import bgp_star_match_optional
+
+        ds = rd.from_items([{"subj": "a", "pred": "p", "obj": "b"}])
+        with _pytest.raises(ValueError):
+            bgp_star_match_optional(ds, [], [("p", "v")])
+
+
+class TestUpdateWhere:
+    def test_delete_insert_with_filter(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.bgp import update_where
+
+        LANG = "urn:lang"
+        rows = [
+            ("d1", LANG, "no", "uri"),
+            ("d1", "urn:src", "web", "uri"),
+            ("d2", LANG, "en", "uri"),
+            ("d2", "urn:src", "mail", "uri"),
+            ("d2", LANG, "en", "uri"),   # duplicate collapses
+        ]
+        ds = rd.from_items(
+            [{"subj": s, "pred": p, "obj": o, "obj_kind": k}
+             for s, p, o, k in rows]
+        ).repartition(2)
+        got = update_where(
+            ds,
+            [(LANG, "lang"), ("urn:src", "src")],
+            delete_templates=[("?subj", LANG, "?lang", "uri")],
+            insert_templates=[
+                ("?subj", LANG, "nob", "uri"),
+                ("?subj", "urn:norm", "true", "literal"),
+            ],
+            filters={"lang": "no"},
+        ).to_pandas()
+        trips = set(map(tuple, got[["subj", "pred", "obj"]].values))
+        assert ("d1", LANG, "no") not in trips          # deleted
+        assert ("d1", LANG, "nob") in trips             # inserted
+        assert ("d1", "urn:norm", "true") in trips      # inserted
+        assert ("d2", LANG, "en") in trips              # untouched
+        assert ("d2", "urn:src", "mail") in trips
+        assert len(got) == len(trips)                   # distinct output
