@@ -309,6 +309,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kg_predicate_stats",
         "kg_chain_language",
         "kg_inferred_types",
+        "kg_update_language",
     ]
     out = {}
     for name in names:

@@ -10214,3 +10214,55 @@ ins AS (
 )
 SELECT DISTINCT * FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
 """
+
+
+def kg_construct_schemaorg(sf_dir: str):
+    """SPARQL CONSTRUCT analog (ops/bgp.construct_from_pattern):
+    vocabulary translation of the DC document graph into schema.org
+    terms --
+
+        CONSTRUCT { ?doc rdf:type      sdo:CreativeWork .
+                    ?doc sdo:inLanguage ?lang .
+                    ?doc sdo:provider   ?src }
+        WHERE     { ?doc dc:language ?lang . ?doc dc:source ?src }
+
+    The reference's whole premise is mapping-driven re-emission of one
+    vocabulary as another (SURVEY §2.3); this lifts it to graph->graph.
+
+    Scale shape: one star-match bucket exchange, vectorized template
+    instantiation, one global distinct."""
+    from .ops.bgp import construct_from_pattern
+
+    SDO = "https://schema.org/"
+    return construct_from_pattern(
+        kg_triples(sf_dir),
+        [("http://purl.org/dc/terms/language", "lang"),
+         ("http://purl.org/dc/terms/source", "src")],
+        [
+            ("?subj", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+             SDO + "CreativeWork", "uri"),
+            ("?subj", SDO + "inLanguage", "?lang", "uri"),
+            ("?subj", SDO + "provider", "?src", "uri"),
+        ],
+    )
+
+
+QUERIES["kg_construct_schemaorg"] = kg_construct_schemaorg
+
+ORACLE_SQL["kg_construct_schemaorg"] = f"""
+WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({_KG_TRIPLES_SQL})),
+b AS (
+  SELECT l.subj, l.obj AS lang, s.obj AS src
+  FROM t l JOIN t s ON s.subj = l.subj
+  WHERE l.pred = 'http://purl.org/dc/terms/language'
+    AND s.pred = 'http://purl.org/dc/terms/source'
+)
+SELECT DISTINCT * FROM (
+  SELECT subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         'https://schema.org/CreativeWork' AS obj, 'uri' AS obj_kind FROM b
+  UNION ALL
+  SELECT subj, 'https://schema.org/inLanguage', lang, 'uri' FROM b
+  UNION ALL
+  SELECT subj, 'https://schema.org/provider', src, 'uri' FROM b
+)
+"""

@@ -472,6 +472,55 @@ def bgp_star_match_optional(
     )
 
 
+def _filter_bindings(bindings, filters):
+    if not filters:
+        return bindings
+
+    def keep(b: pa.Table, _f=dict(filters)) -> pa.Table:
+        mask = None
+        for var, const in _f.items():
+            m = pc.equal(b[var], pa.scalar(const, pa.string()))
+            mask = m if mask is None else pc.and_(mask, m)
+        return b.filter(mask)
+
+    return bindings.map_batches(keep, batch_format="pyarrow")
+
+
+def _instantiate_templates(bindings, templates):
+    """Vectorized template instantiation: ``?var`` terms gather binding
+    columns, constants fill; per-batch local dedup before any exchange."""
+    schema = pa.schema(
+        [pa.field(c, pa.string())
+         for c in ("subj", "pred", "obj", "obj_kind")]
+    )
+
+    def build(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        tabs = []
+        for (s, p, o, k) in templates:
+            cols = {}
+            for name, term in zip(
+                ("subj", "pred", "obj", "obj_kind"), (s, p, o, k)
+            ):
+                if isinstance(term, str) and term.startswith("?"):
+                    cols[name] = pc.cast(b[term[1:]], pa.string())
+                else:
+                    cols[name] = pa.array(
+                        np.full(n, term, dtype=object), pa.string()
+                    )
+            tabs.append(pa.table(cols))
+        if not tabs:
+            return schema.empty_table()
+        t = pa.concat_tables(tabs)
+        return (
+            t.group_by(["subj", "pred", "obj", "obj_kind"],
+                       use_threads=False)
+            .aggregate([])
+        )
+
+    return bindings.map_batches(build, batch_format="pyarrow")
+
+
 def update_where(
     triples_ds,
     pattern,
@@ -516,46 +565,10 @@ def update_where(
         subj_col=subj_col, pred_col=pred_col, obj_col=obj_col,
         num_buckets=num_buckets,
     )
-    if filters:
-        def keep(b: pa.Table, _f=dict(filters)) -> pa.Table:
-            mask = None
-            for var, const in _f.items():
-                m = pc.equal(b[var], pa.scalar(const, pa.string()))
-                mask = m if mask is None else pc.and_(mask, m)
-            return b.filter(mask)
-
-        bindings = bindings.map_batches(keep, batch_format="pyarrow")
+    bindings = _filter_bindings(bindings, filters)
 
     def _instantiate(templates):
-        def build(b: pa.Table) -> pa.Table:
-            n = b.num_rows
-            out = {"subj": [], "pred": [], "obj": [], "obj_kind": []}
-            tabs = []
-            for (s, p, o, k) in templates:
-                cols = {}
-                for name, term in zip(
-                    ("subj", "pred", "obj", "obj_kind"), (s, p, o, k)
-                ):
-                    if isinstance(term, str) and term.startswith("?"):
-                        cols[name] = pc.cast(b[term[1:]], pa.string())
-                    else:
-                        cols[name] = pa.array(
-                            np.full(n, term, dtype=object), pa.string()
-                        )
-                tabs.append(pa.table(cols))
-            if not tabs:
-                return pa.schema(
-                    [pa.field(c, pa.string()) for c in out]
-                ).empty_table()
-            t = pa.concat_tables(tabs)
-            # local dedup before any exchange
-            return (
-                t.group_by(["subj", "pred", "obj", "obj_kind"],
-                           use_threads=False)
-                .aggregate([])
-            )
-
-        return bindings.map_batches(build, batch_format="pyarrow")
+        return _instantiate_templates(bindings, templates)
 
     SEP = "\x1f"
 
@@ -586,6 +599,47 @@ def update_where(
     )
     kept = anti_join_filter(graph, del_keys, "_tk").drop_columns(["_tk"])
     out = kept.union(_instantiate(insert_templates))
+    return (
+        out.groupby(["subj", "pred", "obj", "obj_kind"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["subj", "pred", "obj", "obj_kind"])
+    )
+
+
+def construct_from_pattern(
+    triples_ds,
+    pattern,
+    templates,
+    *,
+    filters: dict | None = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    num_buckets: int | None = None,
+):
+    """SPARQL ``CONSTRUCT { templates } WHERE { star BGP }``: build a NEW
+    graph from pattern bindings -- the vocabulary-translation /
+    ontology-mapping shape (e.g. re-emit a DC-vocabulary graph in
+    schema.org terms), which is the reference's mapping-driven
+    conversion idea (SURVEY §2.3) applied to an already-built graph.
+
+    Terms starting with ``"?"`` reference pattern variables (``?subj``
+    or a pattern ``var_name``); anything else is a constant.
+    ``filters`` maps variable names to required constant values.
+    Returns a distinct (subj, pred, obj, obj_kind) Dataset.
+
+    Scale shape: one star-match bucket exchange for the bindings,
+    vectorized template instantiation with per-batch local dedup, ONE
+    global distinct."""
+    from ray.data.aggregate import Count
+
+    bindings = bgp_star_match(
+        triples_ds, pattern,
+        subj_col=subj_col, pred_col=pred_col, obj_col=obj_col,
+        num_buckets=num_buckets,
+    )
+    out = _instantiate_templates(_filter_bindings(bindings, filters),
+                                 templates)
     return (
         out.groupby(["subj", "pred", "obj", "obj_kind"])
         .aggregate(Count(alias_name="_n"))
