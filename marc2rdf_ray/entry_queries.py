@@ -10266,3 +10266,100 @@ SELECT DISTINCT * FROM (
   SELECT subj, 'https://schema.org/provider', src, 'uri' FROM b
 )
 """
+
+
+def kg_graph_diff(sf_dir: str):
+    """Explicit change set between two graph versions
+    (ops/bgp.graph_diff): the base document graph vs the
+    kg_update_language rewrite -- '+' rows are the inserted deu/
+    provenance triples, '-' rows the deleted 'de' language triples; the
+    delta the reference's daily update cycle applies implicitly
+    (scheduler.rb:327-350), made shippable.
+
+    Scale shape: both sides collapse to distinct composite keys; each
+    direction is ONE byte-budgeted broadcast anti-join (distributed
+    fallback); one final distinct."""
+    from .ops.bgp import graph_diff
+    from .stages.canonicalize import dedup_triples
+
+    old = dedup_triples(kg_triples(sf_dir),
+                        columns=["subj", "pred", "obj", "obj_kind"])
+    new = kg_update_language(sf_dir)
+    return graph_diff(old, new)
+
+
+QUERIES["kg_graph_diff"] = kg_graph_diff
+
+ORACLE_SQL["kg_graph_diff"] = f"""
+WITH t AS (SELECT DISTINCT subj, pred, obj, obj_kind
+           FROM ({_KG_TRIPLES_SQL})),
+hits AS (
+  SELECT subj FROM t
+  WHERE pred = 'http://purl.org/dc/terms/language'
+    AND obj = 'http://lexvo.org/id/iso639-3/de'
+),
+kept AS (
+  SELECT * FROM t
+  WHERE NOT (pred = 'http://purl.org/dc/terms/language'
+             AND subj IN (SELECT subj FROM hits))
+),
+ins AS (
+  SELECT subj, 'http://purl.org/dc/terms/language' AS pred,
+         'http://lexvo.org/id/iso639-3/deu' AS obj, 'uri' AS obj_kind
+  FROM hits
+  UNION ALL
+  SELECT subj, 'http://example.org/langNormalized', 'true', 'literal'
+  FROM hits
+),
+newg AS (SELECT DISTINCT *
+         FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins))
+SELECT '+' AS op, * FROM (SELECT * FROM newg EXCEPT SELECT * FROM t)
+UNION ALL
+SELECT '-' AS op, * FROM (SELECT * FROM t EXCEPT SELECT * FROM newg)
+"""
+
+
+def kg_validate_types(sf_dir: str):
+    """SHACL-style cardinality gate (ops/bgp.validate_cardinality) over
+    the inference-enriched graph: after RDFS subclass materialization
+    every document carries 3 rdf:type values, so a max-1 type constraint
+    flags them all -- the publish-time shape check (reference analog:
+    per-record field-shape assertions, SURVEY §2.3 M17/M19, lifted to
+    graph level).  Returns (subj, n_values) for violators.
+
+    Scale shape: scan slims to one predicate's (subj, obj) pairs with
+    per-batch DISTINCT collapse, one global distinct groupby, O(#viol)
+    filter."""
+    from .ops.bgp import validate_cardinality
+
+    enriched = kg_triples(sf_dir).union(kg_inferred_types(sf_dir))
+    return validate_cardinality(
+        enriched, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        min_count=1, max_count=1,
+    )
+
+
+QUERIES["kg_validate_types"] = kg_validate_types
+
+ORACLE_SQL["kg_validate_types"] = f"""
+WITH RECURSIVE t AS (SELECT DISTINCT subj, pred, obj
+                     FROM ({_KG_TRIPLES_SQL})),
+tbox(sub, sup) AS (VALUES
+  ('http://xmlns.com/foaf/0.1/Document', 'https://schema.org/CreativeWork'),
+  ('https://schema.org/CreativeWork', 'https://schema.org/Thing')
+), closure AS (
+  SELECT sub, sup FROM tbox
+  UNION
+  SELECT c.sub, b.sup FROM closure c JOIN tbox b ON b.sub = c.sup
+), allt AS (
+  SELECT subj, obj FROM t
+  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+  UNION
+  SELECT t.subj, c.sup FROM t
+  JOIN closure c ON c.sub = t.obj
+  WHERE t.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+)
+SELECT subj, CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_values
+FROM allt GROUP BY subj
+HAVING COUNT(DISTINCT obj) < 1 OR COUNT(DISTINCT obj) > 1
+"""

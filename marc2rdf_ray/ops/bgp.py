@@ -645,3 +645,143 @@ def construct_from_pattern(
         .aggregate(Count(alias_name="_n"))
         .select_columns(["subj", "pred", "obj", "obj_kind"])
     )
+
+
+def graph_diff(
+    old_ds,
+    new_ds,
+    *,
+    cols=("subj", "pred", "obj", "obj_kind"),
+):
+    """Set difference between two graph versions: returns a Dataset of
+    (op, subj, pred, obj, obj_kind) where op is '+' for triples only in
+    ``new_ds`` and '-' for triples only in ``old_ds`` -- the change set
+    the reference's daily update cycle applies implicitly
+    (scheduler.rb:327-350 harvest->convert->update; SURVEY §2.9 U1-U6),
+    made explicit so incremental runs can ship deltas instead of full
+    graphs.
+
+    Scale shape: both sides collapse to distinct composite keys with
+    per-batch local dedup; each direction is ONE broadcast-or-anti-join
+    (ops/dedup.anti_join_filter, byte-budgeted with a distributed
+    fallback).  Triples never cross the wire twice -- only their keys
+    do."""
+    from .dedup import anti_join_filter
+
+    SEP = "\x1f"
+    cols = list(cols)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            *[pc.cast(b[c], pa.string()) for c in cols], SEP
+        )
+        t = pa.table(
+            {**{c: pc.cast(b[c], pa.string()) for c in cols}, "_tk": key}
+        )
+        return t.group_by(cols + ["_tk"], use_threads=False).aggregate([])
+
+    old_k = old_ds.map_batches(keyed, batch_format="pyarrow")
+    new_k = new_ds.map_batches(keyed, batch_format="pyarrow")
+
+    added = anti_join_filter(
+        new_k, old_k.select_columns(["_tk"]), "_tk"
+    ).map_batches(
+        lambda b: pa.table(
+            {"op": pa.array(["+"] * b.num_rows, pa.string()),
+             **{c: b[c] for c in cols}}
+        ),
+        batch_format="pyarrow",
+    )
+    removed = anti_join_filter(
+        old_k, new_k.select_columns(["_tk"]), "_tk"
+    ).map_batches(
+        lambda b: pa.table(
+            {"op": pa.array(["-"] * b.num_rows, pa.string()),
+             **{c: b[c] for c in cols}}
+        ),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Count
+
+    # global distinct (each side may still hold cross-batch repeats)
+    return (
+        added.union(removed)
+        .groupby(["op"] + cols)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["op"] + cols)
+    )
+
+
+def validate_cardinality(
+    triples_ds,
+    pred: str,
+    *,
+    min_count: int = 1,
+    max_count: int = 1,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+):
+    """SHACL-style cardinality validation: report every subject whose
+    DISTINCT value count for ``pred`` falls outside
+    [``min_count``, ``max_count``] -- the graph-quality gate a KG
+    pipeline runs before publishing (the reference's conversion checks
+    assert per-record field shapes; SURVEY §2.3 M17/M19 semantics at
+    graph level).  Returns (subj, n_values).
+
+    Only subjects that HAVE the predicate are checked for the max bound;
+    the min bound additionally requires a reference subject set, so this
+    operator checks subjects observed with >= 1 value (min_count > 1
+    finds under-filled multi-valued properties; use an anti-join against
+    the expected-subject set for absence checks).
+
+    Scale shape: the scan slims to (subj, obj) for the one predicate,
+    collapses to per-batch DISTINCT pairs, then ONE global distinct
+    groupby and an O(#violators) filter."""
+    from ray.data.aggregate import Count, Sum
+
+    def slim(b: pa.Table) -> pa.Table:
+        hit = pc.equal(b[pred_col], pred)
+        t = pa.table(
+            {
+                "subj": pc.cast(b[subj_col].filter(hit), pa.string()),
+                "obj": pc.cast(b[obj_col].filter(hit), pa.string()),
+            }
+        )
+        return t.group_by(["subj", "obj"], use_threads=False).aggregate([])
+
+    pairs = (
+        triples_ds.map_batches(slim, batch_format="pyarrow")
+        .groupby(["subj", "obj"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "subj": b["subj"],
+                "n_values": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        return (
+            t.group_by(["subj"], use_threads=False)
+            .aggregate([("n_values", "sum")])
+            .rename_columns(["subj", "n_values"])
+        )
+
+    counts = (
+        pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("subj")
+        .aggregate(Sum("n_values", alias_name="n_values"))
+    )
+    lo = pa.scalar(min_count, pa.int64())
+    hi = pa.scalar(max_count, pa.int64())
+    return counts.map_batches(
+        lambda b: b.filter(
+            pc.or_(
+                pc.less(pc.cast(b["n_values"], pa.int64()), lo),
+                pc.greater(pc.cast(b["n_values"], pa.int64()), hi),
+            )
+        ),
+        batch_format="pyarrow",
+    )

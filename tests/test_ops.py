@@ -5183,3 +5183,69 @@ class TestUpdateWhere:
         assert ("d2", LANG, "en") in trips              # untouched
         assert ("d2", "urn:src", "mail") in trips
         assert len(got) == len(trips)                   # distinct output
+
+
+class TestGraphDiff:
+    def test_added_removed(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.bgp import graph_diff
+
+        def g(rows):
+            return rd.from_items(
+                [{"subj": s, "pred": p, "obj": o, "obj_kind": k}
+                 for s, p, o, k in rows]
+            ).repartition(2)
+
+        old = g([("a", "p", "1", "literal"),
+                 ("a", "q", "2", "literal"),
+                 ("a", "q", "2", "literal"),   # dup collapses
+                 ("b", "p", "3", "literal")])
+        new = g([("a", "p", "1", "literal"),   # unchanged
+                 ("a", "q", "9", "literal"),   # changed value
+                 ("c", "p", "4", "literal")])  # new subject
+        got = graph_diff(old, new).to_pandas()
+        d = set(map(tuple, got[["op", "subj", "pred", "obj"]].values))
+        assert d == {
+            ("+", "a", "q", "9"), ("+", "c", "p", "4"),
+            ("-", "a", "q", "2"), ("-", "b", "p", "3"),
+        }
+
+
+class TestValidateCardinality:
+    def test_min_max_violations(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.bgp import validate_cardinality
+
+        rows = [
+            ("a", "urn:lang", "en"), ("a", "urn:lang", "en"),  # 1 distinct
+            ("b", "urn:lang", "en"), ("b", "urn:lang", "fr"),  # 2 -> viol
+            ("c", "urn:lang", "x"), ("c", "urn:lang", "y"),
+            ("c", "urn:lang", "z"),                            # 3 -> viol
+            ("d", "urn:other", "w"),                           # not checked
+        ]
+        ds = rd.from_items(
+            [{"subj": s, "pred": p, "obj": o} for s, p, o in rows]
+        ).repartition(3)
+        got = (
+            validate_cardinality(ds, "urn:lang", min_count=1, max_count=1)
+            .to_pandas().set_index("subj")["n_values"].to_dict()
+        )
+        assert got == {"b": 2, "c": 3}
+
+    def test_min_two_finds_underfilled(self, ray_session):
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.bgp import validate_cardinality
+
+        rows = [("a", "urn:tag", "t1"), ("b", "urn:tag", "t1"),
+                ("b", "urn:tag", "t2")]
+        ds = rd.from_items(
+            [{"subj": s, "pred": p, "obj": o} for s, p, o in rows]
+        )
+        got = (
+            validate_cardinality(ds, "urn:tag", min_count=2, max_count=9)
+            .to_pandas().set_index("subj")["n_values"].to_dict()
+        )
+        assert got == {"a": 1}
