@@ -10363,3 +10363,58 @@ SELECT subj, CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_values
 FROM allt GROUP BY subj
 HAVING COUNT(DISTINCT obj) < 1 OR COUNT(DISTINCT obj) > 1
 """
+
+
+def events_click_error_overlap(sf_dir: str):
+    """Keyless interval-overlap join (ops/joins.interval_overlap_join):
+    every (click, error) event pair whose 5-minute activity windows
+    overlap -- the session-vs-incident correlation that SQL writes as an
+    inequality join and hash joins cannot execute.
+
+    Scale shape: 15-minute time tiles with replicate-and-own semantics
+    (a pair emits only in the tile holding max(start_l, start_r), so
+    replicas never double-count); in-tile pairing is one sort +
+    binary-search + repeat/arange emission, all columnar; a tile whose
+    candidate count exceeds the cap fails LOUDLY with the tile id."""
+    from .ops.joins import interval_overlap_join
+
+    five_min = np.int64(5 * 60 * 1_000_000)
+
+    def side(event_type: str):
+        ds = _read(sf_dir, "events",
+                   columns=["event_id", "event_type", "ts"])
+
+        def prep(b: pa.Table, _t=event_type) -> pa.Table:
+            hit = pc.equal(b["event_type"], _t)
+            us = pc.cast(
+                pc.cast(b["ts"].filter(hit), pa.timestamp("us")), pa.int64()
+            )
+            return pa.table(
+                {
+                    "id": pc.cast(b["event_id"].filter(hit), pa.int64()),
+                    "s": us,
+                    "e": pc.add(us, pa.scalar(five_min, pa.int64())),
+                }
+            )
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    return interval_overlap_join(
+        side("click"), side("error"),
+        width_us=15 * 60 * 1_000_000,
+    )
+
+
+QUERIES["events_click_error_overlap"] = events_click_error_overlap
+
+ORACLE_SQL["events_click_error_overlap"] = """
+WITH l AS (
+  SELECT event_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+  FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT event_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+  FROM events WHERE event_type = 'error'
+)
+SELECT l.event_id AS left_id, r.event_id AS right_id
+FROM l JOIN r ON l.s < r.e AND r.s < l.e
+"""

@@ -610,3 +610,118 @@ def skew_salted_join(
     return joined.map_batches(
         lambda b: b.drop_columns(["__salt"]), batch_format="pyarrow"
     )
+
+
+def interval_overlap_join(
+    left_ds,
+    right_ds,
+    *,
+    width_us: int,
+    left_id: str = "id",
+    right_id: str = "id",
+    start_col: str = "s",
+    end_col: str = "e",
+    num_buckets_cap: int | None = None,
+    pair_cap: int = 2_000_000,
+):
+    """INNER interval-overlap join: one (left_id, right_id) row per pair
+    of half-open intervals [ls, le) x [rs, re) with ls < re AND rs < le
+    -- the session-vs-incident correlation SQL expresses as an
+    inequality join (no equality key anywhere, so hash joins can't run
+    it; reference analog: the window-overlap update selection, SURVEY
+    §2.9 U1 semantics across time windows).
+
+    Scale shape: time-tiled replication with an OWNERSHIP rule.  Each
+    interval replicates into every ``width_us`` tile it touches
+    (replication factor = span/width + 1 -- ``width_us`` is the caller's
+    scale contract, pick it >= the typical span); a candidate pair is
+    emitted ONLY in the tile containing max(ls, rs), so overlapping
+    replicas never double-emit and no global dedup pass is needed.
+    In-tile pairing is vectorized: rights sort by start once, each left
+    binary-searches its candidate prefix (rs < le), pairs emit via
+    repeat/arange, and the re > ls + ownership filters apply
+    columnar.  A tile whose candidate-pair count exceeds ``pair_cap``
+    fails loudly with the tile id (pre-split hot tiles or widen/narrow
+    ``width_us``), never silently truncates.
+    """
+    import ray
+
+    w = pa.scalar(int(width_us), pa.int64())
+
+    def tile(side: int, idcol: str):
+        def fn(b: pa.Table) -> pa.Table:
+            s = b[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            e = b[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            ids = b[idcol].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = e > s
+            s, e, ids = s[keep], e[keep], ids[keep]
+            b0 = s // int(width_us)
+            b1 = (e - 1) // int(width_us)
+            counts = (b1 - b0 + 1).astype(np.int64)
+            total = int(counts.sum())
+            starts = np.repeat(b0, counts)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            tiles = starts + within
+            return pa.table(
+                {
+                    "bkt": pa.array(tiles, pa.int64()),
+                    "side": pa.array(
+                        np.full(total, side, np.int8), pa.int8()
+                    ),
+                    "iid": pa.array(np.repeat(ids, counts), pa.int64()),
+                    "s": pa.array(np.repeat(s, counts), pa.int64()),
+                    "e": pa.array(np.repeat(e, counts), pa.int64()),
+                }
+            )
+
+        return fn
+
+    both = left_ds.map_batches(
+        tile(1, left_id), batch_format="pyarrow"
+    ).union(right_ds.map_batches(tile(0, right_id), batch_format="pyarrow"))
+
+    out_schema = pa.schema(
+        [pa.field("left_id", pa.int64()), pa.field("right_id", pa.int64())]
+    )
+
+    def pair_tile(group: pa.Table) -> pa.Table:
+        bkt = int(group["bkt"][0].as_py())
+        side = group["side"].to_numpy(zero_copy_only=False)
+        lmask = side == 1
+        rmask = ~lmask
+        ls = group["s"].to_numpy(zero_copy_only=False)[lmask]
+        le = group["e"].to_numpy(zero_copy_only=False)[lmask]
+        lid = group["iid"].to_numpy(zero_copy_only=False)[lmask]
+        rs = group["s"].to_numpy(zero_copy_only=False)[rmask]
+        re_ = group["e"].to_numpy(zero_copy_only=False)[rmask]
+        rid = group["iid"].to_numpy(zero_copy_only=False)[rmask]
+        if len(ls) == 0 or len(rs) == 0:
+            return out_schema.empty_table()
+        order = np.argsort(rs, kind="stable")
+        rs, re_, rid = rs[order], re_[order], rid[order]
+        # candidate prefix per left: rights with rs < le
+        hi = np.searchsorted(rs, le, side="left")
+        total = int(hi.sum())
+        if total > pair_cap:
+            raise ValueError(
+                f"interval_overlap_join: tile {bkt} candidate pairs "
+                f"{total} > pair_cap {pair_cap}; widen/narrow width_us "
+                "or pre-split the hot tile"
+            )
+        li = np.repeat(np.arange(len(ls), dtype=np.int64), hi)
+        rj = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(hi) - hi, hi
+        )
+        # overlap's second half + exactly-once ownership
+        keep = re_[rj] > ls[li]
+        keep &= np.maximum(ls[li], rs[rj]) // int(width_us) == bkt
+        return pa.table(
+            {
+                "left_id": pa.array(lid[li[keep]], pa.int64()),
+                "right_id": pa.array(rid[rj[keep]], pa.int64()),
+            }
+        )
+
+    return both.groupby("bkt").map_groups(pair_tile, batch_format="pyarrow")

@@ -5249,3 +5249,54 @@ class TestValidateCardinality:
             .to_pandas().set_index("subj")["n_values"].to_dict()
         )
         assert got == {"a": 1}
+
+
+class TestIntervalOverlapJoin:
+    def _mk(self, rows):
+        import ray.data as rd
+
+        return rd.from_items(
+            [{"id": i, "s": s, "e": e} for i, s, e in rows]
+        ).repartition(2)
+
+    def test_hand_intervals_vs_brute(self, ray_session):
+        from marc2rdf_ray.ops.joins import interval_overlap_join
+
+        left = [(1, 0, 10), (2, 5, 15), (3, 100, 101), (4, 20, 20)]
+        right = [(10, 9, 12), (11, 15, 25), (12, 0, 1), (13, 99, 200)]
+        got = interval_overlap_join(
+            self._mk(left), self._mk(right), width_us=7
+        ).to_pandas()
+        got_pairs = set(map(tuple, got[["left_id", "right_id"]].values))
+        want = {
+            (li, ri)
+            for li, ls, le in left if le > ls
+            for ri, rs, re in right
+            if ls < re and rs < le
+        }
+        assert got_pairs == want
+        assert len(got) == len(got_pairs)  # ownership: no double emission
+
+    def test_long_interval_spans_many_tiles_once(self, ray_session):
+        from marc2rdf_ray.ops.joins import interval_overlap_join
+
+        # one long left interval overlapping many short rights, tiny tiles
+        left = [(1, 0, 1000)]
+        right = [(i, i * 10, i * 10 + 5) for i in range(50)]
+        got = interval_overlap_join(
+            self._mk(left), self._mk(right), width_us=13
+        ).to_pandas()
+        assert sorted(got["right_id"]) == list(range(50))
+        assert (got["left_id"] == 1).all()
+
+    def test_pair_cap_fails_loud(self, ray_session):
+        import pytest as _pytest
+
+        from marc2rdf_ray.ops.joins import interval_overlap_join
+
+        left = [(i, 0, 10) for i in range(40)]
+        right = [(i, 0, 10) for i in range(40)]
+        with _pytest.raises(Exception, match="pair_cap"):
+            interval_overlap_join(
+                self._mk(left), self._mk(right), width_us=100, pair_cap=100
+            ).materialize()
