@@ -30,18 +30,24 @@ except Exception:  # pragma: no cover
     _HAVE_POLARS = False
 
 
-def hash_strings_u64(arr) -> np.ndarray:
+def hash_strings_u64(arr, seed: int = 0) -> np.ndarray:
     """Columnar 64-bit hash of a string Array/ChunkedArray -> np.uint64.
 
-    Nulls hash to a fixed value (deterministic)."""
+    Nulls hash to a fixed value (deterministic).  Two calls with
+    different ``seed`` values give independent hashes -- combine two for
+    a 128-bit identity (the md5-identity discipline of the dedup ops,
+    columnar)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if _HAVE_POLARS:
-        return pl.Series(arr).hash(seed=0).to_numpy().astype(np.uint64)
+        return pl.Series(arr).hash(seed=seed).to_numpy().astype(np.uint64)
     import pandas as pd  # pragma: no cover - fallback
 
     vals = arr.to_numpy(zero_copy_only=False)
-    return pd.util.hash_array(vals).astype(np.uint64)  # pragma: no cover
+    h = pd.util.hash_array(vals).astype(np.uint64)  # pragma: no cover
+    if seed:  # pragma: no cover - mix the seed in deterministically
+        h = h * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)
+    return h  # pragma: no cover
 
 
 def bucket_codes(arr, num_buckets: int) -> pa.Array:
