@@ -25,6 +25,7 @@ from .config import PipelineConfig
 from .functions.numeric import sql_round_i64
 from .model import Field, Record
 from .rules import RuleEngine, RuleSet
+from .vocab import RDF_TYPE
 
 DOC_BASE = "http://data.example.org/doc/"
 
@@ -85,10 +86,28 @@ def _doc_engine() -> RuleEngine:
 
 
 class DocsToTriples:
-    """documents batch -> triples (the doc-table record lowering)."""
+    """documents batch -> triples (the doc-table record lowering).
 
-    def __init__(self):
+    ``predicates`` (full URIs) engages RuleSet.pruned -- predicate
+    pushdown INTO the rule engine for BGP-shaped consumers that filter
+    the lowered triples by predicate anyway (they stop paying for rules
+    whose whole emission set is irrelevant).  Over-approximate: pruned
+    output may still carry extra predicates from kept sub-rules, so the
+    consumer's own predicate filter stays mandatory."""
+
+    def __init__(self, predicates=None):
         self.engine = _doc_engine()
+        if predicates is not None:
+            keep = set(predicates)
+            self.engine = RuleEngine(
+                self.engine.ruleset.pruned(keep),
+                base=DOC_BASE,
+                prefix="",
+                identifier_tag="id",
+                resource_type=(
+                    "FOAF.Document" if RDF_TYPE in keep else None
+                ),
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -166,10 +185,26 @@ def _mat_table(ds) -> pa.Table:
 
 # -- KG queries ------------------------------------------------------------
 
-def kg_triples(sf_dir: str):
-    return _read(sf_dir, "documents").map_batches(
-        DocsToTriples, batch_format="pyarrow", concurrency=2
+DC_LANGUAGE = "http://purl.org/dc/terms/language"
+DC_SOURCE = "http://purl.org/dc/terms/source"
+DEICH_NCHARS = "http://data.deichman.no/nChars"
+
+
+def _lower_docs(ds, predicates=None):
+    """documents Dataset -> rule-lowered triples; ``predicates`` engages
+    predicate pushdown into the rule engine (DocsToTriples docstring).
+    Autoscaling actor pool: 2 actors cover contract-scale inputs without
+    startup overhead; the pool grows to 8 when blocks queue (sf0.1+)."""
+    kw = {}
+    if predicates is not None:
+        kw["fn_constructor_kwargs"] = {"predicates": sorted(predicates)}
+    return ds.map_batches(
+        DocsToTriples, batch_format="pyarrow", concurrency=(2, 8), **kw
     )
+
+
+def kg_triples(sf_dir: str):
+    return _lower_docs(_read(sf_dir, "documents"))
 
 
 def kg_dedup_edges(sf_dir: str):
@@ -1846,8 +1881,7 @@ def kg_flagship_docs(sf_dir: str):
             "lang", pa.nulls(len(b), pa.string())
         ).append_column("src", b["subj"])
 
-    base = aug.map_batches(DocsToTriples, batch_format="pyarrow",
-                           concurrency=2).map_batches(
+    base = _lower_docs(aug).map_batches(
         lambda b: widen(b), batch_format="pyarrow"
     )
     raw = base.union(_augmented_doc_hashes(sf_dir))
@@ -9914,11 +9948,14 @@ def kg_bgp_star(sf_dir: str):
     from .ops.bgp import bgp_star_match
 
     return bgp_star_match(
-        kg_triples(sf_dir),
+        _lower_docs(
+            _read(sf_dir, "documents"),
+            predicates={DC_LANGUAGE, DC_SOURCE, DEICH_NCHARS},
+        ),
         [
-            ("http://purl.org/dc/terms/language", "lang"),
-            ("http://purl.org/dc/terms/source", "src"),
-            ("http://data.deichman.no/nChars", "nchars"),
+            (DC_LANGUAGE, "lang"),
+            (DC_SOURCE, "src"),
+            (DEICH_NCHARS, "nchars"),
         ],
     )
 
@@ -9990,8 +10027,7 @@ def kg_chain_language(sf_dir: str):
         return pa.table(cols)
 
     aug = docs.union(docs.map_batches(shift, batch_format="pyarrow"))
-    base = aug.map_batches(DocsToTriples, batch_format="pyarrow",
-                           concurrency=2)
+    base = _lower_docs(aug, predicates={DC_LANGUAGE})
     sameas = symmetry_closure(
         sameas_by_shared_key(_augmented_doc_hashes(sf_dir), "hash"),
         dedup=False,
@@ -10002,8 +10038,7 @@ def kg_chain_language(sf_dir: str):
     )
     return bgp_chain_match(
         triples,
-        ["http://www.w3.org/2002/07/owl#sameAs",
-         "http://purl.org/dc/terms/language"],
+        ["http://www.w3.org/2002/07/owl#sameAs", DC_LANGUAGE],
         ["doc", "canon", "lang"],
     )
 
@@ -10052,7 +10087,7 @@ def kg_inferred_types(sf_dir: str):
     from .ops.bgp import infer_types
 
     return infer_types(
-        kg_triples(sf_dir),
+        _lower_docs(_read(sf_dir, "documents"), predicates={RDF_TYPE}),
         [
             ("http://xmlns.com/foaf/0.1/Document",
              "https://schema.org/CreativeWork"),
@@ -10103,8 +10138,7 @@ def kg_bgp_optional(sf_dir: str):
         return pa.table(cols)
 
     aug = docs.union(docs.map_batches(shift, batch_format="pyarrow"))
-    base = aug.map_batches(DocsToTriples, batch_format="pyarrow",
-                           concurrency=2)
+    base = _lower_docs(aug, predicates={DC_LANGUAGE})
     sameas = symmetry_closure(
         sameas_by_shared_key(_augmented_doc_hashes(sf_dir), "hash"),
         dedup=False,
@@ -10235,9 +10269,12 @@ def kg_construct_schemaorg(sf_dir: str):
 
     SDO = "https://schema.org/"
     return construct_from_pattern(
-        kg_triples(sf_dir),
-        [("http://purl.org/dc/terms/language", "lang"),
-         ("http://purl.org/dc/terms/source", "src")],
+        _lower_docs(
+            _read(sf_dir, "documents"),
+            predicates={DC_LANGUAGE, DC_SOURCE},
+        ),
+        [(DC_LANGUAGE, "lang"),
+         (DC_SOURCE, "src")],
         [
             ("?subj", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
              SDO + "CreativeWork", "uri"),
@@ -10332,7 +10369,9 @@ def kg_validate_types(sf_dir: str):
     filter."""
     from .ops.bgp import validate_cardinality
 
-    enriched = kg_triples(sf_dir).union(kg_inferred_types(sf_dir))
+    enriched = _lower_docs(
+        _read(sf_dir, "documents"), predicates={RDF_TYPE}
+    ).union(kg_inferred_types(sf_dir))
     return validate_cardinality(
         enriched, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
         min_count=1, max_count=1,

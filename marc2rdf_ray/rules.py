@@ -411,6 +411,83 @@ class RuleSet:
     def matches(self, tag: str) -> list[dict]:
         return list(self.matched_rules(tag))
 
+    # -- predicate pruning (BGP scan pushdown) ------------------------------
+    def _control_entry_preds(self, value: dict) -> set:
+        preds = set()
+        name = value.get("predicate")
+        if name:
+            preds.add(self.vocab.resolve(name))
+        if "relation" in value:
+            preds.add(RDF_TYPE)
+        return preds
+
+    def _data_sub_preds(self, sub: dict) -> set:
+        names: set = set()
+        if "conditions" in sub:
+            cond = sub["conditions"]
+            sf = cond.get("subfield") or {}
+            for cval in sf.values():
+                names |= {p for p in (cval.get("subs") or {}).values() if p}
+                if cval.get("default"):
+                    names.add(cval["default"])
+            ind = cond.get("indicator") or {}
+            for key in ("indicator1", "indicator2"):
+                r = ind.get(key)
+                if r:
+                    names |= {p for p in (r.get("subs") or {}).values() if p}
+            if ind.get("default"):
+                names.add(ind["default"])
+        elif sub.get("predicate"):
+            names.add(sub["predicate"])
+        preds = {self.vocab.resolve(n) for n in names}
+        if "relation" in sub:
+            preds.add(RDF_TYPE)
+            for rs in (sub["relation"].get("subfield") or {}).values():
+                preds.add(self.vocab.resolve(rs["predicate"]))
+        return preds
+
+    def pruned(self, keep_predicates) -> "RuleSet":
+        """A RuleSet restricted to rules that can emit any of
+        ``keep_predicates`` (full URIs) -- predicate pushdown for BGP /
+        SPARQL-shaped consumers that filter the lowered triples by
+        predicate anyway (ops/bgp.py prunes non-pattern triples at scan).
+
+        Over-approximate at SUB-RULE granularity: a kept sub-rule emits
+        ALL its triples (a relation kept for its type assertion still
+        emits its entity link), so output(pruned) [= output(full) and
+        every kept-predicate triple survives.  Consumers must still
+        filter by predicate; they only stop PAYING for rules whose
+        entire emission set is irrelevant.  Conditioned predicates count
+        every reachable rewrite (subs values + default)."""
+        keep = set(keep_predicates)
+        tags = self.mapping.get("tags", self.mapping)
+        new_tags = {}
+        for key, rule in tags.items():
+            if "subfield" in rule:
+                kept = {
+                    c: s
+                    for c, s in rule["subfield"].items()
+                    if self._data_sub_preds(s) & keep
+                }
+                if kept:
+                    nr = dict(rule)
+                    nr["subfield"] = kept
+                    new_tags[key] = nr
+            else:
+                kept = {
+                    k: v
+                    for k, v in rule.items()
+                    if not (isinstance(v, dict) and "object" in v)
+                    or self._control_entry_preds(v) & keep
+                }
+                if any(
+                    isinstance(v, dict) and "object" in v
+                    for v in kept.values()
+                ):
+                    new_tags[key] = kept
+        out = {"tags": new_tags} if "tags" in self.mapping else new_tags
+        return RuleSet(out, vocab=self.vocab)
+
 
 class RuleEngine:
     """Record -> triples converter (RDFModeler analog).

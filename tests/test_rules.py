@@ -346,3 +346,116 @@ class TestMappingValidation:
         for m in bad:
             with pytest.raises(MappingError):
                 RuleSet(m)
+
+
+class TestPredicatePruning:
+    """RuleSet.pruned: predicate pushdown into the rule engine."""
+
+    def _mapping(self):
+        return {
+            "tags": {
+                "245": {
+                    "subfield": {
+                        "a": {
+                            "predicate": "DC.title",
+                            "object": {"datatype": "literal"},
+                        },
+                        "b": {
+                            "conditions": {
+                                "subfield": {
+                                    "c": {
+                                        "orig": "x|y",
+                                        "subs": {"x": "DC.creator"},
+                                        "default": "DC.contributor",
+                                    }
+                                }
+                            },
+                            "object": {"datatype": "literal"},
+                        },
+                    }
+                },
+                "100": {
+                    "subfield": {
+                        "a": {
+                            "predicate": "DC.creator",
+                            "relation": {
+                                "class": "FOAF.Person",
+                                "subfield": {
+                                    "d": {
+                                        "predicate": "DC.date",
+                                        "object": {"datatype": "literal"},
+                                    }
+                                },
+                            },
+                            "object": {"datatype": "uri"},
+                        }
+                    }
+                },
+                "008": {
+                    "r": {
+                        "predicate": "DC.language",
+                        "object": {"datatype": "literal"},
+                    }
+                },
+            }
+        }
+
+    def test_prune_keeps_exactly_matching_rules(self):
+        from marc2rdf_ray.rules import RuleSet
+        from marc2rdf_ray.vocab import DEFAULT_VOCAB
+
+        rs = RuleSet(self._mapping())
+        lang = DEFAULT_VOCAB.resolve("DC.language")
+        p = rs.pruned({lang})
+        assert list(p.mapping["tags"].keys()) == ["008"]
+
+    def test_conditioned_predicates_count_all_rewrites(self):
+        from marc2rdf_ray.rules import RuleSet
+        from marc2rdf_ray.vocab import DEFAULT_VOCAB
+
+        rs = RuleSet(self._mapping())
+        contributor = DEFAULT_VOCAB.resolve("DC.contributor")
+        p = rs.pruned({contributor})
+        assert list(p.mapping["tags"].keys()) == ["245"]
+        assert list(p.mapping["tags"]["245"]["subfield"].keys()) == ["b"]
+
+    def test_relation_subpredicates_and_type_retain_rule(self):
+        from marc2rdf_ray.rules import RuleSet
+        from marc2rdf_ray.vocab import DEFAULT_VOCAB, RDF_TYPE
+
+        rs = RuleSet(self._mapping())
+        date = DEFAULT_VOCAB.resolve("DC.date")
+        assert list(rs.pruned({date}).mapping["tags"].keys()) == ["100"]
+        # relation rules assert rdf:type on the minted entity
+        assert "100" in rs.pruned({RDF_TYPE}).mapping["tags"]
+
+    def test_pruned_output_is_filtered_full_output(self):
+        from marc2rdf_ray.model import Field, Record
+        from marc2rdf_ray.rules import RuleEngine, RuleSet
+        from marc2rdf_ray.vocab import DEFAULT_VOCAB
+
+        mapping = self._mapping()
+        rec = Record(
+            fields=[
+                Field(tag="001", value="r1"),
+                Field(tag="245", subfields=[("a", "T"), ("b", "B"), ("c", "x")]),
+                Field(tag="100", subfields=[("a", "Auth"), ("d", "1900")]),
+                Field(tag="008", value="eng"),
+            ],
+            record_id="r1",
+        )
+        full = RuleEngine(RuleSet(mapping)).convert(rec)
+        for name in ("DC.title", "DC.creator", "DC.date", "DC.language"):
+            keep = {DEFAULT_VOCAB.resolve(name)}
+            pruned = RuleEngine(RuleSet(mapping).pruned(keep)).convert(rec)
+            assert [t for t in pruned if t[1] in keep] == [
+                t for t in full if t[1] in keep
+            ]
+            assert all(t in full for t in pruned)
+
+    def test_prune_to_nothing_gives_empty_ruleset(self):
+        from marc2rdf_ray.rules import RuleSet
+
+        rs = RuleSet(self._mapping())
+        p = rs.pruned({"http://example.org/nope"})
+        assert p.mapping["tags"] == {}
