@@ -235,6 +235,7 @@ def bgp_chain_match(
     pred_col: str = "pred",
     obj_col: str = "obj",
     num_partitions: int | None = None,
+    broadcast_limit_bytes: int = 256 << 20,
 ):
     """Match a chain BGP ``?x0 <p1> ?x1 . ?x1 <p2> ?x2 ...`` (SPARQL
     property-path shape) and return DISTINCT bindings, one column per
@@ -242,8 +243,11 @@ def bgp_chain_match(
 
     Scale shape: the scan lowers each hop to a slim (subj, obj) stream
     in ONE pass (rows matching no hop predicate never leave the scan);
-    hops then connect with distributed hash joins on ``x_i`` -- k-1
-    exchanges for a k-hop chain, each carrying only binding columns.
+    hops then connect on ``x_i`` -- a hop side under
+    ``broadcast_limit_bytes`` broadcasts via ray.put and joins IN-TASK
+    (selective predicates are dictionary-sized next to the graph; no
+    exchange), anything larger falls back to the distributed hash join.
+    k-1 connects for a k-hop chain, each carrying only binding columns.
     SPARQL set semantics come from ONE global distinct on the final
     bindings (duplicate input triples multiply through joins, so the
     distinct collapses exactly the artifact copies).
@@ -285,13 +289,26 @@ def bgp_chain_match(
 
     acc = hop(0)
     for i in range(1, len(preds)):
-        acc = normalize_join_blocks(acc, np_).join(
-            normalize_join_blocks(hop(i), np_),
-            join_type="inner",
-            num_partitions=np_,
-            on=(var_names[i],),
-            right_on=(var_names[i],),
-        )
+        side = hop(i).materialize()  # cheap: filters materialized hop blocks
+        if (side.size_bytes() or 0) <= broadcast_limit_bytes:
+            stab = pa.concat_tables(
+                ray.get(side.to_arrow_refs()), promote_options="default"
+            )
+            sref = ray.put(stab)
+
+            def attach(b: pa.Table, _ref=sref, _key=var_names[i]) -> pa.Table:
+                return b.join(ray.get(_ref), keys=_key, join_type="inner",
+                              use_threads=False)
+
+            acc = acc.map_batches(attach, batch_format="pyarrow")
+        else:
+            acc = normalize_join_blocks(acc, np_).join(
+                normalize_join_blocks(side, np_),
+                join_type="inner",
+                num_partitions=np_,
+                on=(var_names[i],),
+                right_on=(var_names[i],),
+            )
     # SPARQL set semantics: one global distinct over the bindings
     return (
         acc.groupby(list(var_names))
