@@ -310,6 +310,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kg_chain_language",
         "kg_inferred_types",
         "kg_update_language",
+        "graph_ktruss",
+        "events_click_error_overlap",
     ]
     out = {}
     for name in names:

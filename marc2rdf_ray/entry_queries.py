@@ -10457,3 +10457,51 @@ WITH l AS (
 SELECT l.event_id AS left_id, r.event_id AS right_id
 FROM l JOIN r ON l.s < r.e AND r.s < l.e
 """
+
+
+def graph_ktruss(sf_dir: str):
+    """3-truss peeling (ops/graph.ktruss), 3 synchronous rounds over the
+    undirected simple form of the md5 link graph: per round one
+    triangle-listing support pass (degree-rank oriented wedges, bucketed
+    pair-key join, per-task np.unique edge combiner) and one
+    broadcast-or-join edge filter -- the edge-level cohesive-subgraph
+    cleanup the reference's authority passes approximate at node level
+    (SURVEY SS2.8 U3; kcore's edge-dual)."""
+    from .ops.graph import ktruss
+
+    edges, _, _ = _md5_link_graph(sf_dir)
+    return ktruss(edges, k=3, rounds=3)
+
+
+QUERIES["graph_ktruss"] = graph_ktruss
+
+
+def _ktruss_oracle_sql(k: int = 3, rounds: int = 3) -> str:
+    """Unrolled synchronous k-truss: per round, per-edge support =
+    |N(u) & N(v)| via the wedge-join triangle count, then the
+    support >= k-2 filter."""
+    parts = [f"""
+WITH {_MD5_EDGES_SQL},
+e0 AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM edges WHERE src <> dst)"""]
+    for i in range(rounds):
+        parts.append(f""",
+adj{i} AS (SELECT u AS c, v AS nb FROM e{i}
+           UNION ALL SELECT v AS c, u AS nb FROM e{i}),
+sup{i} AS (
+  SELECT a.nb AS u, b.nb AS v, CAST(COUNT(*) AS BIGINT) AS s
+  FROM adj{i} a
+  JOIN adj{i} b ON b.c = a.c AND a.nb < b.nb
+  JOIN e{i} t ON t.u = a.nb AND t.v = b.nb
+  GROUP BY a.nb, b.nb
+),
+e{i + 1} AS (
+  SELECT e.u, e.v FROM e{i} e
+  JOIN sup{i} s ON s.u = e.u AND s.v = e.v
+  WHERE s.s >= {k - 2}
+)""")
+    parts.append(f"\nSELECT u, v FROM e{rounds}")
+    return "".join(parts)
+
+
+ORACLE_SQL["graph_ktruss"] = _ktruss_oracle_sql()

@@ -5300,3 +5300,89 @@ class TestIntervalOverlapJoin:
             interval_overlap_join(
                 self._mk(left), self._mk(right), width_us=100, pair_cap=100
             ).materialize()
+
+
+class TestKTruss:
+    def _edges(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        # K4 on {0,1,2,3} + a pendant triangle {3,4,5} + a bridge 5-6
+        # + self-loop + duplicate/reversed edges
+        pairs = [
+            (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+            (3, 4), (3, 5), (4, 5), (5, 6), (6, 6), (1, 0), (2, 1),
+        ]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([a for a, _ in pairs], pa.int64()),
+                    "dst": pa.array([b for _, b in pairs], pa.int64()),
+                }
+            )
+        )
+
+    def test_truss4_keeps_only_k4(self, ray_session):
+        """4-truss (support >= 2): K4 edges each sit in 2 triangles; the
+        pendant triangle's edges sit in 1 and peel; the bridge has 0."""
+        from marc2rdf_ray.ops.graph import ktruss
+
+        out = ktruss(self._edges(), k=4, rounds=None).to_pandas()
+        got = sorted(map(tuple, out[["u", "v"]].values.tolist()))
+        assert got == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+    def test_truss3_keeps_both_triangles(self, ray_session):
+        from marc2rdf_ray.ops.graph import ktruss
+
+        out = ktruss(self._edges(), k=3, rounds=None).to_pandas()
+        got = sorted(map(tuple, out[["u", "v"]].values.tolist()))
+        assert (3, 4) in got and (4, 5) in got and (5, 6) not in got
+        assert len(got) == 9
+
+    def test_distributed_rounds_match_local(self, ray_session):
+        """local_budget=0 forces the distributed per-round support path;
+        output must be identical to the one-task fast path."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import ktruss
+
+        rng = np.random.default_rng(11)
+        src = rng.integers(0, 150, 1200)
+        dst = rng.integers(0, 150, 1200)
+        ds = rd.from_arrow(
+            pa.table(
+                {"src": pa.array(src, pa.int64()),
+                 "dst": pa.array(dst, pa.int64())}
+            )
+        )
+        for k, rounds in ((4, 2), (5, None)):
+            loc = ktruss(ds, k=k, rounds=rounds).to_pandas()
+            dist = ktruss(
+                ds, k=k, rounds=rounds, local_budget=0
+            ).to_pandas()
+            assert len(loc) == len(dist)
+            if len(loc):
+                loc = loc.sort_values(["u", "v"]).reset_index(drop=True)
+                dist = dist.sort_values(["u", "v"]).reset_index(drop=True)
+                assert loc.equals(dist)
+
+    def test_strict_raises_on_truncation(self, ray_session):
+        import pytest as _pytest
+
+        from marc2rdf_ray.ops.graph import ktruss
+
+        with _pytest.raises(ValueError, match="max_out"):
+            ktruss(
+                self._edges(), k=3, rounds=1, local_budget=0,
+                max_out=1, strict=True,
+            ).to_pandas()
+
+    def test_k_below_3_rejected(self, ray_session):
+        import pytest as _pytest
+
+        from marc2rdf_ray.ops.graph import ktruss
+
+        with _pytest.raises(ValueError, match="k >= 3"):
+            ktruss(self._edges(), k=2)
