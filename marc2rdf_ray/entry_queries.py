@@ -10505,3 +10505,222 @@ e{i + 1} AS (
 
 
 ORACLE_SQL["graph_ktruss"] = _ktruss_oracle_sql()
+
+
+def events_hourly_ohlc(sf_dir: str):
+    """Per (event_type, hour) OHLC bars: open = value of the earliest
+    event (ties: min event_id), close = value of the latest (ties: max
+    event_id), high/low = value extrema -- the time-series compaction a
+    metrics/feature store runs over raw event streams (reference analog:
+    the per-cycle counter reports, SURVEY SS2.6 A3, lifted to
+    first/last-aware aggregates SQL needs window functions for).
+
+    Scale shape: each batch collapses to AT MOST ONE partial row per
+    (type, hour) via lexsort + reduceat (open/close candidates carry
+    their (ts, event_id) order key), so the exchange is O(groups x
+    batches); a tiny groupby-merge resolves the global argmin/argmax.
+    No arithmetic touches ``value`` -- floats pass through exactly, so
+    the DuckDB window-function oracle hash-matches."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "ts", "value"])
+
+    H = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+        hour = np.floor_divide(epoch_us, H)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        # dictionary-encode the type for a pure-int lexsort
+        types, tcode = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, epoch_us, hour, tcode))
+        tcode, hour = tcode[order], hour[order]
+        epoch_us, eid, val = epoch_us[order], eid[order], val[order]
+        brk = np.empty(len(order), bool)
+        brk[:1] = True
+        if len(order) > 1:
+            brk[1:] = (tcode[1:] != tcode[:-1]) | (hour[1:] != hour[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(order)) - 1
+        return pa.table(
+            {
+                "event_type": pa.array(types[tcode[starts]], pa.string()),
+                "hour": pa.array(hour[starts], pa.int64()),
+                "o_ts": pa.array(epoch_us[starts], pa.int64()),
+                "o_id": pa.array(eid[starts], pa.int64()),
+                "open": pa.array(val[starts], pa.float64()),
+                "c_ts": pa.array(epoch_us[ends], pa.int64()),
+                "c_id": pa.array(eid[ends], pa.int64()),
+                "close": pa.array(val[ends], pa.float64()),
+                "low": pa.array(np.minimum.reduceat(val, starts),
+                                pa.float64()),
+                "high": pa.array(np.maximum.reduceat(val, starts),
+                                 pa.float64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        o = np.lexsort((g["o_id"].to_numpy(zero_copy_only=False),
+                        g["o_ts"].to_numpy(zero_copy_only=False)))[0]
+        c = np.lexsort((g["c_id"].to_numpy(zero_copy_only=False),
+                        g["c_ts"].to_numpy(zero_copy_only=False)))[-1]
+        return pa.table(
+            {
+                "event_type": g["event_type"].slice(0, 1),
+                "hour": g["hour"].slice(0, 1),
+                "open": g["open"].slice(o, 1),
+                "high": pa.array(
+                    [pc.max(g["high"]).as_py()], pa.float64()),
+                "low": pa.array([pc.min(g["low"]).as_py()], pa.float64()),
+                "close": g["close"].slice(c, 1),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+QUERIES["events_hourly_ohlc"] = events_hourly_ohlc
+
+ORACLE_SQL["events_hourly_ohlc"] = """
+WITH b AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+         value, ts, event_id
+  FROM events
+), w AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hour
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hour
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT event_type, hour,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+FROM w GROUP BY event_type, hour
+"""
+
+
+def ri_orphan_audit(sf_dir: str):
+    """Referential-integrity audit after a simulated partial load: for
+    each FK relation, how many child rows (and distinct keys) point at a
+    parent that did not arrive -- the load-QA gate a warehouse runs
+    before publishing a snapshot (reference analog: the conversion
+    cycle's per-table sanity counters, SURVEY SS2.6 T4/A3).  The partial
+    load drops parents on a deterministic modulus (customers % 97,
+    orders % 89, parts % 83 == 0) so every relation reports real
+    orphans.
+
+    Scale shape: per relation, ONE broadcast-or-anti-join membership
+    filter (ops/dedup.anti_join_filter: surviving parent keys broadcast
+    under the byte budget, distributed anti join above it) over the
+    pruned child column, then a count and a bucketed distinct count --
+    child tables never shuffle whole rows; the driver holds 3 scalars."""
+    from .ops.dedup import anti_join_filter, distinct_first
+
+    def audit(child, fk_col, parent, pk_col, modulus):
+        def survivors(b: pa.Table, _p=pk_col, _f=fk_col, _m=modulus):
+            k = b[_p].to_numpy(zero_copy_only=False)
+            return pa.table({_f: pa.array(k[k % _m != 0], pa.int64())})
+
+        parents = _read(sf_dir, parent, columns=[pk_col]).map_batches(
+            survivors, batch_format="pyarrow"
+        )
+        orphans = anti_join_filter(
+            _read(sf_dir, child, columns=[fk_col]), parents, fk_col
+        ).materialize()
+        return orphans.count(), distinct_first(orphans, fk_col).count()
+
+    rows = [
+        ("orders->customer",
+         *audit("orders", "o_custkey", "customer", "c_custkey", 97)),
+        ("lineitem->orders",
+         *audit("lineitem", "l_orderkey", "orders", "o_orderkey", 89)),
+        ("lineitem->part",
+         *audit("lineitem", "l_partkey", "part", "p_partkey", 83)),
+    ]
+    return pa.table(
+        {
+            "relation": pa.array([r[0] for r in rows], pa.string()),
+            "n_orphan_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "n_orphan_keys": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+QUERIES["ri_orphan_audit"] = ri_orphan_audit
+
+ORACLE_SQL["ri_orphan_audit"] = """
+SELECT 'orders->customer' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_orphan_keys
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_custkey % 97 != 0)
+UNION ALL
+SELECT 'lineitem->orders',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderkey % 89 != 0)
+UNION ALL
+SELECT 'lineitem->part',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+FROM lineitem
+WHERE l_partkey NOT IN (SELECT p_partkey FROM part
+                        WHERE p_partkey % 83 != 0)
+"""
+
+
+def kg_validate_datatypes(sf_dir: str):
+    """SHACL-style sh:pattern validation report (ops/bgp.validate_pattern)
+    over the document graph, two shapes:
+
+    - dc:language values must be 3-letter ISO-639-3 lexvo URIs -- the
+      converter emits 2-letter 639-1 codes, so every language triple is
+      a violation (the migration-audit a vocabulary upgrade runs first);
+    - deich:nChars values must be decimal integers -- all conform,
+      contributing zero rows (a clean constraint stays clean).
+
+    Scale shape: per shape, predicate filter at scan + vectorized RE2
+    mismatch BEFORE the exchange; conforming values never shuffle."""
+    from .ops.bgp import validate_pattern
+
+    triples = _lower_docs(
+        _read(sf_dir, "documents"),
+        predicates={DC_LANGUAGE, DEICH_NCHARS},
+    )
+    lang = validate_pattern(
+        triples, DC_LANGUAGE,
+        r"^http://lexvo\.org/id/iso639-3/[a-z]{3}$",
+        check_name="lang_iso639_3",
+    )
+    nchars = validate_pattern(
+        triples, DEICH_NCHARS, r"^[0-9]+$",
+        check_name="nchars_integer",
+    )
+    return lang.union(nchars)
+
+
+QUERIES["kg_validate_datatypes"] = kg_validate_datatypes
+
+ORACLE_SQL["kg_validate_datatypes"] = f"""
+WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({_KG_TRIPLES_SQL}))
+SELECT subj, obj, 'lang_iso639_3' AS "check" FROM t
+WHERE pred = 'http://purl.org/dc/terms/language'
+  AND NOT regexp_matches(obj, '^http://lexvo\\.org/id/iso639-3/[a-z]{{3}}$')
+UNION ALL
+SELECT subj, obj, 'nchars_integer' FROM t
+WHERE pred = 'http://data.deichman.no/nChars'
+  AND NOT regexp_matches(obj, '^[0-9]+$')
+"""

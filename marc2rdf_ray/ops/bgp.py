@@ -802,3 +802,56 @@ def validate_cardinality(
         ),
         batch_format="pyarrow",
     )
+
+
+def validate_pattern(
+    triples_ds,
+    pred: str,
+    regex: str,
+    *,
+    check_name: str | None = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+):
+    """SHACL-style ``sh:pattern`` constraint: every DISTINCT value of
+    ``pred`` that does NOT match ``regex`` (RE2, anchor explicitly for a
+    full match) is a violation -- the shape-level twin of
+    :func:`validate_cardinality` (reference analog: per-record
+    field-shape assertions, SURVEY SS2.3 M17/M19, lifted to graph
+    level).  Returns (subj, obj, check) rows.
+
+    Scale shape: the scan slims to one predicate's (subj, obj) pairs
+    with per-batch DISTINCT collapse and a vectorized RE2 mismatch
+    filter BEFORE the exchange (conforming values never shuffle); one
+    global distinct groupby finishes."""
+    name = check_name or f"pattern:{pred}"
+
+    def slim(b: pa.Table) -> pa.Table:
+        hit = pc.equal(b[pred_col], pa.scalar(pred))
+        t = pa.table(
+            {
+                "subj": pc.cast(b[subj_col].filter(hit), pa.string()),
+                "obj": pc.cast(b[obj_col].filter(hit), pa.string()),
+            }
+        )
+        bad = pc.invert(pc.match_substring_regex(t["obj"], regex))
+        t = t.filter(pc.fill_null(bad, True))
+        return t.group_by(["subj", "obj"], use_threads=False).aggregate([])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": b["subj"],
+                "obj": b["obj"],
+                "check": pa.array([name] * len(b), pa.string()),
+            }
+        )
+
+    return (
+        triples_ds.map_batches(slim, batch_format="pyarrow")
+        .groupby(["subj", "obj"])
+        .count()
+        .select_columns(["subj", "obj"])
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -5386,3 +5386,60 @@ class TestKTruss:
 
         with _pytest.raises(ValueError, match="k >= 3"):
             ktruss(self._edges(), k=2)
+
+
+class TestOhlcAndValidation:
+    def test_ohlc_tie_breaks_on_event_id(self, ray_session, tmp_path):
+        """Two events at the identical timestamp: open takes the min
+        event_id's value, close the max's; high/low span the bar."""
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from marc2rdf_ray.entry_queries import events_hourly_ohlc
+
+        ts = dt.datetime(2024, 1, 1, 10, 15)
+        tab = pa.table(
+            {
+                "event_id": pa.array([2, 1, 3], pa.int64()),
+                "ts": pa.array([ts, ts, ts + dt.timedelta(minutes=5)],
+                               pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 1], pa.int64()),
+                "event_type": pa.array(["click"] * 3, pa.string()),
+                "value": pa.array([5.0, 9.0, 1.0], pa.float64()),
+                "props": pa.array([""] * 3, pa.string()),
+            }
+        )
+        pq.write_table(tab, str(tmp_path / "events.parquet"))
+        out = events_hourly_ohlc(str(tmp_path)).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["open"], r["high"], r["low"], r["close"]) == (
+            9.0, 9.0, 1.0, 1.0
+        )
+
+    def test_validate_pattern_flags_nulls_and_dedups(self, ray_session):
+        """Null objects are violations (cannot conform); duplicate
+        triples collapse to one report row (RDF set semantics)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.bgp import validate_pattern
+
+        tab = pa.table(
+            {
+                "subj": pa.array(["a", "a", "b", "c"], pa.string()),
+                "pred": pa.array(["p", "p", "p", "q"], pa.string()),
+                "obj": pa.array(["xx", "xx", None, "zz"], pa.string()),
+            }
+        )
+        out = validate_pattern(
+            rd.from_arrow(tab), "p", r"^[a-z]{3}$", check_name="len3"
+        ).to_pandas()
+        got = sorted(
+            (s, o if o is not None else "<null>")
+            for s, o in zip(out["subj"], out["obj"])
+        )
+        assert got == [("a", "xx"), ("b", "<null>")]
+        assert set(out["check"]) == {"len3"}
