@@ -312,6 +312,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kg_update_language",
         "graph_ktruss",
         "events_click_error_overlap",
+        "ann_pq_topk",
+        "parts_golden_records",
     ]
     out = {}
     for name in names:

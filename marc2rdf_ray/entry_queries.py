@@ -4048,45 +4048,50 @@ FROM deg GROUP BY 1
 def _kmeans_ctes(
     iterations: int = 3, n_clusters: int = 8, dim: int = 64,
     k_off: int = 4194304, src: str = "embeddings", prelude: str = "",
+    suffix: str = "", lead: str = "WITH ",
 ) -> str:
     """Unrolled integer Lloyd recurrence CTE chain ending at
-    ``c{iterations}`` (cid, v) -- shared by the embeddings_kmeans oracle,
-    the trained-IVF oracle and the SemDeDup oracle (``src``/``prelude``
-    let the chain run over an augmented CTE instead of the raw table).
-    The centroid mean uses the offset trick ``(SUM + COUNT*K) // COUNT -
-    K`` so DuckDB's truncating ``//`` computes floor on the (possibly
-    negative) sums, matching numpy's floor division bit-for-bit."""
+    ``c{iterations}{suffix}`` (cid, v) -- shared by the embeddings_kmeans
+    oracle, the trained-IVF oracle, the SemDeDup oracle and the PQ
+    codebooks (``src``/``prelude`` let the chain run over an augmented /
+    sub-vector CTE instead of the raw table; ``suffix``/``lead`` let TWO
+    chains coexist in one statement).  The centroid mean uses the offset
+    trick ``(SUM + COUNT*K) // COUNT - K`` so DuckDB's truncating ``//``
+    computes floor on the (possibly negative) sums, matching numpy's
+    floor division bit-for-bit."""
+    x = suffix
     parts = [f"""
-WITH {prelude}q AS (
+{lead}{prelude}q{x} AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
          list_transform(CAST(embedding AS DOUBLE[]),
          x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)) AS v
   FROM {src}
 ),
-c0 AS (SELECT vec_id AS cid, v FROM q WHERE vec_id < {n_clusters})"""]
+c0{x} AS (SELECT vec_id AS cid, v FROM q{x} WHERE vec_id < {n_clusters})"""]
     for i in range(1, iterations + 1):
         p = i - 1
         parts.append(f""",
-d{i} AS (
+d{i}{x} AS (
   SELECT q.vec_id, c.cid,
     list_aggregate(list_transform(generate_series(1, {dim}),
       d -> (q.v[d] - c.v[d]) * (q.v[d] - c.v[d])), 'sum') AS d2
-  FROM q CROSS JOIN c{p} c
+  FROM q{x} q CROSS JOIN c{p}{x} c
 ),
-a{i} AS (
-  SELECT vec_id, cid FROM d{i}
+a{i}{x} AS (
+  SELECT vec_id, cid FROM d{i}{x}
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
 ),
-s{i} AS (
+s{i}{x} AS (
   SELECT a.cid, d.d AS dim,
          (SUM(q.v[d.d]) + COUNT(*) * {k_off}) // COUNT(*) - {k_off} AS x
-  FROM a{i} a JOIN q USING (vec_id) CROSS JOIN generate_series(1, {dim}) d(d)
+  FROM a{i}{x} a JOIN q{x} q USING (vec_id)
+  CROSS JOIN generate_series(1, {dim}) d(d)
   GROUP BY a.cid, d.d
 ),
-c{i} AS (
-  SELECT c{p}.cid, COALESCE(s.v, c{p}.v) AS v
-  FROM c{p} LEFT JOIN (
-    SELECT cid, list(x ORDER BY dim) AS v FROM s{i} GROUP BY cid
+c{i}{x} AS (
+  SELECT c{p}{x}.cid, COALESCE(s.v, c{p}{x}.v) AS v
+  FROM c{p}{x} LEFT JOIN (
+    SELECT cid, list(x ORDER BY dim) AS v FROM s{i}{x} GROUP BY cid
   ) s USING (cid)
 )""")
     return "".join(parts)
@@ -10724,3 +10729,225 @@ SELECT subj, obj, 'nchars_integer' FROM t
 WHERE pred = 'http://data.deichman.no/nChars'
   AND NOT regexp_matches(obj, '^[0-9]+$')
 """
+
+
+def parts_golden_records(sf_dir: str):
+    """ER survivorship: collapse each fuzzy-name merge cluster
+    (parts_name_clusters) to ONE golden record -- canonical name,
+    member count, max list price, and the brand of the earliest-loaded
+    member (min p_partkey wins, the first-writer survivorship rule) --
+    the master-data step after matching, the same merge the reference's
+    sameAs canonicalization performs on page entities lifted to
+    attribute level (SURVEY SS2.5 J4 composed with A1).
+
+    Scale shape: the name->root cluster map is vocabulary-sized and
+    broadcasts once (ray.put; distributed-join fallback above the byte
+    budget); parts collapse to <=1 partial row per canon per batch
+    (argmin carries its brand payload) before ONE small groupby-merge."""
+    import ray
+
+    cc = parts_name_clusters(sf_dir)
+    ctab, cmat = _small_side(cc)
+
+    parts = _read(
+        sf_dir, "part",
+        columns=["p_partkey", "p_name", "p_brand", "p_retailprice"],
+    )
+
+    def with_canon_broadcast(ref):
+        def attach(b: pa.Table) -> pa.Table:
+            t = ray.get(ref)
+            idx = pc.index_in(b["p_name"], value_set=t["node"])
+            root = pc.take(t["root"], idx)
+            return b.append_column(
+                "canon", pc.coalesce(root, b["p_name"])
+            )
+
+        return parts.map_batches(attach, batch_format="pyarrow")
+
+    if ctab is not None:
+        ref = ray.put(
+            pa.table({"node": ctab["node"].combine_chunks(),
+                      "root": ctab["root"].combine_chunks()})
+        )
+        tagged = with_canon_broadcast(ref)
+    else:  # pragma: no cover - scale path
+        tagged = parts.join(
+            cmat, join_type="left_outer", num_partitions=_join_nparts(),
+            on=("p_name",), right_on=("node",),
+        ).map_batches(
+            lambda b: b.append_column(
+                "canon", pc.coalesce(b["root"], b["p_name"])
+            ).drop_columns(["root"]),
+            batch_format="pyarrow",
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        canon = b["canon"].to_numpy(zero_copy_only=False)
+        key = b["p_partkey"].to_numpy(zero_copy_only=False)
+        cents = sql_round_i64(b["p_retailprice"], 100.0).to_numpy(
+            zero_copy_only=False
+        )
+        roots, code = np.unique(canon, return_inverse=True)
+        order = np.lexsort((key, code))
+        code, key, cents = code[order], key[order], cents[order]
+        brand = b["p_brand"].to_numpy(zero_copy_only=False)[order]
+        brk = np.empty(len(code), bool)
+        brk[:1] = True
+        if len(code) > 1:
+            brk[1:] = code[1:] != code[:-1]
+        starts = np.flatnonzero(brk)
+        return pa.table(
+            {
+                "golden_name": pa.array(roots[code[starts]], pa.string()),
+                "first_partkey": pa.array(key[starts], pa.int64()),
+                "brand": pa.array(brand[starts], pa.string()),
+                "max_retail_cents": pa.array(
+                    np.maximum.reduceat(cents, starts), pa.int64()),
+                "n_members": pa.array(
+                    np.diff(np.append(starts, len(code))), pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        i = int(np.argmin(g["first_partkey"].to_numpy(
+            zero_copy_only=False)))
+        return pa.table(
+            {
+                "golden_name": g["golden_name"].slice(0, 1),
+                "brand": g["brand"].slice(i, 1),
+                "max_retail_cents": pa.array(
+                    [pc.max(g["max_retail_cents"]).as_py()], pa.int64()),
+                "n_members": pa.array(
+                    [pc.sum(g["n_members"]).as_py()], pa.int64()),
+            }
+        )
+
+    return (
+        tagged.map_batches(partial, batch_format="pyarrow")
+        .groupby("golden_name")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+QUERIES["parts_golden_records"] = parts_golden_records
+
+ORACLE_SQL["parts_golden_records"] = """
+WITH RECURSIVE n AS (
+  SELECT p_name, COUNT(*)::BIGINT AS c FROM part GROUP BY p_name
+), b AS (
+  SELECT p_name, c, split_part(p_name, ' ', 1) AS blk FROM n
+), e AS (
+  SELECT a.p_name AS x, bb.p_name AS y
+  FROM b a JOIN b bb ON a.blk = bb.blk AND a.p_name < bb.p_name
+  WHERE levenshtein(a.p_name, bb.p_name) <= 2
+), und AS (
+  SELECT x, y FROM e UNION SELECT y, x FROM e
+), nodes AS (
+  SELECT x AS node FROM und
+  UNION SELECT p_name FROM n WHERE c > 1
+), reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT u.y, reach.r FROM reach JOIN und u ON u.x = reach.node
+), canon AS (
+  SELECT node, MIN(r) AS root FROM reach GROUP BY node
+)
+SELECT COALESCE(c.root, p.p_name) AS golden_name,
+       arg_min(p.p_brand, p.p_partkey) AS brand,
+       CAST(MAX(CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS max_retail_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM part p LEFT JOIN canon c ON c.node = p.p_name
+GROUP BY COALESCE(c.root, p.p_name)
+"""
+
+
+def ann_pq_topk(sf_dir: str):
+    """Product-quantization ANN (ops/ann.pq_topk): 2 subspaces x 8-code
+    codebooks trained by the shared integer Lloyd recurrence, ADC
+    integer-distance candidate scan (vectors ship as 2 small codes),
+    exact float64 cosine rescore of the top-40 to top-10 -- the
+    compression family (Jegou 2011) beyond SQ8's scalar path.  The
+    DuckDB oracle composes TWO suffixed _kmeans_ctes chains over the
+    vector halves and replays codebooks, codes, LUTs, ADC ranking and
+    the rounded rescore bit-for-bit."""
+    from .ops.ann import pq_topk
+
+    ids, mat = _query_vectors(sf_dir)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pq_topk(emb, ids, mat, k=10, n_sub=2, ksub=8, iterations=2,
+                   oversample=4)
+
+
+QUERIES["ann_pq_topk"] = ann_pq_topk
+
+
+def _pq_oracle_sql(
+    dim: int = 64, n_sub: int = 2, ksub: int = 8, iterations: int = 2,
+    n_queries: int = 8, k: int = 10, oversample: int = 4,
+) -> str:
+    dsub = dim // n_sub
+    it = iterations
+    m = k * oversample
+    pre = ["WITH "]
+    for s in range(n_sub):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        pre.append(
+            f"subp{s} AS (SELECT vec_id, embedding[{lo}:{hi}] AS embedding "
+            f"FROM embeddings){',' if s + 1 < n_sub else ''}\n"
+        )
+    parts = ["".join(pre)]
+    for s in range(n_sub):
+        parts.append(_kmeans_ctes(
+            iterations=it, n_clusters=ksub, dim=dsub,
+            src=f"subp{s}", suffix=f"p{s}", lead=",",
+        ))
+    for s in range(n_sub):
+        parts.append(f""",
+dall{s} AS (
+  SELECT q.vec_id, c.cid,
+    list_aggregate(list_transform(generate_series(1, {dsub}),
+      d -> (q.v[d] - c.v[d]) * (q.v[d] - c.v[d])), 'sum') AS d2
+  FROM qp{s} q CROSS JOIN c{it}p{s} c
+),
+codes{s} AS (
+  SELECT vec_id, cid FROM dall{s}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+lut{s} AS (
+  SELECT vec_id AS qid, cid, d2 FROM dall{s} WHERE vec_id < {n_queries}
+)""")
+    joins = "JOIN lut0 l0 ON l0.cid = c0.cid" + "".join(
+        f"\n  JOIN codes{s} c{s} ON c{s}.vec_id = c0.vec_id"
+        f"\n  JOIN lut{s} l{s} ON l{s}.cid = c{s}.cid"
+        f" AND l{s}.qid = l0.qid"
+        for s in range(1, n_sub)
+    )
+    adc_sum = " + ".join(f"l{s}.d2" for s in range(n_sub))
+    parts.append(f""",
+adc AS (
+  SELECT l0.qid, c0.vec_id, {adc_sum} AS adc
+  FROM codes0 c0
+  {joins}
+),
+cand AS (
+  SELECT qid, vec_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id)
+    <= {m}
+),
+fv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+fq AS (SELECT vec_id AS qid, v AS qvv FROM fv WHERE vec_id < {n_queries})
+SELECT c.qid, c.vec_id,
+  ROUND(list_cosine_similarity(e.v, qe.qvv), 4) AS score
+FROM cand c
+JOIN fv e ON e.vec_id = c.vec_id
+JOIN fq qe ON qe.qid = c.qid
+QUALIFY row_number() OVER (
+  PARTITION BY c.qid
+  ORDER BY ROUND(list_cosine_similarity(e.v, qe.qvv), 4) DESC, c.vec_id
+) <= {k}""")
+    return "".join(parts)
+
+
+ORACLE_SQL["ann_pq_topk"] = _pq_oracle_sql()

@@ -1010,3 +1010,136 @@ def embedding_gram(ds, *, vec_col: str = "embedding",
         .groupby(["i", "j"])
         .aggregate(Sum("g", alias_name="g"))
     )
+
+
+def pq_topk(
+    ds,
+    query_ids: list[int],
+    query_mat: np.ndarray,
+    *,
+    k: int = 10,
+    n_sub: int = 2,
+    ksub: int = 8,
+    iterations: int = 2,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product-quantization (PQ, Jegou et al. 2011) top-k with exact
+    rescore: the vector splits into ``n_sub`` subspaces, each trained to
+    a ``ksub``-centroid codebook by the SAME deterministic integer Lloyd
+    recurrence as :func:`kmeans_quantized`; the candidate scan ranks by
+    the ADC integer distance (per-query lookup table of subspace
+    centroid distances, summed over each vector's codes -- ties -> lower
+    id), keeps the top ``k*oversample`` per query, then rescores those
+    with exact float64 cosine (rounded to 4 decimals, the sq8_topk
+    contract) and returns the top ``k``.
+
+    Scale shape: this is the compression path past SQ8 -- the scanned
+    representation is ``n_sub`` SMALL INTS per vector (codebooks are
+    O(n_sub*ksub*dsub) driver state broadcast once), so a 100-TB float
+    corpus scans as a few TB of codes; training is the kmeans combiner
+    (one partial pass per round per subspace), encoding + ADC are one
+    stateless integer pass, and the exchange carries k*oversample rows
+    per query per batch.  Every candidate step is integer arithmetic, so
+    the DuckDB oracle (two suffixed _kmeans_ctes chains + LUT replay)
+    reproduces candidate selection AND final ranking bit-for-bit."""
+    import ray
+
+    qmat = np.asarray(query_mat, dtype=np.float64)
+    dim = qmat.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    dsub = dim // n_sub
+    m = k * oversample
+
+    def sub_ds(s: int):
+        lo = s * dsub
+
+        def slice_batch(b: pa.Table, _lo=lo) -> pa.Table:
+            mat = vecs_to_matrix(b[vec_col])[:, _lo:_lo + dsub]
+            n = len(b)
+            flat = pa.array(np.ascontiguousarray(mat).ravel(), pa.float64())
+            col = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1) * dsub, pa.int32()), flat
+            )
+            return pa.table({id_col: b[id_col], vec_col: col})
+
+        return ds.map_batches(slice_batch, batch_format="pyarrow")
+
+    books = []
+    for s in range(n_sub):
+        cents, _ = kmeans_quantized(
+            sub_ds(s), n_clusters=ksub, iterations=iterations,
+            id_col=id_col, vec_col=vec_col,
+        )
+        books.append(cents)  # (ksub, dsub) int64
+
+    ref = ray.put(
+        {"qid": list(query_ids), "mat": qmat, "books": books}
+    )
+
+    class Scorer:
+        def __init__(self):
+            q = ray.get(ref)
+            self.qids = np.asarray(q["qid"])
+            mat = np.asarray(q["mat"], np.float64)
+            self.books = q["books"]
+            self.qunit = _unit(mat).T  # (d, nq)
+            # per-query ADC lookup tables: (n_sub, nq, ksub) int64
+            self.lut = np.stack(
+                [
+                    (
+                        (
+                            _quantize(mat[:, s * dsub:(s + 1) * dsub])
+                            [:, None, :]
+                            - self.books[s][None, :, :]
+                        ) ** 2
+                    ).sum(axis=2)
+                    for s in range(n_sub)
+                ]
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist())
+            mat = vecs_to_matrix(batch[vec_col])
+            nq = len(self.qids)
+            adc = np.zeros((len(ids), nq), np.int64)
+            for s in range(n_sub):
+                vq = _quantize(mat[:, s * dsub:(s + 1) * dsub])
+                d2 = ((vq[:, None, :] - self.books[s][None, :, :]) ** 2
+                      ).sum(axis=2)
+                codes = np.argmin(d2, axis=1)  # ties -> lowest cid
+                adc += self.lut[s][:, codes].T
+            sims = _unit(mat) @ self.qunit
+            mm = min(m, len(ids))
+            out_q, out_id, out_a, out_s = [], [], [], []
+            for c in range(nq):
+                order = np.lexsort((ids, adc[:, c]))[:mm]
+                out_q.extend([self.qids[c]] * len(order))
+                out_id.extend(ids[order])
+                out_a.extend(adc[order, c])
+                out_s.extend(np.round(sims[order, c], 4))
+            return pa.table(
+                {
+                    "qid": pa.array(out_q, pa.int64()),
+                    id_col: pa.array(out_id, pa.int64()),
+                    "adc": pa.array(out_a, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partial = ds.map_batches(
+        Scorer, concurrency=(1, 8), batch_format="pyarrow"
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        cand = group.sort_by(
+            [("adc", "ascending"), (id_col, "ascending")]
+        ).slice(0, m)
+        top = cand.sort_by(
+            [("score", "descending"), (id_col, "ascending")]
+        ).slice(0, k)
+        return top.select(["qid", id_col, "score"])
+
+    return partial.groupby("qid").map_groups(merge, batch_format="pyarrow")

@@ -5443,3 +5443,62 @@ class TestOhlcAndValidation:
         )
         assert got == [("a", "xx"), ("b", "<null>")]
         assert set(out["check"]) == {"len3"}
+
+
+class TestPQTopk:
+    def _data(self, n=300, d=16, seed=3):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        rng = np.random.default_rng(seed)
+        mat = rng.normal(size=(n, d))
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        tab = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype("float32") for row in mat],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        return rd.from_arrow(tab), mat
+
+    def test_pq_recall_against_brute(self, ray_session):
+        """ADC candidates + exact rescore must recover most of the true
+        top-10 (quantization is lossy; the rescore repairs ranking)."""
+        from marc2rdf_ray.ops.ann import brute_topk, pq_topk
+
+        ds, mat = self._data()
+        qids = [0, 1, 2]
+        qmat = mat[:3]
+        pq = pq_topk(ds, qids, qmat, k=10, n_sub=2, ksub=8,
+                     iterations=2, oversample=4).to_pandas()
+        bf = brute_topk(ds, qids, qmat, k=10).to_pandas()
+        recalls = []
+        for q in qids:
+            got = set(pq[pq["qid"] == q]["vec_id"])
+            want = set(bf[bf["qid"] == q]["vec_id"])
+            assert len(got) == 10
+            recalls.append(len(got & want) / 10)
+        assert sum(recalls) / len(recalls) >= 0.5
+
+    def test_pq_deterministic_across_runs(self, ray_session):
+        from marc2rdf_ray.ops.ann import pq_topk
+
+        ds, mat = self._data(n=120, d=8, seed=9)
+        a = pq_topk(ds, [0], mat[:1], k=5, n_sub=2, ksub=4,
+                    iterations=1).to_pandas()
+        b = pq_topk(ds, [0], mat[:1], k=5, n_sub=2, ksub=4,
+                    iterations=1).to_pandas()
+        assert a.equals(b)
+
+    def test_pq_rejects_indivisible_dim(self, ray_session):
+        import pytest as _pytest
+
+        from marc2rdf_ray.ops.ann import pq_topk
+
+        ds, mat = self._data(n=40, d=10)
+        with _pytest.raises(ValueError, match="divisible"):
+            pq_topk(ds, [0], mat[:1], n_sub=3)
