@@ -10951,3 +10951,97 @@ QUALIFY row_number() OVER (
 
 
 ORACLE_SQL["ann_pq_topk"] = _pq_oracle_sql()
+
+
+def orders_zorder_layout(sf_dir: str):
+    """Z-order (Morton) layout audit (ops/relational.zorder_key): orders
+    get a 2-D interleave key over (o_custkey, order-date days), then the
+    layout report groups rows into 256 key ranges and shows each range's
+    bounding box in BOTH dimensions -- the locality evidence behind
+    OPTIMIZE ZORDER-style table clustering: a range predicate on either
+    customer or date prunes whole key ranges of a z-sorted Parquet
+    layout (at 100 TB this is the difference between a full scan and a
+    few row groups).
+
+    Scale shape: key assignment is a stateless integer bit-interleave
+    per batch; the audit is one groupby over 256 range ids with min/max
+    partials -- no row-level exchange."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from .ops.relational import zorder_key
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        days = pc.cast(
+            pc.divide(
+                pc.cast(pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                        pa.int64()),
+                pa.scalar(86_400_000_000, pa.int64()),
+            ),
+            pa.int64(),
+        )
+        return pa.table({"o_custkey": b["o_custkey"], "days": days})
+
+    keyed = zorder_key(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey", "days"], bits=16,
+    )
+
+    def to_range(b: pa.Table) -> pa.Table:
+        # pyarrow 16 has no bit_wise_shift_right; zkeys are non-negative
+        # so >> 20 == floor-divide by 2^20 (range granularity sized to
+        # the key magnitudes of this corpus)
+        z = b["zkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "zrange": pa.array(z >> 20, pa.int64()),
+                "o_custkey": b["o_custkey"],
+                "days": b["days"],
+            }
+        )
+
+    return (
+        keyed.map_batches(to_range, batch_format="pyarrow")
+        .groupby("zrange")
+        .aggregate(
+            Count(alias_name="n_rows"),
+            Min("o_custkey", alias_name="cust_min"),
+            Max("o_custkey", alias_name="cust_max"),
+            Min("days", alias_name="day_min"),
+            Max("days", alias_name="day_max"),
+        )
+    )
+
+
+QUERIES["orders_zorder_layout"] = orders_zorder_layout
+
+
+def _zkey_sql_expr(cols: list[str], bits: int = 16) -> str:
+    """The same bit-interleave as ops/relational.zorder_key, unrolled."""
+    terms = []
+    for ci, c in enumerate(cols):
+        masked = f"(({c}) & {(1 << bits) - 1})"
+        for i in range(bits):
+            terms.append(
+                f"((({masked} >> {i}) & 1) << {i * len(cols) + ci})"
+            )
+    return " | ".join(terms)
+
+
+ORACLE_SQL["orders_zorder_layout"] = f"""
+WITH b AS (
+  SELECT o_custkey,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS days
+  FROM orders
+), z AS (
+  SELECT o_custkey, days,
+         ({_zkey_sql_expr(["o_custkey", "days"])}) AS zkey
+  FROM b
+)
+SELECT zkey >> 20 AS zrange,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_custkey) AS cust_min, MAX(o_custkey) AS cust_max,
+       MIN(days) AS day_min, MAX(days) AS day_max
+FROM z GROUP BY zrange
+"""

@@ -1813,3 +1813,43 @@ def grouped_mlr2(
             "b2": pa.array(b2s, pa.float64()),
         }
     )
+
+
+def zorder_key(
+    ds,
+    cols: list[str],
+    *,
+    bits: int = 16,
+    out_col: str = "zkey",
+):
+    """Append a Morton (Z-order) interleave key over ``cols`` (int-like
+    columns, low ``bits`` bits each): the multi-dimensional data-layout
+    key -- rows sorted/partitioned by it cluster locality in EVERY
+    ``cols`` dimension at once, so range predicates on any of them prune
+    contiguous key ranges of a sorted Parquet layout (the table-layout
+    optimization Delta/Iceberg expose as OPTIMIZE ZORDER, public).
+
+    Pure per-batch integer bit-interleave (numpy shifts/ors, no state,
+    no exchange); layout itself is then one ``sort`` / ``repartition``
+    by ``out_col``.  ``len(cols) * bits`` must fit 63 bits.  Values are
+    masked to the low ``bits`` bits after a non-negativity check (a
+    negative coordinate has no total Z-order; fail loud, don't wrap)."""
+    if len(cols) * bits > 63:
+        raise ValueError("z-key would overflow int64")
+
+    def add_key(b: pa.Table) -> pa.Table:
+        n = len(b)
+        z = np.zeros(n, np.int64)
+        for ci, c in enumerate(cols):
+            v = b[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(v) and v.min() < 0:
+                raise ValueError(
+                    f"zorder_key: negative values in {c!r} have no "
+                    "total Z-order"
+                )
+            v = v & ((np.int64(1) << bits) - 1)
+            for i in range(bits):
+                z |= ((v >> i) & 1) << (i * len(cols) + ci)
+        return b.append_column(out_col, pa.array(z, pa.int64()))
+
+    return ds.map_batches(add_key, batch_format="pyarrow")

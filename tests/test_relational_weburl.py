@@ -798,3 +798,50 @@ class TestRollingDistinctUsers:
         ).df()
         assert out["day_bucket"].tolist() == exp["day_bucket"].tolist()
         assert out["n_users"].tolist() == exp["n_users"].tolist()
+
+
+class TestZOrderKey:
+    def test_interleave_matches_reference(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import zorder_key
+
+        def ref(x, y, bits=16):
+            z = 0
+            for i in range(bits):
+                z |= ((x >> i) & 1) << (2 * i)
+                z |= ((y >> i) & 1) << (2 * i + 1)
+            return z
+
+        xs, ys = [0, 1, 2, 3, 65535, 70000], [0, 1, 3, 5, 65535, 2]
+        ds = rd.from_arrow(
+            pa.table({"x": pa.array(xs, pa.int64()),
+                      "y": pa.array(ys, pa.int64())})
+        )
+        out = zorder_key(ds, ["x", "y"]).to_pandas()
+        # values mask to the low 16 bits (70000 & 0xFFFF == 4464)
+        want = [ref(x & 0xFFFF, y & 0xFFFF) for x, y in zip(xs, ys)]
+        assert list(out["zkey"]) == want
+
+    def test_negative_fails_loud(self, ray_session):
+        import pyarrow as pa
+        import pytest as _pytest
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import zorder_key
+
+        ds = rd.from_arrow(
+            pa.table({"x": pa.array([-1], pa.int64()),
+                      "y": pa.array([1], pa.int64())})
+        )
+        with _pytest.raises(Exception, match="[Zz]-order"):
+            zorder_key(ds, ["x", "y"]).to_pandas()
+
+    def test_overflow_guard(self, ray_session):
+        import pytest as _pytest
+
+        from marc2rdf_ray.ops.relational import zorder_key
+
+        with _pytest.raises(ValueError, match="overflow"):
+            zorder_key(None, ["a", "b", "c", "d"], bits=16)
