@@ -11045,3 +11045,49 @@ SELECT zkey >> 20 AS zrange,
        MIN(days) AS day_min, MAX(days) AS day_max
 FROM z GROUP BY zrange
 """
+
+
+def orders_profile(sf_dir: str):
+    """Column profile of the orders table (ops/relational.table_profile):
+    per column, exact row / null / distinct-value counts in ONE pass --
+    values cross the exchange only as 128-bit hash identities, so a
+    100-TB table profiles at hash-row cost."""
+    from .ops.relational import table_profile
+
+    return table_profile(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                       "o_totalprice", "o_orderdate", "o_orderpriority"]),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    )
+
+
+QUERIES["orders_profile"] = orders_profile
+
+ORACLE_SQL["orders_profile"] = """
+SELECT 'o_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+"""

@@ -845,3 +845,31 @@ class TestZOrderKey:
 
         with _pytest.raises(ValueError, match="overflow"):
             zorder_key(None, ["a", "b", "c", "d"], bits=16)
+
+
+class TestTableProfile:
+    def test_counts_nulls_distincts(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import table_profile
+
+        tab = pa.table(
+            {
+                "a": pa.array([1, 1, 2, None, None], pa.int64()),
+                "b": pa.array(["x", "", "x", "y", None], pa.string()),
+                "c": pa.array([0.5, 0.5, 0.5, 0.5, 0.5], pa.float64()),
+            }
+        )
+        # two blocks so batch partials must combine across batches
+        ds = rd.from_arrow(tab).repartition(2)
+        out = table_profile(ds, ["a", "b", "c"]).to_pandas()
+        got = {
+            r["col"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+            for _, r in out.iterrows()
+        }
+        assert got == {
+            "a": (5, 2, 2),
+            "b": (5, 1, 3),   # empty string is a value, not a null
+            "c": (5, 0, 1),
+        }
