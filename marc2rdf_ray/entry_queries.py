@@ -11091,3 +11091,174 @@ SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
        CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
 """
+
+
+def events_seasonal_baseline(sf_dir: str):
+    """Weekly seasonal profile: per (day-of-week, hour-of-day), event
+    count and the exact floored mean value in micro-cents -- the
+    baseline a forecaster/anomaly detector subtracts before looking at
+    residuals (the per-cycle counter reports, SURVEY SS2.6 A3, lifted to
+    calendar seasonality).  The mean uses the shared offset-floor trick
+    ((S*10000 + n*K) // n - K) so DuckDB's truncating // replays
+    numpy's floor division bit-for-bit on possibly-negative sums.
+
+    Scale shape: stateless bucket derivation (pure integer epoch
+    arithmetic -- no calendar functions, so both engines compute the
+    SAME dow) + ONE tiny groupby over <=168 cells."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    K = np.int64(1) << np.int64(40)
+
+    def buckets(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        days = np.floor_divide(us, 86_400_000_000)
+        hours = np.floor_divide(us, 3_600_000_000)
+        return pa.table(
+            {
+                # epoch day 0 = Thursday = 4 in the Sunday=0 convention
+                "dow": pa.array((days + 4) % 7, pa.int64()),
+                "hour": pa.array(hours % 24, pa.int64()),
+                "cents": sql_round_i64(b["value"], 100.0),
+            }
+        )
+
+    agg = (
+        ds.map_batches(buckets, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("cents", alias_name="s"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mean = (s * 10000 + n * K) // n - K
+        return pa.table(
+            {
+                "dow": b["dow"],
+                "hour": b["hour"],
+                "n_events": pa.array(n, pa.int64()),
+                "mean_microcents": pa.array(mean, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["events_seasonal_baseline"] = events_seasonal_baseline
+
+ORACLE_SQL["events_seasonal_baseline"] = """
+WITH b AS (
+  SELECT (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS dow,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hour,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST((SUM(cents) * 10000 + COUNT(*) * 1099511627776)
+            // COUNT(*) - 1099511627776 AS BIGINT) AS mean_microcents
+FROM b GROUP BY dow, hour
+"""
+
+
+def events_funnel_latency(sf_dir: str):
+    """Per-user conversion latency: microseconds from the user's FIRST
+    'view' to their first 'purchase' at-or-after it -- the time-to-convert
+    metric next to events_funnel's step counts.  Users who never view or
+    never purchase after viewing drop out (inner funnel semantics).
+
+    Scale shape: two slim passes -- (1) per-user first-view via per-batch
+    min partials + one tiny groupby, broadcast back (byte-budgeted with
+    a join fallback); (2) per-batch min-purchase-after-t0 partials over
+    the filtered stream + one tiny groupby.  Timestamps cross the
+    exchange as int64 micros; no full-row shuffle anywhere."""
+    import ray
+
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def slim(event_type: str):
+        def prep(b: pa.Table, _t=event_type) -> pa.Table:
+            hit = pc.equal(b["event_type"], _t)
+            return pa.table(
+                {
+                    "user_id": b["user_id"].filter(hit),
+                    "us": pc.cast(
+                        pc.cast(b["ts"].filter(hit), pa.timestamp("us")),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    first_view = (
+        slim("view").groupby("user_id").aggregate(Min("us", alias_name="t0"))
+    )
+    vtab, vmat = _small_side(first_view)
+    if vtab is not None:
+        ref = ray.put(
+            pa.table({"user_id": vtab["user_id"].combine_chunks(),
+                      "t0": vtab["t0"].combine_chunks()})
+        )
+
+        def after_t0(b: pa.Table) -> pa.Table:
+            t = ray.get(ref)
+            idx = pc.index_in(b["user_id"], value_set=t["user_id"])
+            t0 = pc.take(t["t0"], idx)
+            keep = pc.and_kleene(pc.is_valid(t0),
+                                 pc.greater_equal(b["us"], t0))
+            keep = pc.fill_null(keep, False)
+            f = b.filter(keep)
+            return pa.table(
+                {
+                    "user_id": f["user_id"],
+                    "us": f["us"],
+                    "t0": pc.take(t["t0"], pc.index_in(
+                        f["user_id"], value_set=t["user_id"])),
+                }
+            )
+
+        purchases = slim("purchase").map_batches(
+            after_t0, batch_format="pyarrow"
+        )
+    else:  # pragma: no cover - scale path
+        purchases = slim("purchase").join(
+            vmat, join_type="inner", num_partitions=_join_nparts(),
+            on=("user_id",),
+        ).filter(expr="us >= t0")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "latency_us": pc.subtract(b["t1"], b["t0"]),
+            }
+        )
+
+    return (
+        purchases.groupby(["user_id", "t0"])
+        .aggregate(Min("us", alias_name="t1"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+QUERIES["events_funnel_latency"] = events_funnel_latency
+
+ORACLE_SQL["events_funnel_latency"] = """
+WITH v AS (
+  SELECT user_id, MIN(CAST(epoch_us(ts) AS BIGINT)) AS t0
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, MIN(CAST(epoch_us(e.ts) AS BIGINT)) AS t1
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(epoch_us(e.ts) AS BIGINT) >= v.t0
+  GROUP BY e.user_id
+)
+SELECT v.user_id, p.t1 - v.t0 AS latency_us
+FROM v JOIN p ON p.user_id = v.user_id
+"""
