@@ -11262,3 +11262,94 @@ WITH v AS (
 SELECT v.user_id, p.t1 - v.t0 AS latency_us
 FROM v JOIN p ON p.user_id = v.user_id
 """
+
+
+def kg_bgp_minus(sf_dir: str):
+    """SPARQL MINUS over the flagship graph:
+
+        SELECT ?doc ?lang WHERE {
+          ?doc dc:language ?lang .
+          MINUS { ?doc owl:sameAs ?canon } }
+
+    -- every document's language EXCEPT aliased documents (those carrying
+    a sameAs link): the negation shape (ops/bgp.bgp_minus), executed as
+    the star match plus ONE broadcast-or-anti-join on the distinct
+    excluded-subject set.  Only doc_id % 3 == 0 documents get shifted
+    copies here, so the graph holds BOTH aliased and clean documents
+    (full augmentation would alias everything and MINUS the graph away)."""
+    import ray.data as rd  # noqa: F401
+
+    from .ops.bgp import bgp_minus
+    from .stages.canonicalize import sameas_by_shared_key, symmetry_closure
+
+    docs = _read(sf_dir, "documents")
+
+    def shift_third(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = pa.array(ids % 3 == 0)
+        f = batch.filter(keep)
+        cols = {c: f[c] for c in f.column_names}
+        cols["doc_id"] = pc.add(f["doc_id"], pa.scalar(1000000))
+        return pa.table(cols)
+
+    aug = docs.union(docs.map_batches(shift_third, batch_format="pyarrow"))
+    base = _lower_docs(aug, predicates={DC_LANGUAGE})
+
+    def hash_triples(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        n = len(ids)
+        return pa.table(
+            {
+                "subj": pa.array([f"{DOC_BASE}{i}" for i in ids],
+                                 pa.string()),
+                "pred": pa.array(["hash"] * n, pa.string()),
+                "obj": pa.array(
+                    [hashlib.md5((t or "").encode()).hexdigest()
+                     for t in texts], pa.string()),
+                "obj_kind": pa.array(["literal"] * n, pa.string()),
+                "lang": pa.array([None] * n, pa.string()),
+                "src": pa.array([f"{DOC_BASE}{i}" for i in ids],
+                                pa.string()),
+            }
+        )
+
+    sameas = symmetry_closure(
+        sameas_by_shared_key(
+            aug.map_batches(hash_triples, batch_format="pyarrow"), "hash"
+        ),
+        dedup=False,
+    )
+    slim3 = lambda b: b.select(["subj", "pred", "obj"])  # noqa: E731
+    triples = base.map_batches(slim3, batch_format="pyarrow").union(
+        sameas.map_batches(slim3, batch_format="pyarrow")
+    )
+    return bgp_minus(
+        triples, [(DC_LANGUAGE, "lang")],
+        "http://www.w3.org/2002/07/owl#sameAs",
+    )
+
+
+QUERIES["kg_bgp_minus"] = kg_bgp_minus
+
+ORACLE_SQL["kg_bgp_minus"] = """
+WITH aug AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 3 = 0
+), hashes AS (
+  SELECT 'http://data.example.org/doc/' || CAST(doc_id AS VARCHAR) AS subj,
+         md5(text) AS h FROM aug
+), m AS (
+  SELECT h, min(subj) AS canon FROM hashes GROUP BY h
+), aliased AS (
+  SELECT a.subj FROM hashes a JOIN m ON a.h = m.h WHERE a.subj <> m.canon
+  UNION
+  SELECT m.canon FROM hashes a JOIN m ON a.h = m.h WHERE a.subj <> m.canon
+), langs AS (
+  SELECT 'http://data.example.org/doc/' || CAST(doc_id AS VARCHAR) AS subj,
+         'http://lexvo.org/id/iso639-3/' || lang AS lang FROM aug
+)
+SELECT DISTINCT subj, lang FROM langs
+WHERE subj NOT IN (SELECT subj FROM aliased)
+"""

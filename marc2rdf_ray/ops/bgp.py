@@ -855,3 +855,45 @@ def validate_pattern(
         .select_columns(["subj", "obj"])
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def bgp_minus(
+    triples_ds,
+    patterns,
+    minus_pred: str,
+    *,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    num_buckets: int | None = None,
+    broadcast_limit_bytes: int = 256 << 20,
+):
+    """SPARQL MINUS / FILTER NOT EXISTS over a star BGP: bindings of
+    ``patterns`` (via :func:`bgp_star_match`) for subjects that have NO
+    ``minus_pred`` triple -- set-difference negation, the query twin of
+    the reference's INSERT-where-missing anti-joins
+    (autogenerated_similarity.isql:130-144).
+
+    Scale shape: the positive side is the star match's one bucket
+    exchange; negation is ONE broadcast-or-anti-join on the DISTINCT
+    excluded-subject set (ops/dedup.anti_join_filter) -- excluded
+    subjects ship once, never the triples."""
+    from .dedup import anti_join_filter
+
+    bindings = bgp_star_match(
+        triples_ds, patterns,
+        subj_col=subj_col, pred_col=pred_col, obj_col=obj_col,
+        num_buckets=num_buckets,
+    )
+
+    def excluded(b: pa.Table) -> pa.Table:
+        hit = pc.equal(b[pred_col], pa.scalar(minus_pred))
+        t = pa.table(
+            {"subj": pc.cast(b[subj_col].filter(hit), pa.string())}
+        )
+        return t.group_by(["subj"], use_threads=False).aggregate([])
+
+    keys = triples_ds.map_batches(excluded, batch_format="pyarrow")
+    return anti_join_filter(
+        bindings, keys, "subj", broadcast_budget=broadcast_limit_bytes
+    )

@@ -5502,3 +5502,48 @@ class TestPQTopk:
         ds, mat = self._data(n=40, d=10)
         with _pytest.raises(ValueError, match="divisible"):
             pq_topk(ds, [0], mat[:1], n_sub=3)
+
+
+class TestKTrussBruteReference:
+    def test_matches_independent_set_based_reference(self, ray_session):
+        """Distributed ktruss vs an independent adjacency-set reference
+        on random graphs (both fixed-round and fixpoint)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import ktruss
+
+        def reference(src, dst, k, rounds):
+            E = {(min(a, b), max(a, b))
+                 for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+            cur = set(E)
+            r = 0
+            while cur and (rounds is None or r < rounds):
+                adj = {}
+                for u, v in cur:
+                    adj.setdefault(u, set()).add(v)
+                    adj.setdefault(v, set()).add(u)
+                nxt = {e for e in cur
+                       if len(adj[e[0]] & adj[e[1]]) >= k - 2}
+                if rounds is None and nxt == cur:
+                    break
+                cur = nxt
+                r += 1
+            return sorted(cur)
+
+        for seed, k, rounds in ((1, 3, 2), (2, 4, None), (5, 5, 3)):
+            rng = np.random.default_rng(seed)
+            src = rng.integers(0, 80, 600)
+            dst = rng.integers(0, 80, 600)
+            ds = rd.from_arrow(
+                pa.table({"src": pa.array(src, pa.int64()),
+                          "dst": pa.array(dst, pa.int64())})
+            )
+            for budget in (8 << 20, 0):  # local path and distributed
+                out = ktruss(ds, k=k, rounds=rounds,
+                             local_budget=budget).to_pandas()
+                got = (sorted(map(tuple, out[["u", "v"]].values.tolist()))
+                       if len(out) else [])
+                assert got == reference(src, dst, k, rounds), (
+                    seed, k, rounds, budget)
