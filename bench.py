@@ -205,6 +205,38 @@ def triangle_microbench(n_edges: int = 1_000_000) -> float:
     return wall
 
 
+def ktruss_microbench(n_edges: int = 1_000_000) -> float:
+    """k-truss (k=3, 2 rounds, distributed path forced) over the
+    triangle_microbench graph -- each round is a full triangle-listing
+    support pass + an edge filter, so this times the edge-peel family
+    one notch above plain triangle counting."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from marc2rdf_ray.ops.graph import ktruss
+
+    n_nodes = n_edges // 3
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["id"].to_pylist(), np.int64)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate(
+            [(ids + 1) % n_nodes, (ids + 2) % n_nodes, (ids * 13) % n_nodes]
+        )
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = rd.range(n_nodes).map_batches(gen, batch_format="pyarrow")
+    t0 = time.time()
+    n = ktruss(edges, k=3, rounds=2, local_budget=0).count()
+    wall = time.time() - t0
+    assert n > 0
+    return wall
+
+
 def big_graph() -> None:
     """--big-graph: the 10M-edge scale point for the iterative graph ops
     (connected components + PageRank), one JSON line.  Separate from the
@@ -222,6 +254,7 @@ def big_graph() -> None:
     cc = cc_microbench(n)
     pr = pagerank_microbench(n)
     tri = triangle_microbench(n // 10)
+    kt = ktruss_microbench(n // 10)
     ray.shutdown()
     print(
         json.dumps(
@@ -231,6 +264,7 @@ def big_graph() -> None:
                 "cc_sec": round(cc, 3),
                 "pagerank3_sec": round(pr, 3),
                 "triangles_sec_1m_edges": round(tri, 3),
+                "ktruss_k3r2_sec_1m_edges": round(kt, 3),
                 "num_cpus": NUM_CPUS,
             }
         )

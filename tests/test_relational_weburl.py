@@ -873,3 +873,41 @@ class TestTableProfile:
             "b": (5, 1, 3),   # empty string is a value, not a null
             "c": (5, 0, 1),
         }
+
+
+class TestTableProfileProperty:
+    def test_matches_pandas_on_random_frames(self, ray_session):
+        """Property: table_profile == pandas count/null/nunique on random
+        typed frames (ints with nulls, strings, floats with repeats)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.relational import table_profile
+
+        rng = np.random.default_rng(21)
+        for trial in range(3):
+            n = int(rng.integers(5, 200))
+            ints = rng.integers(0, 10, n).astype("float64")
+            ints[rng.random(n) < 0.2] = np.nan
+            strs = rng.choice(["a", "bb", "ccc", ""], n)
+            flts = rng.choice([0.5, 1.25, -3.75], n)
+            tab = pa.table(
+                {
+                    "i": pa.array(
+                        [None if np.isnan(x) else int(x) for x in ints],
+                        pa.int64()),
+                    "s": pa.array(strs, pa.string()),
+                    "f": pa.array(flts, pa.float64()),
+                }
+            )
+            out = table_profile(
+                rd.from_arrow(tab).repartition(3), ["i", "s", "f"]
+            ).to_pandas().set_index("col")
+            df = tab.to_pandas()
+            for c in ("i", "s", "f"):
+                assert out.loc[c, "n_rows"] == n, trial
+                assert out.loc[c, "n_nulls"] == int(df[c].isna().sum())
+                assert out.loc[c, "n_distinct"] == int(
+                    df[c].dropna().nunique())
