@@ -11353,3 +11353,92 @@ WITH aug AS (
 SELECT DISTINCT subj, lang FROM langs
 WHERE subj NOT IN (SELECT subj FROM aliased)
 """
+
+
+def events_type_lift(sf_dir: str):
+    """Association-rule lift per unordered event-type pair:
+    lift_micro = floor(1e6 * N * n_ab / (n_a * n_b)) over distinct-user
+    incidence (N = users doing anything, n_x = users doing x, n_ab =
+    users doing both) -- the market-basket strength metric on top of
+    events_type_cooccurrence's raw counts; > 1e6 means positive
+    association.  Exact integer arithmetic throughout (one floor
+    division, numerator <= N^3 < 2^63 at any realistic type
+    cardinality).
+
+    Scale shape: pair counts from the bucketed cooccurrence machinery;
+    per-type and total marginals are two tiny distinct-count aggregates
+    broadcast into an O(#types^2) driver-free finish map."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from .ops.dedup import distinct_first
+    from .ops.relational import cooccurrence_pairs
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    pairs = cooccurrence_pairs(
+        ds, entity_col="user_id", item_col="event_type"
+    )
+
+    def slim(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"user_id": b["user_id"], "event_type": b["event_type"]}
+        )
+        return t.group_by(
+            ["user_id", "event_type"], use_threads=False
+        ).aggregate([])
+
+    incidence = (
+        ds.map_batches(slim, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .count()
+        .select_columns(["user_id", "event_type"])
+        .materialize()
+    )
+    per_type = _mat_table(
+        incidence.groupby("event_type").aggregate(Count(alias_name="n"))
+    )
+    n_users = distinct_first(incidence, "user_id").count()
+    marg = dict(zip(per_type["event_type"].to_pylist(),
+                    per_type["n"].to_pylist()))
+    mref = ray.put(marg)
+
+    def finish(b: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        na = np.array([m[x] for x in b["item_a"].to_pylist()], np.int64)
+        nb = np.array([m[x] for x in b["item_b"].to_pylist()], np.int64)
+        nab = b["n_entities"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        lift = (np.int64(1_000_000) * np.int64(n_users) * nab) // (na * nb)
+        return pa.table(
+            {
+                "item_a": b["item_a"],
+                "item_b": b["item_b"],
+                "n_entities": pa.array(nab, pa.int64()),
+                "lift_micro": pa.array(lift, pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["events_type_lift"] = events_type_lift
+
+ORACLE_SQL["events_type_lift"] = """
+WITH i AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT COUNT(DISTINCT user_id)::BIGINT AS nu FROM i),
+m AS (SELECT event_type, COUNT(*)::BIGINT AS c FROM i GROUP BY 1),
+p AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b,
+         COUNT(*)::BIGINT AS n_entities
+  FROM i a JOIN i b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.n_entities,
+       CAST((1000000 * n.nu * p.n_entities) // (ma.c * mb.c) AS BIGINT)
+         AS lift_micro
+FROM p, n
+JOIN m ma ON ma.event_type = p.item_a
+JOIN m mb ON mb.event_type = p.item_b
+"""
