@@ -11442,3 +11442,66 @@ FROM p, n
 JOIN m ma ON ma.event_type = p.item_a
 JOIN m mb ON mb.event_type = p.item_b
 """
+
+
+def docs_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail split: every document's mean LM cost in
+    integer micro-bits per trigram (docs_trigram_bits; lower = closer to
+    the corpus LM) ranked into exact terciles (ops/relational.ntile) --
+    the quality bucketing CCNet applies before keeping 'head' shards
+    (Wenzek et al. 2020, public).  Docs with no trigrams drop out.
+
+    Scale shape: the trigram model trains in one bincount-partial pass
+    and broadcasts; the tercile split is the distributed-NTILE shape
+    (O(#distinct scores) driver cumulative table, one score-bucketed
+    shuffle, NO global row sort)."""
+    from .ops.relational import ntile
+
+    tb = docs_trigram_bits(sf_dir)
+
+    def score(b: pa.Table) -> pa.Table:
+        n = b["n_tri"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mb = b["microbits"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n > 0
+        # both positive -> truncation == floor == DuckDB //
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    b["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64()),
+                "mean_mb": pa.array(mb[keep] // n[keep], pa.int64()),
+            }
+        )
+
+    nt = ntile(tb.map_batches(score, batch_format="pyarrow"),
+               score_col="mean_mb", id_col="doc_id", q=3, scale=1.0)
+
+    def label(b: pa.Table) -> pa.Table:
+        t = b["tile"].to_numpy(zero_copy_only=False)
+        names = np.array(["head", "middle", "tail"])
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "score_units": b["score_units"],
+                "tile": b["tile"],
+                "bucket": pa.array(names[t - 1], pa.string()),
+            }
+        )
+
+    return nt.map_batches(label, batch_format="pyarrow")
+
+
+QUERIES["docs_ccnet_buckets"] = docs_ccnet_buckets
+
+ORACLE_SQL["docs_ccnet_buckets"] = f"""
+WITH tb AS ({ORACLE_SQL["docs_trigram_bits"]}),
+s AS (
+  SELECT doc_id, microbits // n_tri AS mean_mb FROM tb WHERE n_tri > 0
+)
+SELECT doc_id, mean_mb AS score_units,
+       CAST(NTILE(3) OVER (ORDER BY mean_mb, doc_id) AS BIGINT) AS tile,
+       CASE NTILE(3) OVER (ORDER BY mean_mb, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM s
+"""
