@@ -348,6 +348,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_click_error_overlap",
         "ann_pq_topk",
         "parts_golden_records",
+        "docs_ccnet_buckets",
+        "events_seasonal_baseline",
     ]
     out = {}
     for name in names:
