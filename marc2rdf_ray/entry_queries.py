@@ -11505,3 +11505,49 @@ SELECT doc_id, mean_mb AS score_units,
        END AS bucket
 FROM s
 """
+
+
+def graph_random_walks(sf_dir: str):
+    """Deterministic 3-step random-walk corpus (ops/graph.random_walks)
+    over the md5 link graph -- the DeepWalk/node2vec walk-generation
+    step; every hop choice is md5(node:step) % outdeg in dst-sorted
+    order, so the oracle replays each walk exactly.  Walks start at
+    every node with out-edges; a sink truncates the walk (NULL tail)."""
+    from .ops.graph import random_walks
+
+    edges, _, _ = _md5_link_graph(sf_dir)
+    return random_walks(edges, steps=3)
+
+
+QUERIES["graph_random_walks"] = graph_random_walks
+
+_WALK_PICK = ("CAST(('0x' || substr(md5(CAST({node} AS VARCHAR) || ':{st}'),"
+              " 1, 8)) AS BIGINT)")
+
+ORACLE_SQL["graph_random_walks"] = f"""
+WITH {_MD5_EDGES_SQL},
+e AS (SELECT DISTINCT src AS node, dst AS nbr FROM edges WHERE src <> dst),
+adj AS (
+  SELECT node, nbr,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY node) AS deg
+  FROM e
+),
+starts AS (SELECT DISTINCT node AS start FROM e),
+w1 AS (
+  SELECT s.start, a.nbr AS s1
+  FROM starts s JOIN adj a ON a.node = s.start
+   AND a.idx = {_WALK_PICK.format(node='s.start', st=1)} % a.deg
+),
+w2 AS (
+  SELECT w1.start, w1.s1, a.nbr AS s2
+  FROM w1 LEFT JOIN adj a ON a.node = w1.s1
+   AND a.idx = {_WALK_PICK.format(node='w1.s1', st=2)} % a.deg
+),
+w3 AS (
+  SELECT w2.start, w2.s1, w2.s2, a.nbr AS s3
+  FROM w2 LEFT JOIN adj a ON a.node = w2.s2
+   AND a.idx = {_WALK_PICK.format(node='w2.s2', st=3)} % a.deg
+)
+SELECT start, s1, s2, s3 FROM w3
+"""

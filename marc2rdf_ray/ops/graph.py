@@ -3474,3 +3474,236 @@ def ktruss(
         ).drop_columns(["pk"]).materialize()
 
     return cur
+
+
+def random_walks(
+    edges,
+    *,
+    steps: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_budget: int = 256 << 20,
+):
+    """Deterministic fixed-length random-walk generation (the DeepWalk /
+    node2vec corpus-prep step, Perozzi 2014, public): one walk per
+    starting node over the DIRECTED simple graph; at each step the next
+    hop is out-neighbor number ``md5(f"{cur}:{step}") % outdeg`` in
+    dst-sorted order -- a pure function of (node, step), so the DuckDB
+    oracle replays every choice and the result is reproducible across
+    any execution order (the negative_samples md5 discipline; per-row
+    md5 is the documented SQL-replay tradeoff).  Walks that reach a
+    node with no out-edges stop; remaining steps are NULL.
+
+    Returns (start, s1..s{steps}) int64 columns.
+
+    Scale shape: the indexed adjacency (node, idx, nbr, deg) builds with
+    one bucketed distinct + per-bucket rank pass; under the byte budget
+    it broadcasts once via ray.put and each step is a stateless
+    vectorized gather over the frontier batch (walk state never
+    exceeds one (start, cur) row per walk); above budget each step is
+    one distributed join on the (node, idx) composite key."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Count  # noqa: F401 (adj path below)
+
+    nb = 64
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "node": pa.array(s, pa.int64()),
+                "nbr": pa.array(d, pa.int64()),
+                "bucket": pa.array((s % nb).astype(np.int32)),
+            }
+        )
+
+    def rank_in_node(g: pa.Table) -> pa.Table:
+        n = g["node"].to_numpy(zero_copy_only=False)
+        v = g["nbr"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, n))
+        n, v = n[order], v[order]
+        first = np.empty(len(n), bool)
+        first[:1] = True
+        if len(n) > 1:
+            first[1:] = (n[1:] != n[:-1]) | (v[1:] != v[:-1])
+        n, v = n[first], v[first]
+        brk = np.empty(len(n), bool)
+        brk[:1] = True
+        if len(n) > 1:
+            brk[1:] = n[1:] != n[:-1]
+        starts = np.flatnonzero(brk)
+        seg = np.cumsum(brk) - 1
+        idx = np.arange(len(n)) - starts[seg]
+        deg = np.diff(np.append(starts, len(n)))[seg]
+        return pa.table(
+            {
+                "node": pa.array(n, pa.int64()),
+                "idx": pa.array(idx, pa.int64()),
+                "nbr": pa.array(v, pa.int64()),
+                "deg": pa.array(deg, pa.int64()),
+            }
+        )
+
+    adj = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_in_node, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def h_pick(cur: np.ndarray, step: int) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(f"{c}:{step}".encode()).hexdigest()[:8], 16)
+             for c in cur.tolist()),
+            np.int64, count=len(cur),
+        )
+
+    nodes = adj.map_batches(
+        lambda b: pa.table(
+            {"start": b["node"].filter(pc.equal(b["idx"], 0))}
+        ),
+        batch_format="pyarrow",
+    )
+
+    if adj.size_bytes() <= broadcast_budget:
+        tab = pa.concat_tables(
+            ray.get(adj.to_arrow_refs()), promote_options="default"
+        )
+        n_np = tab["node"].to_numpy(zero_copy_only=False)
+        i_np = tab["idx"].to_numpy(zero_copy_only=False)
+        if len(n_np) and (n_np.min() < 0 or n_np.max() >= 1 << 43
+                          or i_np.max() >= 1 << 20):
+            raise ValueError(
+                "random_walks: broadcast index packs (node, idx) into "
+                "int64 -- needs 0 <= node < 2^43 and outdeg < 2^20; "
+                "remap ids or raise the budget to force the join path"
+            )
+        order = np.lexsort((i_np, n_np))
+        ref = ray.put(
+            {
+                "key": n_np[order] * np.int64(1 << 20) + i_np[order],
+                "nbr": tab["nbr"].to_numpy(zero_copy_only=False)[order],
+                "node": n_np[order],
+                "deg": tab["deg"].to_numpy(zero_copy_only=False)[order],
+            }
+        )
+
+        class Walk:
+            def __init__(self):
+                self.a = ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                a = self.a
+                start = b["start"].to_numpy(zero_copy_only=False)
+                cols = {"start": pa.array(start, pa.int64())}
+                cur = start.copy()
+                alive = np.ones(len(cur), bool)
+                for st in range(1, steps + 1):
+                    nxt = np.full(len(cur), -1, np.int64)
+                    if alive.any():
+                        c = cur[alive]
+                        pos = np.searchsorted(a["node"], c)
+                        ok = (pos < len(a["node"])) & (a["node"][
+                            np.minimum(pos, len(a["node"]) - 1)] == c)
+                        pick = np.zeros(len(c), np.int64)
+                        if ok.any():
+                            deg = a["deg"][pos[ok]]
+                            pick[ok] = h_pick(c[ok], st) % deg
+                            key = c[ok] * np.int64(1 << 20) + pick[ok]
+                            at = np.searchsorted(a["key"], key)
+                            sel = np.full(len(c), -1, np.int64)
+                            sel[ok] = a["nbr"][at]
+                            nxt[alive] = sel
+                        else:  # pragma: no cover
+                            nxt[alive] = -1
+                    cols[f"s{st}"] = pa.array(
+                        [int(x) if x >= 0 else None for x in nxt],
+                        pa.int64(),
+                    )
+                    alive = nxt >= 0
+                    cur = np.where(alive, nxt, cur)
+                return pa.table(cols)
+
+        return nodes.map_batches(Walk, concurrency=(1, 8),
+                                 batch_format="pyarrow")
+
+    # scale path: one distributed join per step on the (node, idx) key
+    from .dedup import normalize_join_blocks
+
+    nparts = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    deg_side = adj.map_batches(
+        lambda b: b.filter(pc.equal(b["idx"], 0)).select(["node", "deg"]),
+        batch_format="pyarrow",
+    )
+    state = nodes.map_batches(
+        lambda b: pa.table({"start": b["start"], "cur": b["start"]}),
+        batch_format="pyarrow",
+    )
+    outs = None
+    for st in range(1, steps + 1):
+        with_deg = normalize_join_blocks(state, nparts).join(
+            normalize_join_blocks(deg_side, nparts),
+            join_type="left_outer", num_partitions=nparts,
+            on=("cur",), right_on=("node",),
+        )
+
+        def pick_key(b: pa.Table, _st=st) -> pa.Table:
+            cur = b["cur"].to_numpy(zero_copy_only=False)
+            deg = b["deg"].to_numpy(zero_copy_only=False)
+            live = ~pa.compute.is_null(b["deg"]).to_numpy(
+                zero_copy_only=False)
+            pick = np.zeros(len(cur), np.int64)
+            if live.any():
+                pick[live] = h_pick(cur[live], _st) % deg[live]
+            return pa.table(
+                {
+                    "start": b["start"],
+                    "cur": b["cur"],
+                    "idx": pa.array(pick, pa.int64()),
+                    "live": pa.array(live),
+                }
+            )
+
+        keyed = with_deg.map_batches(pick_key, batch_format="pyarrow")
+        stepped = normalize_join_blocks(
+            keyed.filter(expr="live == True"), nparts
+        ).join(
+            normalize_join_blocks(
+                adj.select_columns(["node", "idx", "nbr"]), nparts
+            ),
+            join_type="inner", num_partitions=nparts,
+            on=("cur", "idx"), right_on=("node", "idx"),
+        ).map_batches(
+            lambda b, _st=st: pa.table(
+                {"start": b["start"], f"s{_st}": b["nbr"],
+                 "cur": b["nbr"]}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        col = stepped.map_batches(
+            lambda b, _st=st: b.select(["start", f"s{_st}"]),
+            batch_format="pyarrow",
+        )
+        outs = col if outs is None else normalize_join_blocks(
+            outs, nparts
+        ).join(
+            normalize_join_blocks(col, nparts),
+            join_type="left_outer", num_partitions=nparts, on=("start",),
+        )
+        state = stepped.map_batches(
+            lambda b: b.select(["start", "cur"]), batch_format="pyarrow"
+        )
+    final = normalize_join_blocks(nodes, nparts).join(
+        normalize_join_blocks(outs, nparts),
+        join_type="left_outer", num_partitions=nparts, on=("start",),
+    )
+    return final.map_batches(
+        lambda b: b.select(["start"] + [f"s{i}" for i in
+                                        range(1, steps + 1)]),
+        batch_format="pyarrow",
+    )

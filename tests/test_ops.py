@@ -5547,3 +5547,58 @@ class TestKTrussBruteReference:
                        if len(out) else [])
                 assert got == reference(src, dst, k, rounds), (
                     seed, k, rounds, budget)
+
+
+class TestRandomWalks:
+    def _edges(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        # 0 -> {1, 2}; 1 -> {3}; 3 is a sink; 2 -> {0}; dup edge + loop
+        pairs = [(0, 1), (0, 2), (1, 3), (2, 0), (0, 1), (3, 3)]
+        return rd.from_arrow(
+            pa.table(
+                {"src": pa.array([a for a, _ in pairs], pa.int64()),
+                 "dst": pa.array([b for _, b in pairs], pa.int64())}
+            )
+        )
+
+    def test_sink_truncates_with_nulls(self, ray_session):
+        import hashlib
+
+        from marc2rdf_ray.ops.graph import random_walks
+
+        out = random_walks(self._edges(), steps=3).to_pandas()
+        out = out.set_index("start").sort_index()
+        # starts: only nodes with out-edges (3's self-loop is dropped)
+        assert sorted(out.index) == [0, 1, 2]
+        # walk from 1: 1 -> 3 (only neighbor), then sink -> NULLs
+        assert out.loc[1, "s1"] == 3
+        assert out.loc[1, ["s2", "s3"]].isna().all()
+        # walk from 0: choice replayed from md5("0:1") % 2 over [1, 2]
+        pick = int(hashlib.md5(b"0:1").hexdigest()[:8], 16) % 2
+        assert out.loc[0, "s1"] == [1, 2][pick]
+
+    def test_join_path_matches_broadcast(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from marc2rdf_ray.ops.graph import random_walks
+
+        rng = np.random.default_rng(17)
+        ds = rd.from_arrow(
+            pa.table(
+                {"src": pa.array(rng.integers(0, 60, 300), pa.int64()),
+                 "dst": pa.array(rng.integers(0, 60, 300), pa.int64())}
+            )
+        )
+        a = random_walks(ds, steps=2).to_pandas().sort_values(
+            "start").reset_index(drop=True)
+        b = random_walks(ds, steps=2, broadcast_budget=0).to_pandas(
+        ).sort_values("start").reset_index(drop=True)
+        assert len(a) == len(b)
+        for c in a.columns:
+            av = a[c].fillna(-1).astype("int64")
+            bv = b[c].fillna(-1).astype("int64")
+            assert (av == bv).all(), c
