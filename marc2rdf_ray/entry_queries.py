@@ -11551,3 +11551,81 @@ w3 AS (
 )
 SELECT start, s1, s2, s3 FROM w3
 """
+
+
+def graph_walk_skipgrams(sf_dir: str):
+    """Skip-gram training pairs from the deterministic walks
+    (graph_random_walks): each walk [start, s1, s2, s3] emits every
+    (center, context) pair within window 1 plus distance-2 pairs --
+    window 2 in DeepWalk terms -- skipping NULL (truncated) positions;
+    the distinct pair set with multiplicity is the node-embedding
+    training corpus (Perozzi 2014).  Returns (center, context, n_pairs).
+
+    Scale shape: pair expansion is a stateless vectorized shift over the
+    walk columns inside each batch (walks never join anything); ONE
+    (center, context) groupby-count finishes, with per-batch local
+    collapse ahead of it."""
+    from ray.data.aggregate import Sum
+
+    walks = graph_random_walks(sf_dir)
+
+    def expand(b: pa.Table) -> pa.Table:
+        seq = np.stack(
+            [
+                pc.fill_null(b[c], -1).to_numpy(zero_copy_only=False)
+                for c in ("start", "s1", "s2", "s3")
+            ]
+        )  # (4, n)
+        centers, contexts = [], []
+        for i in range(4):
+            for j in range(4):
+                if i != j and abs(i - j) <= 2:
+                    a, c = seq[i], seq[j]
+                    ok = (a >= 0) & (c >= 0)
+                    centers.append(a[ok])
+                    contexts.append(c[ok])
+        t = pa.table(
+            {
+                "center": pa.array(np.concatenate(centers), pa.int64()),
+                "context": pa.array(np.concatenate(contexts), pa.int64()),
+                "n": pa.array(
+                    np.ones(sum(len(x) for x in centers), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["center", "context"], use_threads=False)
+            .aggregate([("n", "sum")])
+            .rename_columns(["center", "context", "n"])
+        )
+
+    return (
+        walks.map_batches(expand, batch_format="pyarrow")
+        .groupby(["center", "context"])
+        .aggregate(Sum("n", alias_name="n_pairs"))
+    )
+
+
+QUERIES["graph_walk_skipgrams"] = graph_walk_skipgrams
+
+ORACLE_SQL["graph_walk_skipgrams"] = f"""
+WITH w AS ({ORACLE_SQL["graph_random_walks"]}),
+pos AS (
+  SELECT start AS p0, s1 AS p1, s2 AS p2, s3 AS p3 FROM w
+),
+pairs AS (
+  SELECT p0 AS center, p1 AS context FROM pos
+  UNION ALL SELECT p0, p2 FROM pos
+  UNION ALL SELECT p1, p0 FROM pos
+  UNION ALL SELECT p1, p2 FROM pos
+  UNION ALL SELECT p1, p3 FROM pos
+  UNION ALL SELECT p2, p0 FROM pos
+  UNION ALL SELECT p2, p1 FROM pos
+  UNION ALL SELECT p2, p3 FROM pos
+  UNION ALL SELECT p3, p1 FROM pos
+  UNION ALL SELECT p3, p2 FROM pos
+)
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+WHERE center IS NOT NULL AND context IS NOT NULL
+GROUP BY center, context
+"""
