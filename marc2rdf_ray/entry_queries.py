@@ -11629,3 +11629,152 @@ FROM pairs
 WHERE center IS NOT NULL AND context IS NOT NULL
 GROUP BY center, context
 """
+
+
+def dedup_provenance(sf_dir: str):
+    """Dedup LINEAGE: one row per DROPPED document mapping it to its
+    survivor with the reason -- ('exact': same md5 content, survivor =
+    min id of the hash group; 'near': MinHash-LSH + connected-components
+    cluster over the exact survivors, survivor = cluster-min id).  The
+    audit table a filtering pipeline must keep to explain every removal
+    (the corpus flagship drops these docs; this op preserves WHY) --
+    provenance the reference keeps per conversion cycle (SURVEY SS2.6
+    T4), lifted to record level.  Corpus: documents ∪ exact copies
+    (+1e6) ∪ last-word-dropped near copies (+2e6), so both reasons fire.
+
+    Scale shape: the exact stage broadcasts the (hash -> survivor) group
+    table under the byte budget (distributed hash join above it); the
+    near stage is the bucketed LSH + CC machinery; nothing rescans
+    texts after the survivor filter."""
+    import ray
+
+    from .ops.dedup import add_content_hash, exact_dedup_groups, \
+        minhash_lsh_pairs
+    from .stages.canonicalize import connected_components
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def copies(shift: int, perturb: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = [i + shift for i in b["doc_id"].to_pylist()]
+            texts = b["text"].to_pylist()
+            if perturb:
+                texts = [" ".join((t or "").split()[:-1]) for t in texts]
+            return pa.table(
+                {"doc_id": pa.array(ids, pa.int64()),
+                 "text": pa.array(texts, pa.string())}
+            )
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    aug3 = docs.union(copies(1000000, False)).union(copies(2000000, True))
+    groups = exact_dedup_groups(aug3)  # (content_hash, doc_id=min, cnt)
+    gtab, gmat = _small_side(groups)
+
+    if gtab is not None:
+        ref = ray.put(
+            pa.table({"h": gtab["content_hash"].combine_chunks(),
+                      "m": pc.cast(gtab["doc_id"], pa.int64())
+                      .combine_chunks()})
+        )
+
+        def tag(b: pa.Table) -> pa.Table:
+            t = ray.get(ref)
+            hb = add_content_hash(b, "text")
+            idx = pc.index_in(hb["content_hash"], value_set=t["h"])
+            return pa.table(
+                {
+                    "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                    "text": b["text"],
+                    "survivor_id": pc.take(t["m"], idx),
+                }
+            )
+
+        tagged = aug3.map_batches(tag, batch_format="pyarrow")
+    else:  # pragma: no cover - scale path
+        hashed = aug3.map_batches(
+            lambda b: add_content_hash(b, "text"), batch_format="pyarrow"
+        )
+        tagged = hashed.join(
+            gmat.map_batches(
+                lambda b: pa.table(
+                    {"content_hash": b["content_hash"],
+                     "survivor_id": pc.cast(b["doc_id"], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ),
+            join_type="inner", num_partitions=_join_nparts(),
+            on=("content_hash",),
+        )
+    tagged = tagged.materialize()
+
+    exact_prov = tagged.map_batches(
+        lambda b: (lambda f: pa.table(
+            {
+                "doc_id": f["doc_id"],
+                "survivor_id": f["survivor_id"],
+                "reason": pa.array(["exact"] * len(f), pa.string()),
+            }
+        ))(b.filter(pc.not_equal(b["doc_id"], b["survivor_id"]))),
+        batch_format="pyarrow",
+    )
+    survivors = tagged.map_batches(
+        lambda b: b.filter(
+            pc.equal(b["doc_id"], b["survivor_id"])
+        ).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+
+    pairs = minhash_lsh_pairs(survivors, threshold=0.7)
+    edges = pairs.map_batches(
+        lambda b: pa.table({"subj": b["a"], "obj": b["b"]}),
+        batch_format="pyarrow",
+    )
+    comp = connected_components(edges, rounds=4)
+    near_prov = comp.map_batches(
+        lambda b: (lambda f: pa.table(
+            {
+                "doc_id": pc.cast(f["node"], pa.int64()),
+                "survivor_id": pc.cast(f["root"], pa.int64()),
+                "reason": pa.array(["near"] * len(f), pa.string()),
+            }
+        ))(b.filter(pc.not_equal(b["node"], b["root"]))),
+        batch_format="pyarrow",
+    )
+    return exact_prov.union(near_prov)
+
+
+QUERIES["dedup_provenance"] = dedup_provenance
+
+ORACLE_SQL["dedup_provenance"] = r"""
+WITH RECURSIVE aug3 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000,
+    CASE WHEN length(regexp_extract_all(text, '\S+')) <= 1 THEN ''
+         ELSE array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1,
+              length(regexp_extract_all(text, '\S+')) - 1), ' ') END
+  FROM documents
+), g AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS h FROM aug3
+), m AS (
+  SELECT h, MIN(doc_id) AS survivor FROM g GROUP BY h
+), surv AS (
+  SELECT a.doc_id, a.text FROM aug3 a JOIN m ON m.survivor = a.doc_id
+), """ + _minhash_ctes_over("surv") + r""",
+prs AS (SELECT a, b FROM est WHERE ej >= 0.7),
+und AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+nds AS (SELECT DISTINCT x AS node FROM und),
+reach(node, r) AS (
+  SELECT node, node FROM nds
+  UNION
+  SELECT u.y, reach.r FROM reach JOIN und u ON u.x = reach.node
+),
+roots AS (SELECT node, MIN(r) AS root FROM reach GROUP BY node)
+SELECT g.doc_id, m.survivor AS survivor_id, 'exact' AS reason
+FROM g JOIN m ON m.h = g.h WHERE g.doc_id <> m.survivor
+UNION ALL
+SELECT node, root, 'near' FROM roots WHERE node <> root
+"""
