@@ -11778,3 +11778,82 @@ FROM g JOIN m ON m.h = g.h WHERE g.doc_id <> m.survivor
 UNION ALL
 SELECT node, root, 'near' FROM roots WHERE node <> root
 """
+
+
+def events_selfjoin_size_cms(sf_dir: str):
+    """Join-size estimation (optimizer statistics): the exact
+    user_id-self-join size of events (sum of per-user count squares)
+    next to the count-min F2 upper bound (ops/sketches.cms_f2_estimate:
+    per grid row SUM(bucket^2), MIN over rows) -- the sketch an engine
+    consults before choosing broadcast vs shuffle, certified against
+    the exact answer it approximates.
+
+    Scale shape: exact side = per-batch per-key partials -> one groupby
+    -> sum of squares partials (keys shuffle once as counts); sketch
+    side never ships keys at all (depth x width grid partials)."""
+    from ray.data.aggregate import Sum
+
+    from .ops.sketches import cms_f2_estimate
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def key_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            b["user_id"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {"user_id": pa.array(u, pa.int64()),
+             "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    per_user = (
+        ds.map_batches(key_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def sq_partial(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"s": pa.array([int((c * c).sum())], pa.int64())})
+
+    exact = int(
+        _mat_table(
+            per_user.map_batches(sq_partial, batch_format="pyarrow")
+            .groupby(None)
+            .aggregate(Sum("s", alias_name="s"))
+        )["s"][0].as_py()
+    )
+    sk = cms_f2_estimate(ds, "user_id", depth=4, width=1024)
+    return pa.table(
+        {
+            "exact_size": pa.array([exact], pa.int64()),
+            "cms_estimate": pa.array([sk["estimate"][0].as_py()],
+                                     pa.int64()),
+        }
+    )
+
+
+QUERIES["events_selfjoin_size_cms"] = events_selfjoin_size_cms
+
+ORACLE_SQL["events_selfjoin_size_cms"] = """
+WITH rows_(r) AS (VALUES (0), (1), (2), (3)),
+g AS (
+  SELECT r.r AS row,
+         CAST(CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR)
+                                        || CAST(user_id AS VARCHAR)), 1, 16))
+                   AS UBIGINT) % 1024 AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM events, rows_ r GROUP BY 1, 2
+),
+per_row AS (
+  SELECT row, SUM(cnt * cnt) AS f2 FROM g GROUP BY row
+),
+exact AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS exact_size
+  FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id)
+)
+SELECT exact.exact_size,
+       CAST((SELECT MIN(f2) FROM per_row) AS BIGINT) AS cms_estimate
+FROM exact
+"""

@@ -286,3 +286,59 @@ def bloom_flag(ds, key_col: str, blocked, *, m_bits: int = 1 << 16, k: int = 4):
         return b.filter(pa.array(hit, pa.bool_()))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def cms_f2_estimate(ds, key_col: str, *, depth: int = 4, width: int = 1024):
+    """Self-equi-join size estimate from the count-min grid: for each of
+    the ``depth`` rows, SUM(bucket_count^2) upper-bounds the true join
+    size F2 = sum_k c_k^2 (colliding keys only inflate); the estimate is
+    the MIN over rows (Alon-Matias-Szegedy / Cormode-Muthukrishnan,
+    public) -- the statistic a distributed optimizer uses to size a
+    join WITHOUT counting keys exactly.
+
+    Same shuffle-safety as :func:`cms_counts`: each batch emits at most
+    depth*width partial rows; keys never ship.  Returns one row
+    (depth, width, estimate) -- deterministic, md5 hash family, SQL-
+    replayable bit-for-bit."""
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pylist()
+        rows_out, buckets_out, counts_out = [], [], []
+        for r in range(depth):
+            hv = _md5_u64(keys, salt=str(r))
+            bucket = (hv % np.uint64(width)).astype(np.int64)
+            bc = np.bincount(bucket, minlength=width)
+            nz = np.flatnonzero(bc)
+            rows_out.append(np.full(len(nz), r, np.int64))
+            buckets_out.append(nz.astype(np.int64))
+            counts_out.append(bc[nz].astype(np.int64))
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows_out), pa.int64()),
+                "bucket": pa.array(np.concatenate(buckets_out), pa.int64()),
+                "cnt": pa.array(np.concatenate(counts_out), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["row", "bucket"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_arrow_refs()
+    )
+    grid = pa.concat_tables([ray.get(r) for r in grid])
+    counters = np.zeros((depth, width), np.int64)
+    counters[
+        np.asarray(grid["row"]), np.asarray(grid["bucket"])
+    ] = np.asarray(grid["cnt"])
+    est = int((counters.astype(object) ** 2).sum(axis=1).min())
+    return pa.table(
+        {
+            "depth": pa.array([depth], pa.int64()),
+            "width": pa.array([width], pa.int64()),
+            "estimate": pa.array([est], pa.int64()),
+        }
+    )
