@@ -11857,3 +11857,66 @@ SELECT exact.exact_size,
        CAST((SELECT MIN(f2) FROM per_row) AS BIGINT) AS cms_estimate
 FROM exact
 """
+
+
+def graph_temporal_reachability(sf_dir: str):
+    """Bounded-round earliest-arrival over the temporal md5 link graph
+    (ops/graph.py temporal_reachability): 3 relaxations from the
+    doc_id % 25 == 0 seed set; each edge carries an md5-derived
+    departure stamp t in 0..999 and duration 1..5 and is traversable
+    only when t >= the walker's arrival at its source -- the
+    time-respecting-path semantics (contact networks, crawl recency)
+    that a plain shortest path cannot express.  int64 mins of int64
+    sums gated by int64 comparisons: bit-identical to the unrolled
+    DuckDB recurrence."""
+    from .ops.graph import temporal_reachability
+
+    edges, nodes, _ = _md5_link_graph(sf_dir)
+
+    def seed_mask(b: pa.Table) -> pa.Table:
+        n = b["node"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(n % 25 == 0))
+
+    seeds = nodes.map_batches(seed_mask, batch_format="pyarrow")
+    return temporal_reachability(edges, seeds, rounds=3)
+
+
+QUERIES["graph_temporal_reachability"] = graph_temporal_reachability
+
+ORACLE_SQL["graph_temporal_reachability"] = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+ew AS (
+  SELECT src, dst,
+         CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':'
+               || CAST(dst AS VARCHAR) || 't'), 1, 8)) AS BIGINT)
+           % 1000 AS t,
+         1 + CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':'
+               || CAST(dst AS VARCHAR) || 't'), 9, 8)) AS BIGINT) % 5 AS dur
+  FROM edges
+),
+a0 AS (
+  SELECT CAST(doc_id AS BIGINT) AS node, CAST(0 AS BIGINT) AS arrival
+  FROM documents WHERE doc_id % 25 = 0
+),
+c1 AS (SELECT e.dst AS node, e.t + e.dur AS arrival
+       FROM ew e JOIN a0 ON a0.node = e.src WHERE e.t >= a0.arrival),
+a1 AS (SELECT node, MIN(arrival) AS arrival FROM
+       (SELECT * FROM a0 UNION ALL SELECT * FROM c1) GROUP BY node),
+c2 AS (SELECT e.dst AS node, e.t + e.dur AS arrival
+       FROM ew e JOIN a1 ON a1.node = e.src WHERE e.t >= a1.arrival),
+a2 AS (SELECT node, MIN(arrival) AS arrival FROM
+       (SELECT * FROM a1 UNION ALL SELECT * FROM c2) GROUP BY node),
+c3 AS (SELECT e.dst AS node, e.t + e.dur AS arrival
+       FROM ew e JOIN a2 ON a2.node = e.src WHERE e.t >= a2.arrival),
+a3 AS (SELECT node, MIN(arrival) AS arrival FROM
+       (SELECT * FROM a2 UNION ALL SELECT * FROM c3) GROUP BY node)
+SELECT node, arrival FROM a3
+"""

@@ -3707,3 +3707,173 @@ def random_walks(
                                         range(1, steps + 1)]),
         batch_format="pyarrow",
     )
+
+
+def temporal_reachability(
+    edges_ds,
+    seeds_ds,
+    *,
+    rounds: int = 3,
+    stamp_of=None,
+):
+    """Bounded-round earliest-arrival reachability over a TEMPORAL graph:
+    each edge carries a departure stamp ``t`` and a duration ``dur``; a
+    walk may take edge (u, v, t, dur) only if it has already arrived at
+    ``u`` by time ``t`` (a >= arrival constraint SQL windows cannot see),
+    and then reaches ``v`` at ``t + dur``.  ``rounds`` synchronous
+    relaxations compute EA_r(v) = min(EA_{r-1}(v), min over in-edges with
+    t >= EA_{r-1}(u) of t + dur) -- the contact-network / crawl-recency
+    cousin of sssp_weighted (marc2rdf analog: OAI harvest windows gate
+    which records a downstream update pass may see, oai.rb's
+    from/until windows).
+
+    Exact by construction: arrivals are int64 mins of int64 sums gated by
+    an int64 comparison, all order-independent, so the result is
+    bit-identical to the DuckDB oracle that unrolls the recurrence.
+
+    Scale shape identical to sssp_weighted: the stamped edge list
+    materializes once (slim 4-int columns); per-round state is the
+    (node, arrival) table, broadcast under a 256 MB budget via sorted
+    searchsorted lookup, degrading to a distributed hash join above it;
+    a per-batch min-per-dst combiner defuses hot destinations before the
+    exchange.
+
+    ``stamp_of(src_np, dst_np) -> (t_np, dur_np)`` defaults to the
+    md5-derived (t in 0..999, dur in 1..5) pair the oracle replays.
+
+    Returns (node, arrival) for nodes reachable within ``rounds`` hops.
+    Seeds start with arrival 0.
+    """
+    import hashlib as _hl
+
+    import ray
+    from ray.data.aggregate import Min
+
+    if stamp_of is None:
+        def stamp_of(s: np.ndarray, d: np.ndarray):
+            t = np.empty(len(s), np.int64)
+            dur = np.empty(len(s), np.int64)
+            for i in range(len(s)):
+                h = _hl.md5(f"{s[i]}:{d[i]}t".encode()).hexdigest()
+                t[i] = int(h[:8], 16) % 1000
+                dur[i] = 1 + int(h[8:16], 16) % 5
+            return t, dur
+
+    def stamped(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t, dur = stamp_of(s, d)
+        return pa.table(
+            {
+                "src": pa.array(s, pa.int64()),
+                "dst": pa.array(d, pa.int64()),
+                "t": pa.array(t, pa.int64()),
+                "dur": pa.array(dur, pa.int64()),
+            }
+        )
+
+    ew = edges_ds.map_batches(stamped, batch_format="pyarrow").materialize()
+
+    def seed_arr(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(b["node"], pa.int64()),
+                "arrival": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            }
+        )
+
+    from .dedup import distinct_first
+
+    arrivals = distinct_first(
+        seeds_ds.map_batches(seed_arr, batch_format="pyarrow"), "node"
+    ).materialize()
+
+    budget = 256 << 20
+    for _ in range(rounds):
+        if (arrivals.size_bytes() or 0) <= budget:
+            tab = pa.concat_tables(
+                ray.get(arrivals.to_arrow_refs()), promote_options="default"
+            )
+            nodes_np = tab["node"].to_numpy(zero_copy_only=False)
+            arr_np = tab["arrival"].to_numpy(zero_copy_only=False)
+            o = np.argsort(nodes_np, kind="stable")
+            ref = ray.put({"node": nodes_np[o], "arrival": arr_np[o]})
+
+            class Relax:
+                def __init__(self):
+                    d = ray.get(ref)
+                    self.nodes = d["node"]
+                    self.arr = d["arrival"]
+
+                def __call__(self, b: pa.Table) -> pa.Table:
+                    s = b["src"].to_numpy(zero_copy_only=False)
+                    idx = np.searchsorted(self.nodes, s)
+                    idx = np.clip(idx, 0, max(len(self.nodes) - 1, 0))
+                    hit = (
+                        (self.nodes[idx] == s)
+                        if len(self.nodes)
+                        else np.zeros(len(s), bool)
+                    )
+                    if hit.any():
+                        # temporal gate: departure must not precede arrival
+                        hit &= (
+                            b["t"].to_numpy(zero_copy_only=False)
+                            >= np.where(hit, self.arr[idx], 0)
+                        ) & hit
+                    if not hit.any():
+                        return pa.table(
+                            {
+                                "node": pa.array([], pa.int64()),
+                                "arrival": pa.array([], pa.int64()),
+                            }
+                        )
+                    na = (
+                        b["t"].to_numpy(zero_copy_only=False)[hit]
+                        + b["dur"].to_numpy(zero_copy_only=False)[hit]
+                    )
+                    dst = b["dst"].to_numpy(zero_copy_only=False)[hit]
+                    ud, inv = np.unique(dst, return_inverse=True)
+                    ma = np.full(len(ud), np.iinfo(np.int64).max, np.int64)
+                    np.minimum.at(ma, inv, na)
+                    return pa.table(
+                        {
+                            "node": pa.array(ud, pa.int64()),
+                            "arrival": pa.array(ma, pa.int64()),
+                        }
+                    )
+
+            cand = ew.map_batches(Relax, batch_format="pyarrow", concurrency=2)
+        else:  # pragma: no cover - scale path
+            from .dedup import normalize_join_blocks
+
+            nparts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+            j = normalize_join_blocks(ew, nparts).join(
+                normalize_join_blocks(arrivals, nparts),
+                join_type="inner", num_partitions=nparts,
+                on=("src",), right_on=("node",),
+            )
+
+            def relax_joined(b: pa.Table) -> pa.Table:
+                t = pc.cast(b["t"], pa.int64())
+                ok = pc.greater_equal(t, pc.cast(b["arrival"], pa.int64()))
+                b = b.filter(ok)
+                return pa.table(
+                    {
+                        "node": b["dst"],
+                        "arrival": pc.add(
+                            pc.cast(b["t"], pa.int64()),
+                            pc.cast(b["dur"], pa.int64()),
+                        ),
+                    }
+                )
+
+            cand = j.map_batches(relax_joined, batch_format="pyarrow")
+
+        arrivals = (
+            arrivals.union(cand)
+            .groupby("node")
+            .aggregate(Min("arrival", alias_name="arrival"))
+            .materialize()
+        )
+
+    return arrivals
