@@ -11920,3 +11920,79 @@ a3 AS (SELECT node, MIN(arrival) AS arrival FROM
        (SELECT * FROM a2 UNION ALL SELECT * FROM c3) GROUP BY node)
 SELECT node, arrival FROM a3
 """
+
+
+def graph_boruvka_msf(sf_dir: str):
+    """Two Boruvka minimum-spanning-forest rounds over the undirected md5
+    link graph (ops/graph.py boruvka_msf): each round every component
+    picks its minimum outgoing edge under the strict total order
+    (w, u, v) with md5-derived 48-bit integer weights, selected edges
+    contract via the budget-gated CC fast path.  Fixed-round semantics
+    (the ktruss contract): the oracle unrolls both rounds, relabeling
+    between them with the recursive min-reach closure.  The fixpoint
+    variant (rounds=None) is proven equal to an independent union-find
+    Kruskal in tests/test_graph_msf.py."""
+    from .ops.graph import boruvka_msf
+
+    edges, nodes, _ = _md5_link_graph(sf_dir)
+    return boruvka_msf(edges, nodes, rounds=2)
+
+
+QUERIES["graph_boruvka_msf"] = graph_boruvka_msf
+
+ORACLE_SQL["graph_boruvka_msf"] = """
+WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+dedges AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+und AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM dedges WHERE src <> dst GROUP BY 1, 2
+),
+ew AS (
+  SELECT u, v,
+         CAST(('0x' || substr(md5(CAST(u AS VARCHAR) || '~'
+               || CAST(v AS VARCHAR) || 'm'), 1, 12)) AS BIGINT) AS w
+  FROM und
+),
+inc1 AS (
+  SELECT u AS comp, w, u, v FROM ew
+  UNION ALL SELECT v AS comp, w, u, v FROM ew
+),
+sel1 AS (
+  SELECT comp, w, u, v FROM inc1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, u, v) = 1
+),
+s1 AS (SELECT DISTINCT u, v, w FROM sel1),
+und1 AS (SELECT u AS x, v AS y FROM s1 UNION SELECT v, u FROM s1),
+allnodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+reach(node, r) AS (
+  SELECT node, node FROM allnodes
+  UNION
+  SELECT u.y, reach.r FROM reach JOIN und1 u ON u.x = reach.node
+),
+comp1 AS (SELECT node, MIN(r) AS root FROM reach GROUP BY node),
+ec2 AS (
+  SELECT e.w, e.u, e.v, cu.root AS cu, cv.root AS cv
+  FROM ew e
+  JOIN comp1 cu ON cu.node = e.u
+  JOIN comp1 cv ON cv.node = e.v
+  WHERE cu.root <> cv.root
+),
+inc2 AS (
+  SELECT cu AS comp, w, u, v FROM ec2
+  UNION ALL SELECT cv AS comp, w, u, v FROM ec2
+),
+sel2 AS (
+  SELECT comp, w, u, v FROM inc2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, u, v) = 1
+),
+s2 AS (SELECT DISTINCT u, v, w FROM sel2)
+SELECT u AS src, v AS dst, w
+FROM (SELECT * FROM s1 UNION SELECT * FROM s2)
+"""
