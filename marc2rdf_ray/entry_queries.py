@@ -11996,3 +11996,106 @@ s2 AS (SELECT DISTINCT u, v, w FROM sel2)
 SELECT u AS src, v AS dst, w
 FROM (SELECT * FROM s1 UNION SELECT * FROM s2)
 """
+
+
+def docs_crawl_frontier(sf_dir: str):
+    """Politeness-capped crawl frontier: doc i emits (i % 5) md5-derived
+    outlinks into a 3x-larger URL universe; links already crawled
+    (present in documents) drop via the broadcast-or-anti-join filter
+    (ops/dedup.py anti_join_filter); surviving targets aggregate
+    in-link counts (per-batch unique combiner -> one groupby-sum); each
+    target hashes to a host shard (url_id % 17) and every host keeps
+    its top-5 targets by (in-links DESC, url_id ASC) via the partial
+    top-k combiner (ops/relational.py topk_per_group) -- the crawl
+    scheduler's next-wave selection (reference analog: the OAI
+    harvester's next-window record pull, oai.rb), re-expressed as a
+    frontier build over web-scale link tables.
+
+    Scale shape: the link fan-out never materializes per-URL strings
+    (int64 ids only); the crawled set broadcasts under a byte budget
+    and degrades to a distributed anti-join; at most 5 rows per host
+    per batch cross the final exchange."""
+    import hashlib as _hl
+
+    from .ops.dedup import anti_join_filter
+    from .ops.relational import topk_per_group
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+
+    def links(b: pa.Table) -> pa.Table:
+        tgt = []
+        for i in b["doc_id"].to_pylist():
+            for k in range(i % 5):
+                tgt.append(
+                    int(
+                        _hl.md5(f"{i}:{k}f".encode()).hexdigest()[:8], 16
+                    ) % (3 * n)
+                )
+        u, c = np.unique(np.asarray(tgt, np.int64), return_counts=True)
+        return pa.table(
+            {"url_id": pa.array(u, pa.int64()),
+             "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    cand = docs.map_batches(links, batch_format="pyarrow")
+    crawled = docs.map_batches(
+        lambda b: pa.table({"url_id": pc.cast(b["doc_id"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    unc = anti_join_filter(cand, crawled, "url_id")
+    counts = unc.groupby("url_id").aggregate(Sum("c", alias_name="n_inlinks"))
+
+    def host(b: pa.Table) -> pa.Table:
+        t = b["url_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "host",
+            pa.array(
+                np.char.add("host", (t % 17).astype("U2")), pa.string()
+            ),
+        )
+
+    top = topk_per_group(
+        counts.map_batches(host, batch_format="pyarrow"),
+        key_col="host", value_col="n_inlinks", id_col="url_id",
+        k=5, cents_factor=None,
+    )
+    return top.map_batches(
+        lambda b: pa.table(
+            {"host": b["host"], "url_id": b["url_id"],
+             "n_inlinks": b["value_units"], "rank": b["rnk"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["docs_crawl_frontier"] = docs_crawl_frontier
+
+ORACLE_SQL["docs_crawl_frontier"] = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+links AS (
+  SELECT CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR) || 'f'), 1, 8)) AS BIGINT)
+           % (3 * (SELECT n FROM nn)) AS url_id
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2), (3)) r(k)
+  WHERE r.k < d.doc_id % 5
+),
+unc AS (
+  SELECT l.url_id FROM links l
+  WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = l.url_id)
+),
+counts AS (
+  SELECT url_id, COUNT(*)::BIGINT AS n_inlinks FROM unc GROUP BY url_id
+),
+ranked AS (
+  SELECT 'host' || CAST(url_id % 17 AS VARCHAR) AS host,
+         url_id, n_inlinks,
+         ROW_NUMBER() OVER (
+           PARTITION BY url_id % 17
+           ORDER BY n_inlinks DESC, url_id
+         ) AS rank
+  FROM counts
+)
+SELECT host, url_id, n_inlinks, rank FROM ranked WHERE rank <= 5
+"""
