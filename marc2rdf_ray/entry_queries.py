@@ -12099,3 +12099,138 @@ ranked AS (
 )
 SELECT host, url_id, n_inlinks, rank FROM ranked WHERE rank <= 5
 """
+
+
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("o", "r"), ("e", "r"), ("w", "i"), ("wi", "n"), ("b", "a"),
+    ("ba", "t"), ("c", "h"), ("bat", "ch"), ("d", "u"), ("m", "e"),
+    ("r", "g"),
+]
+
+
+def docs_bpe_tokens(sf_dir: str):
+    """Apply-only BPE tokenization (ops/corpus.py BPETokenCount): a
+    16-merge table applied min-rank-first with all-occurrences
+    left-to-right merge semantics per step; per-document subword token
+    counts.  Merge ranks compile once per actor, distinct words tokenize
+    once per actor (cache), so per-batch work is a dict lookup per word.
+    The DuckDB oracle replays the identical semantics with a recursive
+    CTE over '<c><c>..' symbol strings (replace() is left-to-right
+    non-overlapping -- exactly the BPE merge scan)."""
+    from .ops.corpus import bpe_token_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe_token_counts(ds, _BPE_MERGES)
+
+
+QUERIES["docs_bpe_tokens"] = docs_bpe_tokens
+
+ORACLE_SQL["docs_bpe_tokens"] = r"""
+WITH RECURSIVE merges(a, b, rank) AS (
+  VALUES ('t','h',1),('th','e',2),('s','c',3),('sc','a',4),('sca','n',5),
+         ('o','r',6),('e','r',7),('w','i',8),('wi','n',9),('b','a',10),
+         ('ba','t',11),('c','h',12),('bat','ch',13),('d','u',14),
+         ('m','e',15),('r','g',16)
+),
+words AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+  )
+),
+st(w, s, step) AS (
+  SELECT w, regexp_replace(w, '(.)', '<\1>', 'g'), 0 FROM words
+  UNION ALL
+  SELECT w,
+         replace(s,
+           (SELECT '<' || a || '><' || b || '>' FROM merges
+            WHERE strpos(s, '<' || a || '><' || b || '>') > 0
+            ORDER BY rank LIMIT 1),
+           (SELECT '<' || a || b || '>' FROM merges
+            WHERE strpos(s, '<' || a || '><' || b || '>') > 0
+            ORDER BY rank LIMIT 1)),
+         step + 1
+  FROM st
+  WHERE EXISTS (SELECT 1 FROM merges
+                WHERE strpos(s, '<' || a || '><' || b || '>') > 0)
+),
+final AS (
+  SELECT w, s FROM st
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY w ORDER BY step DESC) = 1
+),
+tok AS (
+  SELECT w, length(s) - length(replace(s, '<', '')) AS ntok FROM final
+),
+dw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+per_doc AS (
+  SELECT dw.doc_id, SUM(tok.ntok)::BIGINT AS n_tokens
+  FROM dw JOIN tok ON tok.w = dw.w GROUP BY dw.doc_id
+)
+SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+def docs_bpe_train(sf_dir: str):
+    """BPE merge-table TRAINING (ops/corpus.py bpe_train): learn 6
+    merges greedily from the corpus vocabulary (one word-count shuffle;
+    each step = pair-count partials over the vocab -> tiny (a,b)
+    groupby-sum -> per-batch top-1 partials -> O(1) driver pick ->
+    one vectorized replace_substring re-encode).  Deterministic
+    (count DESC, a, b) tie-breaking; pairs counted with overlap on both
+    sides.  The DuckDB oracle unrolls all 6 steps (the kmeans-chain
+    oracle pattern)."""
+    from .ops.corpus import bpe_train
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return bpe_train(ds, n_merges=6)
+
+
+QUERIES["docs_bpe_train"] = docs_bpe_train
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    head = r"""
+WITH vocab0 AS (
+  SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS s, COUNT(*)::BIGINT AS c
+  FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+  ) GROUP BY w
+)"""
+    blocks = []
+    for k in range(n_merges):
+        blocks.append(f"""
+pairs{k} AS (
+  SELECT z[1] AS a, z[2] AS b, SUM(c)::BIGINT AS cnt
+  FROM (
+    SELECT c, unnest(list_zip(
+             regexp_extract_all(s, '<([^>]*)>', 1)[1:-1],
+             regexp_extract_all(s, '<([^>]*)>', 1)[2:]
+           )) AS z
+    FROM vocab{k}
+  )
+  WHERE z[2] IS NOT NULL
+  GROUP BY 1, 2
+),
+best{k} AS (
+  SELECT {k} AS step, a, b, cnt FROM pairs{k}
+  ORDER BY cnt DESC, a, b LIMIT 1
+),
+vocab{k + 1} AS (
+  SELECT replace(v.s, '<' || b.a || '><' || b.b || '>',
+                 '<' || b.a || b.b || '>') AS s, v.c
+  FROM vocab{k} v CROSS JOIN best{k} b
+)""")
+        # noqa: E501
+    tail = "\nSELECT step, a, b, cnt FROM (\n" + "\n  UNION ALL ".join(
+        f"SELECT * FROM best{k}" for k in range(n_merges)
+    ) + "\n)"
+    return head + "," + ",".join(blocks) + tail
+
+
+ORACLE_SQL["docs_bpe_train"] = _bpe_train_oracle(6)

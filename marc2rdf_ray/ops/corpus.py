@@ -1409,3 +1409,229 @@ def select_token_budget(
         .groupby("s")
         .map_groups(cohort, batch_format="pyarrow")
     )
+
+
+class BPETokenCount:
+    """Byte-pair-encoding tokenization (apply-only) as an actor-pool
+    stage: given a fixed merge table [(a, b), ...] ordered by priority,
+    repeatedly merge the lowest-rank adjacent symbol pair present,
+    merging ALL its non-overlapping occurrences left-to-right per step
+    (the standard BPE apply semantics) -- the token-budget primitive an
+    LLM-data pipeline runs before packing (reference analog: the
+    per-field tokenization in the conversion rules, marc2rdf's
+    substr/split functions, generalized to subword units).
+
+    Scale shape: the merge-rank dict compiles ONCE per actor; tokenized
+    words cache per actor (dict word -> n_subtokens), so each distinct
+    word pays the merge loop once per actor regardless of corpus-wide
+    frequency -- per-batch work is then a dict lookup per word.  Output
+    is one slim (id, n_tokens) row per document; nothing shuffles.
+
+    Exact by construction and replayed in SQL: the DuckDB oracle encodes
+    each word as '<c><c>..' and applies replace() with the same
+    min-rank-first, all-occurrences-left-to-right semantics in a
+    recursive CTE (entry_queries.docs_bpe_tokens).
+    """
+
+    WORD_RE = re.compile(r"[a-z]+")
+
+    def __init__(self, merges: list[tuple[str, str]],
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.ranks = {pair: i for i, pair in enumerate(merges)}
+        self.text_col = text_col
+        self.id_col = id_col
+        self.cache: dict[str, int] = {}
+
+    def _apply(self, word: str) -> int:
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank = None
+            best_pair = None
+            for i in range(len(syms) - 1):
+                r = self.ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank = r
+                    best_pair = (syms[i], syms[i + 1])
+            if best_pair is None:
+                break
+            a, b = best_pair
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        texts = b[self.text_col].to_pylist()
+        n = np.zeros(len(texts), np.int64)
+        cache = self.cache
+        for i, t in enumerate(texts):
+            total = 0
+            for w in self.WORD_RE.findall((t or "").lower()):
+                ntok = cache.get(w)
+                if ntok is None:
+                    ntok = self._apply(w)
+                    cache[w] = ntok
+                total += ntok
+            n[i] = total
+        return pa.table(
+            {
+                self.id_col: b[self.id_col],
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+
+def bpe_token_counts(ds, merges, *, text_col="text", id_col="doc_id",
+                     concurrency=(2, 8)):
+    """Per-document BPE token counts via the :class:`BPETokenCount`
+    actor pool (merge table compiled once per actor, word cache
+    amortizes across batches)."""
+    return ds.map_batches(
+        BPETokenCount,
+        fn_constructor_args=(list(merges), text_col, id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+_SYM_RE = re.compile(r"<([^>]*)>")
+
+
+def bpe_train(ds, *, n_merges: int = 6, text_col: str = "text",
+              word_re=BPETokenCount.WORD_RE):
+    """BPE merge-table TRAINING: learn the ``n_merges`` highest-count
+    adjacent symbol pairs, greedily, with deterministic
+    (count DESC, a ASC, b ASC) tie-breaking -- the learn side of
+    :class:`BPETokenCount` (which applies a fixed table).
+
+    Standard practice (and the honest distributed shape): training runs
+    on the distinct-word VOCABULARY with frequencies, not the corpus --
+    one word-count shuffle reduces 100 TB of text to a vocab table, and
+    each merge step is then (a) per-batch pair-count partials over the
+    vocab (Counter per batch, weighted by word frequency; pairs counted
+    with overlap, zip(syms, syms[1:]), on BOTH sides), (b) one tiny
+    (a, b) groupby-sum, (c) a per-batch top-1 partial so the driver
+    reduces <= #blocks single-row candidates (O(1) driver state), and
+    (d) one vectorized ``pc.replace_substring`` pass re-encoding the
+    vocab -- string replace is left-to-right non-overlapping, exactly
+    the BPE merge scan, and exactly what the DuckDB oracle's replace()
+    replays (entry_queries.docs_bpe_train unrolls every step).
+
+    Vocab state is the '<sym><sym>..' encoded string; symbols are
+    [a-z]+ so the angle brackets can never collide.
+
+    Returns a pa.Table of (step, a, b, cnt).
+    """
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def wc(b: pa.Table) -> pa.Table:
+        words = []
+        for t in b[text_col].to_pylist():
+            words.extend(word_re.findall((t or "").lower()))
+        if not words:
+            return pa.table(
+                {"w": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(words, return_counts=True)
+        return pa.table(
+            {"w": pa.array(u.tolist(), pa.string()),
+             "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    def encode(b: pa.Table) -> pa.Table:
+        s = ["".join(f"<{ch}>" for ch in w) for w in b["w"].to_pylist()]
+        return pa.table(
+            {"s": pa.array(s, pa.string()), "c": b["c"]}
+        )
+
+    vocab = (
+        ds.map_batches(wc, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(encode, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for s, c in zip(b["s"].to_pylist(), b["c"].to_pylist()):
+            syms = _SYM_RE.findall(s)
+            for a, bb in zip(syms, syms[1:]):
+                cnt[(a, bb)] += c
+        if not cnt:
+            return pa.table(
+                {"a": pa.array([], pa.string()),
+                 "b": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        ks = list(cnt.keys())
+        return pa.table(
+            {
+                "a": pa.array([k[0] for k in ks], pa.string()),
+                "b": pa.array([k[1] for k in ks], pa.string()),
+                "cnt": pa.array([cnt[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def top1_partial(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return b
+        cnt = b["cnt"].to_numpy(zero_copy_only=False)
+        a = np.asarray(b["a"].to_pylist())
+        bb = np.asarray(b["b"].to_pylist())
+        o = np.lexsort((bb, a, -cnt))
+        return b.take(pa.array(o[:1]))
+
+    merges = []
+    for step in range(n_merges):
+        pairs = (
+            vocab.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        )
+        cands = pairs.map_batches(
+            top1_partial, batch_format="pyarrow"
+        ).take_all()
+        if not cands:
+            break
+        best = min(cands, key=lambda r: (-r["cnt"], r["a"], r["b"]))
+        merges.append((step, best["a"], best["b"], int(best["cnt"])))
+        pat = f"<{best['a']}><{best['b']}>"
+        rep = f"<{best['a']}{best['b']}>"
+
+        def apply_merge(b: pa.Table, pat=pat, rep=rep) -> pa.Table:
+            return pa.table(
+                {
+                    "s": pc.replace_substring(b["s"], pattern=pat,
+                                              replacement=rep),
+                    "c": b["c"],
+                }
+            )
+
+        vocab = vocab.map_batches(
+            apply_merge, batch_format="pyarrow"
+        ).materialize()
+
+    return pa.table(
+        {
+            "step": pa.array([m[0] for m in merges], pa.int64()),
+            "a": pa.array([m[1] for m in merges], pa.string()),
+            "b": pa.array([m[2] for m in merges], pa.string()),
+            "cnt": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )
