@@ -12234,3 +12234,117 @@ vocab{k + 1} AS (
 
 
 ORACLE_SQL["docs_bpe_train"] = _bpe_train_oracle(6)
+
+
+def events_user_decayed_score(sf_dir: str):
+    """Recency-weighted per-user activity score (ops/windows.py
+    decayed_group_score): exact half-life decay in whole hourly steps
+    via arithmetic shift on non-negative integer value units -- the
+    feature-store aggregate, replayable bit-for-bit in SQL (v >> k)."""
+    from .ops.windows import decayed_group_score
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return decayed_group_score(
+        ds, key_col="user_id", ts_col="ts", value_col="value",
+    )
+
+
+QUERIES["events_user_decayed_score"] = events_user_decayed_score
+
+ORACLE_SQL["events_user_decayed_score"] = """
+WITH h AS (SELECT MAX(ts) AS t FROM events),
+e AS (
+  SELECT user_id,
+         CAST(ROUND(value * 1000) AS BIGINT) AS v,
+         LEAST((epoch_us((SELECT t FROM h)) - epoch_us(ts))
+               // 3600000000, 62) AS k
+  FROM events
+)
+SELECT user_id, CAST(SUM(v >> k) AS BIGINT) AS decayed_units
+FROM e GROUP BY user_id
+"""
+
+
+def orders_upsert_apply(sf_dir: str):
+    """CDC MERGE apply -- the inverse of orders_snapshot_diff: compute
+    the (id, change) delta between the derived old/new order snapshots
+    (ops/relational.py snapshot_diff), then reconstruct the NEW snapshot
+    from the OLD one by applying the delta: drop removed+changed ids
+    from the base (broadcast-or-anti-join), pull added+changed rows from
+    the source (broadcast-or-semi-join), union.  The oracle computes the
+    new snapshot directly, so a hash match proves round-trip MERGE
+    semantics (diff then apply == target) end-to-end.
+
+    Scale shape: the delta is slim (id, change) rows; payloads cross no
+    exchange -- both membership filters broadcast under a byte budget
+    and degrade to distributed joins."""
+    from .ops.dedup import anti_join_filter, semi_join_filter
+    from .ops.relational import snapshot_diff
+
+    base = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    def old_rows(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(k % 17 != 3))
+
+    def new_rows(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(k % 13 != 5))
+        kk = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        st = pc.if_else(
+            pa.array(kk % 7 == 0),
+            pc.binary_join_element_wise(
+                t["o_orderstatus"], pa.scalar("*"), pa.scalar("")
+            ),
+            t["o_orderstatus"],
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderstatus": st,
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    old = base.map_batches(old_rows, batch_format="pyarrow")
+    new = base.map_batches(new_rows, batch_format="pyarrow")
+    changes = snapshot_diff(
+        old, new, id_col="o_orderkey",
+        hash_cols=["o_orderstatus", "o_totalprice"],
+    ).materialize()
+
+    def ids_where(kinds):
+        def f(b: pa.Table) -> pa.Table:
+            keep = pc.is_in(
+                b["change"], value_set=pa.array(kinds, pa.string())
+            )
+            return pa.table(
+                {"o_orderkey":
+                     pc.cast(b.filter(keep)["o_orderkey"], pa.int64())}
+            )
+
+        return f
+
+    drop_ids = changes.map_batches(
+        ids_where(["removed", "changed"]), batch_format="pyarrow"
+    )
+    pull_ids = changes.map_batches(
+        ids_where(["added", "changed"]), batch_format="pyarrow"
+    )
+    kept = anti_join_filter(old, drop_ids, "o_orderkey")
+    pulled = semi_join_filter(new, pull_ids, "o_orderkey")
+    return kept.union(pulled)
+
+
+QUERIES["orders_upsert_apply"] = orders_upsert_apply
+
+ORACLE_SQL["orders_upsert_apply"] = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN o_orderstatus || '*'
+            ELSE o_orderstatus END AS o_orderstatus,
+       o_totalprice
+FROM orders WHERE o_orderkey % 13 <> 5
+"""

@@ -1610,3 +1610,70 @@ def locf_gapfill(
         .groupby("bucket")
         .map_groups(fill, batch_format="pyarrow")
     )
+
+
+def decayed_group_score(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_us: int = 3_600_000_000,
+    cents_factor: float = 1000.0,
+):
+    """Exponentially time-decayed per-key feature score at the corpus's
+    own horizon (max ts): score(k) = SUM over k's events of
+    value_units >> min(age // half_life_us, 62) -- the feature-store
+    "recency-weighted activity" aggregate with half-life decay, kept
+    EXACT by decaying in whole half-life steps with an arithmetic shift
+    (values are validated non-negative, so >> is floor division and the
+    DuckDB oracle's ``v >> k`` replays it bit-for-bit; a float e^-dt
+    decay would not be replayable across engines).
+
+    Scale shape: one Max aggregate fixes the horizon (O(1) driver
+    state); the scoring pass emits per-batch per-key partial sums
+    (np.add.at on factorized keys) so the exchange carries at most
+    #keys rows per batch; one groupby-sum finishes.
+    """
+    import ray  # noqa: F401 (documents the Dataset contract)
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.numeric import sql_round_i64
+
+    horizon = (
+        ds.aggregate(Max(ts_col))[f"max({ts_col})"]
+    )
+    h_us = np.int64(pa.scalar(horizon, pa.timestamp("us")).cast(
+        pa.int64()).as_py())
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = sql_round_i64(b[value_col], cents_factor).to_numpy(
+            zero_copy_only=False
+        )
+        if len(v) and v.min() < 0:
+            raise ValueError(
+                "decayed_group_score requires non-negative values "
+                "(shift decay is floor division only for v >= 0)"
+            )
+        ts = pc.cast(
+            pc.cast(b[ts_col], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        k = np.minimum((h_us - ts) // np.int64(half_life_us), 62)
+        contrib = v >> k
+        keys, inv = np.unique(
+            b[key_col].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        sums = np.zeros(len(keys), np.int64)
+        np.add.at(sums, inv, contrib)
+        return pa.table(
+            {
+                key_col: pa.array(keys, b[key_col].type),
+                "decayed_units": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("decayed_units", alias_name="decayed_units"))
+    )
