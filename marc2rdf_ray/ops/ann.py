@@ -1143,3 +1143,64 @@ def pq_topk(
         return top.select(["qid", id_col, "score"])
 
     return partial.groupby("qid").map_groups(merge, batch_format="pyarrow")
+
+
+def power_iteration_top_component(ds, *, vec_col: str = "embedding",
+                                  iterations: int = 4,
+                                  scale: float = 1_000_000.0,
+                                  comp_scale: int = 1_000_000):
+    """Top principal direction of the (uncentered) second-moment matrix
+    by integer-exact power iteration -- the PCA primitive on top of
+    :func:`embedding_gram`.
+
+    The heavy pass is fully distributed (the Gram matmul partials);
+    what reaches the driver is the d*(d+1)/2-entry Gram table (d = 64
+    -> 2080 rows, O(d^2) driver state by design), and the iteration
+    itself is d x d arithmetic done in PYTHON BIG INTS so no overflow
+    and no float summation order can creep in:
+
+        w   = G @ x              (exact integer matvec)
+        x'  = trunc(w * comp_scale / max|w|)   (per-entry, trunc like
+                                                SQL's HUGEINT //)
+
+    starting from the all-ones vector (x = comp_scale).  Every step is
+    order-independent integer arithmetic, so the DuckDB oracle replays
+    it bit-for-bit with HUGEINT sums and the same truncating divide
+    (entry_queries.embeddings_pca_power unrolls the iterations).
+
+    Returns a pa.Table (i, component_units) -- the unnormalized top
+    eigenvector direction in ``comp_scale`` units (sign follows the
+    all-ones start; callers wanting unit norm divide off-line).
+    """
+    import ray  # noqa: F401
+
+    gram = embedding_gram(ds, vec_col=vec_col, scale=scale)
+    rows = gram.take_all()
+    if not rows:
+        return pa.table(
+            {"i": pa.array([], pa.int64()),
+             "component_units": pa.array([], pa.int64())}
+        )
+    d = max(r["j"] for r in rows) + 1
+    G = [[0] * d for _ in range(d)]
+    for r in rows:
+        G[r["i"]][r["j"]] = int(r["g"])
+        G[r["j"]][r["i"]] = int(r["g"])
+
+    x = [int(comp_scale)] * d
+    for _ in range(iterations):
+        w = [sum(G[i][j] * x[j] for j in range(d)) for i in range(d)]
+        m = max(abs(v) for v in w)
+        if m == 0:
+            break
+        x = [
+            (-((-v) * comp_scale // m)) if v < 0
+            else (v * comp_scale // m)
+            for v in w
+        ]
+    return pa.table(
+        {
+            "i": pa.array(np.arange(d), pa.int64()),
+            "component_units": pa.array(x, pa.int64()),
+        }
+    )
