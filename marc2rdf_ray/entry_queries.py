@@ -12355,12 +12355,15 @@ def embeddings_pca_power(sf_dir: str):
     (ops/ann.py power_iteration_top_component): the Gram pass is the
     distributed heavy lift (vectors never centralize), the d x d
     iteration runs in Python big ints on the O(d^2) driver-side Gram
-    table, and the DuckDB oracle replays all 4 iterations with HUGEINT
-    sums and the identical truncating normalization."""
+    table, and the DuckDB oracle replays all 40 iterations with HUGEINT
+    sums and the identical truncating normalization (the eigengap of
+    near-isotropic synthetic embeddings is small, so convergence needs
+    tens of rounds -- each round is one 64-row matvec, trivial on both
+    sides)."""
     from .ops.ann import power_iteration_top_component
 
     return power_iteration_top_component(
-        _read(sf_dir, "embeddings"), iterations=4
+        _read(sf_dir, "embeddings"), iterations=40
     )
 
 
@@ -12369,19 +12372,19 @@ QUERIES["embeddings_pca_power"] = embeddings_pca_power
 
 def _pca_power_oracle(iterations: int) -> str:
     head = """
-WITH q AS (
+WITH q AS MATERIALIZED (
   SELECT vec_id,
          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
            AS v
   FROM embeddings
 ),
-gu AS (
+gu AS MATERIALIZED (
   SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS g
   FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
   GROUP BY a.i, b.i
 ),
-gf AS (
+gf AS MATERIALIZED (
   SELECT i, j, g FROM gu
   UNION ALL SELECT j AS i, i AS j, g FROM gu WHERE i <> j
 ),
@@ -12389,12 +12392,12 @@ x0 AS (SELECT DISTINCT i, CAST(1000000 AS HUGEINT) AS x FROM gf)"""
     blocks = []
     for k in range(1, iterations + 1):
         blocks.append(f"""
-w{k} AS (
+w{k} AS MATERIALIZED (
   SELECT g.i, SUM(CAST(g.g AS HUGEINT) * x.x) AS w
   FROM gf g JOIN x{k - 1} x ON x.i = g.j GROUP BY g.i
 ),
-m{k} AS (SELECT MAX(ABS(w)) AS m FROM w{k}),
-x{k} AS (
+m{k} AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w{k}),
+x{k} AS MATERIALIZED (
   SELECT i,
          CASE WHEN w < 0
               THEN -(((-w) * 1000000) // (SELECT m FROM m{k}))
@@ -12407,4 +12410,4 @@ x{k} AS (
     return head + "," + ",".join(blocks) + tail
 
 
-ORACLE_SQL["embeddings_pca_power"] = _pca_power_oracle(4)
+ORACLE_SQL["embeddings_pca_power"] = _pca_power_oracle(40)
