@@ -12411,3 +12411,84 @@ x{k} AS MATERIALIZED (
 
 
 ORACLE_SQL["embeddings_pca_power"] = _pca_power_oracle(40)
+
+
+def docs_classifier_scores(sf_dir: str):
+    """Hashed-feature linear classifier inference (ops/corpus.py
+    HashedLinearScore): per-doc integer logits over md5-hashed token
+    buckets with an arithmetic weight table -- the model-based corpus
+    quality-filter shape, bit-replayable in SQL."""
+    from .ops.corpus import hashed_linear_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return hashed_linear_scores(ds)
+
+
+QUERIES["docs_classifier_scores"] = docs_classifier_scores
+
+ORACLE_SQL["docs_classifier_scores"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 * 37)
+           % 101 - 50 AS w
+  FROM toks
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS logit_units
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(p.logit_units, 0) AS logit_units
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+def events_holt_smoothing(sf_dir: str):
+    """Holt double exponential smoothing (level + trend) per event type
+    over its observed hourly mean values (ops/windows.py
+    holt_linear_per_group): alpha=0.2, gamma=0.1 as exact integer
+    ratios, floor division replayed in SQL via the offset shift; the
+    oracle steps the recurrence with a recursive CTE."""
+    from .ops.windows import holt_linear_per_group
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return holt_linear_per_group(
+        ds, key_col="event_type", ts_col="ts", value_col="value",
+    )
+
+
+QUERIES["events_holt_smoothing"] = events_holt_smoothing
+
+ORACLE_SQL["events_holt_smoothing"] = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS bucket,
+         SUM(CAST(ROUND(value * 100) AS BIGINT))
+           // COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, bucket, y,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY bucket
+         ) AS rn
+  FROM hourly
+),
+rec(event_type, rn, bucket, l, b) AS (
+  SELECT event_type, rn, bucket, y, CAST(0 AS BIGINT)
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.rn, s.bucket,
+         ((2 * s.y + 8 * (r.l + r.b)) + 1048576 * 10) // 10 - 1048576,
+         ((1 * ((((2 * s.y + 8 * (r.l + r.b)) + 1048576 * 10) // 10
+                 - 1048576) - r.l)
+           + 9 * r.b) + 1048576 * 10) // 10 - 1048576
+  FROM rec r JOIN seq s
+    ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, bucket, CAST(l AS BIGINT) AS level_units,
+       CAST(b AS BIGINT) AS trend_units FROM rec
+"""

@@ -1635,3 +1635,63 @@ def bpe_train(ds, *, n_merges: int = 6, text_col: str = "text",
             "cnt": pa.array([m[3] for m in merges], pa.int64()),
         }
     )
+
+
+class HashedLinearScore:
+    """FastText-shaped hashed-feature linear classifier INFERENCE as an
+    actor-pool stage: logit(doc) = sum over token occurrences of
+    W[h(token) % n_buckets] -- the model-based quality-filter shape
+    (classifier-scored corpus filtering) with a deterministic weight
+    table so the whole scoring pass is replayable in SQL.
+
+    h(token) = int(md5(token)[:8], 16); W[b] = (b * 37) % 101 - 50
+    (pure arithmetic on the bucket id -- no weight table ships
+    anywhere).  Integer logit units; no sigmoid (monotone, so
+    threshold filters are equivalent).
+
+    Scale shape: token->weight memoizes per actor (dict), output is one
+    slim (id, logit) row per doc, nothing shuffles.
+    """
+
+    def __init__(self, n_buckets: int = 64,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.n_buckets = n_buckets
+        self.text_col = text_col
+        self.id_col = id_col
+        self.memo: dict[str, int] = {}
+
+    def _w(self, tok: str) -> int:
+        w = self.memo.get(tok)
+        if w is None:
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) \
+                % self.n_buckets
+            w = (b * 37) % 101 - 50
+            self.memo[tok] = w
+        return w
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        texts = b[self.text_col].to_pylist()
+        out = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            out[i] = sum(
+                self._w(tok)
+                for tok in BPETokenCount.WORD_RE.findall((t or "").lower())
+            )
+        return pa.table(
+            {
+                self.id_col: b[self.id_col],
+                "logit_units": pa.array(out, pa.int64()),
+            }
+        )
+
+
+def hashed_linear_scores(ds, *, n_buckets: int = 64, text_col: str = "text",
+                         id_col: str = "doc_id", concurrency=(2, 8)):
+    """Per-document hashed linear classifier logits via the
+    :class:`HashedLinearScore` actor pool."""
+    return ds.map_batches(
+        HashedLinearScore,
+        fn_constructor_args=(n_buckets, text_col, id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -1677,3 +1677,120 @@ def decayed_group_score(
         .groupby(key_col)
         .aggregate(Sum("decayed_units", alias_name="decayed_units"))
     )
+
+
+def holt_linear_per_group(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha=(2, 10),
+    gamma=(1, 10),
+    bucket_us: int = 3_600_000_000,
+    cents_factor: float = 100.0,
+):
+    """Holt double exponential smoothing (level + trend) per key over
+    the key's OBSERVED time buckets -- the forecasting-state recurrence
+
+        l_t = (a_num*y_t + (a_den-a_num)*(l_{t-1} + b_{t-1})) fdiv a_den
+        b_t = (g_num*(l_t - l_{t-1}) + (g_den-g_num)*b_{t-1}) fdiv g_den
+
+    with l_1 = y_1, b_1 = 0, y_t = the bucket's mean value in integer
+    cents (sum fdiv count).  All arithmetic is int64 with FLOOR
+    division made SQL-replayable by the offset shift
+    ``fdiv(x, d) = (x + OFF*d) // d - OFF`` (DuckDB's // truncates;
+    shifting the numerator positive makes trunc == floor -- the
+    robust-z trick).  The DuckDB oracle replays the recurrence with a
+    recursive CTE stepping ROW_NUMBER-indexed buckets.
+
+    Scale shape: raw rows collapse to per-(key, bucket) sum/count
+    partials per batch, ONE groupby-sum builds the per-key hourly
+    series, and the inherently-sequential smoothing loop runs inside
+    one map_groups task per key over the already-aggregated series
+    (documented one-key's-buckets-fit-one-task assumption, as
+    sessionize; series length = observed buckets, not events).
+
+    Returns (key, bucket, level_units, trend_units) per observed
+    bucket.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.numeric import sql_round_i64
+
+    a_num, a_den = alpha
+    g_num, g_den = gamma
+    OFF = np.int64(1) << np.int64(20)
+
+    def fdiv(x: np.int64, d: int) -> np.int64:
+        return (x + OFF * d) // d - OFF
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = sql_round_i64(b[value_col], cents_factor).to_numpy(
+            zero_copy_only=False
+        )
+        ts = pc.cast(
+            pc.cast(b[ts_col], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        h = ts // np.int64(bucket_us)
+        k = b[key_col].to_numpy(zero_copy_only=False)
+        o = np.lexsort((h, k))
+        k, h, v = k[o], h[o], v[o]
+        new = np.ones(len(k), bool)
+        new[1:] = (k[1:] != k[:-1]) | (h[1:] != h[:-1])
+        gid = np.cumsum(new) - 1
+        n = int(gid[-1]) + 1 if len(gid) else 0
+        sums = np.zeros(n, np.int64)
+        cnts = np.zeros(n, np.int64)
+        np.add.at(sums, gid, v)
+        np.add.at(cnts, gid, 1)
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                key_col: pa.array(k[starts], b[key_col].type),
+                "bucket": pa.array(h[starts], pa.int64()),
+                "s": pa.array(sums, pa.int64()),
+                "c": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "bucket"])
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+    )
+
+    def smooth(g: pa.Table) -> pa.Table:
+        h = g["bucket"].to_numpy(zero_copy_only=False)
+        o = np.argsort(h, kind="stable")
+        g = g.take(pa.array(o))
+        h = g["bucket"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        y = s // np.maximum(c, 1)  # s, c >= 0: plain floor == trunc
+        n = len(y)
+        lvl = np.zeros(n, np.int64)
+        trd = np.zeros(n, np.int64)
+        if n:
+            lvl[0] = y[0]
+            for t in range(1, n):
+                lvl[t] = fdiv(
+                    a_num * y[t] + (a_den - a_num) * (lvl[t - 1]
+                                                      + trd[t - 1]),
+                    a_den,
+                )
+                trd[t] = fdiv(
+                    g_num * (lvl[t] - lvl[t - 1])
+                    + (g_den - g_num) * trd[t - 1],
+                    g_den,
+                )
+        return pa.table(
+            {
+                key_col: g[key_col],
+                "bucket": pa.array(h, pa.int64()),
+                "level_units": pa.array(lvl, pa.int64()),
+                "trend_units": pa.array(trd, pa.int64()),
+            }
+        )
+
+    return hourly.groupby(key_col).map_groups(smooth, batch_format="pyarrow")
