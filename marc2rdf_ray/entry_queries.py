@@ -12492,3 +12492,113 @@ rec(event_type, rn, bucket, l, b) AS (
 SELECT event_type, bucket, CAST(l AS BIGINT) AS level_units,
        CAST(b AS BIGINT) AS trend_units FROM rec
 """
+
+
+def embeddings_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining (ops/ann.py hard_negatives_topk):
+    per query (vec_id < 8), the exact cosine top-5 among OTHER-label
+    corpus vectors -- one GEMM per batch against the broadcast query
+    matrix with a vectorized label mask, per-batch partial top-k, tiny
+    per-qid merge.  Selection replayed by the oracle with the shared
+    ROUND(cos, 4) + vec_id tie-break."""
+    import pyarrow.parquet as pq
+
+    from .ops.ann import hard_negatives_topk
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    ).filter(pc.less(pc.field("vec_id"), 8)).sort_by("vec_id")
+    ids = t["vec_id"].to_pylist()
+    labs = t["label"].to_pylist()
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    emb = _read(sf_dir, "embeddings",
+                columns=["vec_id", "embedding", "label"])
+    return hard_negatives_topk(emb, ids, mat, labs, k=5)
+
+
+QUERIES["embeddings_hard_negatives"] = embeddings_hard_negatives
+
+ORACLE_SQL["embeddings_hard_negatives"] = """
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlab,
+         CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 8
+)
+SELECT q.qid, e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe),
+             4) AS score
+FROM embeddings e JOIN q
+  ON e.label <> q.qlab AND e.vec_id <> q.qid
+QUALIFY row_number() OVER (
+  PARTITION BY q.qid
+  ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+             DESC,
+           e.vec_id ASC) <= 5
+"""
+
+
+def kg_bgp_group_having(sf_dir: str):
+    """SPARQL aggregate over a star BGP --
+
+        SELECT ?lang (COUNT(*) AS n_docs)
+        WHERE { ?doc dc:language ?lang . ?doc dc:source ?src .
+                ?doc deich:nChars ?nchars }
+        GROUP BY ?lang HAVING (COUNT(*) >= 2)
+
+    -- the GROUP BY/HAVING form of the reference's reporting SPARQL
+    (sparql_update.rb counts per conversion cycle), composed from
+    ops/bgp.bgp_star_match + per-batch count partials + one tiny
+    groupby-sum + a stateless HAVING filter."""
+    from ray.data.aggregate import Sum
+
+    from .ops.bgp import bgp_star_match
+
+    m = bgp_star_match(
+        _lower_docs(
+            _read(sf_dir, "documents"),
+            predicates={DC_LANGUAGE, DC_SOURCE, DEICH_NCHARS},
+        ),
+        [
+            (DC_LANGUAGE, "lang"),
+            (DC_SOURCE, "src"),
+            (DEICH_NCHARS, "nchars"),
+        ],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            np.asarray(b["lang"].to_pylist()), return_counts=True
+        )
+        return pa.table(
+            {"lang": pa.array(u.tolist(), pa.string()),
+             "n_docs": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    agg = (
+        m.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    return agg.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_docs"], pa.scalar(2))),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["kg_bgp_group_having"] = kg_bgp_group_having
+
+ORACLE_SQL["kg_bgp_group_having"] = f"""
+WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({_KG_TRIPLES_SQL})),
+m AS (
+  SELECT a.subj, a.obj AS lang
+  FROM t a
+  JOIN t b ON b.subj = a.subj
+  JOIN t c ON c.subj = a.subj
+  WHERE a.pred = 'http://purl.org/dc/terms/language'
+    AND b.pred = 'http://purl.org/dc/terms/source'
+    AND c.pred = 'http://data.deichman.no/nChars'
+)
+SELECT lang, COUNT(*)::BIGINT AS n_docs
+FROM m GROUP BY lang HAVING COUNT(*) >= 2
+"""

@@ -1204,3 +1204,83 @@ def power_iteration_top_component(ds, *, vec_col: str = "embedding",
             "component_units": pa.array(x, pa.int64()),
         }
     )
+
+
+def hard_negatives_topk(
+    ds,
+    query_ids: list[int],
+    query_mat: np.ndarray,
+    query_labels: list[int],
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+):
+    """Contrastive HARD-NEGATIVE mining: for every query, the exact
+    cosine top-k among corpus vectors whose ``label_col`` DIFFERS from
+    the query's label (and excluding the query row itself) -- the
+    batched negative-selection pass of contrastive / triplet training
+    data preparation, as a label-masked brute scan.
+
+    Scale shape identical to brute_topk: queries (ids, labels, matrix)
+    broadcast once per actor; each batch does ONE GEMM against all
+    queries and applies the per-query label mask vectorized before the
+    per-batch partial top-k; one tiny per-qid groupby merges partials.
+    Scores carry the shared ROUND(cos, 4) + vec_id tie-break so the
+    DuckDB oracle replays selection exactly.
+    """
+    import ray
+
+    ref = ray.put(
+        {
+            "qid": list(query_ids),
+            "mat": np.asarray(query_mat),
+            "lab": np.asarray(query_labels, np.int64),
+        }
+    )
+
+    class Scorer:
+        def __init__(self):
+            q = ray.get(ref)
+            self.qids = np.asarray(q["qid"])
+            self.qlab = np.asarray(q["lab"])
+            self.qmat = _unit(np.asarray(q["mat"], np.float64)).T
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist())
+            labs = np.asarray(batch[label_col].to_pylist(), np.int64)
+            mat = _unit(vecs_to_matrix(batch[vec_col]))
+            sims = mat @ self.qmat  # (n, nq)
+            out_q, out_id, out_s = [], [], []
+            for j, qid in enumerate(self.qids):
+                mask = (labs != self.qlab[j]) & (ids != qid)
+                if not mask.any():
+                    continue
+                col = np.where(mask, sims[:, j], -np.inf)
+                kk = min(k, int(mask.sum()))
+                top = (
+                    np.argpartition(-col, kk - 1)[:kk]
+                    if kk < len(ids) else np.flatnonzero(mask)
+                )
+                for i in top:
+                    if not mask[i]:
+                        continue
+                    out_q.append(int(qid))
+                    out_id.append(int(ids[i]))
+                    out_s.append(round(float(sims[i, j]), 4))
+            return pa.table(
+                {
+                    "qid": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_id, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partial = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("score", "descending"), ("vec_id", "ascending")])
+        return t.slice(0, k)
+
+    return partial.groupby("qid").map_groups(merge, batch_format="pyarrow")
