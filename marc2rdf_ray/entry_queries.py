@@ -12602,3 +12602,78 @@ m AS (
 SELECT lang, COUNT(*)::BIGINT AS n_docs
 FROM m GROUP BY lang HAVING COUNT(*) >= 2
 """
+
+
+def orders_schema_evolution(sf_dir: str):
+    """Union-by-name read over heterogeneous parquet schemas
+    (sources/evolve.py read_parquet_union_by_name): even order keys are
+    written as a v1 file WITHOUT the status column, odd keys as a v2
+    file WITH it; the unified Dataset fills the missing column with the
+    caller default 'legacy' (typed nulls otherwise), streams both files
+    through pruned reads + one stateless align pass (no shuffle), and
+    aggregates revenue cents per effective status.  The schema union
+    itself comes from parquet FOOTERS only; a type conflict on a shared
+    name raises loudly (tests/test_schema_evolve.py)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from .sources.evolve import read_parquet_union_by_name
+
+    base = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    k = base["o_orderkey"].to_numpy(zero_copy_only=False)
+    even = pa.array(k % 2 == 0)
+    tmp = tempfile.mkdtemp(prefix="m2r_evolve_")
+    try:
+        pq.write_table(
+            base.filter(even).select(["o_orderkey", "o_totalprice"]),
+            f"{tmp}/v1.parquet",
+        )
+        pq.write_table(
+            base.filter(pc.invert(even)),
+            f"{tmp}/v2.parquet",
+        )
+        ds = read_parquet_union_by_name(
+            [f"{tmp}/v1.parquet", f"{tmp}/v2.parquet"],
+            defaults={"o_orderstatus": "legacy"},
+        )
+
+        def cents(b: pa.Table) -> pa.Table:
+            from .functions.numeric import sql_round_i64
+
+            return pa.table(
+                {
+                    "o_orderstatus": b["o_orderstatus"],
+                    "cents": sql_round_i64(b["o_totalprice"], 100.0),
+                }
+            )
+
+        out = (
+            ds.map_batches(cents, batch_format="pyarrow")
+            .groupby("o_orderstatus")
+            .aggregate(
+                Count(alias_name="n_orders"),
+                Sum("cents", alias_name="revenue_cents"),
+            )
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES["orders_schema_evolution"] = orders_schema_evolution
+
+ORACLE_SQL["orders_schema_evolution"] = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'legacy' ELSE o_orderstatus END
+         AS o_orderstatus,
+       COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders GROUP BY 1
+"""
