@@ -12677,3 +12677,68 @@ SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'legacy' ELSE o_orderstatus END
          AS revenue_cents
 FROM orders GROUP BY 1
 """
+
+
+def graph_cc_incremental(sf_dir: str):
+    """Incremental connected components (ops/graph.py
+    connected_components_incremental): the md5 link graph splits into a
+    base window ((src + dst) % 3 != 0) and a growth window (the rest);
+    base labels come from a full CC solve, then the growth window folds
+    in via supernode contraction -- cost O(new edges + touched
+    components), NOT a re-solve -- and the result must equal CC over
+    the union, which is exactly what the recursive min-reach oracle
+    computes.  tests/test_graph_msf.py-style equality is thus checked
+    by the contract gate itself."""
+    from .ops.graph import connected_components_incremental
+    from .stages.canonicalize import (
+        connected_components,
+        connected_components_local,
+    )
+
+    edges, _nodes, _ = _md5_link_graph(sf_dir)
+
+    def window(b: pa.Table, keep_base: bool) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        base = (s + d) % 3 != 0
+        return b.filter(pa.array(base if keep_base else ~base))
+
+    w1 = edges.map_batches(
+        lambda b: window(b, True), batch_format="pyarrow"
+    ).map_batches(
+        lambda b: pa.table({"subj": b["src"], "obj": b["dst"]}),
+        batch_format="pyarrow",
+    )
+    w2 = edges.map_batches(lambda b: window(b, False),
+                           batch_format="pyarrow")
+
+    labels1 = connected_components_local(w1)
+    if labels1 is None:  # pragma: no cover - scale path
+        labels1 = connected_components(w1, rounds=20, doubling=True)
+    return connected_components_incremental(labels1, w2)
+
+
+QUERIES["graph_cc_incremental"] = graph_cc_incremental
+
+ORACLE_SQL["graph_cc_incremental"] = """
+WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+dedges AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+und AS (
+  SELECT src AS x, dst AS y FROM dedges
+  UNION SELECT dst, src FROM dedges
+),
+endpoints AS (SELECT DISTINCT x AS node FROM und),
+reach(node, r) AS (
+  SELECT node, node FROM endpoints
+  UNION
+  SELECT u.y, reach.r FROM reach JOIN und u ON u.x = reach.node
+)
+SELECT node, MIN(r) AS root FROM reach GROUP BY node
+"""

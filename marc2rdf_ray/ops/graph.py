@@ -4202,3 +4202,220 @@ def boruvka_msf(
         lambda b: pa.table({"src": b["u"], "dst": b["v"], "w": b["w"]}),
         batch_format="pyarrow",
     )
+
+
+def connected_components_incremental(labels_ds, new_edges_ds, *,
+                                     budget: int = 256 << 20):
+    """INCREMENTAL connected components: fold a new window of edges into
+    an existing (node, root) labeling WITHOUT re-solving the old graph
+    -- the daily-crawl growth path (reference analog: the nightly
+    harvest folding new records into the existing store,
+    scheduler.rb's daily cycle).
+
+    Standard supernode contraction: old roots become supernodes; each
+    new edge relabels its endpoints through the old labeling (nodes the
+    old labeling never saw own themselves), CC runs on the CONTRACTED
+    graph -- O(new edges + touched components), independent of the old
+    graph's size -- and the composition old-root -> new-root applies to
+    the old labeling with one vectorized lookup (broadcast under
+    ``budget``, distributed join above).
+
+    Exactness: contracting a partition of already-connected sets
+    preserves connectivity, so the result equals CC over (old edges
+    UNION new edges) -- which is exactly what the DuckDB oracle
+    computes (recursive min-reach over both windows).  Labels stay the
+    component-min NODE id because old roots ARE min node ids and the
+    contracted CC again takes mins.
+
+    Returns (node, root) covering old nodes and new-edge endpoints.
+    """
+    import ray
+
+    from ..stages.canonicalize import (
+        connected_components,
+        connected_components_local,
+    )
+    from .dedup import distinct_first
+
+    labels = labels_ds.materialize()
+
+    # relabel new edges through the old labeling
+    if (labels.size_bytes() or 0) <= budget:
+        tab = pa.concat_tables(
+            ray.get(labels.to_arrow_refs()), promote_options="default"
+        )
+        nodes_np = tab["node"].to_numpy(zero_copy_only=False)
+        roots_np = tab["root"].to_numpy(zero_copy_only=False)
+        o = np.argsort(nodes_np, kind="stable")
+        ref = ray.put({"node": nodes_np[o], "root": roots_np[o]})
+
+        class Contract:
+            def __init__(self):
+                d = ray.get(ref)
+                self.nodes = d["node"]
+                self.roots = d["root"]
+
+            def _lookup(self, ids: np.ndarray) -> np.ndarray:
+                if not len(self.nodes):
+                    return ids.copy()
+                idx = np.searchsorted(self.nodes, ids)
+                idx = np.clip(idx, 0, len(self.nodes) - 1)
+                out = self.roots[idx].copy()
+                miss = self.nodes[idx] != ids
+                out[miss] = ids[miss]
+                return out
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                s = self._lookup(
+                    b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                d = self._lookup(
+                    b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                keep = s != d
+                return pa.table(
+                    {
+                        "subj": pa.array(s[keep], pa.int64()),
+                        "obj": pa.array(d[keep], pa.int64()),
+                    }
+                )
+
+        contracted = new_edges_ds.map_batches(
+            Contract, batch_format="pyarrow", concurrency=2
+        )
+    else:  # pragma: no cover - scale path
+        from .dedup import normalize_join_blocks
+
+        nparts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
+        def half(col_in, col_out):
+            def fn(b: pa.Table) -> pa.Table:
+                return pa.table(
+                    {col_out: pc.cast(b[col_in], pa.int64())}
+                )
+            return fn
+
+        e = new_edges_ds.map_batches(
+            lambda b: pa.table(
+                {"src": pc.cast(b["src"], pa.int64()),
+                 "dst": pc.cast(b["dst"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        for side in ("src", "dst"):
+            e = normalize_join_blocks(e, nparts).join(
+                normalize_join_blocks(
+                    labels.map_batches(
+                        lambda b, s=side: pa.table(
+                            {"node": b["node"], f"r_{s}": b["root"]}
+                        ),
+                        batch_format="pyarrow",
+                    ),
+                    nparts,
+                ),
+                join_type="left_outer", num_partitions=nparts,
+                on=(side,), right_on=("node",),
+            )
+        contracted = e.map_batches(
+            lambda b: pa.table(
+                {
+                    "subj": pc.coalesce(
+                        pc.cast(b["r_src"], pa.int64()),
+                        pc.cast(b["src"], pa.int64()),
+                    ),
+                    "obj": pc.coalesce(
+                        pc.cast(b["r_dst"], pa.int64()),
+                        pc.cast(b["dst"], pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).map_batches(
+            lambda b: b.filter(pc.not_equal(b["subj"], b["obj"])),
+            batch_format="pyarrow",
+        )
+
+    cc = connected_components_local(contracted, budget=budget)
+    if cc is None:  # pragma: no cover - scale path
+        cc = connected_components(contracted, rounds=20, doubling=True)
+    cc = cc.materialize()
+
+    # compose: old labeling through the contracted relabeling, plus any
+    # brand-new nodes the old labeling never covered
+    if (cc.size_bytes() or 0) <= budget:
+        cct = pa.concat_tables(
+            ray.get(cc.to_arrow_refs()), promote_options="default"
+        )
+        old = cct["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        new = cct["root"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(old, kind="stable")
+        mref = ray.put({"old": old[o], "new": new[o]})
+
+        class Compose:
+            def __init__(self):
+                d = ray.get(mref)
+                self.old = d["old"]
+                self.new = d["new"]
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                r = b["root"].to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64).copy()
+                if len(self.old):
+                    idx = np.searchsorted(self.old, r)
+                    idx = np.clip(idx, 0, len(self.old) - 1)
+                    hit = self.old[idx] == r
+                    r[hit] = self.new[idx[hit]]
+                return pa.table(
+                    {
+                        "node": pc.cast(b["node"], pa.int64()),
+                        "root": pa.array(r, pa.int64()),
+                    }
+                )
+
+        updated_old = labels.map_batches(
+            Compose, batch_format="pyarrow", concurrency=2
+        )
+    else:  # pragma: no cover - scale path
+        from .dedup import normalize_join_blocks
+
+        nparts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        j = normalize_join_blocks(labels, nparts).join(
+            normalize_join_blocks(
+                cc.map_batches(
+                    lambda b: b.rename_columns(["cnode", "croot"]),
+                    batch_format="pyarrow",
+                ),
+                nparts,
+            ),
+            join_type="left_outer", num_partitions=nparts,
+            on=("root",), right_on=("cnode",),
+        )
+        updated_old = j.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pc.cast(b["node"], pa.int64()),
+                    "root": pc.coalesce(
+                        pc.cast(b["croot"], pa.int64()),
+                        pc.cast(b["root"], pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    # brand-new nodes: contracted-CC rows whose node was NOT an old root
+    # and NOT an old node (self-owned pass-throughs of the contraction)
+    from .dedup import anti_join_filter
+
+    covered = labels.map_batches(
+        lambda b: pa.table({"node": pc.cast(b["node"], pa.int64())}),
+        batch_format="pyarrow",
+    ).union(
+        labels.map_batches(
+            lambda b: pa.table({"node": pc.cast(b["root"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+    )
+    fresh = anti_join_filter(cc, covered, "node")
+    return distinct_first(updated_old.union(fresh), "node")
