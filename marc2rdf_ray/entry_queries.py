@@ -12742,3 +12742,70 @@ reach(node, r) AS (
 )
 SELECT node, MIN(r) AS root FROM reach GROUP BY node
 """
+
+
+def graph_greedy_matching(sf_dir: str):
+    """Distributed greedy maximal matching by synchronous handshaking
+    (ops/graph.py greedy_matching): 3 rounds of every live node pointing
+    at its minimum incident edge under (w, u, v) with md5-derived
+    weights; mutual picks match and their endpoints leave.  Fixed-round
+    semantics unrolled by the oracle."""
+    from .ops.graph import greedy_matching
+
+    edges, _nodes, _ = _md5_link_graph(sf_dir)
+    return greedy_matching(edges, rounds=3)
+
+
+QUERIES["graph_greedy_matching"] = graph_greedy_matching
+
+
+def _greedy_matching_oracle(rounds: int) -> str:
+    head = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+dedges AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+und AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM dedges WHERE src <> dst GROUP BY 1, 2
+),
+live1 AS MATERIALIZED (
+  SELECT u, v,
+         CAST(('0x' || substr(md5(CAST(u AS VARCHAR) || '~'
+               || CAST(v AS VARCHAR) || 'g'), 1, 12)) AS BIGINT) AS w
+  FROM und
+)"""
+    blocks = []
+    for k in range(1, rounds + 1):
+        blocks.append(f"""
+inc{k} AS (
+  SELECT u AS node, w, u, v FROM live{k}
+  UNION ALL SELECT v AS node, w, u, v FROM live{k}
+),
+pick{k} AS MATERIALIZED (
+  SELECT node, w, u, v FROM inc{k}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY w, u, v) = 1
+),
+m{k} AS MATERIALIZED (
+  SELECT u, v, w FROM pick{k} GROUP BY u, v, w HAVING COUNT(*) = 2
+),
+mn{k} AS MATERIALIZED (
+  SELECT u AS node FROM m{k} UNION SELECT v FROM m{k}
+),
+live{k + 1} AS MATERIALIZED (
+  SELECT * FROM live{k}
+  WHERE u NOT IN (SELECT node FROM mn{k})
+    AND v NOT IN (SELECT node FROM mn{k})
+)""")
+    tail = "\nSELECT u AS src, v AS dst, w FROM (\n" + "\n  UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, rounds + 1)
+    ) + "\n)"
+    return head + "," + ",".join(blocks) + tail
+
+
+ORACLE_SQL["graph_greedy_matching"] = _greedy_matching_oracle(3)

@@ -4419,3 +4419,157 @@ def connected_components_incremental(labels_ds, new_edges_ds, *,
     )
     fresh = anti_join_filter(cc, covered, "node")
     return distinct_first(updated_old.union(fresh), "node")
+
+
+def greedy_matching(
+    edges_ds,
+    *,
+    rounds: int = 3,
+    weight_salt: str = "g",
+    budget: int = 256 << 20,
+):
+    """Distributed greedy MAXIMAL MATCHING by synchronous handshaking
+    (the Israeli--Itai shape): each round every still-unmatched node
+    points at its minimum incident edge under the strict total order
+    (w, u, v); an edge joins the matching iff BOTH endpoints point at it
+    (mutual pick), and its endpoints leave the graph.  With distinct
+    weights the process is deterministic and yields a maximal matching
+    at the fixpoint; ``rounds`` bounds the unrolled DuckDB oracle (the
+    ktruss fixed-round contract -- matched edges after R rounds).
+
+    Scale shape: the canonical weighted edge list materializes once
+    (3 int64 columns); per-round state is the matched-NODE set, slim,
+    applied as a broadcast-or-anti-join filter on both endpoints;
+    per-node argmin uses the per-batch lexsort combiner (<= #nodes rows
+    per batch cross the exchange) + one groupby finish; the handshake
+    is one tiny groupby over picked edges (<= 2 rows per edge).
+
+    Weights are md5-derived 48-bit integers, salt ``weight_salt`` (so
+    matching and MSF orders differ); node ids must fit uint32.
+
+    Returns matched edges (src, dst, w), src < dst.
+    """
+    import hashlib as _hl
+
+    import ray  # noqa: F401
+
+    from .dedup import anti_join_filter, distinct_first
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        if len(u) and (v.max() >= (1 << 32) or u.min() < 0):
+            raise ValueError("greedy_matching: node ids must fit uint32")
+        key = np.unique((u << np.int64(32)) | v)
+        u = key >> np.int64(32)
+        v = key & np.int64((1 << 32) - 1)
+        w = np.empty(len(u), np.int64)
+        for i in range(len(u)):
+            h = _hl.md5(
+                f"{u[i]}~{v[i]}{weight_salt}".encode()
+            ).hexdigest()[:12]
+            w[i] = int(h, 16)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+
+    def packed(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_k", pa.array((u << np.int64(32)) | v, pa.int64())
+        )
+
+    live = distinct_first(
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .map_batches(packed, batch_format="pyarrow"),
+        "_k",
+    ).map_batches(
+        lambda b: b.select(["u", "v", "w"]), batch_format="pyarrow"
+    ).materialize()
+
+    matched_edges = None
+
+    def incidence(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([u, v])
+        w2 = np.concatenate([w, w])
+        u2 = np.concatenate([u, u])
+        v2 = np.concatenate([v, v])
+        # per-batch combiner: argmin per node by (w, u, v)
+        o = np.lexsort((v2, u2, w2, node))
+        node, w2, u2, v2 = node[o], w2[o], u2[o], v2[o]
+        first = np.ones(len(node), bool)
+        first[1:] = node[1:] != node[:-1]
+        return pa.table(
+            {
+                "node": pa.array(node[first], pa.int64()),
+                "w": pa.array(w2[first], pa.int64()),
+                "u": pa.array(u2[first], pa.int64()),
+                "v": pa.array(v2[first], pa.int64()),
+            }
+        )
+
+    def handshake(g: pa.Table) -> pa.Table:
+        if g.num_rows == 2:
+            return g.slice(0, 1).select(["u", "v", "w"])
+        return g.slice(0, 0).select(["u", "v", "w"])
+
+    for _ in range(rounds):
+        if live.count() == 0:
+            break
+        picks = live.map_batches(
+            incidence, batch_format="pyarrow"
+        ).groupby("node").map_groups(_first_by_wuv, batch_format="pyarrow")
+        mutual = (
+            picks.map_batches(packed, batch_format="pyarrow")
+            .groupby("_k")
+            .map_groups(handshake, batch_format="pyarrow")
+            .materialize()
+        )
+        if mutual.count() == 0:
+            break
+        matched_edges = (
+            mutual if matched_edges is None
+            else matched_edges.union(mutual).materialize()
+        )
+        matched_nodes = mutual.map_batches(
+            lambda b: pa.table({"u": b["u"]}), batch_format="pyarrow"
+        ).union(
+            mutual.map_batches(
+                lambda b: pa.table({"u": b["v"]}), batch_format="pyarrow"
+            )
+        )
+        live = anti_join_filter(
+            live, matched_nodes, "u", broadcast_budget=budget
+        )
+        live = anti_join_filter(
+            live,
+            matched_nodes.map_batches(
+                lambda b: pa.table({"v": b["u"]}), batch_format="pyarrow"
+            ),
+            "v",
+            broadcast_budget=budget,
+        ).materialize()
+
+    if matched_edges is None:
+        return live.limit(0).map_batches(
+            lambda b: pa.table(
+                {"src": b["u"], "dst": b["v"], "w": b["w"]}
+            ),
+            batch_format="pyarrow",
+        )
+    return matched_edges.map_batches(
+        lambda b: pa.table({"src": b["u"], "dst": b["v"], "w": b["w"]}),
+        batch_format="pyarrow",
+    )
