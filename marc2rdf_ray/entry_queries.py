@@ -12809,3 +12809,46 @@ live{k + 1} AS MATERIALIZED (
 
 
 ORACLE_SQL["graph_greedy_matching"] = _greedy_matching_oracle(3)
+
+
+def events_cep_conversion(sf_dir: str):
+    """MATCH_RECOGNIZE-shaped CEP (ops/windows.py cep_match_last):
+    purchases preceded by a view within 2 hours with NO error between
+    that latest view and the purchase -- last-touch conversion
+    attribution with blocker semantics; strict (ts, event_id)
+    predecessor order replayed by the oracle's ROWS window."""
+    from .ops.windows import cep_match_last
+
+    ds = _read(
+        sf_dir, "events",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return cep_match_last(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        type_col="event_type", target_type="purchase",
+        prereq_type="view", blocker_type="error",
+    )
+
+
+QUERIES["events_cep_conversion"] = events_cep_conversion
+
+ORACLE_SQL["events_cep_conversion"] = """
+WITH s AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+         MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_view,
+         MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_err
+  FROM events
+)
+SELECT user_id, event_id, (t - last_view) AS gap_us
+FROM s
+WHERE event_type = 'purchase'
+  AND last_view IS NOT NULL
+  AND t - last_view <= 7200000000
+  AND (last_err IS NULL OR last_err < last_view)
+"""

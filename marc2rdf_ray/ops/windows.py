@@ -1794,3 +1794,95 @@ def holt_linear_per_group(
         )
 
     return hourly.groupby(key_col).map_groups(smooth, batch_format="pyarrow")
+
+
+def cep_match_last(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    target_type: str,
+    prereq_type: str,
+    blocker_type: str,
+    window_us: int = 7_200_000_000,
+):
+    """Complex-event-pattern match (the MATCH_RECOGNIZE shape): emit
+    every ``target_type`` event whose key saw a ``prereq_type`` event
+    within ``window_us`` BEFORE it, with no ``blocker_type`` event
+    between that latest prereq and the target -- "view then purchase
+    within 2h with no error in between", the conversion-attribution
+    pattern plain joins overcount (every prior view would match) and
+    funnels undercount (no blocker semantics).
+
+    Exact and SQL-replayable: "before" is the strict lexicographic
+    (ts, id) predecessor order, the same frame the oracle's
+    ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`` window uses;
+    all comparisons are int64 microseconds.
+
+    Scale shape: one hash(key) bucket shuffle of slim (key, ts, id,
+    type) rows; per bucket a stable lexsort + two pandas grouped
+    cummax/shift passes (C kernels, no Python per row) compute each
+    row's latest-prior prereq/blocker stamps; the match filter is
+    stateless.  One key's rows share a task (the sessionize contract).
+
+    Returns (key, id, gap_us) for matched targets.
+    """
+    from ..functions.hashing import bucket_codes
+
+    try:
+        import ray
+
+        num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    except Exception:  # pragma: no cover
+        num_buckets = 16
+
+    def slim(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key_col: b[key_col],
+                "ts_us": pc.cast(
+                    pc.cast(b[ts_col], pa.timestamp("us")), pa.int64()
+                ),
+                id_col: b[id_col],
+                type_col: b[type_col],
+            }
+        )
+        return t.append_column(
+            "__bucket",
+            bucket_codes(pc.cast(t[key_col], pa.string()), num_buckets),
+        )
+
+    def match(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.select([key_col, "ts_us", id_col, type_col]).to_pandas()
+        df = df.sort_values(["ts_us", id_col], kind="stable")
+        grp = df.groupby(key_col, sort=False)
+
+        def last_prior(evt: str) -> "pd.Series":
+            stamped = df["ts_us"].where(df[type_col] == evt)
+            return stamped.groupby(df[key_col], sort=False).cummax() \
+                .groupby(df[key_col], sort=False).shift(1)
+
+        del grp
+        lv = last_prior(prereq_type)
+        le = last_prior(blocker_type)
+        is_t = df[type_col] == target_type
+        gap = df["ts_us"] - lv
+        ok = (
+            is_t
+            & lv.notna()
+            & (gap <= window_us)
+            & (le.isna() | (le < lv))
+        )
+        out = df.loc[ok, [key_col, id_col]].copy()
+        out["gap_us"] = gap[ok].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(match, batch_format="pyarrow")
+    )
