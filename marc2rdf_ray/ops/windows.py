@@ -1862,9 +1862,13 @@ def cep_match_last(
         grp = df.groupby(key_col, sort=False)
 
         def last_prior(evt: str) -> "pd.Series":
+            # cummax leaves NaN at masked rows (it only skips them for
+            # LATER maxes), so forward-fill within the key before the
+            # strict-predecessor shift
             stamped = df["ts_us"].where(df[type_col] == evt)
-            return stamped.groupby(df[key_col], sort=False).cummax() \
-                .groupby(df[key_col], sort=False).shift(1)
+            cm = stamped.groupby(df[key_col], sort=False).cummax()
+            cm = cm.groupby(df[key_col], sort=False).ffill()
+            return cm.groupby(df[key_col], sort=False).shift(1)
 
         del grp
         lv = last_prior(prereq_type)
