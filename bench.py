@@ -350,6 +350,22 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "parts_golden_records",
         "docs_ccnet_buckets",
         "events_seasonal_baseline",
+        "graph_temporal_reachability",
+        "graph_boruvka_msf",
+        "graph_greedy_matching",
+        "graph_cc_incremental",
+        "docs_crawl_frontier",
+        "docs_bpe_tokens",
+        "docs_bpe_train",
+        "docs_classifier_scores",
+        "events_user_decayed_score",
+        "events_holt_smoothing",
+        "events_cep_conversion",
+        "orders_upsert_apply",
+        "orders_schema_evolution",
+        "embeddings_pca_power",
+        "embeddings_hard_negatives",
+        "kg_bgp_group_having",
     ]
     out = {}
     for name in names:
