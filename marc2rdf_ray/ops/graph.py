@@ -3715,6 +3715,7 @@ def temporal_reachability(
     *,
     rounds: int = 3,
     stamp_of=None,
+    budget: int = 256 << 20,
 ):
     """Bounded-round earliest-arrival reachability over a TEMPORAL graph:
     each edge carries a departure stamp ``t`` and a duration ``dur``; a
@@ -3788,7 +3789,27 @@ def temporal_reachability(
         seeds_ds.map_batches(seed_arr, batch_format="pyarrow"), "node"
     ).materialize()
 
-    budget = 256 << 20
+    # budget-gated fast path: when the stamped edge list and the seed set
+    # both fit, ONE task runs every synchronous relaxation with the same
+    # int64 math (parity-tested in tests/test_graph_local_parity.py).
+    if (
+        (ew.size_bytes() or 0) <= budget
+        and (arrivals.size_bytes() or 0) <= budget
+    ):
+        import ray as _ray
+
+        seeds_np = np.concatenate(
+            [
+                t["node"].to_numpy(zero_copy_only=False)
+                for t in _ray.get(arrivals.to_arrow_refs())
+                if t.num_rows
+            ]
+            or [np.array([], np.int64)]
+        ).astype(np.int64)
+        return _run_in_one_task(
+            ew, lambda g: _temporal_solve_local(g, seeds_np, rounds)
+        )
+
     for _ in range(rounds):
         if (arrivals.size_bytes() or 0) <= budget:
             tab = pa.concat_tables(
@@ -3896,6 +3917,7 @@ def boruvka_msf(
     rounds: int | None = 2,
     weight_of=None,
     budget: int = 256 << 20,
+    local_budget: int | None = None,
 ):
     """Boruvka minimum-spanning-forest rounds over the undirected md5
     link graph -- the canonical "log-round" distributed graph algorithm
@@ -3991,6 +4013,18 @@ def boruvka_msf(
     ).map_batches(
         lambda b: b.select(["u", "v", "w"]), batch_format="pyarrow"
     ).materialize()
+
+    # budget-gated fast path: the canonical weighted edge list is orders
+    # smaller than the corpus that produced it; when it fits one task,
+    # ONE worker runs every round with the identical deterministic math
+    # (parity-tested in tests/test_graph_local_parity.py).  Isolated
+    # nodes never select an edge, so the edge list alone suffices.
+    if (ew.size_bytes() or 0) <= (
+        budget if local_budget is None else local_budget
+    ):
+        return _run_in_one_task(
+            ew, lambda g: _boruvka_solve_local(g, rounds)
+        )
 
     comp = nodes_ds.map_batches(
         lambda b: pa.table(
@@ -4110,9 +4144,7 @@ def boruvka_msf(
 
             cand = j.map_batches(emit_dirs, batch_format="pyarrow")
 
-        sel = cand.groupby("comp").map_groups(
-            _first_by_wuv, batch_format="pyarrow"
-        )
+        sel = _first_by_wuv_bucketed(cand, "comp")
         selected = distinct_first(
             sel.map_batches(packed, batch_format="pyarrow"), "_k"
         ).map_batches(
@@ -4496,6 +4528,11 @@ def greedy_matching(
         lambda b: b.select(["u", "v", "w"]), batch_format="pyarrow"
     ).materialize()
 
+    if (live.size_bytes() or 0) <= budget:
+        return _run_in_one_task(
+            live, lambda g: _matching_solve_local(g, rounds)
+        )
+
     matched_edges = None
 
     def incidence(b: pa.Table) -> pa.Table:
@@ -4520,21 +4557,20 @@ def greedy_matching(
             }
         )
 
-    def handshake(g: pa.Table) -> pa.Table:
-        if g.num_rows == 2:
-            return g.slice(0, 1).select(["u", "v", "w"])
-        return g.slice(0, 0).select(["u", "v", "w"])
-
     for _ in range(rounds):
         if live.count() == 0:
             break
-        picks = live.map_batches(
-            incidence, batch_format="pyarrow"
-        ).groupby("node").map_groups(_first_by_wuv, batch_format="pyarrow")
+        picks = _first_by_wuv_bucketed(
+            live.map_batches(incidence, batch_format="pyarrow"), "node"
+        )
         mutual = (
-            picks.map_batches(packed, batch_format="pyarrow")
-            .groupby("_k")
-            .map_groups(handshake, batch_format="pyarrow")
+            _pairs_with_count2_bucketed(
+                picks.map_batches(packed, batch_format="pyarrow"), "_k"
+            )
+            .map_batches(
+                lambda b: b.select(["u", "v", "w"]),
+                batch_format="pyarrow",
+            )
             .materialize()
         )
         if mutual.count() == 0:
@@ -4572,4 +4608,232 @@ def greedy_matching(
     return matched_edges.map_batches(
         lambda b: pa.table({"src": b["u"], "dst": b["v"], "w": b["w"]}),
         batch_format="pyarrow",
+    )
+
+
+def _first_by_wuv_bucketed(ds, key_col: str, *, num_buckets: int | None = None):
+    """Global argmin-per-``key_col`` by the strict (w, u, v) order as ONE
+    hash-bucket exchange with a fully VECTORIZED per-bucket finish
+    (lexsort + run mask) -- replaces per-key ``groupby(key).map_groups``
+    whose Python-per-group overhead dominates at tens of thousands of
+    keys (Boruvka components, matching nodes)."""
+    import ray
+
+    nb = num_buckets or max(
+        16, int(ray.cluster_resources().get("CPU", 8)) * 2
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("__bucket", _bucket_ints(b[key_col], nb))
+
+    def finish(g: pa.Table) -> pa.Table:
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        w = g["w"].to_numpy(zero_copy_only=False)
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((v, u, w, k))
+        ks = k[o]
+        first = np.ones(len(ks), bool)
+        first[1:] = ks[1:] != ks[:-1]
+        out = g.take(pa.array(o[first]))
+        return out.drop_columns(["__bucket"])
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def _pairs_with_count2_bucketed(ds, key_col: str = "_k",
+                                *, num_buckets: int | None = None):
+    """Keep ONE representative row of every ``key_col`` value appearing
+    EXACTLY twice (the mutual-pick handshake), vectorized per bucket."""
+    import ray
+
+    nb = num_buckets or max(
+        16, int(ray.cluster_resources().get("CPU", 8)) * 2
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("__bucket", _bucket_ints(b[key_col], nb))
+
+    def finish(g: pa.Table) -> pa.Table:
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        o = np.argsort(k, kind="stable")
+        ks = k[o]
+        first = np.ones(len(ks), bool)
+        first[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(ks)))
+        keep = starts[lens == 2]
+        out = g.take(pa.array(o[keep]))
+        return out.drop_columns(["__bucket"])
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def _run_in_one_task(mat_ds, solve):
+    """Ship a solved-in-one-task computation to a worker (the
+    connected_components_local shape): tag every row into one group and
+    map_groups the vectorized solver over it -- no driver compute."""
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_g", pa.array(np.zeros(len(b), np.int8), pa.int8())
+        )
+
+    def run(g: pa.Table) -> pa.Table:
+        return solve(g.drop_columns(["_g"]))
+
+    return (
+        mat_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(run, batch_format="pyarrow")
+    )
+
+
+def _boruvka_solve_local(g: pa.Table, rounds) -> pa.Table:
+    """In-task Boruvka rounds over the canonical weighted edge list --
+    the identical deterministic math as the distributed rounds (argmin
+    per component under (w, u, v), contraction by min-label CC), so the
+    output is bit-identical by construction (parity-tested)."""
+    from ..stages.canonicalize import _cc_numpy
+
+    u = g["u"].to_numpy(zero_copy_only=False)
+    v = g["v"].to_numpy(zero_copy_only=False)
+    w = g["w"].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[: len(u)], inv[len(u):]
+    comp = nodes.copy()
+    out_u, out_v, out_w = [], [], []
+    r = 0
+    while rounds is None or r < rounds:
+        r += 1
+        cu, cv = comp[iu], comp[iv]
+        m = cu != cv
+        if not m.any():
+            break
+        cc_ = np.concatenate([cu[m], cv[m]])
+        w2 = np.concatenate([w[m], w[m]])
+        u2 = np.concatenate([u[m], u[m]])
+        v2 = np.concatenate([v[m], v[m]])
+        cu2 = np.concatenate([cu[m], cu[m]])
+        cv2 = np.concatenate([cv[m], cv[m]])
+        o = np.lexsort((v2, u2, w2, cc_))
+        cc_, w2, u2, v2, cu2, cv2 = (
+            cc_[o], w2[o], u2[o], v2[o], cu2[o], cv2[o]
+        )
+        first = np.ones(len(cc_), bool)
+        first[1:] = cc_[1:] != cc_[:-1]
+        su, sv, sw = u2[first], v2[first], w2[first]
+        scu, scv = cu2[first], cv2[first]
+        key = (su << np.int64(32)) | sv
+        _, idx = np.unique(key, return_index=True)
+        out_u.append(su[idx])
+        out_v.append(sv[idx])
+        out_w.append(sw[idx])
+        n2, r2 = _cc_numpy(scu[idx], scv[idx])
+        pos = np.searchsorted(n2, comp)
+        pos = np.clip(pos, 0, max(len(n2) - 1, 0))
+        hit = n2[pos] == comp if len(n2) else np.zeros(len(comp), bool)
+        comp[hit] = r2[pos[hit]]
+    if not out_u:
+        return pa.table(
+            {"src": pa.array([], pa.int64()),
+             "dst": pa.array([], pa.int64()),
+             "w": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "src": pa.array(np.concatenate(out_u), pa.int64()),
+            "dst": pa.array(np.concatenate(out_v), pa.int64()),
+            "w": pa.array(np.concatenate(out_w), pa.int64()),
+        }
+    )
+
+
+def _matching_solve_local(g: pa.Table, rounds: int) -> pa.Table:
+    """In-task handshake-matching rounds; identical math as the
+    distributed rounds (parity-tested)."""
+    u = g["u"].to_numpy(zero_copy_only=False)
+    v = g["v"].to_numpy(zero_copy_only=False)
+    w = g["w"].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[: len(u)], inv[len(u):]
+    free = np.ones(len(nodes), bool)
+    out_u, out_v, out_w = [], [], []
+    for _ in range(rounds):
+        m = free[iu] & free[iv]
+        if not m.any():
+            break
+        node = np.concatenate([iu[m], iv[m]])
+        w2 = np.concatenate([w[m], w[m]])
+        u2 = np.concatenate([u[m], u[m]])
+        v2 = np.concatenate([v[m], v[m]])
+        o = np.lexsort((v2, u2, w2, node))
+        node, w2, u2, v2 = node[o], w2[o], u2[o], v2[o]
+        first = np.ones(len(node), bool)
+        first[1:] = node[1:] != node[:-1]
+        pu, pv, pw = u2[first], v2[first], w2[first]
+        key = (pu << np.int64(32)) | pv
+        ko = np.argsort(key, kind="stable")
+        ks = key[ko]
+        kfirst = np.ones(len(ks), bool)
+        kfirst[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(kfirst)
+        lens = np.diff(np.append(starts, len(ks)))
+        keep = ko[starts[lens == 2]]
+        if not len(keep):
+            break
+        mu, mv, mw = pu[keep], pv[keep], pw[keep]
+        out_u.append(mu)
+        out_v.append(mv)
+        out_w.append(mw)
+        free[np.searchsorted(nodes, mu)] = False
+        free[np.searchsorted(nodes, mv)] = False
+    if not out_u:
+        return pa.table(
+            {"src": pa.array([], pa.int64()),
+             "dst": pa.array([], pa.int64()),
+             "w": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "src": pa.array(np.concatenate(out_u), pa.int64()),
+            "dst": pa.array(np.concatenate(out_v), pa.int64()),
+            "w": pa.array(np.concatenate(out_w), pa.int64()),
+        }
+    )
+
+
+def _temporal_solve_local(g: pa.Table, seeds: np.ndarray,
+                          rounds: int) -> pa.Table:
+    """In-task synchronous earliest-arrival relaxations; identical int64
+    math as the distributed rounds (parity-tested)."""
+    src = g["src"].to_numpy(zero_copy_only=False)
+    dst = g["dst"].to_numpy(zero_copy_only=False)
+    t = g["t"].to_numpy(zero_copy_only=False)
+    dur = g["dur"].to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([seeds, src, dst]))
+    INF = np.iinfo(np.int64).max
+    arr = np.full(len(nodes), INF, np.int64)
+    arr[np.searchsorted(nodes, np.unique(seeds))] = 0
+    isrc = np.searchsorted(nodes, src)
+    idst = np.searchsorted(nodes, dst)
+    for _ in range(rounds):
+        prev = arr.copy()
+        ok = (prev[isrc] != INF) & (t >= prev[isrc])
+        if ok.any():
+            np.minimum.at(arr, idst[ok], t[ok] + dur[ok])
+        arr = np.minimum(arr, prev)
+    got = arr != INF
+    return pa.table(
+        {
+            "node": pa.array(nodes[got], pa.int64()),
+            "arrival": pa.array(arr[got], pa.int64()),
+        }
     )
