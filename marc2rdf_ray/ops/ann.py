@@ -1069,9 +1069,15 @@ def pq_topk(
 
     books = []
     for s in range(n_sub):
+        # materialize the subspace slice ONCE: Lloyd consumes it
+        # iterations+2 times (init scan, per-round partials, assign) and
+        # an unmaterialized slice re-executes the parquet read + slicing
+        # per consumer (the embeddings_semdedup lesson, NOTES r4).  The
+        # slice is n x dsub -- at true 100-TB scale the training pass
+        # runs on a sample, so this stays bounded.
         cents, _ = kmeans_quantized(
-            sub_ds(s), n_clusters=ksub, iterations=iterations,
-            id_col=id_col, vec_col=vec_col,
+            sub_ds(s).materialize(), n_clusters=ksub,
+            iterations=iterations, id_col=id_col, vec_col=vec_col,
         )
         books.append(cents)  # (ksub, dsub) int64
 
