@@ -686,19 +686,13 @@ def interval_overlap_join(
         [pa.field("left_id", pa.int64()), pa.field("right_id", pa.int64())]
     )
 
-    def pair_tile(group: pa.Table) -> pa.Table:
-        bkt = int(group["bkt"][0].as_py())
-        side = group["side"].to_numpy(zero_copy_only=False)
+    def _pair_one_tile(bkt, side, s, e, iid, out_l, out_r):
         lmask = side == 1
         rmask = ~lmask
-        ls = group["s"].to_numpy(zero_copy_only=False)[lmask]
-        le = group["e"].to_numpy(zero_copy_only=False)[lmask]
-        lid = group["iid"].to_numpy(zero_copy_only=False)[lmask]
-        rs = group["s"].to_numpy(zero_copy_only=False)[rmask]
-        re_ = group["e"].to_numpy(zero_copy_only=False)[rmask]
-        rid = group["iid"].to_numpy(zero_copy_only=False)[rmask]
+        ls, le, lid = s[lmask], e[lmask], iid[lmask]
+        rs, re_, rid = s[rmask], e[rmask], iid[rmask]
         if len(ls) == 0 or len(rs) == 0:
-            return out_schema.empty_table()
+            return
         order = np.argsort(rs, kind="stable")
         rs, re_, rid = rs[order], re_[order], rid[order]
         # candidate prefix per left: rights with rs < le
@@ -717,11 +711,58 @@ def interval_overlap_join(
         # overlap's second half + exactly-once ownership
         keep = re_[rj] > ls[li]
         keep &= np.maximum(ls[li], rs[rj]) // int(width_us) == bkt
+        out_l.append(lid[li[keep]])
+        out_r.append(rid[rj[keep]])
+
+    # tiles shard onto a CPU-scaled key: per-TILE Ray groups would pay
+    # Arrow-slice + Python-call overhead once per 15-minute tile (~3k
+    # groups/month); per-SHARD groups run the same vectorized per-tile
+    # kernel in an in-task loop instead.
+    try:
+        import ray as _ray
+
+        nb = max(16, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+    except Exception:  # pragma: no cover
+        nb = 16
+    if num_buckets_cap:
+        nb = min(nb, num_buckets_cap)
+
+    def shard(b: pa.Table) -> pa.Table:
+        t = b["bkt"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__shard", pa.array((t % nb).astype(np.int32), pa.int32())
+        )
+
+    def pair_shard(group: pa.Table) -> pa.Table:
+        bkt = group["bkt"].to_numpy(zero_copy_only=False)
+        o = np.argsort(bkt, kind="stable")
+        bkt = bkt[o]
+        side = group["side"].to_numpy(zero_copy_only=False)[o]
+        s = group["s"].to_numpy(zero_copy_only=False)[o]
+        e = group["e"].to_numpy(zero_copy_only=False)[o]
+        iid = group["iid"].to_numpy(zero_copy_only=False)[o]
+        starts = np.flatnonzero(
+            np.concatenate([[True], bkt[1:] != bkt[:-1]])
+        ) if len(bkt) else np.array([], np.int64)
+        bounds = np.append(starts, len(bkt))
+        out_l, out_r = [], []
+        for gi in range(len(starts)):
+            a, z = bounds[gi], bounds[gi + 1]
+            _pair_one_tile(
+                int(bkt[a]), side[a:z], s[a:z], e[a:z], iid[a:z],
+                out_l, out_r,
+            )
+        if not out_l:
+            return out_schema.empty_table()
         return pa.table(
             {
-                "left_id": pa.array(lid[li[keep]], pa.int64()),
-                "right_id": pa.array(rid[rj[keep]], pa.int64()),
+                "left_id": pa.array(np.concatenate(out_l), pa.int64()),
+                "right_id": pa.array(np.concatenate(out_r), pa.int64()),
             }
         )
 
-    return both.groupby("bkt").map_groups(pair_tile, batch_format="pyarrow")
+    return (
+        both.map_batches(shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(pair_shard, batch_format="pyarrow")
+    )
