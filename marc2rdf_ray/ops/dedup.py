@@ -1292,3 +1292,54 @@ def setsim_join_exact(
         return t.filter(pa.array(keep))
 
     return with_both.map_batches(finish, batch_format="pyarrow")
+
+
+_AZ09_RE = re.compile(r"[a-z0-9]+")
+
+
+def containment_search(ds, probe_tokens, *, threshold_pct: int = 60,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       exclude_id=None, concurrency=(2, 8)):
+    """ASYMMETRIC set-containment search: find documents containing at
+    least ``threshold_pct`` percent of the probe's distinct tokens --
+    the plagiarism / benchmark-contamination probe (Jaccard punishes a
+    long doc that swallowed a short benchmark item whole; containment
+    does not).  Complements the symmetric docs_setsim_pairs join.
+
+    Scale shape: the probe token set broadcasts once per actor
+    (ray.put); each batch tokenizes its docs and counts intersections
+    against the frozen set -- one slim (id, inter, pct) row per hit,
+    nothing shuffles.  Integer floor percentage so the DuckDB oracle
+    replays selection exactly.
+    """
+    import ray
+
+    ref = ray.put(frozenset(probe_tokens))
+
+    class Contain:
+        def __init__(self):
+            self.probe = ray.get(ref)
+            self.n = len(self.probe)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids, inters, pcts = [], [], []
+            for i, t in zip(b[id_col].to_pylist(),
+                            b[text_col].to_pylist()):
+                if exclude_id is not None and i == exclude_id:
+                    continue
+                toks = set(_AZ09_RE.findall((t or "").lower()))
+                inter = len(toks & self.probe)
+                if self.n and inter * 100 >= threshold_pct * self.n:
+                    ids.append(i)
+                    inters.append(inter)
+                    pcts.append(inter * 100 // self.n)
+            return pa.table(
+                {
+                    id_col: pa.array(ids, pa.int64()),
+                    "inter": pa.array(inters, pa.int64()),
+                    "containment_pct": pa.array(pcts, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(Contain, batch_format="pyarrow",
+                          concurrency=concurrency)
