@@ -12899,3 +12899,55 @@ SELECT doc_id, inter,
 FROM inter
 WHERE inter * 100 >= 60 * (SELECT n FROM psz)
 """
+
+
+def graph_dag_layers(sf_dir: str):
+    """Longest-path DAG layering (ops/graph.py dag_longest_path_layers):
+    the md5 link graph oriented src < dst (acyclic by construction), 3
+    max-plus rounds -- each node's topological stage capped at 3, the
+    dependency-wave / critical-path primitive.  int64 max of int64 sums,
+    unrolled by the oracle."""
+    from .ops.graph import dag_longest_path_layers
+
+    edges, _nodes, _ = _md5_link_graph(sf_dir)
+    dag = edges.map_batches(
+        lambda b: b.filter(
+            pc.less(pc.cast(b["src"], pa.int64()),
+                    pc.cast(b["dst"], pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    return dag_longest_path_layers(dag, rounds=3)
+
+
+QUERIES["graph_dag_layers"] = graph_dag_layers
+
+ORACLE_SQL["graph_dag_layers"] = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+dedges AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+dag AS (SELECT src, dst FROM dedges WHERE src < dst),
+endpoints AS (
+  SELECT src AS node FROM dag UNION SELECT dst FROM dag
+),
+l0 AS (SELECT node, CAST(0 AS BIGINT) AS layer FROM endpoints),
+c1 AS (SELECT e.dst AS node, l.layer + 1 AS layer
+       FROM dag e JOIN l0 l ON l.node = e.src),
+l1 AS (SELECT node, MAX(layer) AS layer FROM
+       (SELECT * FROM l0 UNION ALL SELECT * FROM c1) GROUP BY node),
+c2 AS (SELECT e.dst AS node, l.layer + 1 AS layer
+       FROM dag e JOIN l1 l ON l.node = e.src),
+l2 AS (SELECT node, MAX(layer) AS layer FROM
+       (SELECT * FROM l1 UNION ALL SELECT * FROM c2) GROUP BY node),
+c3 AS (SELECT e.dst AS node, l.layer + 1 AS layer
+       FROM dag e JOIN l2 l ON l.node = e.src),
+l3 AS (SELECT node, MAX(layer) AS layer FROM
+       (SELECT * FROM l2 UNION ALL SELECT * FROM c3) GROUP BY node)
+SELECT node, layer FROM l3
+"""

@@ -4837,3 +4837,101 @@ def _temporal_solve_local(g: pa.Table, seeds: np.ndarray,
             "arrival": pa.array(arr[got], pa.int64()),
         }
     )
+
+
+def dag_longest_path_layers(edges_ds, *, rounds: int = 3,
+                            budget: int = 256 << 20):
+    """Bounded-round LONGEST-PATH layering of a DAG -- the max-plus dual
+    of sssp_weighted: layer_r(v) = max(layer_{r-1}(v), max over in-edges
+    of layer_{r-1}(u) + 1), layer_0 = 0 everywhere.  After R rounds a
+    node's layer is its longest incoming path length capped at R -- the
+    topological STAGE a scheduler runs it in (critical-path analysis,
+    dependency-wave planning).  Callers must pass acyclic edges (e.g.
+    filtered to src < dst); cycles would grow without bound, so rounds
+    is a hard cap by construction.
+
+    Exact: int64 max of int64 sums, order-independent -- unrolled by the
+    DuckDB oracle.  Scale shape: identical to temporal_reachability
+    (budget-gated one-task fast path; distributed rounds keep state as
+    one slim (node, layer) row per node with per-batch max-per-dst
+    combiners).
+    """
+    import ray
+    from ray.data.aggregate import Max
+
+    def canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(b["src"], pa.int64()),
+                "dst": pc.cast(b["dst"], pa.int64()),
+            }
+        )
+
+    ew = edges_ds.map_batches(canon, batch_format="pyarrow").materialize()
+
+    if (ew.size_bytes() or 0) <= budget:
+        def solve(g: pa.Table) -> pa.Table:
+            src = g["src"].to_numpy(zero_copy_only=False)
+            dst = g["dst"].to_numpy(zero_copy_only=False)
+            nodes = np.unique(np.concatenate([src, dst]))
+            lay = np.zeros(len(nodes), np.int64)
+            isrc = np.searchsorted(nodes, src)
+            idst = np.searchsorted(nodes, dst)
+            for _ in range(rounds):
+                prev = lay.copy()
+                np.maximum.at(lay, idst, prev[isrc] + 1)
+                lay = np.maximum(lay, prev)
+            return pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "layer": pa.array(lay, pa.int64()),
+                }
+            )
+
+        return _run_in_one_task(ew, solve)
+
+    # distributed rounds (scale path): state = (node, layer)
+    layers = ew.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pa.chunked_array(
+                    [b["src"], b["dst"]]
+                ).combine_chunks(),
+                "layer": pa.array(
+                    np.zeros(b.num_rows * 2, np.int64), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    from .dedup import distinct_first
+
+    layers = distinct_first(layers, "node").materialize()
+    for _ in range(rounds):  # pragma: no cover - scale path
+        from .dedup import normalize_join_blocks
+
+        nparts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        j = normalize_join_blocks(ew, nparts).join(
+            normalize_join_blocks(layers, nparts),
+            join_type="inner", num_partitions=nparts,
+            on=("src",), right_on=("node",),
+        )
+        cand = j.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["dst"],
+                    "layer": pc.add(
+                        pc.cast(b["layer"], pa.int64()),
+                        pa.scalar(1, pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        layers = (
+            layers.union(cand)
+            .groupby("node")
+            .aggregate(Max("layer", alias_name="layer"))
+            .materialize()
+        )
+    return layers
