@@ -12951,3 +12951,28 @@ l3 AS (SELECT node, MAX(layer) AS layer FROM
        (SELECT * FROM l2 UNION ALL SELECT * FROM c3) GROUP BY node)
 SELECT node, layer FROM l3
 """
+
+
+def docs_shuffle_rank(sf_dir: str):
+    """Deterministic global training-order shuffle (ops/corpus.py
+    deterministic_shuffle_rank): dense md5-key rank per doc via range
+    buckets + one slim shuffle + broadcast prefix offsets -- payloads
+    never move; replayed by the oracle's ROW_NUMBER over the same
+    uint64 keys."""
+    from .ops.corpus import deterministic_shuffle_rank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return deterministic_shuffle_rank(ds, id_col="doc_id")
+
+
+QUERIES["docs_shuffle_rank"] = docs_shuffle_rank
+
+ORACLE_SQL["docs_shuffle_rank"] = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                       AS UBIGINT),
+                  doc_id
+       ) - 1 AS rank
+FROM documents
+"""

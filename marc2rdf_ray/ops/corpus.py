@@ -1695,3 +1695,89 @@ def hashed_linear_scores(ds, *, n_buckets: int = 64, text_col: str = "text",
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def deterministic_shuffle_rank(ds, *, id_col: str = "doc_id",
+                               num_range_buckets: int | None = None):
+    """Deterministic GLOBAL SHUFFLE order for training: every row gets
+    the dense rank of its md5 key (md5_u64(id), ties broken by id) --
+    the reproducible corpus permutation a training run needs before
+    packing/sharding, WITHOUT ray.data.random_shuffle's seed-dependent
+    all-to-all or a global sort of the payload.
+
+    Scale shape: md5 keys are uniform, so the key space range-partitions
+    evenly: (1) per-batch partial counts per range bucket -> one tiny
+    groupby-sum -> driver cumulative offsets (O(#buckets) state);
+    (2) ONE bucket shuffle of slim (id, key) rows; within each bucket a
+    vectorized argsort yields local positions, plus the broadcast bucket
+    offset = the exact global rank.  Payloads never move -- join the
+    rank back by id, or read in rank order via take.
+
+    Returns (id, rank), rank in [0, n) dense and collision-free
+    (md5_u64 ties broken by id, both replayed by the SQL ROW_NUMBER
+    oracle).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import md5_u64
+
+    nb = num_range_buckets or max(
+        16, int(ray.cluster_resources().get("CPU", 8)) * 2
+    )
+    # bucket = top bits of the uint64 key: range-partition, ORDER-PRESERVING
+    step = (1 << 64) // nb
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        keys = np.array([md5_u64(str(i)) for i in ids], np.uint64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, b[id_col].type),
+                "_k": pa.array(keys, pa.uint64()),
+                "_rb": pa.array(
+                    (keys // np.uint64(step)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    slim = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            b["_rb"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"_rb": pa.array(u, pa.int32()),
+             "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    counts = {
+        r["_rb"]: r["c"]
+        for r in slim.map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby("_rb")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    }
+    offsets = np.zeros(nb, np.int64)
+    acc = 0
+    for rb in range(nb):
+        offsets[rb] = acc
+        acc += counts.get(rb, 0)
+    off_ref = ray.put(offsets)
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        rb = int(g["_rb"][0].as_py())
+        k = g["_k"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ids, k))
+        rank = np.empty(len(k), np.int64)
+        rank[o] = off[rb] + np.arange(len(k), dtype=np.int64)
+        return pa.table(
+            {id_col: g[id_col], "rank": pa.array(rank, pa.int64())}
+        )
+
+    return slim.groupby("_rb").map_groups(
+        rank_bucket, batch_format="pyarrow"
+    )
