@@ -12976,3 +12976,138 @@ SELECT doc_id,
        ) - 1 AS rank
 FROM documents
 """
+
+
+def orders_zonemap_audit(sf_dir: str):
+    """Zone-map (data-skipping) audit: orders laid out in 64 equal-
+    frequency date blocks (ops/relational.py ntile -- exact global
+    ranks, NO global row sort), then per-block min/max/count of price
+    cents plus a prunable flag for the predicate o_totalprice > 5000
+    -- the evidence a lakehouse OPTIMIZE-by-date layout gives its
+    scan planner (composes with orders_zorder_layout's 2-D variant).
+
+    Scale shape: the slim (id, tile) rank table broadcasts under the
+    byte budget (distributed join fallback); payload attaches in one
+    vectorized index_in pass; per-batch per-tile min/max/count partials
+    collapse before the tiny 64-row groupby."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .ops.relational import ntile
+
+    base = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def day_prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(
+            pc.cast(b["o_orderdate"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "day": pa.array(us // 86_400_000_000, pa.int64()),
+            }
+        )
+
+    ranked = ntile(
+        base.map_batches(day_prep, batch_format="pyarrow"),
+        score_col="day", id_col="o_orderkey", q=64, scale=1.0,
+    )
+    rtab, rmat = _small_side(ranked)
+
+    def attach_partial(b: pa.Table, keys=None, tiles=None) -> pa.Table:
+        cents = sql_round_i64(b["o_totalprice"], 100.0).to_numpy(
+            zero_copy_only=False
+        )
+        idx = pc.index_in(b["o_orderkey"], value_set=keys)
+        tile = tiles.take(idx).to_numpy(zero_copy_only=False)
+        u, inv = np.unique(tile, return_inverse=True)
+        mn = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        cnt = np.zeros(len(u), np.int64)
+        np.minimum.at(mn, inv, cents)
+        np.maximum.at(mx, inv, cents)
+        np.add.at(cnt, inv, 1)
+        return pa.table(
+            {
+                "block": pa.array(u, pa.int64()),
+                "mn": pa.array(mn, pa.int64()),
+                "mx": pa.array(mx, pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    if rtab is not None:
+        keys = rtab["o_orderkey"].combine_chunks()
+        tiles = pc.cast(rtab["tile"], pa.int64()).combine_chunks()
+        partials = base.map_batches(
+            lambda b: attach_partial(b, keys=keys, tiles=tiles),
+            batch_format="pyarrow",
+        )
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        nparts = _join_nparts()
+        j = normalize_join_blocks(base, nparts).join(
+            normalize_join_blocks(rmat, nparts),
+            join_type="inner", num_partitions=nparts,
+            on=("o_orderkey",),
+        )
+
+        def jp(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "o_totalprice": b["o_totalprice"],
+                }
+            )
+            return attach_partial(
+                t,
+                keys=b["o_orderkey"].combine_chunks(),
+                tiles=pc.cast(b["tile"], pa.int64()).combine_chunks(),
+            )
+
+        partials = j.map_batches(jp, batch_format="pyarrow")
+
+    agg = (
+        partials.groupby("block")
+        .aggregate(
+            Min("mn", alias_name="min_cents"),
+            Max("mx", alias_name="max_cents"),
+            Sum("n", alias_name="n_rows"),
+        )
+    )
+    return agg.map_batches(
+        lambda b: b.append_column(
+            "prunable",
+            pc.cast(
+                pc.less_equal(b["max_cents"], pa.scalar(500_000)),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["orders_zonemap_audit"] = orders_zonemap_audit
+
+ORACLE_SQL["orders_zonemap_audit"] = """
+WITH q AS (
+  SELECT o_orderkey,
+         epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT o_orderkey, cents,
+         CAST(NTILE(64) OVER (ORDER BY day, o_orderkey) AS BIGINT) AS block
+  FROM q
+)
+SELECT block, MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+       COUNT(*)::BIGINT AS n_rows,
+       CASE WHEN MAX(cents) <= 500000 THEN 1 ELSE 0 END::BIGINT
+         AS prunable
+FROM r GROUP BY block
+"""
