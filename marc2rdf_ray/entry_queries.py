@@ -13111,3 +13111,194 @@ SELECT block, MIN(cents) AS min_cents, MAX(cents) AS max_cents,
          AS prunable
 FROM r GROUP BY block
 """
+
+
+def events_markov_stationary(sf_dir: str):
+    """Stationary distribution of the event-type Markov chain by
+    integer-exact power iteration: the heavy pass is the distributed
+    transition-count matrix (ops/windows.py transition_counts -- one
+    bucketed shuffle); the #types x #types iteration runs driver-side in
+    Python ints (O(#types^2) state): pi'_j = SUM_i pi_i * cnt_ij //
+    rowsum_i, 8 iterations from uniform micro-units.  Every step is a
+    floor-divided integer product summed in any order, so the DuckDB
+    oracle (unrolled MATERIALIZED steps) replays it bit-for-bit."""
+    from .ops.windows import transition_counts
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    tc = transition_counts(
+        ds, key_col="user_id", ts_col="ts", id_col="event_id",
+        type_col="event_type",
+    ).take_all()
+    types = sorted(
+        {r["prev_type"] for r in tc} | {r["next_type"] for r in tc}
+    )
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    cnt = [[0] * k for _ in range(k)]
+    for r in tc:
+        cnt[idx[r["prev_type"]]][idx[r["next_type"]]] = int(
+            r["n_transitions"]
+        )
+    rowsum = [sum(row) for row in cnt]
+    SCALE = 1_000_000
+    pi = [SCALE // k + (1 if i < SCALE % k else 0) for i in range(k)]
+    for _ in range(8):
+        nxt = [0] * k
+        for i in range(k):
+            if rowsum[i] == 0:
+                nxt[i] += pi[i]  # absorbing row keeps its mass
+                continue
+            for j in range(k):
+                if cnt[i][j]:
+                    nxt[j] += pi[i] * cnt[i][j] // rowsum[i]
+        pi = nxt
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "pi_units": pa.array(pi, pa.int64()),
+        }
+    )
+
+
+QUERIES["events_markov_stationary"] = events_markov_stationary
+
+
+def _markov_oracle(iterations: int) -> str:
+    head = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM events
+),
+tc AS MATERIALIZED (
+  SELECT prev AS i, event_type AS j, COUNT(*)::BIGINT AS c
+  FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type
+),
+types AS MATERIALIZED (
+  SELECT t, ROW_NUMBER() OVER (ORDER BY t) - 1 AS r,
+         COUNT(*) OVER () AS k
+  FROM (SELECT i AS t FROM tc UNION SELECT j FROM tc)
+),
+rs AS MATERIALIZED (SELECT i, SUM(c) AS rowsum FROM tc GROUP BY i),
+p0 AS MATERIALIZED (
+  SELECT t, 1000000 // k + CASE WHEN r < 1000000 % k THEN 1 ELSE 0 END
+           AS pi
+  FROM types
+)"""
+    blocks = []
+    for n in range(1, iterations + 1):
+        blocks.append(f"""
+p{n} AS MATERIALIZED (
+  SELECT t, SUM(pi)::BIGINT AS pi FROM (
+    SELECT tc.j AS t, p.pi * tc.c // rs.rowsum AS pi
+    FROM p{n - 1} p
+    JOIN tc ON tc.i = p.t
+    JOIN rs ON rs.i = p.t
+    UNION ALL
+    SELECT p.t, p.pi FROM p{n - 1} p
+    WHERE NOT EXISTS (SELECT 1 FROM rs WHERE rs.i = p.t)
+  ) GROUP BY t
+)""")
+    tail = (
+        f"\nSELECT t AS event_type, pi AS pi_units FROM p{iterations}"
+    )
+    return head + "," + ",".join(blocks) + tail
+
+
+ORACLE_SQL["events_markov_stationary"] = _markov_oracle(8)
+
+
+def docs_langid_confusion(sf_dir: str):
+    """Language-ID evaluation confusion matrix: predicted language
+    (ops/textstats.py langid, the oracle-replayed trigram scorer) vs
+    the table's labeled ``lang``, counted per (label, prediction) cell
+    -- the model-eval aggregate every corpus-quality pipeline reports.
+    Per-batch cell-count partials collapse before one tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from .ops.textstats import langid_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pred = ds.map_batches(langid_batch, batch_format="pyarrow")
+
+    # langid emits (doc_id, lang_pred); join labels back via broadcast
+    import ray
+
+    lab = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    ltab, lmat = _small_side(lab)
+    if ltab is not None:
+        keys = ltab["doc_id"].combine_chunks()
+        labs = ltab["lang"].combine_chunks()
+
+        def attach(b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b["doc_id"], value_set=keys)
+            lang = pc.take(labs, idx)
+            u, c = np.unique(
+                np.char.add(
+                    np.char.add(
+                        np.asarray(lang.to_pylist(), dtype="U8"), "\x1f"
+                    ),
+                    np.asarray(b["lang_pred"].to_pylist(), dtype="U8"),
+                ),
+                return_counts=True,
+            )
+            pair = [s.split("\x1f") for s in u.tolist()]
+            return pa.table(
+                {
+                    "lang": pa.array([p[0] for p in pair], pa.string()),
+                    "lang_pred": pa.array(
+                        [p[1] for p in pair], pa.string()
+                    ),
+                    "n_docs": pa.array(c.astype(np.int64), pa.int64()),
+                }
+            )
+
+        partials = pred.map_batches(attach, batch_format="pyarrow")
+    else:  # pragma: no cover - scale path
+        from .ops.dedup import normalize_join_blocks
+
+        nparts = _join_nparts()
+        j = normalize_join_blocks(pred, nparts).join(
+            normalize_join_blocks(lmat, nparts),
+            join_type="inner", num_partitions=nparts, on=("doc_id",),
+        )
+
+        def jp(b: pa.Table) -> pa.Table:
+            t = (
+                pa.table(
+                    {"lang": b["lang"], "lang_pred": b["lang_pred"]}
+                )
+                .group_by(["lang", "lang_pred"], use_threads=False)
+                .aggregate([([], "count_all")])
+            )
+            return t.rename_columns(["lang", "lang_pred", "n_docs"])
+
+        partials = j.map_batches(jp, batch_format="pyarrow")
+
+    return (
+        partials.groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+QUERIES["docs_langid_confusion"] = docs_langid_confusion
+
+ORACLE_SQL["docs_langid_confusion"] = None  # set below
+
+
+def _langid_confusion_oracle() -> str:
+    return (
+        "WITH " + _langid_ctes_over("documents")
+        + """
+SELECT d.lang, lid.lang_pred, COUNT(*)::BIGINT AS n_docs
+FROM documents d JOIN lid ON lid.doc_id = d.doc_id
+GROUP BY d.lang, lid.lang_pred
+"""
+    )
+
+
+ORACLE_SQL["docs_langid_confusion"] = _langid_confusion_oracle()
