@@ -366,6 +366,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "embeddings_pca_power",
         "embeddings_hard_negatives",
         "kg_bgp_group_having",
+        "docs_containment_search",
+        "docs_shuffle_rank",
+        "docs_langid_confusion",
+        "graph_dag_layers",
+        "orders_zonemap_audit",
+        "events_markov_stationary",
     ]
     out = {}
     for name in names:

@@ -13302,3 +13302,63 @@ GROUP BY d.lang, lid.lang_pred
 
 
 ORACLE_SQL["docs_langid_confusion"] = _langid_confusion_oracle()
+
+
+def kg_ask(sf_dir: str):
+    """SPARQL ASK over the rule-lowered document graph -- "does any doc
+    declare language 'de'?" -- a short-circuitable existence probe: the
+    predicate+object filter runs at the scan (nothing shuffles), and
+    ``ds.limit(1)`` lets the streaming executor STOP after the first
+    matching block instead of scanning the corpus; the 1-row boolean is
+    driver state.  Completes the SPARQL form set (SELECT / CONSTRUCT /
+    UPDATE / MINUS / OPTIONAL / GROUP BY / ASK / DESCRIBE)."""
+    t = _lower_docs(
+        _read(sf_dir, "documents"), predicates={DC_LANGUAGE}
+    )
+    hit = t.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.equal(b["pred"], DC_LANGUAGE),
+                pc.equal(b["obj"], "de"),
+            )
+        ).select(["subj"]),
+        batch_format="pyarrow",
+    ).limit(1)
+    n = hit.count()
+    return pa.table({"ask_result": pa.array([1 if n else 0], pa.int64())})
+
+
+QUERIES["kg_ask"] = kg_ask
+
+ORACLE_SQL["kg_ask"] = f"""
+SELECT CASE WHEN EXISTS (
+  SELECT 1 FROM ({_KG_TRIPLES_SQL})
+  WHERE pred = 'http://purl.org/dc/terms/language' AND obj = 'de'
+) THEN 1 ELSE 0 END AS ask_result
+"""
+
+
+def kg_describe(sf_dir: str):
+    """SPARQL DESCRIBE of one resource: every distinct triple whose
+    subject is doc 7 -- the record-inspection probe (reference analog:
+    the single-record fetch, S5).  Subject filter at the scan; one
+    local dedup pass (DESCRIBE is set-semantics)."""
+    from .stages.canonicalize import dedup_triples
+
+    t = _lower_docs(_read(sf_dir, "documents"))
+    subj = f"{DOC_BASE}7"
+    mine = t.map_batches(
+        lambda b: b.filter(pc.equal(b["subj"], subj)).select(
+            ["subj", "pred", "obj"]
+        ),
+        batch_format="pyarrow",
+    )
+    return dedup_triples(mine, columns=["subj", "pred", "obj"])
+
+
+QUERIES["kg_describe"] = kg_describe
+
+ORACLE_SQL["kg_describe"] = f"""
+SELECT DISTINCT subj, pred, obj FROM ({_KG_TRIPLES_SQL})
+WHERE subj = 'http://data.example.org/doc/7'
+"""
