@@ -372,6 +372,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "graph_dag_layers",
         "orders_zonemap_audit",
         "events_markov_stationary",
+        "kg_ask",
+        "kg_describe",
     ]
     out = {}
     for name in names:
