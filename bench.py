@@ -374,6 +374,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_markov_stationary",
         "kg_ask",
         "kg_describe",
+        "events_ab_ztest",
     ]
     out = {}
     for name in names:

@@ -13362,3 +13362,92 @@ ORACLE_SQL["kg_describe"] = f"""
 SELECT DISTINCT subj, pred, obj FROM ({_KG_TRIPLES_SQL})
 WHERE subj = 'http://data.example.org/doc/7'
 """
+
+
+def events_ab_ztest(sf_dir: str):
+    """Two-sample conversion z-test (the experimentation primitive):
+    variant = user_id % 2; conversion = the user ever made a purchase
+    with value > 200 (everyone purchases eventually in this corpus, so
+    the raw any-purchase rate is degenerate p = 1).  The
+    distributed pass reduces events to per-user (variant, converted)
+    flags (per-batch distinct combiner -> one groupby max); the four
+    resulting counts finish driver-side with ONE IEEE float expression
+    written operand-for-operand the same in SQL (sqrt is correctly
+    rounded, so the bits match)."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        conv = pc.and_(
+            pc.equal(b["event_type"], "purchase"),
+            pc.greater(b["value"], pa.scalar(200.0)),
+        ).to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(u, return_inverse=True)
+        c = np.zeros(len(uu), np.int64)
+        np.maximum.at(c, inv, conv.astype(np.int64))
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "conv": pa.array(c, pa.int64()),
+            }
+        )
+
+    per_user = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("conv", alias_name="conv"))
+    )
+    rows = per_user.take_all()
+    n = [0, 0]
+    x = [0, 0]
+    for r in rows:
+        v = int(r["user_id"]) % 2
+        n[v] += 1
+        x[v] += int(r["conv"])
+    import math
+
+    p1 = x[0] / n[0]
+    p2 = x[1] / n[1]
+    p = (x[0] + x[1]) / (n[0] + n[1])
+    se = math.sqrt(p * (1.0 - p) * (1.0 / n[0] + 1.0 / n[1]))
+    z = (p1 - p2) / se
+    return pa.table(
+        {
+            "n_a": pa.array([n[0]], pa.int64()),
+            "n_b": pa.array([n[1]], pa.int64()),
+            "conv_a": pa.array([x[0]], pa.int64()),
+            "conv_b": pa.array([x[1]], pa.int64()),
+            "z": pa.array([z], pa.float64()),
+        }
+    )
+
+
+QUERIES["events_ab_ztest"] = events_ab_ztest
+
+ORACLE_SQL["events_ab_ztest"] = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 200
+                   THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT
+    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+    SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)::BIGINT AS conv_a,
+    SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)::BIGINT AS conv_b
+  FROM per_user
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       ((CAST(conv_a AS DOUBLE) / n_a) - (CAST(conv_b AS DOUBLE) / n_b))
+       / sqrt(
+           (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+           * (1.0 - (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)))
+           * ((1.0 / n_a) + (1.0 / n_b))
+         ) AS z
+FROM agg
+"""
