@@ -13451,3 +13451,65 @@ SELECT n_a, n_b, conv_a, conv_b,
          ) AS z
 FROM agg
 """
+
+
+def graph_onion_layers(sf_dir: str):
+    """Onion / degeneracy layering (ops/graph.py:onion_layers): 3
+    synchronous k=3 peels over the undirected simple form of the md5
+    link graph, each node stamped with the peel round that removed it
+    (survivors stamped rounds+1) -- periphery-to-core depth, the wave
+    refinement of graph_kcore's membership bit."""
+    from .ops.graph import onion_layers
+
+    edges, _, _ = _md5_link_graph(sf_dir)
+    return onion_layers(edges, k=3, rounds=3)
+
+
+QUERIES["graph_onion_layers"] = graph_onion_layers
+
+
+def _onion_oracle_sql(k: int = 3, rounds: int = 3) -> str:
+    """Unrolled onion layering over the shared md5 link graph: the
+    kcore peel chain plus per-round EXCEPTs stamping the peel wave."""
+    parts = ["""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+               || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nn) AS dst
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(k)
+  WHERE r.k < d.doc_id % 4
+),
+e0 AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM raw WHERE src <> dst),
+u0 AS (SELECT u AS node FROM e0 UNION SELECT v AS node FROM e0)"""]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+d{i} AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev}
+  ) GROUP BY node
+),
+s{i} AS (SELECT node FROM d{i} WHERE d >= {k}),
+e{i} AS (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN s{i} a ON a.node = e.u JOIN s{i} b ON b.node = e.v
+)""")
+        prev = f"e{i}"
+    peels = []
+    for i in range(1, rounds + 1):
+        src = "u0" if i == 1 else f"s{i - 1}"
+        peels.append(
+            f"SELECT node, CAST({i} AS BIGINT) AS layer FROM\n"
+            f"  (SELECT node FROM {src} EXCEPT SELECT node FROM s{i})"
+        )
+    peels.append(
+        f"SELECT node, CAST({rounds + 1} AS BIGINT) AS layer FROM s{rounds}"
+    )
+    parts.append("\n" + "\nUNION ALL ".join(peels))
+    return "".join(parts)
+
+
+ORACLE_SQL["graph_onion_layers"] = _onion_oracle_sql()

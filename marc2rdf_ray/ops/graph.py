@@ -4935,3 +4935,142 @@ def dag_longest_path_layers(edges_ds, *, rounds: int = 3,
             .materialize()
         )
     return layers
+
+
+def onion_layers(
+    edges,
+    *,
+    k: int = 3,
+    rounds: int = 3,
+    broadcast_budget: int = 256 << 20,
+):
+    """Onion / degeneracy layering of the k-core peel (Hebert-Dufresne,
+    Grochow & Allard 2016, public): run ``rounds`` synchronous peels at
+    fixed ``k`` over the UNDIRECTED simple graph of ``edges`` (src, dst)
+    and stamp every node with the round at which it fell -- ``layer = r``
+    means the node's degree dropped below ``k`` entering round ``r``
+    (including nodes stranded with zero edges after their neighborhood
+    was peeled), and survivors of all ``rounds`` peels are stamped
+    ``layer = rounds + 1`` (the retained core).  The layer stamp orders
+    nodes from periphery to core -- the "how deep in the well-linked
+    subgraph" refinement of the kcore membership bit (marc2rdf analog:
+    delete_old_authorities drops under-linked authorities in waves;
+    SURVEY.md SS2.8 U3 -- the layer records the wave).
+
+    Deterministic: each round is degree thresholding over the previous
+    round's edge restriction, so a fixed ``rounds`` unrolls into SQL
+    exactly like the kcore oracle, plus per-round EXCEPTs for the peels.
+
+    Returns a Dataset of (node, layer) covering every endpoint of the
+    simple graph.
+
+    Scale shape identical to kcore: per round one degree combine
+    (per-batch endpoint partials -> groupby-sum) + two
+    broadcast-or-join membership filters restrict the edge list; the
+    peel set is one anti-join of the previous survivor set against the
+    new one (broadcast under budget).  Nothing holds the full node set
+    on the driver."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import anti_join_filter, distinct_first, semi_join_filter
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        return pa.table(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())}
+        )
+
+    def pairkey(b: pa.Table) -> pa.Table:
+        pk = pc.binary_join_element_wise(
+            pc.cast(b["u"], pa.string()), pc.cast(b["v"], pa.string()), "|"
+        )
+        return b.append_column("pk", pk)
+
+    cur = distinct_first(
+        edges.map_batches(canon, batch_format="pyarrow").map_batches(
+            pairkey, batch_format="pyarrow"
+        ),
+        "pk",
+    ).drop_columns(["pk"]).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq, pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def stamp(layer: int):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "layer": pa.array(
+                        np.full(len(b), layer, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return f
+
+    out = None
+    prev_surv = None
+    for r in range(1, rounds + 1):
+        deg = (
+            cur.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="d"))
+        ).materialize()
+        surv = deg.map_batches(
+            lambda b, _k=k: b.filter(
+                pc.greater_equal(b["d"], _k)
+            ).select(["node"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if r == 1:
+            peeled = deg.map_batches(
+                lambda b, _k=k: b.filter(
+                    pc.less(b["d"], _k)
+                ).select(["node"]),
+                batch_format="pyarrow",
+            )
+        else:
+            peeled = anti_join_filter(
+                prev_surv, surv, "node",
+                broadcast_budget=broadcast_budget,
+            )
+        stamped = peeled.map_batches(stamp(r), batch_format="pyarrow")
+        out = stamped if out is None else out.union(stamped)
+        prev_surv = surv
+        if surv.count() == 0:
+            cur = cur.limit(0).materialize()
+            continue
+
+        def swap(b: pa.Table) -> pa.Table:
+            return pa.table({"u": b["v"], "v": b["u"]})
+
+        cur = semi_join_filter(
+            semi_join_filter(
+                cur, surv, "u", keys_col="node",
+                broadcast_budget=broadcast_budget,
+            ).map_batches(swap, batch_format="pyarrow"),
+            surv,
+            "u",
+            keys_col="node",
+            broadcast_budget=broadcast_budget,
+        ).map_batches(swap, batch_format="pyarrow").materialize()
+    core = prev_surv.map_batches(stamp(rounds + 1), batch_format="pyarrow")
+    return out.union(core) if out is not None else core
