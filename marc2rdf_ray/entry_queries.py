@@ -13513,3 +13513,81 @@ e{i} AS (
 
 
 ORACLE_SQL["graph_onion_layers"] = _onion_oracle_sql()
+
+
+def graph_node2vec_walks(sf_dir: str):
+    """node2vec p/q-biased 3-step walks (ops/graph.py:node2vec_walks)
+    over the md5 link graph: step 1 uniform, later hops weighted 1/4/2
+    (return / distance-1 / explore, i.e. p=4, q=2 scaled by 4) over the
+    current node's out-neighbors, every choice md5-deterministic so the
+    oracle replays the full second-order walk."""
+    from .ops.graph import node2vec_walks
+
+    edges, _, _ = _md5_link_graph(sf_dir)
+    return node2vec_walks(edges, steps=3)
+
+
+QUERIES["graph_node2vec_walks"] = graph_node2vec_walks
+
+_N2V_PICK = ("CAST(('0x' || substr(md5(CAST({t} AS VARCHAR) || ':' || "
+             "CAST({v} AS VARCHAR) || ':{st}'), 1, 8)) AS BIGINT)")
+
+ORACLE_SQL["graph_node2vec_walks"] = f"""
+WITH {_MD5_EDGES_SQL},
+e AS (SELECT DISTINCT src AS node, dst AS nbr FROM edges WHERE src <> dst),
+adj AS (
+  SELECT node, nbr,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY node) AS deg
+  FROM e
+),
+starts AS (SELECT DISTINCT node AS start FROM e),
+w1 AS (
+  SELECT s.start, a.nbr AS s1
+  FROM starts s JOIN adj a ON a.node = s.start
+   AND a.idx = {_WALK_PICK.format(node='s.start', st=1)} % a.deg
+),
+c2 AS (
+  SELECT w1.start, w1.s1, a.nbr AS x,
+         CASE WHEN a.nbr = w1.start THEN 1
+              WHEN en.node IS NOT NULL THEN 4 ELSE 2 END AS w
+  FROM w1 JOIN adj a ON a.node = w1.s1
+  LEFT JOIN e en ON en.node = w1.start AND en.nbr = a.nbr
+),
+c2c AS (
+  SELECT start, s1, x, w,
+         SUM(w) OVER (PARTITION BY start ORDER BY x) AS cw,
+         SUM(w) OVER (PARTITION BY start) AS tw
+  FROM c2
+),
+p2 AS (
+  SELECT start, s1, x AS s2
+  FROM c2c
+  WHERE ({_N2V_PICK.format(t='start', v='s1', st=2)} % tw) >= cw - w
+    AND ({_N2V_PICK.format(t='start', v='s1', st=2)} % tw) < cw
+),
+c3 AS (
+  SELECT p2.start, p2.s1, p2.s2, a.nbr AS x,
+         CASE WHEN a.nbr = p2.s1 THEN 1
+              WHEN en.node IS NOT NULL THEN 4 ELSE 2 END AS w
+  FROM p2 JOIN adj a ON a.node = p2.s2
+  LEFT JOIN e en ON en.node = p2.s1 AND en.nbr = a.nbr
+),
+c3c AS (
+  SELECT start, s1, s2, x, w,
+         SUM(w) OVER (PARTITION BY start ORDER BY x) AS cw,
+         SUM(w) OVER (PARTITION BY start) AS tw
+  FROM c3
+),
+p3 AS (
+  SELECT start, x AS s3
+  FROM c3c
+  WHERE ({_N2V_PICK.format(t='s1', v='s2', st=3)} % tw) >= cw - w
+    AND ({_N2V_PICK.format(t='s1', v='s2', st=3)} % tw) < cw
+)
+SELECT s.start, w1.s1, p2.s2, p3.s3
+FROM starts s
+LEFT JOIN w1 ON w1.start = s.start
+LEFT JOIN p2 ON p2.start = s.start
+LEFT JOIN p3 ON p3.start = s.start
+"""

@@ -5074,3 +5074,348 @@ def onion_layers(
         ).map_batches(swap, batch_format="pyarrow").materialize()
     core = prev_surv.map_batches(stamp(rounds + 1), batch_format="pyarrow")
     return out.union(core) if out is not None else core
+
+
+def node2vec_walks(
+    edges,
+    *,
+    steps: int = 3,
+    w_return: int = 1,
+    w_near: int = 4,
+    w_far: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_budget: int = 256 << 20,
+):
+    """Deterministic node2vec p/q-biased walks (Grover & Leskovec 2016,
+    public) over the DIRECTED simple graph: one walk per node with
+    out-edges.  Step 1 is uniform (random_walks' md5(node:1) % outdeg
+    pick in dst-sorted order).  From step 2 on, with previous node ``t``
+    and current node ``v``, every out-neighbor ``x`` of ``v`` gets an
+    INTEGER weight -- ``w_return`` if x == t (the 1/p return bias),
+    ``w_near`` if the directed edge t -> x exists (distance-1 bias), and
+    ``w_far`` otherwise (the 1/q explore bias; defaults encode p=4, q=2
+    scaled by 4) -- and the hop picks the neighbor whose cumulative
+    weight range (in dst-sorted order) contains
+    ``md5(f"{t}:{v}:{step}") % total_weight``.  Every choice is a pure
+    function of (t, v, step) and the static adjacency, so a DuckDB
+    oracle replays each walk exactly (the per-row md5 SQL-replay
+    tradeoff documented on random_walks).  Sinks truncate the walk
+    (NULL tail).
+
+    Returns (start, s1..s{steps}) int64 columns.
+
+    Scale shape: the indexed adjacency builds with one bucketed distinct
+    + per-bucket rank pass; under the byte budget it broadcasts once via
+    ``ray.put`` -- each step is then a stateless vectorized
+    segment-gather (np.repeat expansion over exact out-degrees, cumsum
+    ranges, searchsorted membership on packed (t, x) edge keys; walk
+    state never exceeds one (start, prev, cur) row per walk).  Above the
+    budget each step is two distributed joins (candidate expansion on
+    cur, t->x membership on (prev, x)) plus one per-walk groupby pick --
+    the honest all-to-all cost of second-order walk bias at scale."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Count  # noqa: F401 (adj shape doc)
+
+    nb = 64
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "node": pa.array(s, pa.int64()),
+                "nbr": pa.array(d, pa.int64()),
+                "bucket": pa.array((s % nb).astype(np.int32)),
+            }
+        )
+
+    def rank_in_node(g: pa.Table) -> pa.Table:
+        n = g["node"].to_numpy(zero_copy_only=False)
+        v = g["nbr"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, n))
+        n, v = n[order], v[order]
+        first = np.empty(len(n), bool)
+        first[:1] = True
+        if len(n) > 1:
+            first[1:] = (n[1:] != n[:-1]) | (v[1:] != v[:-1])
+        n, v = n[first], v[first]
+        brk = np.empty(len(n), bool)
+        brk[:1] = True
+        if len(n) > 1:
+            brk[1:] = n[1:] != n[:-1]
+        starts = np.flatnonzero(brk)
+        seg = np.cumsum(brk) - 1
+        idx = np.arange(len(n)) - starts[seg]
+        deg = np.diff(np.append(starts, len(n)))[seg]
+        return pa.table(
+            {
+                "node": pa.array(n, pa.int64()),
+                "idx": pa.array(idx, pa.int64()),
+                "nbr": pa.array(v, pa.int64()),
+                "deg": pa.array(deg, pa.int64()),
+            }
+        )
+
+    adj = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_in_node, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def h1(cur: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(f"{c}:1".encode()).hexdigest()[:8], 16)
+             for c in cur.tolist()),
+            np.int64, count=len(cur),
+        )
+
+    def h2(t: np.ndarray, v: np.ndarray, step: int) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(f"{a}:{b}:{step}".encode()).hexdigest()[:8],
+                 16)
+             for a, b in zip(t.tolist(), v.tolist())),
+            np.int64, count=len(t),
+        )
+
+    nodes = adj.map_batches(
+        lambda b: pa.table(
+            {"start": b["node"].filter(pc.equal(b["idx"], 0))}
+        ),
+        batch_format="pyarrow",
+    )
+
+    if adj.size_bytes() <= broadcast_budget:
+        tab = pa.concat_tables(
+            ray.get(adj.to_arrow_refs()), promote_options="default"
+        )
+        n_np = tab["node"].to_numpy(zero_copy_only=False)
+        v_np = tab["nbr"].to_numpy(zero_copy_only=False)
+        if len(n_np) and (
+            n_np.min() < 0 or v_np.min() < 0
+            or n_np.max() >= 1 << 32 or v_np.max() >= 1 << 32
+        ):
+            raise ValueError(
+                "node2vec_walks: broadcast membership packs (t, x) into "
+                "int64 -- needs 0 <= node < 2^32; remap ids or raise "
+                "the budget to force the join path"
+            )
+        i_np = tab["idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i_np, n_np))
+        node_s = n_np[order]
+        nbr_s = v_np[order]
+        deg_s = tab["deg"].to_numpy(zero_copy_only=False)[order]
+        ekey = np.sort(node_s * np.int64(1 << 32) + nbr_s)
+        ref = ray.put(
+            {"node": node_s, "nbr": nbr_s, "deg": deg_s, "ekey": ekey}
+        )
+
+        class Walk:
+            def __init__(self):
+                self.a = ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                a = self.a
+                an, ae = a["node"], a["ekey"]
+                start = b["start"].to_numpy(zero_copy_only=False)
+                cols = {"start": pa.array(start, pa.int64())}
+                if len(start) == 0:
+                    for st in range(1, steps + 1):
+                        cols[f"s{st}"] = pa.array([], pa.int64())
+                    return pa.table(cols)
+                # step 1: uniform pick, every start has outdeg >= 1
+                off = np.searchsorted(an, start)
+                s1 = a["nbr"][off + (h1(start) % a["deg"][off])]
+                cols["s1"] = pa.array(s1, pa.int64())
+                prev, cur = start.copy(), s1.copy()
+                alive = np.ones(len(cur), bool)
+                for st in range(2, steps + 1):
+                    nxt = np.full(len(cur), -1, np.int64)
+                    aw = np.flatnonzero(alive)
+                    if len(aw):
+                        t, v = prev[aw], cur[aw]
+                        pos = np.searchsorted(an, v)
+                        ok = (pos < len(an)) & (
+                            an[np.minimum(pos, len(an) - 1)] == v
+                        )
+                        aw, t, v, pos = aw[ok], t[ok], v[ok], pos[ok]
+                        if len(aw):
+                            dg = a["deg"][pos]
+                            tot = int(dg.sum())
+                            segstart = np.concatenate(
+                                [[0], np.cumsum(dg)[:-1]]
+                            ).astype(np.int64)
+                            rel = (np.arange(tot, dtype=np.int64)
+                                   - np.repeat(segstart, dg))
+                            x = a["nbr"][np.repeat(pos, dg) + rel]
+                            tx = np.repeat(t, dg)
+                            key = tx * np.int64(1 << 32) + x
+                            ei = np.searchsorted(ae, key)
+                            near = (ei < len(ae)) & (
+                                ae[np.minimum(ei, len(ae) - 1)] == key
+                            )
+                            w = np.where(
+                                x == tx, np.int64(w_return),
+                                np.where(near, np.int64(w_near),
+                                         np.int64(w_far)),
+                            )
+                            cw = np.cumsum(w)
+                            base = np.repeat(
+                                cw[segstart] - w[segstart], dg
+                            )
+                            c = cw - base
+                            totw = np.add.reduceat(w, segstart)
+                            r = h2(t, v, st) % totw
+                            rexp = np.repeat(r, dg)
+                            sel = (c > rexp) & ((c - w) <= rexp)
+                            nxt[aw] = x[sel]
+                    cols[f"s{st}"] = pa.array(
+                        [int(z) if z >= 0 else None for z in nxt],
+                        pa.int64(),
+                    )
+                    newalive = nxt >= 0
+                    prev = np.where(newalive, cur, prev)
+                    cur = np.where(newalive, nxt, cur)
+                    alive = newalive
+                return pa.table(cols)
+
+        return nodes.map_batches(Walk, concurrency=(1, 8),
+                                 batch_format="pyarrow")
+
+    # scale path: candidate-expansion join + membership join + per-walk
+    # groupby pick, once per step
+    from .dedup import normalize_join_blocks
+
+    nparts = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    eflag = adj.map_batches(
+        lambda b: pa.table(
+            {
+                "enode": b["node"],
+                "enbr": b["nbr"],
+                "near": pa.array(np.ones(len(b), np.int8), pa.int8()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    adj_slim = adj.select_columns(["node", "nbr", "deg"]).materialize()
+
+    # step 1: uniform, reuses the (node, idx) composite-key join shape
+    deg_side = adj.map_batches(
+        lambda b: b.filter(pc.equal(b["idx"], 0)).select(["node", "deg"]),
+        batch_format="pyarrow",
+    )
+    st1 = normalize_join_blocks(
+        nodes.map_batches(
+            lambda b: pa.table({"start": b["start"], "cur": b["start"]}),
+            batch_format="pyarrow",
+        ), nparts,
+    ).join(
+        normalize_join_blocks(deg_side, nparts),
+        join_type="inner", num_partitions=nparts,
+        on=("cur",), right_on=("node",),
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "start": b["start"],
+                "cur": b["cur"],
+                "idx": pa.array(
+                    h1(b["cur"].to_numpy(zero_copy_only=False))
+                    % b["deg"].to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    state = normalize_join_blocks(st1, nparts).join(
+        normalize_join_blocks(
+            adj.select_columns(["node", "idx", "nbr"]), nparts
+        ),
+        join_type="inner", num_partitions=nparts,
+        on=("cur", "idx"), right_on=("node", "idx"),
+    ).map_batches(
+        lambda b: pa.table(
+            {"start": b["start"], "s1": b["nbr"],
+             "prev": b["cur"], "cur": b["nbr"]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    outs = state.map_batches(
+        lambda b: b.select(["start", "s1"]), batch_format="pyarrow"
+    )
+    for st in range(2, steps + 1):
+        cand = normalize_join_blocks(
+            state.map_batches(
+                lambda b: b.select(["start", "prev", "cur"]),
+                batch_format="pyarrow",
+            ), nparts,
+        ).join(
+            normalize_join_blocks(adj_slim, nparts),
+            join_type="inner", num_partitions=nparts,
+            on=("cur",), right_on=("node",),
+        )
+        cand2 = normalize_join_blocks(cand, nparts).join(
+            normalize_join_blocks(eflag, nparts),
+            join_type="left_outer", num_partitions=nparts,
+            on=("prev", "nbr"), right_on=("enode", "enbr"),
+        )
+
+        def pick(g: pa.Table, _st=st) -> pa.Table:
+            if len(g) == 0:
+                return pa.table(
+                    {"start": pa.array([], pa.int64()),
+                     "prev": pa.array([], pa.int64()),
+                     "cur": pa.array([], pa.int64())}
+                )
+            g = g.sort_by([("nbr", "ascending")])
+            t = int(g["prev"][0].as_py())
+            v = int(g["cur"][0].as_py())
+            x = g["nbr"].to_numpy(zero_copy_only=False)
+            near = ~pc.is_null(g["near"]).to_numpy(zero_copy_only=False)
+            w = np.where(
+                x == t, np.int64(w_return),
+                np.where(near, np.int64(w_near), np.int64(w_far)),
+            )
+            c = np.cumsum(w)
+            r = int(
+                hashlib.md5(f"{t}:{v}:{_st}".encode()).hexdigest()[:8],
+                16,
+            ) % int(c[-1])
+            j = int(np.searchsorted(c, r, side="right"))
+            return pa.table(
+                {
+                    "start": g["start"].slice(0, 1),
+                    "prev": pa.array([v], pa.int64()),
+                    "cur": pa.array([int(x[j])], pa.int64()),
+                }
+            )
+
+        state = (
+            cand2.groupby("start")
+            .map_groups(pick, batch_format="pyarrow")
+            .materialize()
+        )
+        col = state.map_batches(
+            lambda b, _st=st: pa.table(
+                {"start": b["start"], f"s{_st}": b["cur"]}
+            ),
+            batch_format="pyarrow",
+        )
+        outs = normalize_join_blocks(outs, nparts).join(
+            normalize_join_blocks(col, nparts),
+            join_type="left_outer", num_partitions=nparts, on=("start",),
+        )
+    final = normalize_join_blocks(nodes, nparts).join(
+        normalize_join_blocks(outs, nparts),
+        join_type="left_outer", num_partitions=nparts, on=("start",),
+    )
+    return final.map_batches(
+        lambda b: b.select(["start"] + [f"s{i}" for i in
+                                        range(1, steps + 1)]),
+        batch_format="pyarrow",
+    )
