@@ -13591,3 +13591,40 @@ LEFT JOIN w1 ON w1.start = s.start
 LEFT JOIN p2 ON p2.start = s.start
 LEFT JOIN p3 ON p3.start = s.start
 """
+
+
+def graph_scc(sf_dir: str):
+    """Exact strongly-connected components (ops/graph.py:scc) over the
+    directed md5 link graph, each node labeled with its component's MIN
+    member id.  Budget-gated one-task Tarjan fast path first
+    (scc_local); the distributed trim + forward-color + backward-reach
+    peel rounds are forced in the parity pytest and run above budget."""
+    from .ops.graph import scc, scc_local
+
+    edges, _, _ = _md5_link_graph(sf_dir)
+    local = scc_local(edges)
+    if local is not None:
+        return local
+    return scc(edges)
+
+
+QUERIES["graph_scc"] = graph_scc
+
+ORACLE_SQL["graph_scc"] = f"""
+WITH RECURSIVE {_MD5_EDGES_SQL},
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+gnodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+reach AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON e2.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS node, r1.b AS m
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+)
+SELECT n.node,
+       CAST(LEAST(n.node, COALESCE(MIN(m.m), n.node)) AS BIGINT) AS scc
+FROM gnodes n LEFT JOIN mutual m ON m.node = n.node
+GROUP BY n.node
+"""

@@ -5419,3 +5419,476 @@ def node2vec_walks(
                                         range(1, steps + 1)]),
         batch_format="pyarrow",
     )
+
+
+def _scc_solve_local(g: pa.Table) -> pa.Table:
+    """In-task exact SCC over the distinct directed simple edge list:
+    iterative Tarjan (explicit stack, CSR adjacency), then each
+    component relabeled to its MIN member id.  Vectorized setup; the
+    DFS itself is the O(V+E) pointer walk Tarjan requires."""
+    s = g["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = g["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    if len(s) == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()),
+             "scc": pa.array([], pa.int64())}
+        )
+    key = np.stack([s, d])
+    _, first = np.unique(key, axis=1, return_index=True)
+    s, d = s[first], d[first]
+    ids = np.unique(np.concatenate([s, d]))
+    n = len(ids)
+    si = np.searchsorted(ids, s)
+    di = np.searchsorted(ids, d)
+    order = np.argsort(si, kind="stable")
+    si, di = si[order], di[order]
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, si + 1, 1)
+    indptr = np.cumsum(indptr)
+
+    index = np.full(n, -1, np.int64)
+    lowlink = np.zeros(n, np.int64)
+    onstack = np.zeros(n, bool)
+    comp = np.full(n, -1, np.int64)
+    stack: list[int] = []
+    counter = 0
+    ncomp = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, int(indptr[root]))]
+        index[root] = lowlink[root] = counter
+        counter += 1
+        stack.append(root)
+        onstack[root] = True
+        while work:
+            v, ptr = work[-1]
+            if ptr < indptr[v + 1]:
+                work[-1] = (v, ptr + 1)
+                w = int(di[ptr])
+                if index[w] == -1:
+                    index[w] = lowlink[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    onstack[w] = True
+                    work.append((w, int(indptr[w])))
+                elif onstack[w]:
+                    if index[w] < lowlink[v]:
+                        lowlink[v] = index[w]
+            else:
+                work.pop()
+                if work:
+                    pv = work[-1][0]
+                    if lowlink[v] < lowlink[pv]:
+                        lowlink[pv] = lowlink[v]
+                if lowlink[v] == index[v]:
+                    while True:
+                        w = stack.pop()
+                        onstack[w] = False
+                        comp[w] = ncomp
+                        if w == v:
+                            break
+                    ncomp += 1
+    # relabel each component to its min member id
+    mins = np.full(ncomp, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(mins, comp, ids)
+    return pa.table(
+        {
+            "node": pa.array(ids, pa.int64()),
+            "scc": pa.array(mins[comp], pa.int64()),
+        }
+    )
+
+
+def scc_local(edges_ds, *, budget: int = 128 << 20):
+    """Budget-gated one-task exact SCC (the pagerank_local /
+    connected_components_local precedent): edge lists that fit one
+    worker solve with iterative Tarjan in a single task, skipping the
+    outer-round exchanges of :func:`scc`.  Returns the (node, scc)
+    Dataset or ``None`` when over budget."""
+    mat_e = edges_ds.materialize()
+    if mat_e.size_bytes() > budget:
+        return None
+    return _run_in_one_task(
+        mat_e.map_batches(
+            lambda b: pa.table(
+                {
+                    "src": pc.cast(b["src"], pa.int64()),
+                    "dst": pc.cast(b["dst"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        _scc_solve_local,
+    )
+
+
+def scc(
+    edges,
+    *,
+    max_outer: int = 20,
+    max_inner: int = 200,
+    broadcast_budget: int = 256 << 20,
+):
+    """Exact distributed strongly-connected components via
+    trim + forward max-color propagation + backward intra-color
+    reachability (the FW-BW / Orzan coloring family, public: Fleischer
+    2000, Orzan 2004, Slota 2014; the naive one-pass (fwd-min, bwd-min)
+    pair labeling is WRONG -- two different SCCs can share both labels
+    -- so this runs the full peel: every outer round assigns ONLY
+    nodes proven mutually reachable with their color root, removes
+    them, and repeats on the remainder).  Returns (node, scc) over
+    every endpoint of the directed simple graph, where ``scc`` is the
+    MIN member id of the component (marc2rdf analog: authority rings --
+    mutually-referencing authority records -- are merge groups, the
+    directed-cycle strengthening of the sameAs closure's undirected
+    components, stages/canonicalize.py).
+
+    Exact by construction, any outer/inner round count: rounds stop at
+    fixpoints, not budgets; ``max_outer``/``max_inner`` are loud-failure
+    caps (RuntimeError), never silent truncation.
+
+    Scale shape: per outer round -- (a) trim loops drop nodes with no
+    in- or out-edges (distinct-endpoint semi-joins; chains and
+    tendrils never reach the expensive phases), (b) color rounds are
+    one edges-join-colors + groupby-max each (the pagerank exchange
+    shape), converging by the monotone color-sum fingerprint, (c)
+    backward reachability runs only over intra-color edges (annotated
+    once per round) with distinct-frontier semi-joins.  All membership
+    filters are broadcast-or-join under ``broadcast_budget``; nothing
+    materializes on the driver.  The md5-graph contract query runs the
+    budget-gated :func:`scc_local` fast path; the distributed rounds
+    are forced in the parity pytest."""
+    from ray.data.aggregate import Max, Min
+
+    from .dedup import (anti_join_filter, distinct_first,
+                        normalize_join_blocks, semi_join_filter)
+    import ray
+
+    nparts = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        return pa.table(
+            {
+                "src": pa.array(s[keep], pa.int64()),
+                "dst": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    def pairkey(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pk",
+            pc.binary_join_element_wise(
+                pc.cast(b["src"], pa.string()),
+                pc.cast(b["dst"], pa.string()), "|",
+            ),
+        )
+
+    act_e = distinct_first(
+        edges.map_batches(canon, batch_format="pyarrow").map_batches(
+            pairkey, batch_format="pyarrow"
+        ),
+        "pk",
+    ).drop_columns(["pk"]).materialize()
+
+    def endpoints(e_ds):
+        def part(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": pa.array(
+                        np.unique(np.concatenate(
+                            [
+                                b["src"].to_numpy(zero_copy_only=False),
+                                b["dst"].to_numpy(zero_copy_only=False),
+                            ]
+                        )),
+                        pa.int64(),
+                    )
+                }
+            )
+
+        return distinct_first(
+            e_ds.map_batches(part, batch_format="pyarrow"), "node"
+        )
+
+    def col_of(e_ds, col):
+        return distinct_first(
+            e_ds.map_batches(
+                lambda b, _c=col: pa.table({"node": b[_c]}),
+                batch_format="pyarrow",
+            ),
+            "node",
+        )
+
+    def attach(ds, map_ds, key, out_name):
+        """Annotate ds[key] with the color from map_ds (node, color):
+        broadcast lookup under budget, distributed join above."""
+        mat = map_ds.materialize()
+        if mat.size_bytes() <= broadcast_budget:
+            tabs = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+            tab = (pa.concat_tables(tabs, promote_options="default")
+                   if tabs else None)
+            if tab is None:
+                return ds.map_batches(
+                    lambda b: b.append_column(
+                        out_name, pa.nulls(len(b), pa.int64())
+                    ),
+                    batch_format="pyarrow",
+                )
+            nd = tab["node"].to_numpy(zero_copy_only=False)
+            cl = tab["color"].to_numpy(zero_copy_only=False)
+            order = np.argsort(nd)
+            ref = ray.put({"n": nd[order], "c": cl[order]})
+
+            def look(b: pa.Table) -> pa.Table:
+                a = ray.get(ref)
+                k = b[key].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(a["n"], k)
+                ok = (pos < len(a["n"])) & (
+                    a["n"][np.minimum(pos, len(a["n"]) - 1)] == k
+                )
+                vals = pa.array(
+                    a["c"][np.minimum(pos, len(a["n"]) - 1)], pa.int64()
+                )
+                return b.append_column(
+                    out_name,
+                    pc.if_else(pa.array(ok), vals,
+                               pa.nulls(len(b), pa.int64())),
+                )
+
+            return ds.map_batches(look, batch_format="pyarrow")
+        side = mat.map_batches(
+            lambda b, _o=out_name: pa.table(
+                {"_mk": b["node"], _o: b["color"]}
+            ),
+            batch_format="pyarrow",
+        )
+        return normalize_join_blocks(ds, nparts).join(
+            normalize_join_blocks(side, nparts),
+            join_type="left_outer", num_partitions=nparts,
+            on=(key,), right_on=("_mk",),
+        )
+
+    assigned = []  # list of (node, root) Datasets
+    outer = 0
+    while True:
+        outer += 1
+        if outer > max_outer:
+            raise RuntimeError(
+                f"scc: not converged after {max_outer} outer rounds"
+            )
+        if act_e.count() == 0:
+            break
+        # (a) trim: peel nodes missing an in- or out-edge (singleton SCCs)
+        for _ in range(max_inner):
+            nodes_now = endpoints(act_e).materialize()
+            keep = semi_join_filter(
+                semi_join_filter(
+                    nodes_now, col_of(act_e, "src"), "node",
+                    broadcast_budget=broadcast_budget,
+                ),
+                col_of(act_e, "dst"), "node",
+                broadcast_budget=broadcast_budget,
+            ).materialize()
+            trimmed = anti_join_filter(
+                nodes_now, keep, "node",
+                broadcast_budget=broadcast_budget,
+            ).map_batches(
+                lambda b: pa.table({"node": b["node"], "root": b["node"]}),
+                batch_format="pyarrow",
+            ).materialize()
+            if trimmed.count() == 0:
+                break
+            assigned.append(trimmed)
+            act_e = semi_join_filter(
+                semi_join_filter(
+                    act_e, keep, "src", keys_col="node",
+                    broadcast_budget=broadcast_budget,
+                ),
+                keep, "dst", keys_col="node",
+                broadcast_budget=broadcast_budget,
+            ).materialize()
+            # survivors whose every edge touched a trimmed node are now
+            # edge-less: they can no longer sit in a multi-node SCC --
+            # assign them as singletons or they vanish unlabeled
+            stranded = anti_join_filter(
+                keep, endpoints(act_e), "node",
+                broadcast_budget=broadcast_budget,
+            ).map_batches(
+                lambda b: pa.table({"node": b["node"], "root": b["node"]}),
+                batch_format="pyarrow",
+            ).materialize()
+            if stranded.count():
+                assigned.append(stranded)
+            if act_e.count() == 0:
+                break
+        if act_e.count() == 0:
+            continue
+        # (b) forward max-color propagation to fixpoint
+        act_n = endpoints(act_e).materialize()
+        colors = act_n.map_batches(
+            lambda b: pa.table({"node": b["node"], "color": b["node"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        from ray.data.aggregate import Sum
+
+        def colsum(c_ds):
+            t = c_ds.aggregate(Sum("color", alias_name="s"))
+            return int(t["s"]) if t and t["s"] is not None else 0
+
+        prev_fp = colsum(colors)
+        for _ in range(max_inner):
+            contrib = attach(
+                act_e, colors, "src", "ccol"
+            ).map_batches(
+                lambda b: pa.table(
+                    {"node": b["dst"], "color": b["ccol"]}
+                ),
+                batch_format="pyarrow",
+            )
+            colors = (
+                colors.union(contrib)
+                .groupby("node")
+                .aggregate(Max("color", alias_name="color"))
+                .materialize()
+            )
+            fp = colsum(colors)
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+        else:
+            raise RuntimeError(
+                f"scc: colors not converged after {max_inner} rounds"
+            )
+        # (c) backward reachability from roots over intra-color edges
+        intra = attach(
+            attach(act_e, colors, "src", "csrc"), colors, "dst", "cdst"
+        ).filter(expr="csrc == cdst").map_batches(
+            lambda b: b.select(["src", "dst"]), batch_format="pyarrow"
+        ).materialize()
+        reached = colors.filter(expr="node == color").map_batches(
+            lambda b: b.select(["node"]), batch_format="pyarrow"
+        ).materialize()
+        n_reached = reached.count()
+        for _ in range(max_inner):
+            grown = distinct_first(
+                reached.union(
+                    semi_join_filter(
+                        intra, reached, "dst", keys_col="node",
+                        broadcast_budget=broadcast_budget,
+                    ).map_batches(
+                        lambda b: pa.table({"node": b["src"]}),
+                        batch_format="pyarrow",
+                    )
+                ),
+                "node",
+            ).materialize()
+            n2 = grown.count()
+            reached = grown
+            if n2 == n_reached:
+                break
+            n_reached = n2
+        else:
+            raise RuntimeError(
+                f"scc: backward pass not converged after {max_inner} rounds"
+            )
+        done = attach(reached, colors, "node", "root").map_batches(
+            lambda b: b.select(["node", "root"]), batch_format="pyarrow"
+        ).materialize()
+        assigned.append(done)
+        reached_s = reached.map_batches(
+            lambda b: pa.table({"src": b["node"]}), batch_format="pyarrow"
+        )
+        reached_d = reached.map_batches(
+            lambda b: pa.table({"dst": b["node"]}), batch_format="pyarrow"
+        )
+        act_e = anti_join_filter(
+            anti_join_filter(
+                act_e, reached_s, "src",
+                broadcast_budget=broadcast_budget,
+            ),
+            reached_d, "dst", broadcast_budget=broadcast_budget,
+        ).materialize()
+        # unassigned survivors stranded edge-less by the removal are
+        # singleton SCCs (had they shared a root's component, the
+        # backward pass would have reached them)
+        stranded = anti_join_filter(
+            anti_join_filter(
+                act_n, reached, "node",
+                broadcast_budget=broadcast_budget,
+            ),
+            endpoints(act_e), "node",
+            broadcast_budget=broadcast_budget,
+        ).map_batches(
+            lambda b: pa.table({"node": b["node"], "root": b["node"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        if stranded.count():
+            assigned.append(stranded)
+
+    if not assigned:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "scc": pa.array([], pa.int64())}
+            )
+        )
+    out = assigned[0]
+    for a in assigned[1:]:
+        out = out.union(a)
+    out = out.materialize()
+    mins = (
+        out.groupby("root").aggregate(Min("node", alias_name="mn"))
+    ).map_batches(
+        lambda b: pa.table({"node": b["root"], "color": b["mn"]}),
+        batch_format="pyarrow",
+    )
+
+    # broadcast-or-join relabel of roots to component minima
+    mat = mins.materialize()
+    tabs = [t for t in __import__("ray").get(mat.to_arrow_refs())
+            if t.num_rows]
+    if mat.size_bytes() <= broadcast_budget and tabs:
+        tab = pa.concat_tables(tabs, promote_options="default")
+        nd = tab["node"].to_numpy(zero_copy_only=False)
+        cl = tab["color"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nd)
+        import ray as _ray
+
+        ref = _ray.put({"n": nd[order], "c": cl[order]})
+
+        def look(b: pa.Table) -> pa.Table:
+            a = _ray.get(ref)
+            k = b["root"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(a["n"], k)
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "scc": pa.array(a["c"][pos], pa.int64()),
+                }
+            )
+
+        relabeled = out.map_batches(look, batch_format="pyarrow")
+    else:
+        relabeled = normalize_join_blocks(out, nparts).join(
+            normalize_join_blocks(
+                mins.map_batches(
+                    lambda b: pa.table(
+                        {"_mk": b["node"], "scc": b["color"]}
+                    ),
+                    batch_format="pyarrow",
+                ), nparts,
+            ),
+            join_type="inner", num_partitions=nparts,
+            on=("root",), right_on=("_mk",),
+        ).map_batches(
+            lambda b: b.select(["node", "scc"]), batch_format="pyarrow"
+        )
+    return relabeled
