@@ -1947,6 +1947,12 @@ def corpus_flagship_docs(sf_dir: str):
     dedup stage, the perturbed ones the near-dup stage.  Blocked spans =
     the 48-char prefix of every 40th doc (the docs_decontaminated
     recipe)."""
+    return _corpus_flagship_run(sf_dir, shuffle_order=False)
+
+
+def _corpus_flagship_run(sf_dir: str, *, shuffle_order: bool):
+    """Shared runner for the corpus-flagship contract queries (plain
+    id-order pack vs deterministic md5 training-order pack)."""
     import os
     import tempfile
 
@@ -1991,7 +1997,8 @@ def corpus_flagship_docs(sf_dir: str):
     ]
 
     cfg = CorpusConfig(
-        min_tokens=20, blocked_spans=tuple(sorted(spans)), num_partitions=16
+        min_tokens=20, blocked_spans=tuple(sorted(spans)),
+        num_partitions=16, shuffle_order=shuffle_order,
     )
     with tempfile.TemporaryDirectory() as tmp:
         in_dir = os.path.join(tmp, "docs")
@@ -4338,7 +4345,7 @@ WHERE NOT EXISTS (SELECT 1 FROM roots
 """
 
 
-def _corpus_flagship_oracle_sql() -> str:
+def _corpus_flagship_oracle_sql(shuffled: bool = False) -> str:
     """The full corpus-flagship chain in SQL, composed from the shared
     parameterized CTE generators (_minhash_ctes_over, _langid_ctes_over)
     so the oracle replays the exact arithmetic of every stage:
@@ -4346,7 +4353,49 @@ def _corpus_flagship_oracle_sql() -> str:
     recursive-CTE connected components -> near-dup drop -> langid filter ->
     decontaminate -> redact -> token count -> min-token filter -> md5
     split -> per-split pack offsets (window prefix sum, CAST to BIGINT --
-    DuckDB window SUM over BIGINT yields HUGEINT)."""
+    DuckDB window SUM over BIGINT yields HUGEINT).  With ``shuffled`` the
+    pack order is the deterministic md5 training rank (ROW_NUMBER over
+    the uint64 key, ties by id -- docs_shuffle_rank's expression) and the
+    rank is emitted as a column, replaying
+    CorpusConfig(shuffle_order=True)."""
+    if shuffled:
+        tail = r""",
+rnk AS (
+  SELECT spl.*,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                          1, 16)) AS UBIGINT),
+                    doc_id
+         ) - 1 AS rank
+  FROM spl
+),
+packed AS (
+  SELECT doc_id, text, lang_pred, n_tokens, split, rank,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+        PARTITION BY split ORDER BY rank
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS start_offset
+  FROM rnk
+)
+SELECT doc_id, text, lang_pred, n_tokens, split,
+       CAST(rank AS BIGINT) AS rank, start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS pack_id
+FROM packed
+"""
+    else:
+        tail = r""",
+packed AS (
+  SELECT doc_id, text, lang_pred, n_tokens, split,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+        PARTITION BY split ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS start_offset
+  FROM spl
+)
+SELECT doc_id, text, lang_pred, n_tokens, split, start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS pack_id
+FROM packed
+"""
     return (
         r"""
 WITH RECURSIVE
@@ -4416,23 +4465,15 @@ spl AS (
               AS BIGINT) < 3758096384 THEN 'val'
          ELSE 'test' END AS split
   FROM d4
-),
-packed AS (
-  SELECT doc_id, text, lang_pred, n_tokens, split,
-    CAST(COALESCE(SUM(n_tokens) OVER (
-        PARTITION BY split ORDER BY doc_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      AS BIGINT) AS start_offset
-  FROM spl
-)
-SELECT doc_id, text, lang_pred, n_tokens, split, start_offset,
-       CAST(start_offset // 512 AS BIGINT) AS pack_id
-FROM packed
-"""
+)"""
+        + tail
     )
 
 
 ORACLE_SQL["corpus_flagship_docs"] = _corpus_flagship_oracle_sql()
+ORACLE_SQL["corpus_flagship_shuffled"] = _corpus_flagship_oracle_sql(
+    shuffled=True
+)
 
 
 # sketch certification: the exact quantiles replay in SQL (the same CTE
@@ -13628,3 +13669,17 @@ SELECT n.node,
 FROM gnodes n LEFT JOIN mutual m ON m.node = n.node
 GROUP BY n.node
 """
+
+
+def corpus_flagship_shuffled(sf_dir: str):
+    """The corpus flagship with CorpusConfig(shuffle_order=True): the
+    SAME dedup -> near-dup -> clean chain (stages 1-3 checkpoints are
+    reused verbatim -- their stamps exclude the pack knobs) but the
+    final pack/materialize runs in deterministic md5 TRAINING order:
+    partitions are contiguous rank ranges, every row carries its global
+    ``rank``, and per-split offsets accumulate in rank order.  The
+    oracle replays the whole chain plus the rank expression."""
+    return _corpus_flagship_run(sf_dir, shuffle_order=True)
+
+
+QUERIES["corpus_flagship_shuffled"] = corpus_flagship_shuffled

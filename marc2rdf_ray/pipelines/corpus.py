@@ -115,6 +115,11 @@ class CorpusConfig:
         ("train", 0.75), ("val", 0.125), ("test", 0.125)
     )
     pack_budget: int = 512            # tokens per packed training sequence
+    # True => pack/partition in deterministic md5 TRAINING order
+    # (ops/corpus.deterministic_shuffle_rank) instead of doc-id order:
+    # partitions become contiguous RANK ranges, offsets accumulate in
+    # rank order, and every output row carries its global ``rank``.
+    shuffle_order: bool = False
     num_partitions: Optional[int] = None  # None => 2 x CPU, floor 16
     broadcast_budget: int = 256 << 20
     # 0 => AUTO spill cap for the text-carrying dedup exchange
@@ -316,14 +321,53 @@ def _prep_fn(config: CorpusConfig):
     return prep
 
 
+def _attach_ranks(ds, ranks_mat, budget: int):
+    """Annotate every row with its deterministic shuffle ``rank`` (from a
+    materialized (doc_id, rank) table): broadcast searchsorted lookup
+    under ``budget`` bytes, distributed inner join above it."""
+    import ray
+
+    if ranks_mat.size_bytes() <= budget:
+        tabs = [t for t in ray.get(ranks_mat.to_arrow_refs())
+                if t.num_rows]
+        tab = pa.concat_tables(tabs, promote_options="default")
+        ids = tab["doc_id"].to_numpy(zero_copy_only=False)
+        rk = tab["rank"].to_numpy(zero_copy_only=False)
+        o = np.argsort(ids)
+        ref = ray.put({"i": ids[o], "r": rk[o]})
+
+        def look(b: pa.Table) -> pa.Table:
+            a = ray.get(ref)
+            k = b["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(a["i"], k)
+            return b.append_column(
+                "rank", pa.array(a["r"][pos], pa.int64())
+            )
+
+        return ds.map_batches(look, batch_format="pyarrow")
+    import ray.data as rd  # noqa: F401 (Dataset join contract)
+
+    from ..ops.dedup import normalize_join_blocks
+
+    nparts = max(
+        2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    )
+    return normalize_join_blocks(ds, nparts).join(
+        normalize_join_blocks(ranks_mat, nparts),
+        join_type="inner", num_partitions=nparts, on=("doc_id",),
+    )
+
+
 def _write_corpus_partition(
     group: pa.Table, out_dir: str, fs, *, run_sig: str,
-    offsets: dict, pack_budget: int,
+    offsets: dict, pack_budget: int, order_col: str = "doc_id",
 ) -> pa.Table:
-    """Per-partition writer: sort by doc_id, add per-split pack offsets
-    (bucket base + local cumulative sum), write docs.parquet tmp+rename,
-    stats json, then the ``_sig`` marker LAST (materialize_graph's
-    partition-resume protocol, stages/materialize.py:47-94)."""
+    """Per-partition writer: sort by ``order_col`` (doc_id, or the
+    deterministic shuffle rank when ``shuffle_order`` is on), add
+    per-split pack offsets (bucket base + local cumulative sum), write
+    docs.parquet tmp+rename, stats json, then the ``_sig`` marker LAST
+    (materialize_graph's partition-resume protocol,
+    stages/materialize.py:47-94)."""
     part = int(group["_bucket"][0].as_py())
     pdir = fsio.join(out_dir, f"part={part:05d}")
     sig_path = fsio.join(pdir, "_sig")
@@ -339,7 +383,9 @@ def _write_corpus_partition(
                     "tokens": pa.array([int(st["tokens"])], pa.int64()),
                 }
             )
-    data = group.drop_columns(["_bucket"]).sort_by([("doc_id", "ascending")])
+    data = group.drop_columns(["_bucket"]).sort_by(
+        [(order_col, "ascending")]
+    )
     n = len(data)
     toks = data["n_tokens"].to_numpy(zero_copy_only=False)
     splits = np.asarray(data["split"].to_pylist(), object)
@@ -390,6 +436,12 @@ def run_corpus_pipeline(
     doc_id with columns ``doc_id, text (redacted), lang_pred, n_tokens,
     split, start_offset, pack_id``; partitions are contiguous doc-id
     ranges so packed sequences compose across partitions in id order.
+    With ``config.shuffle_order`` the order key is the deterministic md5
+    training rank instead (ops/corpus.deterministic_shuffle_rank):
+    partitions are contiguous RANK ranges, rows sort by ``rank`` (kept
+    as a column), and pack offsets accumulate per split in rank order --
+    a reproducible global shuffle with no extra all-to-all (the rank
+    table is slim; payloads still move exactly once).
     """
     import ray
     import ray.data as rd
@@ -540,14 +592,32 @@ def run_corpus_pipeline(
             16, int(ray.cluster_resources().get("CPU", 8)) * 2
         )
     run_sig = f"{clean_stamp}:{num_partitions}:{config.pack_budget}"
+    if config.shuffle_order:
+        run_sig += ":shuffled"
 
     _t0 = time.time()
     nblocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    order_col = "doc_id"
+    ranks_mat = None
+    if config.shuffle_order:
+        # deterministic md5 training order: ranks are a slim
+        # (doc_id, rank) table computed once over the clean ids
+        from ..ops.corpus import deterministic_shuffle_rank
+
+        order_col = "rank"
+        ranks_mat = deterministic_shuffle_rank(
+            rd.read_parquet(
+                clean_files, columns=["doc_id"], filesystem=fs
+            ),
+            id_col="doc_id",
+        ).materialize()
     slim = rd.read_parquet(
         clean_files, columns=["doc_id", "n_tokens", "split"],
         override_num_blocks=nblocks, filesystem=fs,
     )
-    max_id = slim.max("doc_id")
+    if ranks_mat is not None:
+        slim = _attach_ranks(slim, ranks_mat, config.broadcast_budget)
+    max_id = slim.max(order_col)
     if max_id is None:  # empty corpus: manifest only
         manifest = RunManifest(
             input_signature=sig, ruleset_hash=cfg_hash,
@@ -561,7 +631,7 @@ def run_corpus_pipeline(
     def counted(b: pa.Table) -> pa.Table:
         bucket = pc.cast(
             pc.floor(
-                pc.divide(pc.cast(b["doc_id"], pa.float64()), width)
+                pc.divide(pc.cast(b[order_col], pa.float64()), width)
             ),
             pa.int64(),
         )
@@ -601,13 +671,15 @@ def run_corpus_pipeline(
         clean_files, columns=CLEAN_COLS,
         override_num_blocks=nblocks, filesystem=fs,
     )
+    if ranks_mat is not None:
+        full = _attach_ranks(full, ranks_mat, config.broadcast_budget)
 
     def bucketed(b: pa.Table) -> pa.Table:
         return b.append_column(
             "_bucket",
             pc.cast(
                 pc.floor(
-                    pc.divide(pc.cast(b["doc_id"], pa.float64()), width)
+                    pc.divide(pc.cast(b[order_col], pa.float64()), width)
                 ),
                 pa.int32(),
             ),
@@ -619,7 +691,7 @@ def run_corpus_pipeline(
         .map_groups(
             lambda g: _write_corpus_partition(
                 g, out_dir, fs, run_sig=run_sig, offsets=offsets,
-                pack_budget=config.pack_budget,
+                pack_budget=config.pack_budget, order_col=order_col,
             ),
             batch_format="pyarrow",
         )
@@ -639,7 +711,8 @@ def run_corpus_pipeline(
         num_partitions=num_partitions,
         triple_count=sum(rows_by_part.values()),
         partition_counts=rows_by_part,
-        extra={"total_tokens": tokens_total, "id_width": width},
+        extra={"total_tokens": tokens_total, "id_width": width,
+               "order": order_col},
     )
     write_manifest(out_dir, manifest, filesystem=fs)
     return manifest

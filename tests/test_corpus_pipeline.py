@@ -268,3 +268,72 @@ def test_sharded_dedup_matches_unsharded(ray_session, tmp_path):
         if d.startswith("shard=")
     ]
     assert len(shards) == 3
+
+
+def test_shuffle_order_pack_reuses_stages_and_rewrites_partitions(
+    ray_session, tmp_path
+):
+    docs = _mk_docs(str(tmp_path / "docs"))
+    out = str(tmp_path / "out")
+    m1 = run_corpus_pipeline(docs, out, _cfg())
+    tab1 = _read_out(out)
+    stage_markers = [
+        os.path.join(out, s + ".complete")
+        for s in ("_deduped", "_drops", "_clean")
+    ]
+    stage_before = [os.path.getmtime(p) for p in stage_markers]
+
+    # flip ONLY the pack-order knob in the same out dir
+    cfg2 = _cfg(shuffle_order=True)
+    m2 = run_corpus_pipeline(docs, out, cfg2)
+    tab2 = _read_out(out)
+
+    # stages 1-3 reused verbatim (their stamps exclude pack knobs)
+    assert [os.path.getmtime(p) for p in stage_markers] == stage_before
+
+    # same docs, same per-doc values; only order/offsets/rank differ
+    def keyed(tab, cols):
+        return {
+            r["doc_id"]: tuple(r[c] for c in cols) for r in tab.to_pylist()
+        }
+
+    base_cols = ["text", "lang_pred", "n_tokens", "split"]
+    assert keyed(tab2, base_cols) == keyed(tab1, base_cols)
+
+    # rank is the dense md5 permutation (ties impossible: ids distinct)
+    rows = tab2.to_pylist()
+    want_order = sorted(
+        (r["doc_id"] for r in rows),
+        key=lambda i: (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:16], 16), i
+        ),
+    )
+    got = {r["doc_id"]: r["rank"] for r in rows}
+    assert got == {i: pos for pos, i in enumerate(want_order)}
+
+    # offsets: per-split prefix sums in RANK order
+    run: dict = {}
+    for r in sorted(rows, key=lambda r: r["rank"]):
+        want = run.get(r["split"], 0)
+        assert r["start_offset"] == want, r
+        assert r["pack_id"] == want // 512
+        run[r["split"]] = want + r["n_tokens"]
+    assert m2.extra["order"] == "rank"
+    assert m2.triple_count == m1.triple_count
+
+    # partitions are contiguous RANK ranges, sorted by rank
+    width = m2.extra["id_width"]
+    for d in os.listdir(out):
+        if not d.startswith("part="):
+            continue
+        part = int(d.split("=")[1])
+        t = pq.read_table(os.path.join(out, d, "docs.parquet"))
+        pranks = t["rank"].to_pylist()
+        assert pranks == sorted(pranks)
+        assert all(rk // width == part for rk in pranks)
+
+    # identical shuffled rerun: manifest short-circuit, nothing touched
+    before = _part_mtimes(out)
+    m3 = run_corpus_pipeline(docs, out, cfg2)
+    assert m3.partition_counts == m2.partition_counts
+    assert _part_mtimes(out) == before
