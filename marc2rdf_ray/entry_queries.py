@@ -13651,7 +13651,7 @@ def graph_scc(sf_dir: str):
 
 QUERIES["graph_scc"] = graph_scc
 
-ORACLE_SQL["graph_scc"] = f"""
+_SCC_CTES = f"""
 WITH RECURSIVE {_MD5_EDGES_SQL},
 e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
 gnodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
@@ -13663,12 +13663,15 @@ reach AS (
 mutual AS (
   SELECT r1.a AS node, r1.b AS m
   FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
-)
-SELECT n.node,
-       CAST(LEAST(n.node, COALESCE(MIN(m.m), n.node)) AS BIGINT) AS scc
-FROM gnodes n LEFT JOIN mutual m ON m.node = n.node
-GROUP BY n.node
-"""
+),
+scclab AS (
+  SELECT n.node,
+         CAST(LEAST(n.node, COALESCE(MIN(m.m), n.node)) AS BIGINT) AS scc
+  FROM gnodes n LEFT JOIN mutual m ON m.node = n.node
+  GROUP BY n.node
+)"""
+
+ORACLE_SQL["graph_scc"] = _SCC_CTES + "\nSELECT node, scc FROM scclab"
 
 
 def corpus_flagship_shuffled(sf_dir: str):
@@ -13683,3 +13686,108 @@ def corpus_flagship_shuffled(sf_dir: str):
 
 
 QUERIES["corpus_flagship_shuffled"] = corpus_flagship_shuffled
+
+
+def orders_scd2_history(sf_dir: str):
+    """SCD Type-2 dimension history (ops/relational.py:scd2_intervals)
+    from a 3-version snapshot series derived deterministically from
+    orders: snapshot v drops keys with key % 11 == v and stars the
+    status of keys with key % (3+v) == 0 -- so attribute changes,
+    removals, re-inserts and unchanged runs all appear.  One id-hash
+    bucket shuffle of slim rows + vectorized gaps-and-islands per
+    bucket; the oracle replays the runs with the classic
+    v - ROW_NUMBER() island trick."""
+    from .ops.relational import scd2_intervals
+
+    import ray.data as rd
+
+    snaps = []
+    for v in range(3):
+        base = _read(
+            sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]
+        )
+
+        def mk(b: pa.Table, _v=v) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            t = b.filter(pa.array(k % 11 != _v))
+            kk = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            st = pc.if_else(
+                pa.array(kk % (3 + _v) == 0),
+                pc.binary_join_element_wise(
+                    t["o_orderstatus"], pa.scalar("*"), pa.scalar("")
+                ),
+                t["o_orderstatus"],
+            )
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "st": st,
+                    "v": pa.array(
+                        np.full(len(t), _v, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        snaps.append(base.map_batches(mk, batch_format="pyarrow"))
+    stacked = snaps[0].union(snaps[1], snaps[2])
+    return scd2_intervals(
+        stacked, id_col="o_orderkey", attr_cols=["st"], version_col="v",
+        max_version=2,
+    )
+
+
+QUERIES["orders_scd2_history"] = orders_scd2_history
+
+ORACLE_SQL["orders_scd2_history"] = """
+WITH vs(v) AS (VALUES (0), (1), (2)),
+snaps AS (
+  SELECT o_orderkey AS id, v,
+         CASE WHEN o_orderkey % (3 + v) = 0 THEN o_orderstatus || '*'
+              ELSE o_orderstatus END AS st
+  FROM orders CROSS JOIN vs
+  WHERE o_orderkey % 11 <> v
+),
+r AS (
+  SELECT *, v - ROW_NUMBER() OVER (PARTITION BY id, st ORDER BY v) AS grp
+  FROM snaps
+),
+runs AS (
+  SELECT id, st, MIN(v) AS eff_from, MAX(v) AS last_v
+  FROM r GROUP BY id, st, grp
+)
+SELECT id AS o_orderkey, st,
+       CAST(eff_from AS BIGINT) AS eff_from,
+       CASE WHEN last_v < 2 THEN CAST(last_v + 1 AS BIGINT) END AS eff_to,
+       CAST(CASE WHEN last_v = 2 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM runs
+"""
+
+
+def graph_condensation(sf_dir: str):
+    """Condensation DAG (ops/graph.py:scc_condensation over graph_scc's
+    labels): distinct md5-graph edges relabeled by SCC, intra-component
+    edges dropped, multiplicity counted -- the acyclic quotient graph
+    DAG schedulers consume."""
+    from .ops.graph import scc, scc_condensation, scc_local
+
+    edges, _, _ = _md5_link_graph(sf_dir)
+    labels = scc_local(edges)
+    if labels is None:
+        edges2, _, _ = _md5_link_graph(sf_dir)
+        labels = scc(edges2)
+    # separate read: never fan one Dataset into two consumers
+    edges3, _, _ = _md5_link_graph(sf_dir)
+    return scc_condensation(edges3, labels)
+
+
+QUERIES["graph_condensation"] = graph_condensation
+
+ORACLE_SQL["graph_condensation"] = _SCC_CTES + """
+SELECT ls.scc AS src_scc, ld.scc AS dst_scc,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM e
+JOIN scclab ls ON ls.node = e.src
+JOIN scclab ld ON ld.node = e.dst
+WHERE ls.scc <> ld.scc
+GROUP BY 1, 2
+"""

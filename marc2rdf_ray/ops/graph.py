@@ -5892,3 +5892,123 @@ def scc(
             lambda b: b.select(["node", "scc"]), batch_format="pyarrow"
         )
     return relabeled
+
+
+def scc_condensation(
+    edges,
+    labels_ds,
+    *,
+    broadcast_budget: int = 256 << 20,
+):
+    """Condensation DAG of the directed simple graph given its SCC
+    labeling (node, scc): every distinct edge (u, v) with
+    scc(u) != scc(v) becomes a super-edge (src_scc, dst_scc) counted
+    with multiplicity -- the acyclic quotient graph downstream DAG ops
+    (dag_longest_path_layers, topological batching) require (public:
+    any algorithms text; composes :func:`scc`).  Returns (src_scc,
+    dst_scc, n_edges) where n_edges counts DISTINCT underlying simple
+    edges between the two components.
+
+    Scale shape: the label table is slim (node, scc) -- broadcast once
+    via ray.put under ``broadcast_budget`` with a sorted searchsorted
+    lookup per batch, or two distributed hash joins above it; per-batch
+    (src_scc, dst_scc) np.unique combiners collapse multiplicity before
+    the ONE final groupby-sum."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import distinct_first, normalize_join_blocks
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        t = pa.table(
+            {
+                "src": pa.array(s[keep], pa.int64()),
+                "dst": pa.array(d[keep], pa.int64()),
+            }
+        )
+        return t.append_column(
+            "pk",
+            pc.binary_join_element_wise(
+                pc.cast(t["src"], pa.string()),
+                pc.cast(t["dst"], pa.string()), "|",
+            ),
+        )
+
+    simple = distinct_first(
+        edges.map_batches(canon, batch_format="pyarrow"), "pk"
+    ).drop_columns(["pk"])
+
+    lab = labels_ds.materialize()
+    if lab.size_bytes() <= broadcast_budget:
+        tabs = [t for t in ray.get(lab.to_arrow_refs()) if t.num_rows]
+        tab = pa.concat_tables(tabs, promote_options="default")
+        nd = tab["node"].to_numpy(zero_copy_only=False)
+        sc = tab["scc"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nd)
+        ref = ray.put({"n": nd[order], "s": sc[order]})
+
+        def super_edges(b: pa.Table) -> pa.Table:
+            a = ray.get(ref)
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            cs = a["s"][np.searchsorted(a["n"], s)]
+            cd = a["s"][np.searchsorted(a["n"], d)]
+            keep = cs != cd
+            cs, cd = cs[keep], cd[keep]
+            # per-batch multiplicity combiner
+            order2 = np.lexsort((cd, cs))
+            cs, cd = cs[order2], cd[order2]
+            brk = np.empty(len(cs), bool)
+            brk[:1] = True
+            if len(cs) > 1:
+                brk[1:] = (cs[1:] != cs[:-1]) | (cd[1:] != cd[:-1])
+            st = np.flatnonzero(brk)
+            cnt = np.diff(np.append(st, len(cs)))
+            return pa.table(
+                {
+                    "src_scc": pa.array(cs[st], pa.int64()),
+                    "dst_scc": pa.array(cd[st], pa.int64()),
+                    "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+        tagged = simple.map_batches(super_edges, batch_format="pyarrow")
+    else:
+        nparts = max(
+            2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        )
+        ls = lab.map_batches(
+            lambda b: pa.table({"_n1": b["node"], "src_scc": b["scc"]}),
+            batch_format="pyarrow",
+        )
+        ld = lab.map_batches(
+            lambda b: pa.table({"_n2": b["node"], "dst_scc": b["scc"]}),
+            batch_format="pyarrow",
+        )
+        j = normalize_join_blocks(simple, nparts).join(
+            normalize_join_blocks(ls, nparts),
+            join_type="inner", num_partitions=nparts,
+            on=("src",), right_on=("_n1",),
+        )
+        j = normalize_join_blocks(j, nparts).join(
+            normalize_join_blocks(ld, nparts),
+            join_type="inner", num_partitions=nparts,
+            on=("dst",), right_on=("_n2",),
+        )
+        tagged = j.map_batches(
+            lambda b: pa.table(
+                {
+                    "src_scc": b["src_scc"],
+                    "dst_scc": b["dst_scc"],
+                    "n": pa.array(np.ones(len(b), np.int64), pa.int64()),
+                }
+            ).filter(pc.not_equal(b["src_scc"], b["dst_scc"])),
+            batch_format="pyarrow",
+        )
+    return (
+        tagged.groupby(["src_scc", "dst_scc"])
+        .aggregate(Sum("n", alias_name="n_edges"))
+    )

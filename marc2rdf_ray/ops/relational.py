@@ -1936,3 +1936,110 @@ def table_profile(ds, cols: list[str]):
             "n_distinct": pa.array(ndv, pa.int64()),
         }
     )
+
+
+def scd2_intervals(
+    snaps_ds,
+    *,
+    id_col: str,
+    attr_cols: list[str],
+    version_col: str = "v",
+    max_version: int | None = None,
+    num_buckets: int | None = None,
+):
+    """Slowly-Changing-Dimension TYPE 2 history build from a stacked
+    snapshot series (Kimball, public): input rows are (id, attrs...,
+    version) -- one row per entity per snapshot version it is PRESENT in
+    -- and the output is one row per maximal run of consecutive versions
+    with identical attributes: (id, attrs..., eff_from, eff_to,
+    is_current).  ``eff_to`` is the first version the run no longer
+    holds (attribute change OR absence), NULL while the run still holds
+    at ``max_version`` (then ``is_current = 1``).  An entity absent for
+    a version and back later gets TWO rows even if attributes match --
+    gaps close intervals, the standard SCD2 re-insert.  The CDC
+    diff/apply pair (snapshot_diff / upsert_apply) tracks ONE step;
+    this materializes the full validity history a warehouse dimension
+    keeps (marc2rdf analog: authority records carry their update
+    lifecycle across harvest cycles, SURVEY.md §2.8 U1/U4).
+
+    ``max_version`` defaults to the global max of ``version_col``
+    (computed in one slim aggregate pass).
+
+    Attribute equality is BY STRING CAST (documented contract: pass
+    string attrs, or pre-format numerics deterministically).
+
+    Scale shape: ONE id-hash bucket shuffle of slim (id, attrs,
+    version) rows; each bucket solves its runs with a vectorized
+    lexsort + gaps-and-islands break scan (no per-entity Python).  All
+    versions of one id must share a task -- the documented
+    one-key-fits-task assumption of the window ops (ops/windows.py).
+    """
+    from ray.data.aggregate import Max
+
+    if max_version is None:
+        t = snaps_ds.aggregate(Max(version_col, alias_name="mx"))
+        max_version = int(t["mx"]) if t and t["mx"] is not None else 0
+    nb = num_buckets or _default_buckets()
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b[id_col]
+        akey = b[attr_cols[0]] if len(attr_cols) == 1 else None
+        cols = {
+            id_col: ids,
+            version_col: pc.cast(b[version_col], pa.int64()),
+        }
+        for c in attr_cols:
+            cols[c] = b[c]
+        parts = [pc.cast(b[c], pa.string()) for c in attr_cols]
+        if akey is None:
+            akey = pc.binary_join_element_wise(
+                *parts, "\x1f"
+            )
+        else:
+            akey = parts[0]
+        cols["_ak"] = pc.fill_null(akey, "\x00NULL")
+        from ..functions.hashing import bucket_codes
+
+        cols["_b"] = bucket_codes(pc.cast(ids, pa.string()), nb)
+        return pa.table(cols)
+
+    def runs(g: pa.Table) -> pa.Table:
+        n = len(g)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        v = g[version_col].to_numpy(zero_copy_only=False)
+        ak = np.asarray(g["_ak"].to_pylist(), object)
+        order = np.lexsort((v, ak, ids))
+        ids, v, ak = ids[order], v[order], ak[order]
+        brk = np.empty(n, bool)
+        brk[:1] = True
+        if n > 1:
+            brk[1:] = (
+                (ids[1:] != ids[:-1])
+                | (ak[1:] != ak[:-1])
+                | (v[1:] != v[:-1] + 1)
+            )
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n) - 1
+        last = v[ends]
+        eff_from = v[starts]
+        eff_to = last + 1
+        cur = last == max_version
+        take = order[starts]
+        out = {
+            id_col: g[id_col].take(pa.array(take, pa.int64())),
+        }
+        for c in attr_cols:
+            out[c] = g[c].take(pa.array(take, pa.int64()))
+        out["eff_from"] = pa.array(eff_from, pa.int64())
+        out["eff_to"] = pa.array(
+            [None if c else int(e) for c, e in zip(cur, eff_to)],
+            pa.int64(),
+        )
+        out["is_current"] = pa.array(cur.astype(np.int64), pa.int64())
+        return pa.table(out)
+
+    return (
+        snaps_ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(runs, batch_format="pyarrow")
+    )
