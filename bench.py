@@ -375,6 +375,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kg_ask",
         "kg_describe",
         "events_ab_ztest",
+        "graph_onion_layers",
+        "graph_node2vec_walks",
+        "graph_scc",
+        "graph_condensation",
+        "corpus_flagship_shuffled",
+        "orders_scd2_history",
+        "graph_mis",
     ]
     out = {}
     for name in names:

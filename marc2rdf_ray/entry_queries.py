@@ -13791,3 +13791,69 @@ JOIN scclab ld ON ld.node = e.dst
 WHERE ls.scc <> ld.scc
 GROUP BY 1, 2
 """
+
+
+def graph_mis(sf_dir: str):
+    """Luby maximal independent set (ops/graph.py:
+    maximal_independent_set): 3 deterministic priority rounds at fixed
+    md5 priorities over the undirected simple md5 link graph -- winners
+    beat every active neighbor on (priority, node), losers adjacent to a
+    winner leave, stranded degree-0 actives join outright."""
+    from .ops.graph import maximal_independent_set
+
+    edges, _, _ = _md5_link_graph(sf_dir)
+    return maximal_independent_set(edges, rounds=3)
+
+
+QUERIES["graph_mis"] = graph_mis
+
+
+def _mis_oracle_sql(rounds: int = 3) -> str:
+    def key(x: str) -> str:
+        # 7 hex digits = 28-bit priority; packed key < 2^60 (no overflow)
+        return (
+            f"(CAST(('0x' || substr(md5(CAST({x} AS VARCHAR) || ':mis')"
+            f", 1, 7)) AS BIGINT) * 4294967296 + {x})"
+        )
+
+    parts = [f"""
+WITH {_MD5_EDGES_SQL},
+e0 AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM edges WHERE src <> dst),
+a0 AS (SELECT u AS node FROM e0 UNION SELECT v AS node FROM e0)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+nm{r} AS (
+  SELECT node, MIN(k) AS nk FROM (
+    SELECT u AS node, {key('v')} AS k FROM e{p}
+    UNION ALL
+    SELECT v AS node, {key('u')} AS k FROM e{p}
+  ) GROUP BY node
+),
+mis{r} AS (SELECT node FROM nm{r} WHERE {key('node')} < nk),
+str{r} AS (
+  SELECT node FROM a{p}
+  EXCEPT SELECT u FROM e{p}
+  EXCEPT SELECT v FROM e{p}
+),
+pick{r} AS (SELECT node FROM mis{r} UNION SELECT node FROM str{r}),
+rem{r} AS (
+  SELECT node FROM pick{r}
+  UNION SELECT e.v AS node FROM e{p} e JOIN mis{r} m ON m.node = e.u
+  UNION SELECT e.u AS node FROM e{p} e JOIN mis{r} m ON m.node = e.v
+),
+a{r} AS (SELECT node FROM a{p} EXCEPT SELECT node FROM rem{r}),
+e{r} AS (
+  SELECT e.u, e.v FROM e{p} e
+  WHERE e.u NOT IN (SELECT node FROM rem{r})
+    AND e.v NOT IN (SELECT node FROM rem{r})
+)""")
+    sel = "\nUNION ".join(
+        f"SELECT node FROM pick{r}" for r in range(1, rounds + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+ORACLE_SQL["graph_mis"] = _mis_oracle_sql()

@@ -6012,3 +6012,200 @@ def scc_condensation(
         tagged.groupby(["src_scc", "dst_scc"])
         .aggregate(Sum("n", alias_name="n_edges"))
     )
+
+
+def maximal_independent_set(
+    edges,
+    *,
+    rounds: int | None = None,
+    max_rounds: int = 30,
+    broadcast_budget: int = 256 << 20,
+):
+    """Luby's maximal independent set (Luby 1986, public) over the
+    UNDIRECTED simple graph with DETERMINISTIC priorities: node ``v``
+    gets priority ``md5(f"{v}:mis")`` (first 8 hex digits), and each
+    synchronous round adds to the MIS every still-active node whose
+    (priority, node) pair is strictly smaller than all its active
+    neighbors' (distinct nodes make the order total, so ties are
+    impossible and a SQL oracle replays every round); MIS nodes and
+    their neighbors then leave, and stranded degree-0 actives join the
+    MIS outright.  ``rounds=R`` runs exactly R peels (what the oracle
+    unrolls); ``rounds=None`` iterates to the fixpoint (every node in
+    or adjacent to the MIS -- maximality), capped loudly at
+    ``max_rounds``.  The independent-set primitive behind conflict-free
+    parallel scheduling (marc2rdf analog: non-overlapping record-update
+    batches; greedy_matching's set-packing cousin).
+
+    Returns a Dataset of MIS ``node`` rows.
+
+    Scale shape: per round one neighbor-min combine (per-batch min
+    partials over packed (priority << 32 | node) int64 keys -- requires
+    0 <= node < 2^32, guarded loudly -- then a groupby-min) plus the
+    broadcast-or-join membership filters that restrict the edge list;
+    O(log n) expected rounds under random priorities."""
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    from .dedup import anti_join_filter, distinct_first, semi_join_filter
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) and (
+            s.min() < 0 or d.min() < 0
+            or s.max() >= 1 << 32 or d.max() >= 1 << 32
+        ):
+            raise ValueError(
+                "maximal_independent_set packs (priority, node) into "
+                "int64 -- needs 0 <= node < 2^32; remap ids first"
+            )
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        t = pa.table(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())}
+        )
+        return t.append_column(
+            "pk",
+            pc.binary_join_element_wise(
+                pc.cast(t["u"], pa.string()),
+                pc.cast(t["v"], pa.string()), "|",
+            ),
+        )
+
+    cur = distinct_first(
+        edges.map_batches(canon, batch_format="pyarrow"), "pk"
+    ).drop_columns(["pk"]).materialize()
+
+    def prio(node_np: np.ndarray) -> np.ndarray:
+        # 7 hex digits (28 bits): (p << 32 | node) stays under 2^60,
+        # so the packed key never overflows int64 on either side
+        return np.fromiter(
+            (int(hashlib.md5(f"{x}:mis".encode()).hexdigest()[:7], 16)
+             for x in node_np.tolist()),
+            np.int64, count=len(node_np),
+        )
+
+    def key_of(node_np: np.ndarray) -> np.ndarray:
+        return (prio(node_np) << np.int64(32)) | node_np
+
+    def nbr_min_partial(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([u, v])
+        nk = np.concatenate([key_of(v), key_of(u)])
+        order = np.lexsort((nk, node))
+        node, nk = node[order], nk[order]
+        first = np.empty(len(node), bool)
+        first[:1] = True
+        if len(node) > 1:
+            first[1:] = node[1:] != node[:-1]
+        return pa.table(
+            {
+                "node": pa.array(node[first], pa.int64()),
+                "nk": pa.array(nk[first], pa.int64()),
+            }
+        )
+
+    def actives_of(e_ds):
+        def part(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": pa.array(
+                        np.unique(np.concatenate(
+                            [
+                                b["u"].to_numpy(zero_copy_only=False),
+                                b["v"].to_numpy(zero_copy_only=False),
+                            ]
+                        )),
+                        pa.int64(),
+                    )
+                }
+            )
+
+        return distinct_first(
+            e_ds.map_batches(part, batch_format="pyarrow"), "node"
+        )
+
+    active = actives_of(cur).materialize()
+    mis_parts = []
+    n_rounds = rounds if rounds is not None else max_rounds
+    for r in range(n_rounds):
+        if active.count() == 0:
+            break
+        if cur.count() == 0:
+            # every remaining active is stranded: all join the MIS
+            mis_parts.append(active)
+            active = active.limit(0).materialize()
+            break
+        nbr_min = (
+            cur.map_batches(nbr_min_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("nk", alias_name="nk"))
+        ).materialize()
+
+        def winner(b: pa.Table) -> pa.Table:
+            node = b["node"].to_numpy(zero_copy_only=False)
+            nk = b["nk"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"node": pa.array(node[key_of(node) < nk], pa.int64())}
+            )
+
+        mis_r = nbr_min.map_batches(
+            winner, batch_format="pyarrow"
+        ).materialize()
+        # stranded degree-0 actives (not an endpoint of any live edge)
+        stranded = anti_join_filter(
+            active, actives_of(cur), "node",
+            broadcast_budget=broadcast_budget,
+        ).materialize()
+        picked = mis_r.union(stranded).materialize()
+        if picked.count() == 0 and rounds is None:
+            break
+        mis_parts.append(picked)
+        # remove MIS + its neighbors from the active set / edge list
+        nbrs = semi_join_filter(
+            cur, mis_r, "u", keys_col="node",
+            broadcast_budget=broadcast_budget,
+        ).map_batches(
+            lambda b: pa.table({"node": b["v"]}), batch_format="pyarrow"
+        ).union(
+            semi_join_filter(
+                cur, mis_r, "v", keys_col="node",
+                broadcast_budget=broadcast_budget,
+            ).map_batches(
+                lambda b: pa.table({"node": b["u"]}),
+                batch_format="pyarrow",
+            )
+        )
+        removed = distinct_first(
+            picked.union(nbrs), "node"
+        ).materialize()
+        active = anti_join_filter(
+            active, removed, "node", broadcast_budget=broadcast_budget
+        ).materialize()
+        cur = anti_join_filter(
+            anti_join_filter(
+                cur,
+                removed.map_batches(
+                    lambda b: pa.table({"u": b["node"]}),
+                    batch_format="pyarrow",
+                ),
+                "u", broadcast_budget=broadcast_budget,
+            ),
+            removed.map_batches(
+                lambda b: pa.table({"v": b["node"]}),
+                batch_format="pyarrow",
+            ),
+            "v", broadcast_budget=broadcast_budget,
+        ).materialize()
+    if not mis_parts:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
+    out = mis_parts[0]
+    for m in mis_parts[1:]:
+        out = out.union(m)
+    return out

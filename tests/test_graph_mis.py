@@ -1,0 +1,50 @@
+"""Luby MIS: independence + maximality at the fixpoint."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mis_independent_and_maximal():
+    import ray.data as rd
+
+    from marc2rdf_ray.ops.graph import maximal_independent_set
+
+    n = 200
+    src, dst = [], []
+    for i in range(n):
+        for k in range(i % 4):
+            t = int(
+                hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16
+            ) % n
+            src.append(i)
+            dst.append(t)
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+    )
+    mis = {
+        r["node"] for r in maximal_independent_set(edges).take_all()
+    }
+    adj: dict = {}
+    nodes = set()
+    for s, d in zip(src, dst):
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+        nodes.add(s)
+        nodes.add(d)
+    assert mis <= nodes and mis
+    # independence: no two MIS nodes adjacent
+    for v in mis:
+        assert not (adj[v] & mis), v
+    # maximality: every non-MIS node has a MIS neighbor
+    for v in nodes - mis:
+        assert adj[v] & mis, v
