@@ -5112,7 +5112,7 @@ def node2vec_walks(
     ranges, searchsorted membership on packed (t, x) edge keys; walk
     state never exceeds one (start, prev, cur) row per walk).  Above the
     budget each step is two distributed joins (candidate expansion on
-    cur, t->x membership on (prev, x)) plus one per-walk groupby pick --
+    cur, t->x membership on (prev, x)) plus one bucket-grouped vectorized segment pick --
     the honest all-to-all cost of second-order walk bias at scale."""
     import hashlib
 
@@ -5363,41 +5363,65 @@ def node2vec_walks(
             normalize_join_blocks(eflag, nparts),
             join_type="left_outer", num_partitions=nparts,
             on=("prev", "nbr"), right_on=("enode", "enbr"),
+        ).map_batches(
+            lambda b: b.append_column(
+                "_wb",
+                pa.array(
+                    (b["start"].to_numpy(zero_copy_only=False)
+                     % (nparts * 8)).astype(np.int32),
+                    pa.int32(),
+                ),
+            ),
+            batch_format="pyarrow",
         )
 
-        def pick(g: pa.Table, _st=st) -> pa.Table:
+        def pick_bucket(g: pa.Table, _st=st) -> pa.Table:
+            # one walk per start; solve every walk in the bucket with
+            # one vectorized segment pass (no per-walk Python)
             if len(g) == 0:
                 return pa.table(
                     {"start": pa.array([], pa.int64()),
                      "prev": pa.array([], pa.int64()),
                      "cur": pa.array([], pa.int64())}
                 )
-            g = g.sort_by([("nbr", "ascending")])
-            t = int(g["prev"][0].as_py())
-            v = int(g["cur"][0].as_py())
+            start = g["start"].to_numpy(zero_copy_only=False)
+            prev = g["prev"].to_numpy(zero_copy_only=False)
+            curv = g["cur"].to_numpy(zero_copy_only=False)
             x = g["nbr"].to_numpy(zero_copy_only=False)
             near = ~pc.is_null(g["near"]).to_numpy(zero_copy_only=False)
+            order = np.lexsort((x, start))
+            start, prev, curv, x, near = (
+                start[order], prev[order], curv[order], x[order],
+                near[order],
+            )
+            brk = np.empty(len(start), bool)
+            brk[:1] = True
+            if len(start) > 1:
+                brk[1:] = start[1:] != start[:-1]
+            segstart = np.flatnonzero(brk)
+            seglen = np.diff(np.append(segstart, len(start)))
             w = np.where(
-                x == t, np.int64(w_return),
+                x == prev, np.int64(w_return),
                 np.where(near, np.int64(w_near), np.int64(w_far)),
             )
-            c = np.cumsum(w)
-            r = int(
-                hashlib.md5(f"{t}:{v}:{_st}".encode()).hexdigest()[:8],
-                16,
-            ) % int(c[-1])
-            j = int(np.searchsorted(c, r, side="right"))
+            cw = np.cumsum(w)
+            base = np.repeat(cw[segstart] - w[segstart], seglen)
+            c = cw - base
+            tot = np.add.reduceat(w, segstart)
+            r = h2(prev[segstart], curv[segstart], _st) % tot
+            rexp = np.repeat(r, seglen)
+            sel = (c > rexp) & ((c - w) <= rexp)
             return pa.table(
                 {
-                    "start": g["start"].slice(0, 1),
-                    "prev": pa.array([v], pa.int64()),
-                    "cur": pa.array([int(x[j])], pa.int64()),
+                    "start": pa.array(start[sel], pa.int64()),
+                    "prev": pa.array(curv[sel], pa.int64()),
+                    "cur": pa.array(x[sel], pa.int64()),
                 }
             )
 
         state = (
-            cand2.groupby("start")
-            .map_groups(pick, batch_format="pyarrow")
+            cand2.groupby("_wb")
+            .map_groups(pick_bucket, batch_format="pyarrow")
             .materialize()
         )
         col = state.map_batches(
@@ -5531,6 +5555,7 @@ def scc(
     max_outer: int = 20,
     max_inner: int = 200,
     broadcast_budget: int = 256 << 20,
+    local_core_budget: int = 128 << 20,
 ):
     """Exact distributed strongly-connected components via
     trim + forward max-color propagation + backward intra-color
@@ -5551,12 +5576,18 @@ def scc(
     caps (RuntimeError), never silent truncation.
 
     Scale shape: per outer round -- (a) trim loops drop nodes with no
-    in- or out-edges (distinct-endpoint semi-joins; chains and
-    tendrils never reach the expensive phases), (b) color rounds are
-    one edges-join-colors + groupby-max each (the pagerank exchange
-    shape), converging by the monotone color-sum fingerprint, (c)
-    backward reachability runs only over intra-color edges (annotated
-    once per round) with distinct-frontier semi-joins.  All membership
+    in- or out-edges (ONE (node, has_out, has_in) degree combine per
+    iteration; chains and tendrils never reach the expensive phases),
+    then (b) if the surviving cyclic core fits ``local_core_budget``
+    bytes -- the normal bow-tie web-graph outcome -- ONE Tarjan task
+    finishes it (set 0 to force the rounds); otherwise (c) color rounds
+    are one edges-join-colors + per-batch max combiner + groupby-max
+    each (the pagerank exchange shape), converging by the monotone
+    color-sum fingerprint, and (d) backward reachability runs only over
+    intra-color edges (annotated once per round) with distinct-frontier
+    semi-joins.  Color/backward round counts are O(core diameter) --
+    the documented cost of exact distributed SCC; the trim + local-core
+    hybrid exists precisely so that path is rare.  All membership
     filters are broadcast-or-join under ``broadcast_budget``; nothing
     materializes on the driver.  The md5-graph contract query runs the
     budget-gated :func:`scc_local` fast path; the distributed rounds
@@ -5614,15 +5645,6 @@ def scc(
 
         return distinct_first(
             e_ds.map_batches(part, batch_format="pyarrow"), "node"
-        )
-
-    def col_of(e_ds, col):
-        return distinct_first(
-            e_ds.map_batches(
-                lambda b, _c=col: pa.table({"node": b[_c]}),
-                batch_format="pyarrow",
-            ),
-            "node",
         )
 
     def attach(ds, map_ds, key, out_name):
@@ -5684,22 +5706,63 @@ def scc(
             )
         if act_e.count() == 0:
             break
-        # (a) trim: peel nodes missing an in- or out-edge (singleton SCCs)
+        # (a) trim: peel nodes missing an in- or out-edge (singleton
+        # SCCs) -- ONE (node, has_out, has_in) degree combine per
+        # iteration instead of separate endpoint/src/dst distinct passes
+        def io_partial(b: pa.Table) -> pa.Table:
+            s = np.unique(b["src"].to_numpy(zero_copy_only=False))
+            d = np.unique(b["dst"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "node": pa.array(
+                        np.concatenate([s, d]), pa.int64()
+                    ),
+                    "o": pa.array(
+                        np.concatenate(
+                            [np.ones(len(s), np.int8),
+                             np.zeros(len(d), np.int8)]
+                        ),
+                        pa.int8(),
+                    ),
+                    "i": pa.array(
+                        np.concatenate(
+                            [np.zeros(len(s), np.int8),
+                             np.ones(len(d), np.int8)]
+                        ),
+                        pa.int8(),
+                    ),
+                }
+            )
+
         for _ in range(max_inner):
-            nodes_now = endpoints(act_e).materialize()
-            keep = semi_join_filter(
-                semi_join_filter(
-                    nodes_now, col_of(act_e, "src"), "node",
-                    broadcast_budget=broadcast_budget,
-                ),
-                col_of(act_e, "dst"), "node",
-                broadcast_budget=broadcast_budget,
+            # stop trimming the moment the remainder fits one worker --
+            # every further distributed peel round would cost more than
+            # the single Tarjan task that replaces it
+            if (local_core_budget
+                    and act_e.size_bytes() <= local_core_budget):
+                break
+            deg = (
+                act_e.map_batches(io_partial, batch_format="pyarrow")
+                .groupby("node")
+                .aggregate(Max("o", alias_name="o"),
+                           Max("i", alias_name="i"))
             ).materialize()
-            trimmed = anti_join_filter(
-                nodes_now, keep, "node",
-                broadcast_budget=broadcast_budget,
-            ).map_batches(
-                lambda b: pa.table({"node": b["node"], "root": b["node"]}),
+            keep = deg.map_batches(
+                lambda b: b.filter(
+                    pc.and_(pc.equal(b["o"], 1), pc.equal(b["i"], 1))
+                ).select(["node"]),
+                batch_format="pyarrow",
+            ).materialize()
+            trimmed = deg.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": (t := b.filter(
+                            pc.or_(pc.equal(b["o"], 0),
+                                   pc.equal(b["i"], 0))
+                        ))["node"],
+                        "root": t["node"],
+                    }
+                ),
                 batch_format="pyarrow",
             ).materialize()
             if trimmed.count() == 0:
@@ -5729,6 +5792,23 @@ def scc(
                 break
         if act_e.count() == 0:
             continue
+        # local-core fast path: trimming a bow-tie-shaped web graph
+        # leaves a cyclic core orders smaller than the input -- when it
+        # fits one worker, ONE Tarjan task replaces O(core diameter)
+        # distributed color/backward rounds (the pagerank_local
+        # precedent, applied mid-operator).  Cores above the budget
+        # fall through to the full distributed rounds.
+        if local_core_budget and act_e.size_bytes() <= local_core_budget:
+            labs = _run_in_one_task(
+                act_e, _scc_solve_local
+            ).map_batches(
+                lambda b: pa.table(
+                    {"node": b["node"], "root": b["scc"]}
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            assigned.append(labs)
+            break
         # (b) forward max-color propagation to fixpoint
         act_n = endpoints(act_e).materialize()
         colors = act_n.map_batches(
@@ -5741,16 +5821,28 @@ def scc(
             t = c_ds.aggregate(Sum("color", alias_name="s"))
             return int(t["s"]) if t and t["s"] is not None else 0
 
+        def max_combine(b: pa.Table) -> pa.Table:
+            # per-batch (dst, max color) collapse ahead of the exchange
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            c = b["ccol"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((c, d))
+            d, c = d[order], c[order]
+            last = np.empty(len(d), bool)
+            last[-1:] = True
+            if len(d) > 1:
+                last[:-1] = d[1:] != d[:-1]
+            return pa.table(
+                {
+                    "node": pa.array(d[last], pa.int64()),
+                    "color": pa.array(c[last], pa.int64()),
+                }
+            )
+
         prev_fp = colsum(colors)
         for _ in range(max_inner):
             contrib = attach(
                 act_e, colors, "src", "ccol"
-            ).map_batches(
-                lambda b: pa.table(
-                    {"node": b["dst"], "color": b["ccol"]}
-                ),
-                batch_format="pyarrow",
-            )
+            ).map_batches(max_combine, batch_format="pyarrow")
             colors = (
                 colors.union(contrib)
                 .groupby("node")

@@ -33,7 +33,8 @@ def test_scc_two_component_chain():
     src = [0, 1, 2, 2, 3, 4]
     dst = [1, 2, 1, 3, 4, 3]
     want = {0: 0, 1: 1, 2: 1, 3: 3, 4: 3}
-    assert _labels(scc(_ds(src, dst))) == want
+    # local_core_budget=0 forces the full color/backward rounds
+    assert _labels(scc(_ds(src, dst), local_core_budget=0)) == want
     assert _labels(scc_local(_ds(src, dst))) == want
 
 
@@ -52,8 +53,10 @@ def test_scc_distributed_matches_local_on_md5_graph():
                 src.append(i)
                 dst.append(t)
     fast = _labels(scc_local(_ds(src, dst)))
-    slow = _labels(scc(_ds(src, dst)))
+    slow = _labels(scc(_ds(src, dst), local_core_budget=0))
+    hybrid = _labels(scc(_ds(src, dst)))  # trim + one-task Tarjan core
     assert fast == slow
+    assert fast == hybrid
     # sanity: at least one nontrivial component in this corpus
     from collections import Counter
 
