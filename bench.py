@@ -382,6 +382,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "corpus_flagship_shuffled",
         "orders_scd2_history",
         "graph_mis",
+        "dedup_incremental_minhash",
     ]
     out = {}
     for name in names:

@@ -13857,3 +13857,119 @@ e{r} AS (
 
 
 ORACLE_SQL["graph_mis"] = _mis_oracle_sql()
+
+
+def dedup_incremental_minhash(sf_dir: str):
+    """Cross-window NEAR-dup dedup with durable LSH band state
+    (ops/dedup.py:incremental_minhash_dedup, drop-on-band-collision):
+    window A = even docs commits first; window B = odd docs + near
+    copies of every 10th even doc at +1e6 (cross-window near-dups --
+    must drop against the STATE) + near copies of odd docs ending in 1
+    at +2e6 (within-window near-dups -- must drop against the smaller
+    id).  Returns window B's survivors.  State dir is driver-local
+    scratch, cleaned up (a real deployment passes a shared fs path)."""
+    import shutil
+    import tempfile
+
+    from .ops.dedup import incremental_minhash_dedup
+
+    def lastword_dropped(delta: int, want_mod10: int):
+        base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def mk(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            t = b.filter(pa.array(ids % 10 == want_mod10))
+            texts = [" ".join((x or "").split()[:-1])
+                     for x in t["text"].to_pylist()]
+            return pa.table(
+                {
+                    "doc_id": pc.cast(
+                        pc.add(t["doc_id"], pa.scalar(delta)), pa.int64()
+                    ),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+
+        return base.map_batches(mk, batch_format="pyarrow")
+
+    def parity(want: int):
+        base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        return base.map_batches(
+            lambda b, _w=want: b.filter(
+                pa.array(
+                    b["doc_id"].to_numpy(zero_copy_only=False) % 2 == _w
+                )
+            ).select(["doc_id", "text"]),
+            batch_format="pyarrow",
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                    "text": b["text"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    state = tempfile.mkdtemp(prefix="m2r_mh_state_")
+    try:
+        incremental_minhash_dedup(parity(0), state, "w0")
+        win_b = parity(1).union(
+            lastword_dropped(1000000, 0),  # near-dups of PRIOR window
+            lastword_dropped(2000000, 1),  # near-dups WITHIN window B
+        )
+        surv = incremental_minhash_dedup(win_b, state, "w1")
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return surv
+
+
+QUERIES["dedup_incremental_minhash"] = dedup_incremental_minhash
+
+_LASTWORD_SQL = r"""CASE WHEN length(regexp_extract_all(text, '\S+')) <= 1
+     THEN ''
+     ELSE array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1,
+          length(regexp_extract_all(text, '\S+')) - 1), ' ') END"""
+
+ORACLE_SQL["dedup_incremental_minhash"] = (
+    rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, {_LASTWORD_SQL} FROM documents
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, {_LASTWORD_SQL} FROM documents
+  WHERE doc_id % 10 = 1
+),
+"""
+    + _minhash_ctes_over("corpus")
+    + r""",
+aw AS (SELECT doc_id, band, bh FROM bands
+       WHERE doc_id < 1000000 AND doc_id % 2 = 0),
+adrop AS (
+  SELECT DISTINCT n.doc_id FROM aw n
+  JOIN aw m ON m.band = n.band AND m.bh = n.bh AND m.doc_id < n.doc_id
+),
+asurv AS (
+  SELECT DISTINCT doc_id FROM aw
+  WHERE doc_id NOT IN (SELECT doc_id FROM adrop)
+),
+prior AS (
+  SELECT b.band, b.bh FROM bands b JOIN asurv s ON s.doc_id = b.doc_id
+),
+bw AS (SELECT doc_id, band, bh FROM bands
+       WHERE NOT (doc_id < 1000000 AND doc_id % 2 = 0)),
+bdropw AS (
+  SELECT DISTINCT n.doc_id FROM bw n
+  JOIN bw m ON m.band = n.band AND m.bh = n.bh AND m.doc_id < n.doc_id
+),
+bdropx AS (
+  SELECT DISTINCT n.doc_id FROM bw n
+  JOIN prior p ON p.band = n.band AND p.bh = n.bh
+)
+SELECT DISTINCT doc_id FROM bw
+WHERE doc_id NOT IN (SELECT doc_id FROM bdropw)
+  AND doc_id NOT IN (SELECT doc_id FROM bdropx)
+"""
+)

@@ -1343,3 +1343,172 @@ def containment_search(ds, probe_tokens, *, threshold_pct: int = 60,
 
     return ds.map_batches(Contain, batch_format="pyarrow",
                           concurrency=concurrency)
+
+
+def incremental_minhash_dedup(
+    ds,
+    state_dir: str,
+    window_id: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    ngram: int = 3,
+    broadcast_budget: int = 256 << 20,
+    filesystem=None,
+):
+    """Cross-WINDOW near-dup filtering with durable LSH band state --
+    the continuous-crawl complement of :func:`incremental_dedup` for
+    NEAR duplicates (the RefinedWeb / Gopher drop-on-collision policy,
+    public): a window document is dropped iff some MinHash band bucket
+    of it contains (a) any document from a previously COMMITTED window,
+    or (b) a smaller-id document of its own window; survivors' band
+    rows append to the state.  Drop-on-band-collision is deliberately
+    verification-free: every rule is a pure function of the band
+    hashes, so a SQL oracle replays it exactly (and it is the policy
+    actually run at corpus scale, where re-verifying candidate pairs
+    against prior windows would re-read old text).
+
+    State protocol = incremental_dedup's: one ``win=<id>`` parquet
+    subdir per window holding the SURVIVORS' (bucket, id) rows --
+    dedup is against the corpus you KEPT -- written tmp+rename with a
+    ``_done`` marker LAST; crashed windows are invisible, committed
+    reruns are idempotent no-ops that return the same survivors.
+
+    Returns the surviving (id_col,) rows of this window.
+
+    Scale shape: ONE slim (id, bucket-string) explode per window; the
+    within-window rule is a bucket-min groupby + broadcast-or-join min
+    attach (no pairwise work, no caps needed); the cross-window rule is
+    one broadcast-or-anti-join against the state's bucket keys (~1 KB
+    of band keys per kept doc -- join territory at corpus scale, which
+    the fallback handles)."""
+    import ray  # noqa: F401 (broadcast contract via helpers)
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ..state import fsio
+
+    fs, sdir = fsio.resolve_fs(state_dir, filesystem)
+    fsio.makedirs(fs, sdir)
+    win_dir = fsio.join(sdir, f"win={window_id}")
+    done_marker = fsio.join(win_dir, "_done")
+    committed = fsio.exists(fs, done_marker)
+
+    prior_files = []
+    for d in fsio.listdir(fs, sdir):
+        if not d.startswith("win=") or (
+            committed and d == f"win={window_id}"
+        ):
+            continue
+        wd = fsio.join(sdir, d)
+        if not fsio.exists(fs, fsio.join(wd, "_done")):
+            continue
+        prior_files.extend(
+            f for f in fsio.list_files_recursive(fs, wd)
+            if f.endswith(".parquet")
+        )
+
+    rows_per_band = num_perm // bands
+    hasher = MinHasher(num_perm, seed, ngram)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_id, out_bucket = [], []
+        for i, t in zip(ids, texts):
+            sig = hasher.signature(t)
+            for b in range(bands):
+                band = sig[b * rows_per_band: (b + 1) * rows_per_band]
+                bh = hashlib.md5(
+                    ":".join(str(int(v)) for v in band).encode()
+                ).hexdigest()
+                out_id.append(i)
+                out_bucket.append(f"{b}:{bh}")
+        return pa.table(
+            {
+                id_col: pa.array(out_id, batch[id_col].type),
+                "bucket": pa.array(out_bucket, pa.string()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    # (b) within-window: survive iff this id IS the min of every one of
+    # its buckets <=> min over its buckets of (bucket min id) == id
+    bucketmin = (
+        exploded.groupby("bucket").aggregate(Min(id_col, alias_name="mn"))
+    )
+    # attach each row's bucket min: broadcast lookup under budget, a
+    # distributed hash join above it
+    matb = bucketmin.materialize()
+    if matb.size_bytes() <= broadcast_budget:
+        import ray as _ray
+
+        tabs = [t for t in _ray.get(matb.to_arrow_refs()) if t.num_rows]
+        tab = (pa.concat_tables(tabs, promote_options="default")
+               if tabs else pa.table({"bucket": [], "mn": []}))
+        bk = np.asarray(tab["bucket"].to_pylist(), object)
+        mn = np.asarray(tab["mn"].to_pylist(), object)
+        order = np.argsort(bk)
+        ref = _ray.put({"b": bk[order], "m": mn[order]})
+
+        def attach_min(b: pa.Table) -> pa.Table:
+            a = _ray.get(ref)
+            k = np.asarray(b["bucket"].to_pylist(), object)
+            pos = np.searchsorted(a["b"], k)
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "mn": pa.array(a["m"][pos].tolist()),
+                }
+            )
+
+        withmin = exploded.map_batches(attach_min, batch_format="pyarrow")
+    else:
+        nparts = max(2, min(64, int(
+            __import__("ray").cluster_resources().get("CPU", 8)) // 2))
+        withmin = normalize_join_blocks(exploded, nparts).join(
+            normalize_join_blocks(matb, nparts),
+            join_type="inner", num_partitions=nparts, on=("bucket",),
+        )
+    per_id = withmin.groupby(id_col).aggregate(
+        Min("mn", alias_name="minmn")
+    )
+    surv_within = per_id.map_batches(
+        lambda b: pa.table(
+            {id_col: b.filter(pc.equal(b[id_col], b["minmn"]))[id_col]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    # (a) cross-window: drop ids whose ANY bucket hits the state
+    survivors = surv_within
+    if prior_files:
+        state = rd.read_parquet(
+            prior_files, columns=["bucket"], filesystem=fs
+        )
+        hit_ids = semi_join_filter(
+            exploded, state, "bucket",
+            broadcast_budget=broadcast_budget,
+        ).map_batches(
+            lambda b: pa.table({id_col: b[id_col]}),
+            batch_format="pyarrow",
+        )
+        survivors = anti_join_filter(
+            survivors, distinct_first(hit_ids, id_col), id_col,
+            broadcast_budget=broadcast_budget,
+        )
+    survivors = distinct_first(survivors, id_col).materialize()
+
+    if not committed:
+        fsio.rmtree(fs, win_dir)
+        kept_rows = semi_join_filter(
+            exploded, survivors, id_col,
+            broadcast_budget=broadcast_budget,
+        )
+        kept_rows.write_parquet(win_dir, filesystem=fs)
+        fsio.write_text_atomic(fs, done_marker, "done")
+    return survivors

@@ -5612,12 +5612,21 @@ def scc(
         )
 
     def pairkey(b: pa.Table) -> pa.Table:
+        # pairs pack into ONE int64 distinct key (string keys cost ~3x
+        # in the dedup exchange at 10M-edge scale); needs ids < 2^32 --
+        # guarded loudly, like the other packed-key graph ops
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        if len(s) and (
+            s.min() < 0 or d.min() < 0
+            or s.max() >= 1 << 32 or d.max() >= 1 << 32
+        ):
+            raise ValueError(
+                "scc packs (src, dst) into int64 distinct keys -- "
+                "needs 0 <= node < 2^32; remap ids first"
+            )
         return b.append_column(
-            "pk",
-            pc.binary_join_element_wise(
-                pc.cast(b["src"], pa.string()),
-                pc.cast(b["dst"], pa.string()), "|",
-            ),
+            "pk", pa.array((s << np.int64(32)) | d, pa.int64())
         )
 
     act_e = distinct_first(

@@ -5602,3 +5602,71 @@ class TestRandomWalks:
             av = a[c].fillna(-1).astype("int64")
             bv = b[c].fillna(-1).astype("int64")
             assert (av == bv).all(), c
+
+
+class TestIncrementalMinhashDedup:
+    def _win(self, ids, texts):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array(ids, pa.int64()),
+                 "text": pa.array(texts, pa.string())}
+            )
+        )
+
+    def test_cross_window_near_dup_state(self, ray_session, tmp_path):
+        import os
+
+        from marc2rdf_ray.ops.dedup import incremental_minhash_dedup
+
+        glue = ["the", "and", "of", "in", "it", "is"]
+
+        def doc(i, drop_last=False):
+            toks = []
+            for k in range(24):
+                toks.append(f"v{i}w{k}")
+                toks.append(glue[k % len(glue)])
+            if drop_last:
+                toks = toks[:-1]
+            return " ".join(toks)
+
+        state = str(tmp_path / "mh_state")
+        # w1: distinct docs + a near copy of doc 0 (within-window drop)
+        k1 = sorted(
+            r["doc_id"] for r in incremental_minhash_dedup(
+                self._win(
+                    [0, 1, 5], [doc(0), doc(1), doc(0, drop_last=True)]
+                ),
+                state, "w1",
+            ).take_all()
+        )
+        assert k1 == [0, 1]
+        # w2: near copy of w1's doc 1 (cross drop) + genuinely new doc
+        k2 = sorted(
+            r["doc_id"] for r in incremental_minhash_dedup(
+                self._win([10, 11], [doc(1, drop_last=True), doc(7)]),
+                state, "w2",
+            ).take_all()
+        )
+        assert k2 == [11]
+        # committed rerun is idempotent
+        k2b = sorted(
+            r["doc_id"] for r in incremental_minhash_dedup(
+                self._win([10, 11], [doc(1, drop_last=True), doc(7)]),
+                state, "w2",
+            ).take_all()
+        )
+        assert k2b == [11]
+        # crashed window dirs (no _done) are invisible as state
+        os.makedirs(os.path.join(state, "win=crashed"), exist_ok=True)
+        # near copy of the DROPPED doc 10 must SURVIVE (state keeps only
+        # the corpus you kept), via the join fallback path (budget 0)
+        k3 = sorted(
+            r["doc_id"] for r in incremental_minhash_dedup(
+                self._win([20, 21], [doc(7, drop_last=True), doc(9)]),
+                state, "w3", broadcast_budget=0,
+            ).take_all()
+        )
+        assert k3 == [21]  # 20 is a near copy of kept doc 7's twin 11
