@@ -6121,6 +6121,7 @@ def maximal_independent_set(
     rounds: int | None = None,
     max_rounds: int = 30,
     broadcast_budget: int = 256 << 20,
+    local_budget: int = 128 << 20,
 ):
     """Luby's maximal independent set (Luby 1986, public) over the
     UNDIRECTED simple graph with DETERMINISTIC priorities: node ``v``
@@ -6179,6 +6180,14 @@ def maximal_independent_set(
     cur = distinct_first(
         edges.map_batches(canon, batch_format="pyarrow"), "pk"
     ).drop_columns(["pk"]).materialize()
+
+    # budget-gated one-task fast path (bit-identical rounds; the
+    # parity pytest forces the distributed branch with local_budget=0)
+    if local_budget and cur.size_bytes() <= local_budget:
+        return _run_in_one_task(
+            cur,
+            lambda g: _mis_solve_local(g, rounds, max_rounds),
+        )
 
     def prio(node_np: np.ndarray) -> np.ndarray:
         # 7 hex digits (28 bits): (p << 32 | node) stays under 2^60,
@@ -6310,3 +6319,58 @@ def maximal_independent_set(
     for m in mis_parts[1:]:
         out = out.union(m)
     return out
+
+
+def _mis_solve_local(g: pa.Table, rounds, max_rounds: int) -> pa.Table:
+    """In-task Luby rounds over the canonical distinct edge list --
+    the IDENTICAL (priority << 32 | node) integer math as the
+    distributed rounds (bit-identical output by construction; the
+    parity pytest forces both paths)."""
+    import hashlib
+
+    u = g["u"].to_numpy(zero_copy_only=False)
+    v = g["v"].to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([u, v]))
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"node": pa.array([], pa.int64())})
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    prio = np.fromiter(
+        (int(hashlib.md5(f"{x}:mis".encode()).hexdigest()[:7], 16)
+         for x in nodes.tolist()),
+        np.int64, count=n,
+    )
+    key = (prio << np.int64(32)) | nodes
+    active = np.ones(n, bool)
+    in_mis = np.zeros(n, bool)
+    n_rounds = rounds if rounds is not None else max_rounds
+    big = np.iinfo(np.int64).max
+    for _ in range(n_rounds):
+        if not active.any():
+            break
+        live = active[ui] & active[vi]
+        if not live.any():
+            in_mis |= active
+            active[:] = False
+            break
+        lu, lv = ui[live], vi[live]
+        nbrmin = np.full(n, big, np.int64)
+        np.minimum.at(nbrmin, lu, key[lv])
+        np.minimum.at(nbrmin, lv, key[lu])
+        has_edge = np.zeros(n, bool)
+        has_edge[lu] = True
+        has_edge[lv] = True
+        winners = active & has_edge & (key < nbrmin)
+        stranded = active & ~has_edge
+        picked = winners | stranded
+        if rounds is None and not picked.any():
+            break
+        in_mis |= picked
+        removed = picked.copy()
+        wu = winners[lu]
+        removed[lv[wu]] = True
+        wv = winners[lv]
+        removed[lu[wv]] = True
+        active &= ~removed
+    return pa.table({"node": pa.array(nodes[in_mis], pa.int64())})

@@ -32,6 +32,45 @@ def test_mis_independent_and_maximal():
     mis = {
         r["node"] for r in maximal_independent_set(edges).take_all()
     }
+    # distributed rounds (forced) must agree bit-for-bit at fixpoint
+    edges2 = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+    )
+    mis_dist = {
+        r["node"]
+        for r in maximal_independent_set(
+            edges2, local_budget=0
+        ).take_all()
+    }
+    assert mis == mis_dist
+    # fixed-round prefixes agree too (the oracle's mode)
+    for r_ in (1, 3):
+        e3 = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64()),
+                }
+            )
+        )
+        e4 = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64()),
+                }
+            )
+        )
+        a = {x["node"] for x in maximal_independent_set(
+            e3, rounds=r_).take_all()}
+        b = {x["node"] for x in maximal_independent_set(
+            e4, rounds=r_, local_budget=0).take_all()}
+        assert a == b, r_
     adj: dict = {}
     nodes = set()
     for s, d in zip(src, dst):
