@@ -383,6 +383,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "orders_scd2_history",
         "graph_mis",
         "dedup_incremental_minhash",
+        "orders_scd2_pit",
     ]
     out = {}
     for name in names:

@@ -13973,3 +13973,51 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bdropw)
   AND doc_id NOT IN (SELECT doc_id FROM bdropx)
 """
 )
+
+
+def orders_scd2_pit(sf_dir: str):
+    """Point-in-time dimension lookup over the SCD2 history
+    (orders_scd2_history's intervals): each order key probes the
+    version ``key % 3`` and gets the attribute row whose validity
+    interval covers it -- the as-of join every warehouse fact load does
+    against a type-2 dimension.  The probe is a pure function of the
+    key, so the lookup is ONE stateless vectorized filter over the
+    interval table (no join at all); a fact table with arbitrary
+    timestamps would broadcast-or-join on the key and apply the same
+    interval mask."""
+    iv = orders_scd2_history(sf_dir)
+
+    def pit(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        f = b["eff_from"].to_numpy(zero_copy_only=False)
+        t = pc.fill_null(b["eff_to"], 3).to_numpy(zero_copy_only=False)
+        p = k % 3
+        keep = (f <= p) & (p < t)
+        out = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": out["o_orderkey"],
+                "probe_v": pa.array(
+                    (out["o_orderkey"].to_numpy(zero_copy_only=False)
+                     % 3).astype(np.int64),
+                    pa.int64(),
+                ),
+                "st": out["st"],
+                "eff_from": out["eff_from"],
+            }
+        )
+
+    return iv.map_batches(pit, batch_format="pyarrow")
+
+
+QUERIES["orders_scd2_pit"] = orders_scd2_pit
+
+ORACLE_SQL["orders_scd2_pit"] = (
+    "WITH hist AS (" + ORACLE_SQL["orders_scd2_history"] + """)
+SELECT o_orderkey, CAST(o_orderkey % 3 AS BIGINT) AS probe_v,
+       st, eff_from
+FROM hist
+WHERE eff_from <= o_orderkey % 3
+  AND (eff_to IS NULL OR o_orderkey % 3 < eff_to)
+"""
+)
