@@ -384,6 +384,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "graph_mis",
         "dedup_incremental_minhash",
         "orders_scd2_pit",
+        "corpus_flagship_dropped",
     ]
     out = {}
     for name in names:

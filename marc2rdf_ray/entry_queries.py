@@ -1950,9 +1950,11 @@ def corpus_flagship_docs(sf_dir: str):
     return _corpus_flagship_run(sf_dir, shuffle_order=False)
 
 
-def _corpus_flagship_run(sf_dir: str, *, shuffle_order: bool):
+def _corpus_flagship_run(sf_dir: str, *, shuffle_order: bool,
+                         audit: bool = False):
     """Shared runner for the corpus-flagship contract queries (plain
-    id-order pack vs deterministic md5 training-order pack)."""
+    id-order pack vs deterministic md5 training-order pack vs the
+    drop-audit artifact)."""
     import os
     import tempfile
 
@@ -1998,13 +2000,21 @@ def _corpus_flagship_run(sf_dir: str, *, shuffle_order: bool):
 
     cfg = CorpusConfig(
         min_tokens=20, blocked_spans=tuple(sorted(spans)),
-        num_partitions=16, shuffle_order=shuffle_order,
+        num_partitions=16, shuffle_order=shuffle_order, audit=audit,
     )
     with tempfile.TemporaryDirectory() as tmp:
         in_dir = os.path.join(tmp, "docs")
         aug.write_parquet(in_dir)
         out = os.path.join(tmp, "clean")
         run_corpus_pipeline(in_dir, out, cfg)
+        if audit:
+            audit_dir = os.path.join(out, "_audit")
+            tab = pa.concat_tables(
+                pq.read_table(os.path.join(audit_dir, f))
+                for f in sorted(os.listdir(audit_dir))
+                if f.endswith(".parquet")
+            )
+            return tab
         parts = sorted(
             os.path.join(out, d, "docs.parquet")
             for d in os.listdir(out)
@@ -4345,7 +4355,8 @@ WHERE NOT EXISTS (SELECT 1 FROM roots
 """
 
 
-def _corpus_flagship_oracle_sql(shuffled: bool = False) -> str:
+def _corpus_flagship_oracle_sql(shuffled: bool = False,
+                                tail_override: str | None = None) -> str:
     """The full corpus-flagship chain in SQL, composed from the shared
     parameterized CTE generators (_minhash_ctes_over, _langid_ctes_over)
     so the oracle replays the exact arithmetic of every stage:
@@ -4357,8 +4368,12 @@ def _corpus_flagship_oracle_sql(shuffled: bool = False) -> str:
     pack order is the deterministic md5 training rank (ROW_NUMBER over
     the uint64 key, ties by id -- docs_shuffle_rank's expression) and the
     rank is emitted as a column, replaying
-    CorpusConfig(shuffle_order=True)."""
-    if shuffled:
+    CorpusConfig(shuffle_order=True).  ``tail_override`` swaps the final
+    SELECT for a different consumer of the same chain (the drop-audit
+    oracle)."""
+    if tail_override is not None:
+        tail = tail_override
+    elif shuffled:
         tail = r""",
 rnk AS (
   SELECT spl.*,
@@ -14020,4 +14035,48 @@ FROM hist
 WHERE eff_from <= o_orderkey % 3
   AND (eff_to IS NULL OR o_orderkey % 3 < eff_to)
 """
+)
+
+
+def corpus_flagship_dropped(sf_dir: str):
+    """Removal lineage of the corpus flagship
+    (CorpusConfig(audit=True)): ONE row per dropped document with its
+    reason -- 'exact' (content-hash dup, min id kept), 'near'
+    (MinHash+CC non-root), 'lang' / 'contaminated' / 'short' (the clean
+    stage's first failing filter, _prep_fn order).  The union of this
+    audit's ids and the kept partitions' ids is exactly the input
+    corpus (asserted in pytest); the oracle replays every reason from
+    the same CTE chain as corpus_flagship_docs."""
+    return _corpus_flagship_run(sf_dir, shuffle_order=False, audit=True)
+
+
+QUERIES["corpus_flagship_dropped"] = corpus_flagship_dropped
+
+_AUDIT_TAIL = r""",
+exact_d AS (
+  SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM dk)
+),
+near_d AS (
+  SELECT d1.doc_id FROM d1
+  JOIN roots r ON r.node = d1.doc_id AND r.root <> d1.doc_id
+),
+lang_d AS (
+  SELECT d2.doc_id FROM d2 JOIN lid USING (doc_id)
+  WHERE lid.lang_pred = 'und'
+),
+contam_d AS (
+  SELECT d2.doc_id FROM d2 JOIN lid USING (doc_id)
+  WHERE lid.lang_pred <> 'und'
+    AND EXISTS (SELECT 1 FROM spans WHERE contains(d2.text, spans.s))
+),
+short_d AS (SELECT doc_id FROM tok WHERE n_tokens < 20)
+SELECT doc_id, 'exact' AS reason FROM exact_d
+UNION ALL SELECT doc_id, 'near' FROM near_d
+UNION ALL SELECT doc_id, 'lang' FROM lang_d
+UNION ALL SELECT doc_id, 'contaminated' FROM contam_d
+UNION ALL SELECT doc_id, 'short' FROM short_d
+"""
+
+ORACLE_SQL["corpus_flagship_dropped"] = _corpus_flagship_oracle_sql(
+    tail_override=_AUDIT_TAIL
 )

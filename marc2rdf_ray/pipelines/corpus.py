@@ -120,6 +120,13 @@ class CorpusConfig:
     # partitions become contiguous RANK ranges, offsets accumulate in
     # rank order, and every output row carries its global ``rank``.
     shuffle_order: bool = False
+    # True => also write ``_audit/`` parquet: ONE row per DROPPED doc
+    # with its reason ('exact' | 'near' | 'lang' | 'contaminated' |
+    # 'short', first-failing-filter precedence mirroring _prep_fn) --
+    # the removal lineage a filtered corpus must keep (the record-level
+    # provenance the reference keeps per conversion cycle, SURVEY §2.6
+    # T4; dedup_provenance's pipeline-integrated form).
+    audit: bool = False
     num_partitions: Optional[int] = None  # None => 2 x CPU, floor 16
     broadcast_budget: int = 256 << 20
     # 0 => AUTO spill cap for the text-carrying dedup exchange
@@ -319,6 +326,76 @@ def _prep_fn(config: CorpusConfig):
         return out.filter(pc.greater_equal(out["n_tokens"], min_tokens))
 
     return prep
+
+
+def _audit_reason_fn(config: CorpusConfig):
+    """Vectorized reason map over the CLEAN stage's input: emits ONE row
+    per doc this stage would DROP, tagged with the FIRST failing filter
+    in _prep_fn's exact order (lang -> contaminated -> short); kept docs
+    emit nothing.  Mirrors _prep_fn by construction; the audit pytest
+    asserts kept + dropped == input and the oracle replays every
+    reason."""
+    from ..ops.textstats import detect_lang
+
+    id_col, text_col = config.id_col, config.text_col
+    spans = tuple(s for s in config.blocked_spans if s)
+    patterns = tuple(config.redact_patterns)
+    allow = set(config.langs) if config.langs else None
+    drop_und = config.drop_und
+    min_tokens = config.min_tokens
+
+    def reasons(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "reason": pa.array([], pa.string()),
+                }
+            )
+        txt = pc.fill_null(b[text_col], "")
+        lang = [detect_lang(t) for t in txt.to_pylist()]
+        bad_lang = np.array(
+            [
+                (drop_und and lg == "und")
+                or (allow is not None and lg not in allow)
+                for lg in lang
+            ],
+            bool,
+        )
+        hit = None
+        if spans:
+            for s in spans:
+                m = pc.match_substring(txt, s)
+                hit = m if hit is None else pc.or_(hit, m)
+        contaminated = (
+            pc.fill_null(hit, False).to_numpy(zero_copy_only=False)
+            if hit is not None
+            else np.zeros(len(b), bool)
+        )
+        col = txt
+        for rx, repl in patterns:
+            col = pc.replace_substring_regex(col, rx, repl)
+        n = pc.cast(
+            pc.fill_null(pc.count_substring_regex(col, r"\S+"), 0),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        short = n < min_tokens
+        reason = np.where(
+            bad_lang, "lang",
+            np.where(contaminated, "contaminated",
+                     np.where(short, "short", "")),
+        )
+        keep = reason != ""
+        return pa.table(
+            {
+                "doc_id": pc.cast(b[id_col], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "reason": pa.array(reason[keep].tolist(), pa.string()),
+            }
+        )
+
+    return reasons
 
 
 def _attach_ranks(ds, ranks_mat, budget: int):
@@ -583,6 +660,73 @@ def run_corpus_pipeline(
         _commit_stage(fs, clean_marker, clean_stamp)
         logger.info("corpus stage 3 prep/clean: %.1fs", time.time() - _t0)
     clean_files = _parquet_files(fs, clean_dir)
+
+    # ---- optional drop-audit: one (doc_id, reason) row per removal ----
+    if config.audit:
+        audit_dir = fsio.join(out_dir, "_audit")
+        audit_marker = audit_dir + ".complete"
+        if not _stage_marker_ok(fs, audit_marker, clean_stamp):
+            fsio.rmtree(fs, audit_dir)
+            fsio.delete_file(fs, audit_marker)
+            from ..ops.dedup import anti_join_filter
+
+            def as_id(col_name):
+                def f(b: pa.Table) -> pa.Table:
+                    return pa.table(
+                        {"doc_id": pc.cast(b[col_name], pa.int64())}
+                    )
+
+                return f
+
+            def tag(reason: str):
+                def f(b: pa.Table) -> pa.Table:
+                    return pa.table(
+                        {
+                            "doc_id": b["doc_id"],
+                            "reason": pa.array(
+                                [reason] * len(b), pa.string()
+                            ),
+                        }
+                    )
+
+                return f
+
+            in_ids = rd.read_parquet(
+                docs_path, columns=[id_col]
+            ).map_batches(as_id(id_col), batch_format="pyarrow")
+            kept1 = rd.read_parquet(
+                dedup_files, columns=[id_col], filesystem=fs
+            ).map_batches(as_id(id_col), batch_format="pyarrow")
+            parts = [
+                anti_join_filter(
+                    in_ids, kept1, "doc_id",
+                    broadcast_budget=config.broadcast_budget,
+                ).map_batches(tag("exact"), batch_format="pyarrow")
+            ]
+            if drop_files:
+                parts.append(
+                    rd.read_parquet(drop_files, filesystem=fs)
+                    .map_batches(as_id(id_col), batch_format="pyarrow")
+                    .map_batches(tag("near"), batch_format="pyarrow")
+                )
+            stage3_in = rd.read_parquet(dedup_files, filesystem=fs)
+            if drop_files:
+                stage3_in = anti_join_filter(
+                    stage3_in,
+                    rd.read_parquet(drop_files, filesystem=fs),
+                    id_col,
+                    broadcast_budget=config.broadcast_budget,
+                )
+            parts.append(
+                stage3_in.map_batches(
+                    _audit_reason_fn(config), batch_format="pyarrow"
+                )
+            )
+            allp = parts[0]
+            for p in parts[1:]:
+                allp = allp.union(p)
+            allp.write_parquet(audit_dir, filesystem=fs)
+            _commit_stage(fs, audit_marker, clean_stamp)
 
     # ---- stage 4: pack offsets (two-phase prefix sum) + materialize ----
     if config.num_partitions is not None:

@@ -43,6 +43,7 @@ def _mk_docs(path: str) -> str:
     - id 300: too short (min_tokens filter)
     - id 301: no latin trigrams ('und' langid filter)
     - id 302: contains the blocked span      (decontamination filter)
+    - id 304: English-scored but under min_tokens (short filter)
     - id 303: has an email + long digit run  (redaction, survives)
     """
     rows = []
@@ -56,6 +57,7 @@ def _mk_docs(path: str) -> str:
     rows.append((301, " ".join(["零一二三四五六七八九"] * 25)))
     rows.append((302, _doc_text(302, "BLOCKED-SPAN-LITERAL")))
     rows.append((303, _doc_text(303, "bob@example.com ref 123456789")))
+    rows.append((304, "the and of in it is the and of"))  # en but short
     tab = pa.table(
         {
             "doc_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -337,3 +339,37 @@ def test_shuffle_order_pack_reuses_stages_and_rewrites_partitions(
     m3 = run_corpus_pipeline(docs, out, cfg2)
     assert m3.partition_counts == m2.partition_counts
     assert _part_mtimes(out) == before
+
+
+def test_audit_partitions_input_exactly(ray_session, tmp_path):
+    docs = _mk_docs(str(tmp_path / "docs"))
+    out = str(tmp_path / "out")
+    m = run_corpus_pipeline(docs, out, _cfg(audit=True))
+    kept = set(_read_out(out)["doc_id"].to_pylist())
+    audit_dir = os.path.join(out, "_audit")
+    dropped = {}
+    for f in os.listdir(audit_dir):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(audit_dir, f))
+        for r in t.to_pylist():
+            dropped[r["doc_id"]] = r["reason"]
+    inp = set(
+        pq.read_table(os.path.join(docs, "docs.parquet"))["doc_id"]
+        .to_pylist()
+    )
+    # every input doc is kept XOR dropped-with-reason
+    assert kept | set(dropped) == inp
+    assert not (kept & set(dropped))
+    # reasons match the fixture design (_mk_docs)
+    assert {dropped[100 + i] for i in range(5)} == {"exact"}
+    assert {dropped[200 + i] for i in range(5)} == {"near"}
+    assert dropped[300] == "lang"  # 'tiny doc' has no profile trigrams
+    assert dropped[301] == "lang"
+    assert dropped[302] == "contaminated"
+    assert dropped[304] == "short"
+    assert m.triple_count == len(kept)
+    # audit marker makes the pass resumable: rerun rewrites nothing
+    mt = os.path.getmtime(audit_dir + ".complete")
+    run_corpus_pipeline(docs, out, _cfg(audit=True))
+    assert os.path.getmtime(audit_dir + ".complete") == mt

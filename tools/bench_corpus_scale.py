@@ -87,6 +87,9 @@ def main() -> None:
         "GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get(
         "RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--shuffle", action="store_true",
+                    help="also time a shuffle_order=True pack pass "
+                         "reusing the run's stage checkpoints")
     args = ap.parse_args()
 
     corpus = os.path.join(CACHE_ROOT, f"corpus_scale_t{args.tiles}")
@@ -120,6 +123,24 @@ def main() -> None:
         "docs_per_sec": round(n_docs / wall, 1),
         "num_cpus": args.num_cpus,
     }))
+    if args.shuffle:
+        # second pass in the SAME out_dir with shuffle_order=True:
+        # stages 1-3 checkpoints must be REUSED (their stamps exclude
+        # pack knobs), so this times rank attach + rank-ordered pack
+        t0 = time.time()
+        m2 = run_corpus_pipeline(
+            corpus, out_dir, CorpusConfig(shuffle_order=True)
+        )
+        wall2 = time.time() - t0
+        print(json.dumps({
+            "metric": "corpus flagship shuffled-pack stage sec "
+                      "(stages 1-3 reused)",
+            "value": round(wall2, 1),
+            "unit": "sec",
+            "survivors": m2.triple_count,
+            "order": (m2.extra or {}).get("order"),
+            "num_cpus": args.num_cpus,
+        }))
     ray.shutdown()
 
 
