@@ -547,6 +547,8 @@ def run_corpus_pipeline(
         return existing
 
     id_col, text_col = config.id_col, config.text_col
+    # per-stage wall seconds for the manifest ("cached" = checkpoint hit)
+    stage_seconds: dict = {}
 
     # ---- stage 1: exact dedup -> _deduped checkpoint -------------------
     # The only exchange that carries full text; auto-sharded like
@@ -580,7 +582,10 @@ def run_corpus_pipeline(
                 num_buckets=nb, bucket_range=rng,
             ).write_parquet(fsio.join(dedup_dir, f"shard={s}"), filesystem=fs)
         _commit_stage(fs, dedup_marker, dedup_stamp)
+        stage_seconds["dedup"] = round(time.time() - _t0, 2)
         logger.info("corpus stage 1 exact-dedup: %.1fs", time.time() - _t0)
+    else:
+        stage_seconds["dedup"] = "cached"
     dedup_files = _parquet_files(fs, dedup_dir)
 
     if not dedup_files:  # empty corpus: manifest only, nothing downstream
@@ -632,7 +637,10 @@ def run_corpus_pipeline(
         )
         drops.write_parquet(drops_dir, filesystem=fs)
         _commit_stage(fs, drops_marker, drops_stamp)
+        stage_seconds["near_dup"] = round(time.time() - _t0, 2)
         logger.info("corpus stage 2 near-dup drops: %.1fs", time.time() - _t0)
+    else:
+        stage_seconds["near_dup"] = "cached"
     drop_files = _parquet_files(fs, drops_dir)
 
     # ---- stage 3: anti-join drops + fused prep -> _clean checkpoint ----
@@ -658,7 +666,10 @@ def run_corpus_pipeline(
             _prep_fn(config), batch_format="pyarrow"
         ).write_parquet(clean_dir, filesystem=fs)
         _commit_stage(fs, clean_marker, clean_stamp)
+        stage_seconds["clean"] = round(time.time() - _t0, 2)
         logger.info("corpus stage 3 prep/clean: %.1fs", time.time() - _t0)
+    else:
+        stage_seconds["clean"] = "cached"
     clean_files = _parquet_files(fs, clean_dir)
 
     # ---- optional drop-audit: one (doc_id, reason) row per removal ----
@@ -856,7 +867,11 @@ def run_corpus_pipeline(
         triple_count=sum(rows_by_part.values()),
         partition_counts=rows_by_part,
         extra={"total_tokens": tokens_total, "id_width": width,
-               "order": order_col},
+               "order": order_col,
+               "stage_seconds": dict(
+                   stage_seconds,
+                   pack_materialize=round(time.time() - _t0, 2),
+               )},
     )
     write_manifest(out_dir, manifest, filesystem=fs)
     return manifest
