@@ -5556,6 +5556,7 @@ def scc(
     max_inner: int = 200,
     broadcast_budget: int = 256 << 20,
     local_core_budget: int = 128 << 20,
+    trim_min_frac: float = 0.005,
 ):
     """Exact distributed strongly-connected components via
     trim + forward max-color propagation + backward intra-color
@@ -5577,7 +5578,13 @@ def scc(
 
     Scale shape: per outer round -- (a) trim loops drop nodes with no
     in- or out-edges (ONE (node, has_out, has_in) degree combine per
-    iteration; chains and tendrils never reach the expensive phases),
+    iteration; chains and tendrils never reach the expensive phases --
+    but a tendril CHAIN of depth L peels one layer per round, so once a
+    round removes under ``trim_min_frac`` of the remaining nodes the
+    loop stops chasing the fixpoint and hands the remainder to the next
+    phase: measured on a 20M-node md5 graph, trickle-trimming deep
+    in-trees was >70 min of sequential barriers; trim is an
+    optimization, never a correctness requirement),
     then (b) if the surviving cyclic core fits ``local_core_budget``
     bytes -- the normal bow-tie web-graph outcome -- ONE Tarjan task
     finishes it (set 0 to force the rounds); otherwise (c) color rounds
@@ -5774,9 +5781,16 @@ def scc(
                 ),
                 batch_format="pyarrow",
             ).materialize()
-            if trimmed.count() == 0:
+            n_trim = trimmed.count()
+            n_deg = deg.count()
+            logging.getLogger(__name__).info(
+                "scc outer %d trim round: %d peeled of %d nodes",
+                outer, n_trim, n_deg,
+            )
+            if n_trim == 0:
                 break
             assigned.append(trimmed)
+            trickle = n_trim < max(1, int(trim_min_frac * n_deg))
             act_e = semi_join_filter(
                 semi_join_filter(
                     act_e, keep, "src", keys_col="node",
@@ -5799,6 +5813,17 @@ def scc(
                 assigned.append(stranded)
             if act_e.count() == 0:
                 break
+            if trickle:
+                # deep tendril chains peel ONE layer per round (a chain
+                # of depth L costs L sequential barriers); once a round
+                # removes under trim_min_frac of the nodes, further
+                # trimming costs more than it saves -- trim is only an
+                # optimization, so hand the remainder to the next phase
+                logging.getLogger(__name__).info(
+                    "scc outer %d: trickle trim (<%.3f%%), moving on",
+                    outer, 100 * trim_min_frac,
+                )
+                break
         if act_e.count() == 0:
             continue
         # local-core fast path: trimming a bow-tie-shaped web graph
@@ -5808,6 +5833,10 @@ def scc(
         # precedent, applied mid-operator).  Cores above the budget
         # fall through to the full distributed rounds.
         if local_core_budget and act_e.size_bytes() <= local_core_budget:
+            logging.getLogger(__name__).info(
+                "scc outer %d: core fits local budget (%d bytes), "
+                "one-task Tarjan", outer, act_e.size_bytes(),
+            )
             labs = _run_in_one_task(
                 act_e, _scc_solve_local
             ).map_batches(
