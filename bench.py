@@ -385,6 +385,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "dedup_incremental_minhash",
         "orders_scd2_pit",
         "corpus_flagship_dropped",
+        "doc_pagerank_weighted",
     ]
     out = {}
     for name in names:

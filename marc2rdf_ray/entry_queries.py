@@ -14080,3 +14080,65 @@ UNION ALL SELECT doc_id, 'short' FROM short_d
 ORACLE_SQL["corpus_flagship_dropped"] = _corpus_flagship_oracle_sql(
     tail_override=_AUDIT_TAIL
 )
+
+
+def doc_pagerank_weighted(sf_dir: str):
+    """Weighted PageRank (ops/graph.py:pagerank_weighted): 3 integer
+    iterations over the md5 link graph with deterministic per-edge
+    weights 1..8 (1 + md5(u:v:w) % 8); contribution = rank*w // wout,
+    all order-free int64 so the unrolled oracle replays it bit-for-bit.
+    Budget-gated one-task fast path first (parity-tested)."""
+    from .ops.graph import pagerank_weighted, pagerank_weighted_local
+
+    edges, nodes, _ = _md5_link_graph(sf_dir)
+    local = pagerank_weighted_local(edges, nodes, iterations=3)
+    if local is not None:
+        return local
+    edges2, nodes2, _ = _md5_link_graph(sf_dir)
+    return pagerank_weighted(edges2, nodes2, iterations=3)
+
+
+QUERIES["doc_pagerank_weighted"] = doc_pagerank_weighted
+
+
+_WPR_CHAIN = [f"""
+WITH {_MD5_EDGES_SQL},
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+we AS (
+  SELECT src, dst,
+         1 + CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
+             CAST(dst AS VARCHAR) || ':w'), 1, 8)) AS BIGINT) % 8 AS w
+  FROM e
+),
+ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM we GROUP BY src),
+uni AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents
+        UNION SELECT src FROM we),
+nn2 AS (SELECT COUNT(*) AS c FROM uni),
+r0 AS MATERIALIZED (
+  SELECT node, CAST(1000000000000 // (SELECT c FROM nn2) AS BIGINT) AS r
+  FROM uni
+)"""]
+for _i in range(1, 4):
+    _p = _i - 1
+    _WPR_CHAIN.append(f""",
+d{_i} AS (
+  SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS m FROM r{_p}
+  WHERE node NOT IN (SELECT src FROM we)
+),
+c{_i} AS (
+  SELECT we.dst AS node,
+         CAST(SUM((r.r * we.w) // ws.wout) AS BIGINT) AS s
+  FROM we JOIN r{_p} r ON r.node = we.src JOIN ws ON ws.src = we.src
+  GROUP BY we.dst
+),
+r{_i} AS MATERIALIZED (
+  SELECT u.node,
+         CAST((15 * (1000000000000 // (SELECT c FROM nn2))
+               + 85 * (COALESCE(c.s, 0)
+                       + (SELECT m FROM d{_i}) // (SELECT c FROM nn2)))
+              // 100 AS BIGINT) AS r
+  FROM uni u LEFT JOIN c{_i} c ON c.node = u.node
+)""")
+_WPR_CHAIN.append("\nSELECT node, r AS rank FROM r3")
+
+ORACLE_SQL["doc_pagerank_weighted"] = "".join(_WPR_CHAIN)

@@ -6403,3 +6403,357 @@ def _mis_solve_local(g: pa.Table, rounds, max_rounds: int) -> pa.Table:
         removed[lu[wv]] = True
         active &= ~removed
     return pa.table({"node": pa.array(nodes[in_mis], pa.int64())})
+
+
+def _wpr_default_weight(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Deterministic per-edge integer weight 1..8 =
+    1 + md5(f"{u}:{v}:w")[:8] % 8 -- a pure function of the pair, so the
+    SQL oracle replays it (the negative_samples md5 discipline)."""
+    import hashlib
+
+    return np.fromiter(
+        (1 + int(hashlib.md5(f"{a}:{b}:w".encode()).hexdigest()[:8],
+                 16) % 8
+         for a, b in zip(s.tolist(), d.tolist())),
+        np.int64, count=len(s),
+    )
+
+
+def _wpr_universe(edges_mat, nodes_ds):
+    """(node, wout) universe table = nodes UNION edge sources (pagerank
+    parity convention), wout = sum of out-edge weights (0 = dangling)."""
+    from ray.data.aggregate import Sum
+
+    def wout_partial(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        order = np.argsort(s)
+        s, w = s[order], w[order]
+        brk = np.empty(len(s), bool)
+        brk[:1] = True
+        if len(s) > 1:
+            brk[1:] = s[1:] != s[:-1]
+        st = np.flatnonzero(brk)
+        sums = np.add.reduceat(w, st) if len(s) else np.array([], np.int64)
+        return pa.table(
+            {
+                "node": pa.array(s[st], pa.int64()),
+                "wo": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    zeros = nodes_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pc.cast(b["node"], pa.int64()),
+                "wo": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        edges_mat.map_batches(wout_partial, batch_format="pyarrow")
+        .union(zeros)
+        .groupby("node")
+        .aggregate(Sum("wo", alias_name="wout"))
+        .materialize()
+    )
+
+
+def pagerank_weighted(
+    edges_ds,
+    nodes_ds,
+    *,
+    iterations: int = 3,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    weight_fn=None,
+    broadcast_budget: int = 256 << 20,
+):
+    """Weighted PageRank (the link-strength variant, public): each
+    DISTINCT simple edge (u, v) carries an integer weight and u's rank
+    flows proportionally -- the per-edge contribution is the exact
+    integer ``rank(u) * w(u,v) // wout(u)`` (``wout`` = sum of u's
+    out-weights), every term order-free int64, so the unrolled SQL
+    oracle matches bit-for-bit.  Teleport, damping, dangling
+    redistribution and the node universe (nodes UNION edge sources;
+    contributions to destinations outside it drop) all mirror
+    :func:`pagerank`'s conventions; ``weight_fn(src, dst) -> int64``
+    defaults to the md5-derived 1..8 table (:func:`_wpr_default_weight`).
+    (marc2rdf analog: authority links weighted by occurrence counts in
+    the enrichment joins, SURVEY.md SS2.5.)
+
+    Returns (node, rank) in 1/scale units.
+
+    Scale shape: the weighted adjacency (src, dst, w) materializes once
+    (distinct via the int64-packed pair key, guarded to ids < 2^32);
+    per iteration ONE (dst, contrib) combiner groupby-sum + one slim
+    dangling aggregate + one broadcast-or-join rank attach; rank state
+    is a slim (node, rank) table."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import distinct_first, normalize_join_blocks
+
+    import ray
+
+    weight_fn = weight_fn or _wpr_default_weight
+    nparts = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) and (
+            s.min() < 0 or d.min() < 0
+            or s.max() >= 1 << 32 or d.max() >= 1 << 32
+        ):
+            raise ValueError(
+                "pagerank_weighted packs (src, dst) into int64 distinct "
+                "keys -- needs 0 <= node < 2^32; remap ids first"
+            )
+        return pa.table(
+            {
+                "src": pa.array(s, pa.int64()),
+                "dst": pa.array(d, pa.int64()),
+                "pk": pa.array((s << np.int64(32)) | d, pa.int64()),
+            }
+        )
+
+    def add_w(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": b["src"],
+                "dst": b["dst"],
+                "w": pa.array(weight_fn(s, d), pa.int64()),
+            }
+        )
+
+    edges = distinct_first(
+        edges_ds.map_batches(canon, batch_format="pyarrow"), "pk"
+    ).drop_columns(["pk"]).map_batches(
+        add_w, batch_format="pyarrow"
+    ).materialize()
+
+    uni = _wpr_universe(edges, nodes_ds)  # (node, wout)
+    n_nodes = uni.count()
+    if not n_nodes:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "rank": pa.array([], pa.int64())}
+            )
+        )
+    base = scale // n_nodes
+    comp_num = damping_den - damping_num
+
+    # attach wout to edges once (broadcast-or-join)
+    def attach_map(ds, mat, key, valcol, out_name):
+        if mat.size_bytes() <= broadcast_budget:
+            tabs = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+            tab = pa.concat_tables(tabs, promote_options="default")
+            nd = tab["node"].to_numpy(zero_copy_only=False)
+            vl = tab[valcol].to_numpy(zero_copy_only=False)
+            order = np.argsort(nd)
+            ref = ray.put({"n": nd[order], "v": vl[order]})
+
+            def look(b: pa.Table) -> pa.Table:
+                a = ray.get(ref)
+                k = b[key].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(a["n"], k)
+                return b.append_column(
+                    out_name, pa.array(a["v"][pos], pa.int64())
+                )
+
+            return ds.map_batches(look, batch_format="pyarrow")
+        side = mat.map_batches(
+            lambda b, _o=out_name: pa.table(
+                {"_mk": b["node"], _o: b[valcol]}
+            ),
+            batch_format="pyarrow",
+        )
+        return normalize_join_blocks(ds, nparts).join(
+            normalize_join_blocks(side, nparts),
+            join_type="inner", num_partitions=nparts,
+            on=(key,), right_on=("_mk",),
+        )
+
+    edges_w = attach_map(edges, uni, "src", "wout", "wo").materialize()
+
+    ranks = uni.map_batches(
+        lambda b, _base=base: pa.table(
+            {
+                "node": b["node"],
+                "r": pa.array(np.full(len(b), _base, np.int64),
+                              pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iterations):
+        # dangling mass (wout == 0 in the universe)
+        dang_ds = attach_map(ranks, uni, "node", "wout", "wo")
+        t = dang_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "m": pa.array(
+                        [int(
+                            pc.sum(
+                                pc.if_else(
+                                    pc.equal(b["wo"], 0), b["r"],
+                                    pa.scalar(0, pa.int64()),
+                                )
+                            ).as_py() or 0
+                        )],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).aggregate(Sum("m", alias_name="m"))
+        dang = int(t["m"]) if t and t["m"] is not None else 0
+        share = dang // n_nodes
+
+        with_r = attach_map(edges_w, ranks, "src", "r", "rr")
+
+        def contrib(b: pa.Table) -> pa.Table:
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            r = b["rr"].to_numpy(zero_copy_only=False)
+            w = b["w"].to_numpy(zero_copy_only=False)
+            wo = b["wo"].to_numpy(zero_copy_only=False)
+            c = (r * w) // np.maximum(wo, 1)
+            order = np.argsort(d)
+            d, c = d[order], c[order]
+            brk = np.empty(len(d), bool)
+            brk[:1] = True
+            if len(d) > 1:
+                brk[1:] = d[1:] != d[:-1]
+            st = np.flatnonzero(brk)
+            sums = (np.add.reduceat(c, st)
+                    if len(d) else np.array([], np.int64))
+            return pa.table(
+                {
+                    "node": pa.array(d[st], pa.int64()),
+                    "c": pa.array(sums.astype(np.int64), pa.int64()),
+                }
+            )
+
+        contribs = (
+            with_r.map_batches(contrib, batch_format="pyarrow")
+            .union(
+                uni.map_batches(
+                    lambda b: pa.table(
+                        {
+                            "node": b["node"],
+                            "c": pa.array(
+                                np.zeros(len(b), np.int64), pa.int64()
+                            ),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="s"))
+        )
+        # drop contributions to nodes outside the universe: the zero
+        # rows above cover exactly the universe, so semi-filter via an
+        # inner attach back onto uni
+        ranks = attach_map(
+            uni, contribs.materialize(), "node", "s", "s"
+        ).map_batches(
+            lambda b, _sh=share: pa.table(
+                {
+                    "node": b["node"],
+                    "r": pa.array(
+                        (comp_num * base + damping_num
+                         * (b["s"].to_numpy(zero_copy_only=False)
+                            + _sh)) // damping_den,
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    return ranks.map_batches(
+        lambda b: pa.table({"node": b["node"], "rank": b["r"]}),
+        batch_format="pyarrow",
+    )
+
+
+def pagerank_weighted_local(
+    edges_ds,
+    nodes_ds,
+    *,
+    budget: int = 128 << 20,
+    iterations: int = 3,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    weight_fn=None,
+):
+    """Budget-gated one-task weighted PageRank -- the identical integer
+    recurrence vectorized with np.add.at (bit-identical to
+    :func:`pagerank_weighted`; the parity pytest runs both).  Returns
+    the (node, rank) Dataset or ``None`` when over budget."""
+    weight_fn = weight_fn or _wpr_default_weight
+    mat_e = edges_ds.materialize()
+    if mat_e.size_bytes() > budget:
+        return None
+    import ray
+
+    etabs = [t for t in ray.get(mat_e.to_arrow_refs()) if t.num_rows]
+    ntabs = [t for t in ray.get(
+        nodes_ds.materialize().to_arrow_refs()) if t.num_rows]
+    et = (pa.concat_tables(etabs, promote_options="default")
+          if etabs else pa.table({"src": [], "dst": []}))
+    nt = (pa.concat_tables(ntabs, promote_options="default")
+          if ntabs else pa.table({"node": []}))
+    s = np.asarray(et["src"].to_pylist(), np.int64)
+    d = np.asarray(et["dst"].to_pylist(), np.int64)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    if len(s):
+        pk = (s << np.int64(32)) | d
+        _, first = np.unique(pk, return_index=True)
+        s, d = s[first], d[first]
+    w = weight_fn(s, d) if len(s) else np.array([], np.int64)
+    base_nodes = np.asarray(nt["node"].to_pylist(), np.int64)
+    uni = np.unique(np.concatenate([base_nodes, s]))
+    n = len(uni)
+    import ray.data as rd
+
+    if n == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "rank": pa.array([], pa.int64())}
+            )
+        )
+    si = np.searchsorted(uni, s)
+    in_uni = np.searchsorted(uni, d)
+    d_ok = (in_uni < n) & (uni[np.minimum(in_uni, n - 1)] == d)
+    wout = np.zeros(n, np.int64)
+    np.add.at(wout, si, w)
+    base = scale // n
+    comp_num = damping_den - damping_num
+    r = np.full(n, base, np.int64)
+    for _ in range(iterations):
+        dang = int(r[wout == 0].sum())
+        share = dang // n
+        c = (r[si] * w) // np.maximum(wout[si], 1)
+        sums = np.zeros(n, np.int64)
+        np.add.at(sums, in_uni[d_ok], c[d_ok])
+        r = (comp_num * base + damping_num * (sums + share)) // damping_den
+    return rd.from_arrow(
+        pa.table(
+            {"node": pa.array(uni, pa.int64()),
+             "rank": pa.array(r, pa.int64())}
+        )
+    )

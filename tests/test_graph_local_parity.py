@@ -95,3 +95,52 @@ def test_temporal_local_equals_distributed():
     )
     dist = temporal_reachability(edges2, seeds2, rounds=3, budget=0)
     assert _rows(local) == _rows(dist)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_pagerank_local_matches_distributed():
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from marc2rdf_ray.ops.graph import (pagerank_weighted,
+                                        pagerank_weighted_local)
+
+    n = 150
+    src, dst = [], []
+    for i in range(n):
+        for k in range(i % 4):
+            t = int(
+                hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16
+            ) % n
+            src.append(i)
+            dst.append(t)
+
+    def mk():
+        return (
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "src": pa.array(src, pa.int64()),
+                        "dst": pa.array(dst, pa.int64()),
+                    }
+                )
+            ),
+            rd.from_arrow(
+                pa.table({"node": pa.array(range(n), pa.int64())})
+            ),
+        )
+
+    e1, n1 = mk()
+    loc = {
+        r["node"]: r["rank"]
+        for r in pagerank_weighted_local(e1, n1, iterations=3).take_all()
+    }
+    e2, n2 = mk()
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank_weighted(e2, n2, iterations=3).take_all()
+    }
+    assert loc == dist
+    assert len(loc) == n and len(set(loc.values())) > 10
