@@ -386,6 +386,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "orders_scd2_pit",
         "corpus_flagship_dropped",
         "doc_pagerank_weighted",
+        "graph_stress_centrality",
     ]
     out = {}
     for name in names:

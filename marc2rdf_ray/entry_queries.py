@@ -14142,3 +14142,88 @@ r{_i} AS MATERIALIZED (
 _WPR_CHAIN.append("\nSELECT node, r AS rank FROM r3")
 
 ORACLE_SQL["doc_pagerank_weighted"] = "".join(_WPR_CHAIN)
+
+
+def graph_stress_centrality(sf_dir: str):
+    """Sampled-source depth-3 stress centrality (ops/graph.py:
+    stress_centrality_sampled): seeds = nodes with out-edges and
+    node % 25 == 1; per seed the BFS DAG's integer shortest-path counts
+    flow forward and the path-continuation counts flow backward;
+    stress(v) = sum of sigma * g.  Budget-gated one-task fast path
+    first; the distributed pair-keyed rounds are forced in the parity
+    pytest."""
+    from .ops.graph import stress_centrality_sampled
+
+    edges, _, _ = _md5_link_graph(sf_dir)
+    seeds = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "s": pa.array(
+                    np.unique(
+                        b["src"].to_numpy(zero_copy_only=False)[
+                            b["src"].to_numpy(zero_copy_only=False) % 25
+                            == 1
+                        ]
+                    ),
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    from .ops.dedup import distinct_first
+
+    return stress_centrality_sampled(
+        edges, distinct_first(seeds, "s"), depth=3
+    )
+
+
+QUERIES["graph_stress_centrality"] = graph_stress_centrality
+
+ORACLE_SQL["graph_stress_centrality"] = f"""
+WITH {_MD5_EDGES_SQL},
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+seeds AS (SELECT DISTINCT src AS s FROM e WHERE src % 25 = 1),
+l1 AS MATERIALIZED (
+  SELECT sd.s, e.dst AS v, CAST(COUNT(*) AS BIGINT) AS sig
+  FROM seeds sd JOIN e ON e.src = sd.s
+  WHERE e.dst <> sd.s
+  GROUP BY sd.s, e.dst
+),
+l2 AS MATERIALIZED (
+  SELECT l1.s, e.dst AS v, CAST(SUM(l1.sig) AS BIGINT) AS sig
+  FROM l1 JOIN e ON e.src = l1.v
+  WHERE e.dst <> l1.s
+    AND NOT EXISTS (SELECT 1 FROM l1 x WHERE x.s = l1.s AND x.v = e.dst)
+  GROUP BY l1.s, e.dst
+),
+l3 AS MATERIALIZED (
+  SELECT l2.s, e.dst AS v, CAST(SUM(l2.sig) AS BIGINT) AS sig
+  FROM l2 JOIN e ON e.src = l2.v
+  WHERE e.dst <> l2.s
+    AND NOT EXISTS (SELECT 1 FROM l1 x WHERE x.s = l2.s AND x.v = e.dst)
+    AND NOT EXISTS (SELECT 1 FROM l2 x WHERE x.s = l2.s AND x.v = e.dst)
+  GROUP BY l2.s, e.dst
+),
+g2 AS MATERIALIZED (
+  SELECT l2.s, l2.v, CAST(COUNT(*) AS BIGINT) AS g
+  FROM l2 JOIN e ON e.src = l2.v
+  JOIN l3 ON l3.s = l2.s AND l3.v = e.dst
+  GROUP BY l2.s, l2.v
+),
+g1 AS MATERIALIZED (
+  SELECT l1.s, l1.v, CAST(SUM(1 + COALESCE(g2.g, 0)) AS BIGINT) AS g
+  FROM l1 JOIN e ON e.src = l1.v
+  JOIN l2 ON l2.s = l1.s AND l2.v = e.dst
+  LEFT JOIN g2 ON g2.s = l1.s AND g2.v = e.dst
+  GROUP BY l1.s, l1.v
+),
+terms AS (
+  SELECT l1.v AS node, l1.sig * g1.g AS t
+  FROM l1 JOIN g1 ON g1.s = l1.s AND g1.v = l1.v
+  UNION ALL
+  SELECT l2.v, l2.sig * g2.g
+  FROM l2 JOIN g2 ON g2.s = l2.s AND g2.v = l2.v
+)
+SELECT node, CAST(SUM(t) AS BIGINT) AS stress FROM terms GROUP BY node
+"""

@@ -6757,3 +6757,369 @@ def pagerank_weighted_local(
              "rank": pa.array(r, pa.int64())}
         )
     )
+
+
+def _stress_solve_local(g: pa.Table, seeds: np.ndarray,
+                        depth: int = 3) -> pa.Table:
+    """In-task sampled stress centrality: per seed a depth-bounded BFS
+    DAG with shortest-path counts (sigma), then the integer backward
+    path-count g(v) = sum over DAG successors of (1 + g(w)); stress(v)
+    accumulates sigma(v) * g(v).  Pure integer arithmetic."""
+    s = g["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = g["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    if len(s):
+        pk = (s << np.int64(32)) | d
+        _, first = np.unique(pk, return_index=True)
+        s, d = s[first], d[first]
+    adj: dict = {}
+    for a, b in zip(s.tolist(), d.tolist()):
+        adj.setdefault(a, []).append(b)
+    stress: dict = {}
+    for seed in seeds.tolist():
+        levels = [{seed: 1}]
+        seen = {seed}
+        for _ in range(depth):
+            nxt: dict = {}
+            for v, sig in levels[-1].items():
+                for w in adj.get(v, ()):
+                    if w in seen:
+                        continue
+                    nxt[w] = nxt.get(w, 0) + sig
+            nxt = {w: c for w, c in nxt.items() if w not in seen}
+            seen |= set(nxt)
+            levels.append(nxt)
+        gnext: dict = {}
+        for lv in range(depth - 1, 0, -1):
+            cur: dict = {}
+            tgt = levels[lv + 1]
+            for v, sig in levels[lv].items():
+                tot = 0
+                for w in adj.get(v, ()):
+                    if w in tgt:
+                        tot += 1 + gnext.get(w, 0)
+                if tot:
+                    cur[v] = tot
+                    stress[v] = stress.get(v, 0) + sig * tot
+            gnext = cur
+    items = sorted(stress.items())
+    return pa.table(
+        {
+            "node": pa.array([k for k, _ in items], pa.int64()),
+            "stress": pa.array([v for _, v in items], pa.int64()),
+        }
+    )
+
+
+def stress_centrality_sampled(
+    edges,
+    seeds_ds,
+    *,
+    depth: int = 3,
+    broadcast_budget: int = 256 << 20,
+    local_budget: int = 128 << 20,
+):
+    """Sampled-source, depth-bounded STRESS centrality (Shimbel 1953 /
+    the integer cousin of Brandes betweenness, public): for every seed
+    ``s`` and target ``t`` within ``depth`` hops, each intermediate
+    ``v`` on a shortest s->t path earns sigma_s(v) * (number of
+    shortest-path continuations v->t) -- equivalently, per seed BFS
+    DAG, forward shortest-path counts sigma and the backward integer
+    recurrence g(v) = sum over DAG successors w of (1 + g(w)); stress
+    += sigma * g.  All integer (no Brandes fractions), so the SQL
+    oracle unrolls the levels with a seed dimension and matches
+    bit-for-bit.  Sampled sources + bounded depth is the standard
+    tractable estimator at web scale (hub detection for crawl
+    prioritization; marc2rdf analog: which authority records sit on
+    most reference chains).
+
+    Returns (node, stress) for nodes with stress > 0.
+
+    Scale shape: state is keyed by the packed (seed << 32 | node) pair
+    (ids < 2^32, guarded); each forward level is one frontier-edges
+    join + per-batch pair combiner + groupby-sum + one
+    broadcast-or-anti-join against the visited pair set; each backward
+    step is one join + broadcast membership/value lookup against the
+    NEXT level (per-seed frontier tables are #seeds x bounded-frontier
+    rows -- the sampling bound).  Budget-gated one-task fast path first
+    (bit-identical; the parity pytest forces both)."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import (anti_join_filter, distinct_first,
+                        normalize_join_blocks)
+    import ray
+
+    mat_e = edges.materialize()
+    seeds_mat = seeds_ds.materialize()
+    if local_budget and mat_e.size_bytes() <= local_budget:
+        stabs = [t for t in ray.get(seeds_mat.to_arrow_refs())
+                 if t.num_rows]
+        seeds_np = (
+            pa.concat_tables(stabs, promote_options="default")["s"]
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+            if stabs else np.array([], np.int64)
+        )
+        return _run_in_one_task(
+            mat_e, lambda g: _stress_solve_local(g, seeds_np, depth)
+        )
+
+    nparts = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) and (
+            s.min() < 0 or d.min() < 0
+            or s.max() >= 1 << 32 or d.max() >= 1 << 32
+        ):
+            raise ValueError(
+                "stress_centrality_sampled packs (seed, node) into "
+                "int64 -- needs 0 <= node < 2^32; remap ids first"
+            )
+        return pa.table(
+            {
+                "src": pa.array(s, pa.int64()),
+                "dst": pa.array(d, pa.int64()),
+                "pk": pa.array((s << np.int64(32)) | d, pa.int64()),
+            }
+        )
+
+    e_ds = distinct_first(
+        mat_e.map_batches(canon, batch_format="pyarrow"), "pk"
+    ).drop_columns(["pk"]).materialize()
+
+    def pair_combine(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False)
+        c = b["sig"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k)
+        k, c = k[order], c[order]
+        brk = np.empty(len(k), bool)
+        brk[:1] = True
+        if len(k) > 1:
+            brk[1:] = k[1:] != k[:-1]
+        st = np.flatnonzero(brk)
+        sums = np.add.reduceat(c, st) if len(k) else np.array([], np.int64)
+        return pa.table(
+            {
+                "key": pa.array(k[st], pa.int64()),
+                "sig": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    frontier = seeds_mat.map_batches(
+        lambda b: pa.table(
+            {
+                "s": pc.cast(b["s"], pa.int64()),
+                "v": pc.cast(b["s"], pa.int64()),
+                "sig": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    visited = frontier.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pa.array(
+                    (b["s"].to_numpy(zero_copy_only=False)
+                     << np.int64(32))
+                    | b["v"].to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    levels = [frontier]
+    for _ in range(depth):
+        expanded = normalize_join_blocks(
+            levels[-1], nparts
+        ).join(
+            normalize_join_blocks(e_ds, nparts),
+            join_type="inner", num_partitions=nparts,
+            on=("v",), right_on=("src",),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "key": pa.array(
+                        (b["s"].to_numpy(zero_copy_only=False)
+                         << np.int64(32))
+                        | b["dst"].to_numpy(zero_copy_only=False),
+                        pa.int64(),
+                    ),
+                    "sig": b["sig"],
+                }
+            ),
+            batch_format="pyarrow",
+        ).map_batches(pair_combine, batch_format="pyarrow")
+        nxt = anti_join_filter(
+            expanded.groupby("key").aggregate(
+                Sum("sig", alias_name="sig")
+            ),
+            visited, "key", broadcast_budget=broadcast_budget,
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "s": pa.array(
+                        b["key"].to_numpy(zero_copy_only=False)
+                        >> np.int64(32), pa.int64()),
+                    "v": pa.array(
+                        b["key"].to_numpy(zero_copy_only=False)
+                        & np.int64(0xFFFFFFFF), pa.int64()),
+                    "sig": b["sig"],
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        levels.append(nxt)
+        visited = distinct_first(
+            visited.union(
+                nxt.map_batches(
+                    lambda b: pa.table(
+                        {
+                            "key": pa.array(
+                                (b["s"].to_numpy(zero_copy_only=False)
+                                 << np.int64(32))
+                                | b["v"].to_numpy(zero_copy_only=False),
+                                pa.int64(),
+                            )
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            ),
+            "key",
+        ).materialize()
+
+    def level_map(lv_ds, g_ds=None):
+        """Broadcast {packed (s,w) -> g} over ALL of a level's pairs
+        (membership implies term >= 1; g defaults to 0 for pairs with
+        no deeper continuation -- they are still targets)."""
+        tabs = [t for t in ray.get(lv_ds.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return None
+        tab = pa.concat_tables(tabs, promote_options="default")
+        k = ((tab["s"].to_numpy(zero_copy_only=False) << np.int64(32))
+             | tab["v"].to_numpy(zero_copy_only=False))
+        order = np.argsort(k)
+        k = k[order]
+        val = np.zeros(len(k), np.int64)
+        if g_ds is not None:
+            gtabs = [t for t in ray.get(g_ds.to_arrow_refs())
+                     if t.num_rows]
+            if gtabs:
+                gt = pa.concat_tables(gtabs, promote_options="default")
+                gk = ((gt["s"].to_numpy(zero_copy_only=False)
+                       << np.int64(32))
+                      | gt["v"].to_numpy(zero_copy_only=False))
+                gv = gt["g"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(k, gk)
+                ok = (pos < len(k)) & (
+                    k[np.minimum(pos, len(k) - 1)] == gk
+                )
+                val[pos[ok]] = gv[ok]
+        return ray.put({"k": k, "g": val})
+
+    stress_parts = []
+    gnext_ds = None  # (s, v, g) of level lv+1
+    for lv in range(depth - 1, 0, -1):
+        ref = level_map(levels[lv + 1], gnext_ds)
+        if ref is None:
+            gnext_ds = None
+            continue
+
+        def backstep(b: pa.Table, _ref=ref) -> pa.Table:
+            a = ray.get(_ref)
+            key = ((b["s"].to_numpy(zero_copy_only=False)
+                    << np.int64(32))
+                   | b["dst"].to_numpy(zero_copy_only=False))
+            pos = np.searchsorted(a["k"], key)
+            ok = (pos < len(a["k"])) & (
+                a["k"][np.minimum(pos, len(a["k"]) - 1)] == key
+            )
+            term = np.where(
+                ok, 1 + a["g"][np.minimum(pos, len(a["k"]) - 1)], 0
+            )
+            keep = term > 0
+            return pa.table(
+                {
+                    "key": pa.array(
+                        ((b["s"].to_numpy(zero_copy_only=False)
+                          << np.int64(32))
+                         | b["v"].to_numpy(zero_copy_only=False))[keep],
+                        pa.int64(),
+                    ),
+                    "sig": pa.array(term[keep], pa.int64()),
+                }
+            )
+
+        g_ds = normalize_join_blocks(levels[lv], nparts).join(
+            normalize_join_blocks(e_ds, nparts),
+            join_type="inner", num_partitions=nparts,
+            on=("v",), right_on=("src",),
+        ).map_batches(backstep, batch_format="pyarrow").map_batches(
+            pair_combine, batch_format="pyarrow"
+        ).groupby("key").aggregate(
+            Sum("sig", alias_name="g")
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "s": pa.array(
+                        b["key"].to_numpy(zero_copy_only=False)
+                        >> np.int64(32), pa.int64()),
+                    "v": pa.array(
+                        b["key"].to_numpy(zero_copy_only=False)
+                        & np.int64(0xFFFFFFFF), pa.int64()),
+                    "g": b["g"],
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        gnext_ds = g_ds
+        # stress terms for this level: sigma * g joined on (s, v)
+        gm = level_map(g_ds, g_ds)
+        if gm is None:
+            continue
+
+        def terms(b: pa.Table, _ref=gm) -> pa.Table:
+            a = ray.get(_ref)
+            key = ((b["s"].to_numpy(zero_copy_only=False)
+                    << np.int64(32))
+                   | b["v"].to_numpy(zero_copy_only=False))
+            pos = np.searchsorted(a["k"], key)
+            ok = (pos < len(a["k"])) & (
+                a["k"][np.minimum(pos, len(a["k"]) - 1)] == key
+            )
+            gval = np.where(
+                ok, a["g"][np.minimum(pos, len(a["k"]) - 1)], 0
+            )
+            t = b["sig"].to_numpy(zero_copy_only=False) * gval
+            keep = t > 0
+            return pa.table(
+                {
+                    "node": pa.array(
+                        b["v"].to_numpy(zero_copy_only=False)[keep],
+                        pa.int64(),
+                    ),
+                    "t": pa.array(t[keep], pa.int64()),
+                }
+            )
+
+        stress_parts.append(
+            levels[lv].map_batches(terms, batch_format="pyarrow")
+        )
+    if not stress_parts:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "stress": pa.array([], pa.int64())}
+            )
+        )
+    allp = stress_parts[0]
+    for p in stress_parts[1:]:
+        allp = allp.union(p)
+    return allp.groupby("node").aggregate(Sum("t", alias_name="stress"))

@@ -144,3 +144,59 @@ def test_weighted_pagerank_local_matches_distributed():
     }
     assert loc == dist
     assert len(loc) == n and len(set(loc.values())) > 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stress_centrality_local_matches_distributed():
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from marc2rdf_ray.ops.graph import stress_centrality_sampled
+
+    n = 150
+    src, dst = [], []
+    for i in range(n):
+        for k in range(i % 4):
+            t = int(
+                hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16
+            ) % n
+            src.append(i)
+            dst.append(t)
+
+    def mk():
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64()),
+                }
+            )
+        )
+        seeds = rd.from_arrow(
+            pa.table(
+                {
+                    "s": pa.array(
+                        sorted({s for s in src if s % 25 == 1}),
+                        pa.int64(),
+                    )
+                }
+            )
+        )
+        return edges, seeds
+
+    e1, s1 = mk()
+    loc = {
+        r["node"]: r["stress"]
+        for r in stress_centrality_sampled(e1, s1, depth=3).take_all()
+    }
+    e2, s2 = mk()
+    dist = {
+        r["node"]: r["stress"]
+        for r in stress_centrality_sampled(
+            e2, s2, depth=3, local_budget=0
+        ).take_all()
+    }
+    assert loc == dist
+    assert loc and all(v > 0 for v in loc.values())
