@@ -3581,7 +3581,7 @@ def random_walks(
             raise ValueError(
                 "random_walks: broadcast index packs (node, idx) into "
                 "int64 -- needs 0 <= node < 2^43 and outdeg < 2^20; "
-                "remap ids or raise the budget to force the join path"
+                "remap ids or lower the budget to force the join path"
             )
         order = np.lexsort((i_np, n_np))
         ref = ray.put(
@@ -5202,8 +5202,8 @@ def node2vec_walks(
         ):
             raise ValueError(
                 "node2vec_walks: broadcast membership packs (t, x) into "
-                "int64 -- needs 0 <= node < 2^32; remap ids or raise "
-                "the budget to force the join path"
+                "int64 -- needs 0 <= node < 2^32; remap ids or lower "
+                "the broadcast budget to force the join path"
             )
         i_np = tab["idx"].to_numpy(zero_copy_only=False)
         order = np.lexsort((i_np, n_np))
@@ -6719,6 +6719,17 @@ def pagerank_weighted_local(
     d = np.asarray(et["dst"].to_pylist(), np.int64)
     keep = s != d
     s, d = s[keep], d[keep]
+    if len(s) and (
+        s.min() < 0 or d.min() < 0
+        or s.max() >= 1 << 32 or d.max() >= 1 << 32
+    ):
+        # Same guard as the distributed canon(): ids outside [0, 2^32)
+        # would silently alias (src << 32) | dst pairs and break the
+        # documented bit-parity with pagerank_weighted.
+        raise ValueError(
+            "pagerank_weighted packs (src, dst) into int64 distinct "
+            "keys -- needs 0 <= node < 2^32; remap ids first"
+        )
     if len(s):
         pk = (s << np.int64(32)) | d
         _, first = np.unique(pk, return_index=True)
@@ -6769,6 +6780,17 @@ def _stress_solve_local(g: pa.Table, seeds: np.ndarray,
     d = g["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
     keep = s != d
     s, d = s[keep], d[keep]
+    if len(s) and (
+        s.min() < 0 or d.min() < 0
+        or s.max() >= 1 << 32 or d.max() >= 1 << 32
+    ):
+        # Mirror the distributed canon()'s guard so the budget-gated
+        # fast path cannot silently alias packed pairs where the
+        # distributed path would raise.
+        raise ValueError(
+            "stress_centrality_sampled packs (seed, node) into "
+            "int64 -- needs 0 <= node < 2^32; remap ids first"
+        )
     if len(s):
         pk = (s << np.int64(32)) | d
         _, first = np.unique(pk, return_index=True)

@@ -1990,14 +1990,21 @@ def scd2_intervals(
         }
         for c in attr_cols:
             cols[c] = b[c]
-        parts = [pc.cast(b[c], pa.string()) for c in attr_cols]
+        # Fill nulls PER COLUMN before joining: binary_join_element_wise
+        # emits null when ANY element is null, so a post-join fill would
+        # collapse every any-null tuple (('a', NULL) vs ('b', NULL)) to
+        # the same key and merge distinct attribute states into one run.
+        parts = [
+            pc.fill_null(pc.cast(b[c], pa.string()), "\x00NULL")
+            for c in attr_cols
+        ]
         if akey is None:
             akey = pc.binary_join_element_wise(
                 *parts, "\x1f"
             )
         else:
             akey = parts[0]
-        cols["_ak"] = pc.fill_null(akey, "\x00NULL")
+        cols["_ak"] = akey
         from ..functions.hashing import bucket_codes
 
         cols["_b"] = bucket_codes(pc.cast(ids, pa.string()), nb)

@@ -200,3 +200,42 @@ def test_stress_centrality_local_matches_distributed():
     }
     assert loc == dist
     assert loc and all(v > 0 for v in loc.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_local_fast_paths_raise_on_wide_ids():
+    """The budget-gated one-task fast paths must refuse ids >= 2^32
+    exactly like the distributed canon() does -- silent (src<<32)|dst
+    aliasing there would break the documented bit-parity."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from marc2rdf_ray.ops.graph import (pagerank_weighted_local,
+                                        stress_centrality_sampled)
+
+    wide = 1 << 32
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, wide], pa.int64()),
+                "dst": pa.array([wide, 0], pa.int64()),
+            }
+        )
+    )
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array([0, wide], pa.int64())})
+    )
+    with pytest.raises(ValueError, match="2\\^32"):
+        pagerank_weighted_local(edges, nodes, iterations=2)
+
+    edges2 = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, wide], pa.int64()),
+                "dst": pa.array([wide, 0], pa.int64()),
+            }
+        )
+    )
+    seeds = rd.from_arrow(pa.table({"s": pa.array([0], pa.int64())}))
+    with pytest.raises(ValueError, match="2\\^32"):
+        stress_centrality_sampled(edges2, seeds, depth=2).take_all()

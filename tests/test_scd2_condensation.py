@@ -85,3 +85,50 @@ def test_condensation_paths_agree():
     # distinct cross edges: 2->3, 2->4 => (scc 1 -> scc 3) with n=2
     assert got(256 << 20) == {(1, 3): 2}
     assert got(0) == {(1, 3): 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scd2_multi_attr_null_keys_distinct():
+    """('a', NULL) and ('b', NULL) must NOT compare equal: nulls are
+    filled per column BEFORE the composite join, so null position is
+    preserved in the key (regression for the any-null collapse where
+    binary_join_element_wise nulled the whole tuple)."""
+    import ray.data as rd
+
+    from marc2rdf_ray.ops.relational import scd2_intervals
+
+    rows = [
+        # key 1 alternates ('a', NULL) -> ('b', NULL) -> ('a', NULL):
+        # three distinct runs, not one merged run.
+        (1, "a", None, 0), (1, "b", None, 1), (1, "a", None, 2),
+        # key 2: (NULL, 'x') stable -> one current run.
+        (2, None, "x", 0), (2, None, "x", 1), (2, None, "x", 2),
+        # key 3: (NULL, NULL) -> ('a', 'x'): two runs.
+        (3, None, None, 0), (3, "a", "x", 1), (3, "a", "x", 2),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([r[0] for r in rows], pa.int64()),
+                "a1": pa.array([r[1] for r in rows], pa.string()),
+                "a2": pa.array([r[2] for r in rows], pa.string()),
+                "v": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+    )
+    got = {
+        (r["id"], r["a1"], r["a2"], r["eff_from"]):
+            (r["eff_to"], r["is_current"])
+        for r in scd2_intervals(
+            ds, id_col="id", attr_cols=["a1", "a2"], version_col="v",
+            max_version=2,
+        ).take_all()
+    }
+    assert got == {
+        (1, "a", None, 0): (1, 0),
+        (1, "b", None, 1): (2, 0),
+        (1, "a", None, 2): (None, 1),
+        (2, None, "x", 0): (None, 1),
+        (3, None, None, 0): (1, 0),
+        (3, "a", "x", 1): (None, 1),
+    }
