@@ -30,4 +30,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    from marc2rdf_ray.entry_queries import flagship_edges_oracle_sql
+
+    out = dict(ORACLE_SQL)
+    # built lazily: the SQL embeds the deterministic pages-fixture path and
+    # creating the fixture at import time would be a side effect
+    out["kg_flagship_edges"] = flagship_edges_oracle_sql()
+    return out

