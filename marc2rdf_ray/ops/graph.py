@@ -5445,6 +5445,23 @@ def node2vec_walks(
     )
 
 
+def _scc_priority(nodes: "np.ndarray") -> "np.ndarray":
+    """Packed (hash31(node) << 32) | node propagation priority for the
+    distributed SCC color rounds: a fixed splitmix64-style finalizer
+    (public constant mixing) makes argmax positions effectively random
+    for any input id layout, which is what lets pointer jumping compose
+    windows multiplicatively (a monotone-id ring defeats raw-id jumping:
+    every node's running max is itself).  Injective (low 32 bits are the
+    node id), deterministic, positive int64 (top bit clear: 31-bit hash
+    + 32-bit id < 2^63)."""
+    x = nodes.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    h = (x >> np.uint64(33)).astype(np.int64)
+    return (h << np.int64(32)) | nodes.astype(np.int64)
+
+
 def _scc_solve_local(g: pa.Table) -> pa.Table:
     """In-task exact SCC over the distinct directed simple edge list:
     iterative Tarjan (explicit stack, CSR adjacency), then each
@@ -5847,17 +5864,55 @@ def scc(
             ).materialize()
             assigned.append(labs)
             break
-        # (b) forward max-color propagation to fixpoint
+        # (b) forward max-PRIORITY propagation to fixpoint, with pointer-
+        # jump shortcutting (round-5 task #2: the synchronous rounds were
+        # Theta(core diameter)).  The propagated label is a packed
+        # (hash31(node) << 32) | node priority, NOT the raw id: with raw
+        # ids a monotone-id ring degenerates the pointer graph to
+        # self-loops (every node's running max is itself) and jumping
+        # saves nothing; a fixed hash makes the argmax positions
+        # effectively random for ANY input shape, so each jump composes
+        # windows multiplicatively -- expected O(log D) rounds
+        # (randomized-symmetry-breaking label propagation, public:
+        # hash-to-min family, Rastogi 2013; Shiloach-Vishkin jumping).
+        # Deterministic (the hash is fixed), exact (the packed key is
+        # injective; the class root is just the max-priority member).
         act_n = endpoints(act_e).materialize()
-        colors = act_n.map_batches(
-            lambda b: pa.table({"node": b["node"], "color": b["node"]}),
-            batch_format="pyarrow",
-        ).materialize()
-        from ray.data.aggregate import Sum
+
+        def prio_init(b: pa.Table) -> pa.Table:
+            n = b["node"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "color": pa.array(_scc_priority(n), pa.int64()),
+                }
+            )
+
+        _MASK = (1 << 32) - 1
 
         def colsum(c_ds):
-            t = c_ds.aggregate(Sum("color", alias_name="s"))
-            return int(t["s"]) if t and t["s"] is not None else 0
+            # monotone fingerprint of the color table: wrap-sum mod 2^64
+            # of the packed priorities.  Per-block partials reduced on
+            # the driver (one tiny row per block) -- a Sum aggregate of
+            # packed 63-bit values overflows int64 in the reduce and
+            # Ray degrades to pickled Python bigints.
+            parts = c_ds.map_batches(
+                lambda b: pa.table(
+                    {
+                        "s": pa.array(
+                            [int(
+                                b["color"]
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.uint64)
+                                .sum(dtype=np.uint64)
+                            ) if len(b) else 0],
+                            pa.uint64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ).take_all()
+            return sum(r["s"] for r in parts) & ((1 << 64) - 1)
 
         def max_combine(b: pa.Table) -> pa.Table:
             # per-batch (dst, max color) collapse ahead of the exchange
@@ -5876,59 +5931,117 @@ def scc(
                 }
             )
 
-        prev_fp = colsum(colors)
-        for _ in range(max_inner):
-            contrib = attach(
-                act_e, colors, "src", "ccol"
-            ).map_batches(max_combine, batch_format="pyarrow")
-            colors = (
-                colors.union(contrib)
-                .groupby("node")
-                .aggregate(Max("color", alias_name="color"))
-                .materialize()
-            )
+        def jump_compress(colors, phase: str):
+            """Pointer jumping: color[v] <- max(color[v],
+            color[node(color[v])]).  Sound because color values are
+            always priorities of nodes that REACH v (edge step: src
+            reaches dst; jump step: a reacher of my reacher reaches me,
+            transitively), so the fixpoint is unchanged.  Each jump is
+            one broadcast-or-join lookup on the node-sized color table
+            -- far cheaper than an edge relaxation.  Capped at 3
+            jumps/round: with the relax step that composes windows up to
+            ~8x per round while keeping per-round barrier count constant;
+            early-break when a jump is a no-op.  Correctness never
+            depends on the cap (the relax fixpoint test is the
+            convergence criterion)."""
             fp = colsum(colors)
-            if fp == prev_fp:
-                break
-            prev_fp = fp
-        else:
-            raise RuntimeError(
-                f"scc: colors not converged after {max_inner} rounds"
-            )
-        # (c) backward reachability from roots over intra-color edges
+            for _j in range(3):
+                keyed = colors.map_batches(
+                    lambda b: b.append_column(
+                        "cnode",
+                        pc.bit_wise_and(b["color"], pa.scalar(_MASK)),
+                    ),
+                    batch_format="pyarrow",
+                )
+                jumped = attach(keyed, colors, "cnode", "jc").map_batches(
+                    lambda b: pa.table(
+                        {
+                            "node": b["node"],
+                            "color": pc.max_element_wise(
+                                b["color"],
+                                pc.coalesce(b["jc"], b["color"]),
+                            ),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ).materialize()
+                fp2 = colsum(jumped)
+                colors = jumped
+                if fp2 == fp:
+                    break
+                fp = fp2
+            return colors
+
+        def maxprop(e_ds, phase: str):
+            """(node, color) fixpoint of color[v] = max over {v} and all
+            u with an e_ds path u->...->v, i.e. the max id that reaches v
+            -- one edge relaxation + jump compression per round, O(log
+            diameter) rounds total."""
+            colors = act_n.map_batches(
+                prio_init, batch_format="pyarrow"
+            ).materialize()
+            prev_fp = colsum(colors)
+            for r in range(max_inner):
+                contrib = attach(
+                    e_ds, colors, "src", "ccol"
+                ).map_batches(max_combine, batch_format="pyarrow")
+                colors = (
+                    colors.union(contrib)
+                    .groupby("node")
+                    .aggregate(Max("color", alias_name="color"))
+                    .materialize()
+                )
+                colors = jump_compress(colors, phase)
+                fp = colsum(colors)
+                if fp == prev_fp:
+                    logging.getLogger(__name__).info(
+                        "scc outer %d: %s converged in %d rounds",
+                        outer, phase, r + 1,
+                    )
+                    break
+                prev_fp = fp
+            else:
+                raise RuntimeError(
+                    f"scc: {phase} not converged after {max_inner} rounds"
+                )
+            return colors
+
+        colors = maxprop(act_e, "forward colors")
+        # (c) backward reachability from roots over intra-color edges,
+        # reformulated as the SAME jumped max-propagation on the REVERSED
+        # intra edges: rcolor[v] = max id v can reach within its color
+        # class.  Every class member's id is <= the root's (colors are
+        # monotone over own id), ids are unique, and the root's id equals
+        # the class color -- so v reaches its root iff rcolor[v] ==
+        # color[v].  This replaces the one-hop-per-round frontier
+        # semi-join (Theta(diameter) barriers) with O(log D) rounds.
         intra = attach(
             attach(act_e, colors, "src", "csrc"), colors, "dst", "cdst"
         ).filter(expr="csrc == cdst").map_batches(
             lambda b: b.select(["src", "dst"]), batch_format="pyarrow"
         ).materialize()
-        reached = colors.filter(expr="node == color").map_batches(
+        rev = intra.map_batches(
+            lambda b: pa.table({"src": b["dst"], "dst": b["src"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        rcolors = maxprop(rev, "backward reach").map_batches(
+            lambda b: pa.table({"node": b["node"], "rc": b["color"]}),
+            batch_format="pyarrow",
+        )
+        reached = attach(rcolors, colors, "node", "fcol").filter(
+            expr="rc == fcol"
+        ).map_batches(
             lambda b: b.select(["node"]), batch_format="pyarrow"
         ).materialize()
-        n_reached = reached.count()
-        for _ in range(max_inner):
-            grown = distinct_first(
-                reached.union(
-                    semi_join_filter(
-                        intra, reached, "dst", keys_col="node",
-                        broadcast_budget=broadcast_budget,
-                    ).map_batches(
-                        lambda b: pa.table({"node": b["src"]}),
-                        batch_format="pyarrow",
-                    )
-                ),
-                "node",
-            ).materialize()
-            n2 = grown.count()
-            reached = grown
-            if n2 == n_reached:
-                break
-            n_reached = n2
-        else:
-            raise RuntimeError(
-                f"scc: backward pass not converged after {max_inner} rounds"
-            )
+        # root = the node part of the packed class priority
         done = attach(reached, colors, "node", "root").map_batches(
-            lambda b: b.select(["node", "root"]), batch_format="pyarrow"
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "root": pc.bit_wise_and(b["root"], pa.scalar(_MASK)),
+                }
+            ),
+            batch_format="pyarrow",
         ).materialize()
         assigned.append(done)
         reached_s = reached.map_batches(

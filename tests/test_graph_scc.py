@@ -61,3 +61,30 @@ def test_scc_distributed_matches_local_on_md5_graph():
     from collections import Counter
 
     assert max(Counter(fast.values()).values()) > 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scc_deep_cycle_bounded_rounds():
+    """A 2048-cycle with in-tree tendrils, forced-distributed with a
+    round cap FAR under the diameter: without pointer-jump shortcutting
+    the color phase needs ~2048 relax rounds and raises; with it the
+    whole solve fits in max_inner=40 (round-5 task #2 acceptance)."""
+    from marc2rdf_ray.ops.graph import scc, scc_local
+
+    n = 2048
+    src = list(range(n))
+    dst = [(i + 1) % n for i in range(n)]
+    # tendrils: chains of depth 3 feeding into the cycle (trickle-trim
+    # fodder -- ids above the cycle so the cycle root is NOT the max id
+    # everywhere, exercising the class-id <= root invariant)
+    for i in range(0, n, 64):
+        a, b = n + 2 * (i // 64), n + 2 * (i // 64) + 1
+        src += [a, b]
+        dst += [b, i]
+    fast = _labels(scc_local(_ds(src, dst)))
+    slow = _labels(
+        scc(_ds(src, dst), local_core_budget=0, max_inner=40,
+            trim_min_frac=0.5)
+    )
+    assert fast == slow
+    assert slow[0] == 0 and slow[1000] == 0  # one big cycle component
