@@ -5938,14 +5938,14 @@ def scc(
             reaches dst; jump step: a reacher of my reacher reaches me,
             transitively), so the fixpoint is unchanged.  Each jump is
             one broadcast-or-join lookup on the node-sized color table
-            -- far cheaper than an edge relaxation.  Capped at 3
-            jumps/round: with the relax step that composes windows up to
-            ~8x per round while keeping per-round barrier count constant;
-            early-break when a jump is a no-op.  Correctness never
-            depends on the cap (the relax fixpoint test is the
+            -- far cheaper than an edge relaxation.  Exactly 2
+            jumps/round, no per-jump fingerprint: with the relax step
+            this composes windows up to ~4x per round at constant
+            per-round barrier count (a per-jump convergence probe was
+            measured to cost more than the jump itself).  Correctness
+            never depends on the count (the relax fixpoint test is the
             convergence criterion)."""
-            fp = colsum(colors)
-            for _j in range(3):
+            for _j in range(2):
                 keyed = colors.map_batches(
                     lambda b: b.append_column(
                         "cnode",
@@ -5953,7 +5953,7 @@ def scc(
                     ),
                     batch_format="pyarrow",
                 )
-                jumped = attach(keyed, colors, "cnode", "jc").map_batches(
+                colors = attach(keyed, colors, "cnode", "jc").map_batches(
                     lambda b: pa.table(
                         {
                             "node": b["node"],
@@ -5965,11 +5965,6 @@ def scc(
                     ),
                     batch_format="pyarrow",
                 ).materialize()
-                fp2 = colsum(jumped)
-                colors = jumped
-                if fp2 == fp:
-                    break
-                fp = fp2
             return colors
 
         def maxprop(e_ds, phase: str):

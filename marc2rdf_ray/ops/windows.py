@@ -64,6 +64,7 @@ def sessionize(
     gap_us: int = 1_800_000_000,
     num_buckets: int | None = None,
     with_end: bool = False,
+    segment_us: int | None = None,
 ):
     """Gap-based sessions per user -> one row per session:
     (user_id, session_start_us, n_events, sum_value_cents)
@@ -74,8 +75,27 @@ def sessionize(
     user exceeds ``gap_us``.  Money is aggregated on integer cents
     (bit-exact vs a SQL oracle).  One shuffle (hash(user) % B); inside
     each bucket a single lexsort + reduceat pass -- no Python per event,
-    no Python per user."""
+    no Python per user.
+
+    ``segment_us`` (round-5 task #3, the hot-key degradation the r3/r4
+    reviews asked for): when set, the shuffle key becomes (user, tus //
+    segment_us) so a pathological single-key firehose splits across MANY
+    tasks instead of OOMing one.  Each segment sessionizes independently;
+    a segment's interior sessions are final (they are fenced by >gap_us
+    gaps on both sides, and events outside the segment are farther still),
+    and only the O(2 per user per segment) boundary sessions go through a
+    second, tiny gap-merge pass -- output identical to the unsegmented
+    path (pytest-locked).  Requires ``segment_us >= gap_us`` (narrower
+    segments would make everything a boundary session; still correct,
+    just pointless)."""
     from ..functions.hashing import bucket_codes
+
+    if segment_us is not None and segment_us < gap_us:
+        raise ValueError(
+            f"sessionize: segment_us ({segment_us}) must be >= gap_us "
+            f"({gap_us}) -- narrower segments make every session a "
+            "boundary session and defeat the split"
+        )
 
     if num_buckets is None:
         try:
@@ -96,9 +116,17 @@ def sessionize(
                 "vc": sql_round_i64(b[value_col], 100.0),
             }
         )
-        return t.append_column(
-            "bucket", bucket_codes(pc.cast(t["u"], pa.string()), num_buckets)
-        )
+        if segment_us is None:
+            key = pc.cast(t["u"], pa.string())
+        else:
+            seg = pc.divide(t["tus"], pa.scalar(segment_us, pa.int64()))
+            t = t.append_column("seg", seg)
+            key = pc.binary_join_element_wise(
+                pc.cast(t["u"], pa.string()),
+                pc.cast(seg, pa.string()),
+                "#",
+            )
+        return t.append_column("bucket", bucket_codes(key, num_buckets))
 
     def sessions(group: pa.Table) -> pa.Table:
         u = np.asarray(group["u"].to_numpy(zero_copy_only=False), np.int64)
@@ -113,25 +141,103 @@ def sessionize(
             brk[1:] = (u[1:] != u[:-1]) | ((tus[1:] - tus[:-1]) > gap_us)
         starts = np.flatnonzero(brk)
         counts = np.diff(np.append(starts, len(u)))
+        s_start = tus[starts]
+        s_end = tus[starts + counts - 1]
         cols = {
             "user_id": pa.array(u[starts], pa.int64()),
-            "session_start_us": pa.array(tus[starts], pa.int64()),
+            "session_start_us": pa.array(s_start, pa.int64()),
             "n_events": pa.array(counts.astype(np.int64), pa.int64()),
             "sum_value_cents": pa.array(
                 np.add.reduceat(vc, starts), pa.int64()
             ),
         }
-        if with_end:
-            cols["session_end_us"] = pa.array(
-                tus[starts + counts - 1], pa.int64()
+        if with_end or segment_us is not None:
+            cols["session_end_us"] = pa.array(s_end, pa.int64())
+        if segment_us is not None:
+            # a session is FINAL iff no event in another segment could
+            # sit within gap_us of either end: its interior neighbors (in
+            # this group) are already fenced by >gap_us breaks, and any
+            # event beyond the segment edge is at least the edge distance
+            # away.  Conservative (<=) on both sides.
+            fin = (
+                (s_start % segment_us > gap_us)
+                & (segment_us - (s_end % segment_us) > gap_us)
             )
+            cols["fin"] = pa.array(fin.astype(np.int8), pa.int8())
         return pa.table(cols)
 
-    return (
+    base = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(sessions, batch_format="pyarrow")
     )
+    if segment_us is None:
+        return base
+
+    out_cols = [
+        "user_id", "session_start_us", "n_events", "sum_value_cents",
+    ] + (["session_end_us"] if with_end else [])
+
+    # session rows are tiny vs events; materialize once so the final /
+    # boundary branches do not re-execute the event shuffle (NOTES.md
+    # single-consumption trap)
+    mat = base.materialize()
+    final = mat.filter(expr="fin == 1").map_batches(
+        lambda b: b.select(out_cols), batch_format="pyarrow"
+    )
+    boundary = mat.filter(expr="fin == 0")
+
+    def bprep(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket2",
+            bucket_codes(pc.cast(b["user_id"], pa.string()), num_buckets),
+        )
+
+    def bmerge(group: pa.Table) -> pa.Table:
+        # gap-merge over boundary sessions: same maximal-run rule, on
+        # O(sessions-per-segment-edge) rows per user -- never on events
+        u = np.asarray(group["user_id"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        st = np.asarray(
+            group["session_start_us"].to_numpy(zero_copy_only=False),
+            np.int64)
+        en = np.asarray(
+            group["session_end_us"].to_numpy(zero_copy_only=False),
+            np.int64)
+        n = np.asarray(group["n_events"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        vc = np.asarray(
+            group["sum_value_cents"].to_numpy(zero_copy_only=False),
+            np.int64)
+        order = np.lexsort((st, u))
+        u, st, en, n, vc = (u[order], st[order], en[order], n[order],
+                            vc[order])
+        brk = np.empty(len(u), bool)
+        brk[:1] = True
+        if len(u) > 1:
+            brk[1:] = (u[1:] != u[:-1]) | ((st[1:] - en[:-1]) > gap_us)
+        starts2 = np.flatnonzero(brk)
+        counts2 = np.diff(np.append(starts2, len(u)))
+        cols = {
+            "user_id": pa.array(u[starts2], pa.int64()),
+            "session_start_us": pa.array(st[starts2], pa.int64()),
+            "n_events": pa.array(np.add.reduceat(n, starts2), pa.int64()),
+            "sum_value_cents": pa.array(
+                np.add.reduceat(vc, starts2), pa.int64()
+            ),
+        }
+        if with_end:
+            cols["session_end_us"] = pa.array(
+                en[starts2 + counts2 - 1], pa.int64()
+            )
+        return pa.table(cols)
+
+    merged = (
+        boundary.map_batches(bprep, batch_format="pyarrow")
+        .groupby("bucket2")
+        .map_groups(bmerge, batch_format="pyarrow")
+    )
+    return final.union(merged)
 
 
 def sliding_window(
@@ -243,6 +349,8 @@ def running_totals(
     id_col: str = "event_id",
     value_col: str = "value",
     num_buckets: int | None = None,
+    segment_us: int | None = None,
+    carry_broadcast_budget: int = 256 << 20,
 ):
     """Per-key cumulative window aggregate -- SQL's ``SUM(v) OVER
     (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`` -- as a
@@ -254,7 +362,15 @@ def running_totals(
 
     Partitioning assumption (custom-operator rule): one key's rows fit
     one task (the sessionize/sliding_window assumption; keys are users,
-    so the per-key row count is human-bounded)."""
+    so the per-key row count is human-bounded).
+
+    ``segment_us`` (round-5 task #3): when set, the shuffle key becomes
+    (key, tus // segment_us), so a firehose key splits across many tasks.
+    Cumulative sums then run in the classic two-phase distributed scan:
+    per-segment local cumsums, then an O(#(key, segment)) exclusive
+    prefix of segment totals per key, carried back into every row by a
+    broadcast-or-join lookup.  Output identical to the unsegmented path
+    (pytest-locked)."""
     from ..functions.hashing import bucket_codes
     from ..functions.numeric import sql_round_i64
 
@@ -275,22 +391,39 @@ def running_totals(
                 "vc": sql_round_i64(b[value_col], 100.0),
             }
         )
-        return t.append_column(
-            "bucket", bucket_codes(pc.cast(t["u"], pa.string()), num_buckets)
-        )
+        if segment_us is None:
+            key = pc.cast(t["u"], pa.string())
+        else:
+            seg = pc.divide(t["tus"], pa.scalar(segment_us, pa.int64()))
+            t = t.append_column("seg", seg)
+            key = pc.binary_join_element_wise(
+                pc.cast(t["u"], pa.string()),
+                pc.cast(seg, pa.string()),
+                "#",
+            )
+        return t.append_column("bucket", bucket_codes(key, num_buckets))
 
     def cumulate(group: pa.Table) -> pa.Table:
         u = group["u"].to_numpy(zero_copy_only=False)
         tus = group["tus"].to_numpy(zero_copy_only=False)
         ids = group["id"].to_numpy(zero_copy_only=False)
         vc = group["vc"].to_numpy(zero_copy_only=False)
+        # segmented: the cumsum break is (key, segment) -- a bucket may
+        # hold non-contiguous segments of one key, so a plain per-key
+        # cumsum would be wrong; the carry pass restores the global scan
+        segv = (tus // segment_us) if segment_us is not None else None
         order = np.lexsort((ids, tus, u))
         u, tus, ids, vc = u[order], tus[order], ids[order], vc[order]
-        _warn_hot_keys("running_totals", u)
+        if segv is not None:
+            segv = segv[order]
+        if segment_us is None:
+            _warn_hot_keys("running_totals", u)
         brk = np.empty(len(u), bool)
         brk[:1] = True
         if len(u) > 1:
             brk[1:] = u[1:] != u[:-1]
+            if segv is not None:
+                brk[1:] |= segv[1:] != segv[:-1]
         starts = np.flatnonzero(brk)
         cum_v = np.cumsum(vc)
         cum_n = np.arange(1, len(u) + 1, dtype=np.int64)
@@ -299,20 +432,180 @@ def running_totals(
         base_n = np.concatenate(([0], cum_n))[starts]
         seg = np.repeat(np.arange(len(starts)), np.diff(
             np.append(starts, len(u))))
-        return pa.table(
-            {
-                "event_id": pa.array(ids, pa.int64()),
-                "user_id": pa.array(u, pa.int64()),
-                "ts_us": pa.array(tus, pa.int64()),
-                "running_cnt": pa.array(cum_n - base_n[seg], pa.int64()),
-                "running_cents": pa.array(cum_v - base_v[seg], pa.int64()),
-            }
-        )
+        rc_n = cum_n - base_n[seg]
+        rc_v = cum_v - base_v[seg]
+        cols = {
+            "event_id": pa.array(ids, pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "ts_us": pa.array(tus, pa.int64()),
+            "running_cnt": pa.array(rc_n, pa.int64()),
+            "running_cents": pa.array(rc_v, pa.int64()),
+        }
+        if segv is not None:
+            # one summary row per (key, segment) carrying the segment
+            # totals (the LAST running row -- a Max aggregate over
+            # running_cents would be wrong for negative values)
+            ends = starts + np.diff(np.append(starts, len(u))) - 1
+            cols["seg"] = pa.array(segv, pa.int64())
+            cols["is_sum"] = pa.array(
+                np.zeros(len(u), np.int8), pa.int8()
+            )
+            data = pa.table(cols)
+            summ = pa.table(
+                {
+                    "event_id": pa.array(ids[ends], pa.int64()),
+                    "user_id": pa.array(u[ends], pa.int64()),
+                    "ts_us": pa.array(tus[ends], pa.int64()),
+                    "running_cnt": pa.array(rc_n[ends], pa.int64()),
+                    "running_cents": pa.array(rc_v[ends], pa.int64()),
+                    "seg": pa.array(segv[ends], pa.int64()),
+                    "is_sum": pa.array(
+                        np.ones(len(ends), np.int8), pa.int8()
+                    ),
+                }
+            )
+            return pa.concat_tables([data, summ])
+        return pa.table(cols)
 
-    return (
+    scanned = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(cumulate, batch_format="pyarrow")
+    )
+    if segment_us is None:
+        return scanned
+
+    import ray
+
+    all_rows = scanned.materialize()
+    scanned = all_rows.filter(expr="is_sum == 0")
+    # segment totals: the summary rows cumulate emitted -- exactly one
+    # per (key, segment) per bucket; O(#(key, segment)) rows from here on
+    totals = all_rows.filter(expr="is_sum == 1").map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "seg": b["seg"],
+                "tn": b["running_cnt"],
+                "tv": b["running_cents"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def offsets(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        sg = group["seg"].to_numpy(zero_copy_only=False)
+        tn = group["tn"].to_numpy(zero_copy_only=False)
+        tv = group["tv"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sg, u))
+        u, sg, tn, tv = u[order], sg[order], tn[order], tv[order]
+        brk = np.empty(len(u), bool)
+        brk[:1] = True
+        if len(u) > 1:
+            brk[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(brk)
+        cum_n = np.cumsum(tn)
+        cum_v = np.cumsum(tv)
+        base_n = np.concatenate(([0], cum_n))[starts]
+        base_v = np.concatenate(([0], cum_v))[starts]
+        segix = np.repeat(np.arange(len(starts)), np.diff(
+            np.append(starts, len(u))))
+        # exclusive prefix: total of all EARLIER segments of this key
+        off_n = np.concatenate(([0], cum_n))[np.arange(len(u))] - base_n[segix]
+        off_v = np.concatenate(([0], cum_v))[np.arange(len(u))] - base_v[segix]
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "seg": pa.array(sg, pa.int64()),
+                "off_n": pa.array(off_n, pa.int64()),
+                "off_v": pa.array(off_v, pa.int64()),
+            }
+        )
+
+    def tprep(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket2",
+            bucket_codes(pc.cast(b["user_id"], pa.string()), num_buckets),
+        )
+
+    offs = (
+        totals.map_batches(tprep, batch_format="pyarrow")
+        .groupby("bucket2")
+        .map_groups(offsets, batch_format="pyarrow")
+    ).materialize()
+
+    out_cols = ["event_id", "user_id", "ts_us", "running_cnt",
+                "running_cents"]
+    if offs.size_bytes() <= carry_broadcast_budget:
+        tabs = [t for t in ray.get(offs.to_arrow_refs()) if t.num_rows]
+        tab = (pa.concat_tables(tabs, promote_options="default")
+               if tabs else pa.table({"user_id": [], "seg": [],
+                                      "off_n": [], "off_v": []}))
+        ou = tab["user_id"].to_numpy(zero_copy_only=False)
+        osg = tab["seg"].to_numpy(zero_copy_only=False)
+        on = tab["off_n"].to_numpy(zero_copy_only=False)
+        ov = tab["off_v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((osg, ou))
+        pair_dt = np.dtype([("u", np.int64), ("s", np.int64)])
+        pairs = np.empty(len(ou), pair_dt)
+        pairs["u"], pairs["s"] = ou[order], osg[order]
+        ref = ray.put({"p": pairs, "n": on[order], "v": ov[order]})
+
+        def carry(b: pa.Table) -> pa.Table:
+            a = ray.get(ref)
+            u = b["user_id"].to_numpy(zero_copy_only=False)
+            sg = b["seg"].to_numpy(zero_copy_only=False)
+            # exact lexicographic binary search on the structured pair
+            # key (every (user, seg) of a data row has a summary row, so
+            # the hit is guaranteed)
+            q = np.empty(len(u), a["p"].dtype)
+            q["u"], q["s"] = u, sg
+            pos = np.searchsorted(a["p"], q)
+            return pa.table(
+                {
+                    "event_id": b["event_id"],
+                    "user_id": b["user_id"],
+                    "ts_us": b["ts_us"],
+                    "running_cnt": pa.array(
+                        b["running_cnt"].to_numpy(zero_copy_only=False)
+                        + a["n"][pos], pa.int64()),
+                    "running_cents": pa.array(
+                        b["running_cents"].to_numpy(zero_copy_only=False)
+                        + a["v"][pos], pa.int64()),
+                }
+            )
+
+        return scanned.map_batches(carry, batch_format="pyarrow")
+
+    from .dedup import normalize_join_blocks
+
+    nparts = max(2, min(32, num_buckets // 4))
+    joined = normalize_join_blocks(scanned, nparts).join(
+        normalize_join_blocks(
+            offs.map_batches(
+                lambda b: pa.table(
+                    {"_ju": b["user_id"], "_js": b["seg"],
+                     "off_n": b["off_n"], "off_v": b["off_v"]}
+                ),
+                batch_format="pyarrow",
+            ),
+            nparts,
+        ),
+        join_type="inner", num_partitions=nparts,
+        on=("user_id", "seg"), right_on=("_ju", "_js"),
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": b["ts_us"],
+                "running_cnt": pc.add(b["running_cnt"], b["off_n"]),
+                "running_cents": pc.add(b["running_cents"], b["off_v"]),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
