@@ -344,6 +344,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kg_chain_language",
         "kg_inferred_types",
         "kg_update_language",
+        "kg_planner_mixed",
         "graph_ktruss",
         "events_click_error_overlap",
         "ann_pq_topk",

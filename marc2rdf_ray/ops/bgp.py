@@ -897,3 +897,216 @@ def bgp_minus(
     return anti_join_filter(
         bindings, keys, "subj", broadcast_budget=broadcast_limit_bytes
     )
+
+
+# -- general BGP planner ----------------------------------------------------
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def bgp_match(
+    triples_ds,
+    patterns,
+    *,
+    out_vars=None,
+    stats=None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    num_partitions: int | None = None,
+    broadcast_limit_bytes: int = 256 << 20,
+):
+    """General BGP planner (round-5 task #5): accept an ARBITRARY list of
+    triple patterns ``(s, p, o)`` -- variables are ``"?name"`` strings,
+    anything else is a constant -- order the joins by per-pattern
+    selectivity, and execute with the module's scan/join machinery.  The
+    reference's rule surface is arbitrary SPARQL text (rule.rb:79-92);
+    this closes the 'each shape is a hand-built pipeline' gap for the
+    conjunctive (BGP) core.  Returns DISTINCT bindings, one column per
+    variable in ``out_vars`` (default: every variable, first-appearance
+    order).
+
+    Plan:
+    - ONE scan pass lowers every pattern to slim (pattern-id, subj, obj)
+      rows; constant subjects/objects and ``?x p ?x`` self-equality
+      filter AT THE SCAN, so non-matching triples never leave it;
+    - per-pattern cardinalities come from ``stats`` (a
+      :func:`predicate_stats` result) when given, else from one cheap
+      per-block count of the materialized scan;
+    - greedy join order: start at the smallest pattern, repeatedly join
+      the smallest not-yet-joined pattern that shares a variable with
+      the bound set (connected BGPs only -- a disconnected pattern group
+      is a cross product and raises);
+    - each join is broadcast-or-distributed under
+      ``broadcast_limit_bytes`` on the shared variable column(s);
+    - one final global distinct gives SPARQL set semantics (duplicate
+      triples multiply through joins exactly as in SPARQL bags; the
+      distinct collapses them, as in the star/chain executors).
+
+    Predicates must be constants (true of every reference mapping rule;
+    a variable-predicate pattern raises NotImplementedError).
+    """
+    import ray
+
+    from .dedup import normalize_join_blocks
+
+    if not patterns:
+        raise ValueError("bgp_match needs at least one pattern")
+    pats = [tuple(p) for p in patterns]
+    for s, p, o in pats:
+        if _is_var(p):
+            raise NotImplementedError(
+                f"variable predicate {p!r}: the planner dispatches on "
+                "constant predicates (every reference mapping rule has "
+                "one); lower a variable-predicate query per predicate"
+            )
+        if not (_is_var(s) or _is_var(o)):
+            raise ValueError(
+                f"pattern {(s, p, o)!r} binds no variable; drop it or "
+                "bind at least one term"
+            )
+    # variables per pattern, in (subj, obj) position order
+    pat_vars = []
+    for s, p, o in pats:
+        vs = [s[1:]] if _is_var(s) else []
+        vo = [o[1:]] if _is_var(o) else []
+        pat_vars.append((vs, vo))
+    all_vars = []
+    for vs, vo in pat_vars:
+        for v in vs + vo:
+            if v not in all_vars:
+                all_vars.append(v)
+    out_vars = list(out_vars) if out_vars is not None else all_vars
+
+    preds_arr = pa.array([p for _, p, _ in pats], pa.string())
+
+    def scan(b: pa.Table) -> pa.Table:
+        subj = pc.cast(b[subj_col], pa.string())
+        pred = b[pred_col]
+        obj = pc.cast(b[obj_col], pa.string())
+        outs = []
+        for i, (s, p, o) in enumerate(pats):
+            mask = pc.equal(pred, pa.scalar(p))
+            if not _is_var(s):
+                mask = pc.and_(mask, pc.equal(subj, pa.scalar(s)))
+            if not _is_var(o):
+                mask = pc.and_(mask, pc.equal(obj, pa.scalar(o)))
+            if _is_var(s) and _is_var(o) and s == o:
+                mask = pc.and_(mask, pc.equal(subj, obj))
+            outs.append(
+                pa.table(
+                    {
+                        "pi": pa.array(
+                            np.full(
+                                len(fs := subj.filter(mask)), i, np.int8
+                            ),
+                            pa.int8(),
+                        ),
+                        "s": fs,
+                        "o": obj.filter(mask),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    hops = triples_ds.map_batches(scan, batch_format="pyarrow").materialize()
+
+    # per-pattern cardinality estimates
+    est = [0] * len(pats)
+    if stats is not None:
+        srows = (stats.to_pylist() if isinstance(stats, pa.Table)
+                 else stats.take_all())
+        by_pred = {r["pred"]: int(r["n_triples"]) for r in srows}
+        for i, (_, p, _) in enumerate(pats):
+            est[i] = by_pred.get(p, 0)
+    else:
+        parts = hops.map_batches(
+            lambda b: pa.table(
+                {
+                    "pi": (g := b.group_by(["pi"], use_threads=False)
+                           .aggregate([("pi", "count")]))["pi"],
+                    "n": g["pi_count"],
+                }
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        for r in parts:
+            est[r["pi"]] += int(r["n"])
+
+    def pat_table(i: int):
+        """Binding columns of pattern i, locally deduped."""
+        vs, vo = pat_vars[i]
+        cols = ([(v, "s") for v in vs] + [(v, "o") for v in vo])
+        # drop duplicate column when ?x p ?x
+        seen, keep = set(), []
+        for v, src in cols:
+            if v not in seen:
+                seen.add(v)
+                keep.append((v, src))
+
+        def pick(t: pa.Table, _i=i, _keep=tuple(keep)) -> pa.Table:
+            f = t.filter(pc.equal(t["pi"], pa.scalar(_i, pa.int8())))
+            out = pa.table({v: f[src] for v, src in _keep})
+            return out.group_by(out.column_names,
+                                use_threads=False).aggregate([])
+
+        return hops.map_batches(pick, batch_format="pyarrow")
+
+    # greedy connected join order
+    order = [int(np.argmin(est))]
+    used = set(order)
+    bound = set()
+    vs0, vo0 = pat_vars[order[0]]
+    bound.update(vs0 + vo0)
+    while len(used) < len(pats):
+        cands = [
+            i for i in range(len(pats))
+            if i not in used
+            and (set(pat_vars[i][0] + pat_vars[i][1]) & bound)
+        ]
+        if not cands:
+            raise NotImplementedError(
+                "disconnected BGP (cross product between pattern groups) "
+                "is not supported; split the query per connected group"
+            )
+        nxt = min(cands, key=lambda i: est[i])
+        order.append(nxt)
+        used.add(nxt)
+        bound.update(pat_vars[nxt][0] + pat_vars[nxt][1])
+
+    np_ = num_partitions or max(
+        2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    )
+    acc = pat_table(order[0])
+    acc_vars = set(pat_vars[order[0]][0] + pat_vars[order[0]][1])
+    for i in order[1:]:
+        side_vars = set(pat_vars[i][0] + pat_vars[i][1])
+        on = sorted(acc_vars & side_vars)
+        side = pat_table(i).materialize()
+        if (side.size_bytes() or 0) <= broadcast_limit_bytes:
+            stab = pa.concat_tables(
+                ray.get(side.to_arrow_refs()), promote_options="default"
+            )
+            sref = ray.put(stab)
+
+            def attach(b: pa.Table, _ref=sref, _on=tuple(on)) -> pa.Table:
+                return b.join(ray.get(_ref), keys=list(_on),
+                              join_type="inner", use_threads=False)
+
+            acc = acc.map_batches(attach, batch_format="pyarrow")
+        else:
+            acc = normalize_join_blocks(acc, np_).join(
+                normalize_join_blocks(side, np_),
+                join_type="inner", num_partitions=np_,
+                on=tuple(on), right_on=tuple(on),
+            )
+        acc_vars |= side_vars
+    missing = [v for v in out_vars if v not in acc_vars]
+    if missing:
+        raise ValueError(f"out_vars not bound by any pattern: {missing}")
+    return (
+        acc.groupby(list(out_vars))
+        .count()
+        .select_columns(list(out_vars))
+    )
