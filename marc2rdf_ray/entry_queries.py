@@ -14667,3 +14667,47 @@ FROM sameas sa
 JOIN langs l ON l.s = sa.o
 JOIN srcs r ON r.s = sa.o
 """
+
+
+# -- real-decoder multimodal contract query (round-5 task #6) --------------
+
+def multimodal_bmp_decode(sf_dir: str):
+    """REAL (non-fake) decode through the DecodeStub injection point:
+    genuine uncompressed 24-bit BMP payloads (stdlib-synthesized,
+    sha256-derived dimensions, every 16th truncated mid-pixel-array) are
+    parsed by ops/multimodal.bmp_decoder -- an actual BMP header parser,
+    not the fake-magic shortcut -- through the same actor-pool stage a
+    PIL-backed decoder would use.  The oracle replays the sha256
+    dimension derivation and the deterministic corruption pattern."""
+    import ray.data as rd
+
+    from .ops.multimodal import DecodeStub, bmp_decoder, synth_bmp_table
+
+    ds = rd.from_arrow(synth_bmp_table(200))
+    return ds.map_batches(
+        DecodeStub,
+        fn_constructor_kwargs={"decoder": bmp_decoder()},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+
+
+QUERIES["multimodal_bmp_decode"] = multimodal_bmp_decode
+
+ORACLE_SQL["multimodal_bmp_decode"] = """
+WITH t AS (
+  SELECT i,
+    CAST(('0x' || substr(sha256('42:' || CAST(i AS VARCHAR)), 1, 2))
+         AS INTEGER) AS b0,
+    CAST(('0x' || substr(sha256('42:' || CAST(i AS VARCHAR)), 3, 2))
+         AS INTEGER) AS b1,
+    (i % 16 = 15) AS corrupt
+  FROM range(200) r(i)
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+  CAST(CASE WHEN corrupt THEN 0 ELSE 64 + b0 % 64 END AS INTEGER) AS width,
+  CAST(CASE WHEN corrupt THEN 0 ELSE 64 + b1 % 64 END AS INTEGER) AS height,
+  NOT corrupt AS decode_ok
+FROM t
+"""

@@ -74,6 +74,78 @@ def pil_resizer():
 
     return resize
 
+def bmp_decoder():
+    """-> callable(payload: bytes) -> (width, height) | None -- a REAL
+    pure-stdlib decoder for uncompressed BMP (round-5 task #6: proves the
+    DecodeStub injection point end-to-end on genuine bytes, not the
+    fake-header parse).  Parses BITMAPFILEHEADER ('BM' magic) +
+    BITMAPINFOHEADER (width int32 LE at 18, height int32 LE at 22 --
+    negative height = top-down rows, size is abs) and validates that the
+    declared pixel-array offset and row payload fit the buffer; anything
+    malformed returns None (decode_ok False downstream)."""
+
+    def decode(payload: bytes):
+        p = payload or b""
+        if len(p) < 54 or p[:2] != b"BM":
+            return None
+        try:
+            file_sz, _r1, _r2, pix_off = struct.unpack("<IHHI", p[2:14])
+            hdr_sz, w, h = struct.unpack("<Iii", p[14:26])
+            planes, bpp = struct.unpack("<HH", p[26:30])
+        except struct.error:
+            return None
+        if hdr_sz < 40 or planes != 1 or bpp not in (8, 24, 32):
+            return None
+        ah = abs(h)
+        if w <= 0 or ah == 0 or w > 1 << 20 or ah > 1 << 20:
+            return None
+        row_bytes = ((w * bpp + 31) // 32) * 4
+        if pix_off < 14 + hdr_sz or pix_off + row_bytes * ah > len(p):
+            return None
+        return (w, ah)
+
+    return decode
+
+
+def synth_bmp_table(n: int, seed: int = 42,
+                    corrupt_every: int = 16) -> pa.Table:
+    """REAL uncompressed 24-bit BMP payloads (pure stdlib): dimensions
+    derive from sha256(seed:i) exactly like :func:`synth_media_table`
+    (w = 64 + b0 % 64, h = 64 + b1 % 64), pixel rows are the sha256
+    stream padded to the BMP 4-byte row boundary.  Every
+    ``corrupt_every``-th row is TRUNCATED mid-pixel-array (a real-world
+    short read), so the decoder's failure path is exercised
+    deterministically."""
+    rows = []
+    for i in range(n):
+        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        w, ht = 64 + h[0] % 64, 64 + h[1] % 64
+        row_bytes = ((w * 3 + 3) // 4) * 4
+        pix = (h * (row_bytes * ht // len(h) + 1))[: row_bytes * ht]
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+            + struct.pack("<Iii", 40, w, ht)
+            + struct.pack("<HH", 1, 24)
+            + struct.pack("<IIiiII", 0, len(pix), 2835, 2835, 0, 0)
+        )
+        payload = header + pix
+        if corrupt_every and i % corrupt_every == corrupt_every - 1:
+            payload = payload[: 54 + row_bytes]  # short read: 1 row only
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "image",
+                "payload": payload,
+                "mime": "image/bmp",
+                "width": 0,
+                "height": 0,
+                "duration_ms": 0,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),

@@ -5670,3 +5670,49 @@ class TestIncrementalMinhashDedup:
             ).take_all()
         )
         assert k3 == [21]  # 20 is a near copy of kept doc 7's twin 11
+
+
+class TestBmpDecoder:
+    """Real stdlib BMP decode through the injection point (round-5 #6)."""
+
+    def test_decodes_real_bmp_headers(self):
+        from marc2rdf_ray.ops.multimodal import bmp_decoder, synth_bmp_table
+
+        dec = bmp_decoder()
+        t = synth_bmp_table(32, corrupt_every=16)
+        import hashlib as _h
+
+        for i, p in enumerate(t["payload"].to_pylist()):
+            h = _h.sha256(f"42:{i}".encode()).digest()
+            want = (64 + h[0] % 64, 64 + h[1] % 64)
+            if i % 16 == 15:
+                assert dec(p) is None  # truncated pixel array
+            else:
+                assert dec(p) == want
+
+    def test_rejects_malformed(self):
+        import struct
+
+        from marc2rdf_ray.ops.multimodal import bmp_decoder
+
+        dec = bmp_decoder()
+        assert dec(b"") is None
+        assert dec(b"not a bmp at all" * 10) is None
+        assert dec(b"BM" + b"\0" * 52) is None  # zero dims
+        # top-down BMP (negative height) decodes with abs(height)
+        w, ht = 4, 3
+        row = ((w * 3 + 3) // 4) * 4
+        pix = bytes(range(row))[:row] * ht
+        hdr = (b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+               + struct.pack("<Iii", 40, w, -ht)
+               + struct.pack("<HH", 1, 24)
+               + struct.pack("<IIiiII", 0, len(pix), 0, 0, 0, 0))
+        assert dec(hdr + pix) == (w, ht)
+
+    def test_stub_still_raises_without_injection(self):
+        import pytest as _pytest
+
+        from marc2rdf_ray.ops.multimodal import DecodeStub
+
+        with _pytest.raises(NotImplementedError):
+            DecodeStub()
