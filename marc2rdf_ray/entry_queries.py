@@ -14711,3 +14711,211 @@ SELECT CAST(i AS BIGINT) AS media_id,
   NOT corrupt AS decode_ok
 FROM t
 """
+
+
+# -- incremental corpus flagship contract query (round-5 task #8) ----------
+
+def corpus_incremental_sync(sf_dir: str):
+    """The incremental corpus-flagship driver
+    (pipelines/corpus.sync_corpus_windows) over a two-window arrival:
+
+      window 0 = the documents table;
+      window 1 = exact copies at +1e6 (exact cross-window dedup), last-
+      word-dropped copies at +2e6 (near-dup band collision vs the kept
+      window-0 corpus), word-REVERSED copies at +3e6 (genuinely new docs
+      that must pack-APPEND after window 0 with continuing offsets).
+
+    The DuckDB oracle replays the incremental policies exactly: per-
+    window min-id exact dedup + state-hash anti-join, the verification-
+    free drop-on-band-collision rule (within window and vs the committed
+    band state), the fused prep chain, and the per-split pack prefix sum
+    in doc-id order (== window order here, since window-1 ids are all
+    larger)."""
+    import os
+    import tempfile
+
+    from .pipelines.corpus import CorpusConfig, sync_corpus_windows
+
+    def block_spans(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % 40 == 0))
+        s = pc.utf8_slice_codeunits(t["text"], 0, 48)
+        out = pa.table({"s": s})
+        return out.filter(pc.not_equal(pc.coalesce(out["s"], ""), ""))
+
+    spans = [
+        r["s"]
+        for r in _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(block_spans, batch_format="pyarrow")
+        .take_all()
+    ]
+    cfg = CorpusConfig(
+        min_tokens=20, blocked_spans=tuple(sorted(spans)),
+        num_partitions=16,
+    )
+
+    def shifted(delta: int, mode: str):
+        base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def shift(b: pa.Table) -> pa.Table:
+            texts = b["text"].to_pylist()
+            if mode == "lastword":
+                texts = [" ".join((t or "").split()[:-1]) for t in texts]
+            elif mode == "reversed":
+                texts = [" ".join(reversed((t or "").split()))
+                         for t in texts]
+            return pa.table(
+                {
+                    "doc_id": pc.cast(
+                        pc.add(b["doc_id"], pa.scalar(delta)), pa.int64()
+                    ),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+
+        return base.map_batches(shift, batch_format="pyarrow")
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as tmp:
+        w0 = os.path.join(tmp, "win", "w000")
+        w1 = os.path.join(tmp, "win", "w001")
+        _read(sf_dir, "documents",
+              columns=["doc_id", "text"]).write_parquet(w0)
+        shifted(1000000, "copy").union(
+            shifted(2000000, "lastword"), shifted(3000000, "reversed")
+        ).write_parquet(w1)
+        out = os.path.join(tmp, "clean")
+        sync_corpus_windows(os.path.join(tmp, "win"), out, cfg)
+        parts = sorted(
+            os.path.join(out, d, "docs.parquet")
+            for d in os.listdir(out)
+            if d.startswith("part=")
+        )
+        tab = pa.concat_tables(pq.read_table(p) for p in parts)
+    return tab.select(
+        ["doc_id", "text", "lang_pred", "n_tokens", "split",
+         "start_offset", "pack_id"]
+    )
+
+
+QUERIES["corpus_incremental_sync"] = corpus_incremental_sync
+
+_REVWORD_SQL = r"""array_to_string(
+    list_reverse(regexp_extract_all(text, '\S+')), ' ')"""
+
+ORACLE_SQL["corpus_incremental_sync"] = (
+    rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, {_LASTWORD_SQL} FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, {_REVWORD_SQL} FROM documents
+),
+-- window 0 exact: min id per content hash
+e1 AS (
+  SELECT MIN(doc_id) AS doc_id FROM corpus WHERE doc_id < 1000000
+  GROUP BY md5(COALESCE(text, ''))
+),
+h1 AS (
+  SELECT DISTINCT md5(COALESCE(c.text, '')) AS h
+  FROM corpus c JOIN e1 USING (doc_id)
+),
+-- window 1 exact: min id per hash within the window, then state anti-join
+e2w AS (
+  SELECT MIN(doc_id) AS doc_id, md5(COALESCE(text, '')) AS h
+  FROM corpus WHERE doc_id >= 1000000
+  GROUP BY md5(COALESCE(text, ''))
+),
+e2 AS (
+  SELECT doc_id FROM e2w WHERE h NOT IN (SELECT h FROM h1)
+),
+d1 AS (
+  SELECT c.doc_id, c.text FROM corpus c
+  WHERE c.doc_id IN (SELECT doc_id FROM e1)
+     OR c.doc_id IN (SELECT doc_id FROM e2)
+),
+"""
+    + _minhash_ctes_over("d1")
+    + r""",
+-- window 0 band policy: drop on any shared bucket with a smaller id
+w1b AS (SELECT doc_id, band, bh FROM bands WHERE doc_id < 1000000),
+w1drop AS (
+  SELECT DISTINCT n.doc_id FROM w1b n
+  JOIN w1b m ON m.band = n.band AND m.bh = n.bh AND m.doc_id < n.doc_id
+),
+s1 AS (SELECT DISTINCT doc_id FROM w1b
+       WHERE doc_id NOT IN (SELECT doc_id FROM w1drop)),
+state1 AS (
+  SELECT b.band, b.bh FROM bands b JOIN s1 USING (doc_id)
+),
+w2b AS (SELECT doc_id, band, bh FROM bands WHERE doc_id >= 1000000),
+w2dropw AS (
+  SELECT DISTINCT n.doc_id FROM w2b n
+  JOIN w2b m ON m.band = n.band AND m.bh = n.bh AND m.doc_id < n.doc_id
+),
+w2dropx AS (
+  SELECT DISTINCT n.doc_id FROM w2b n
+  JOIN state1 p ON p.band = n.band AND p.bh = n.bh
+),
+s2 AS (
+  SELECT DISTINCT doc_id FROM w2b
+  WHERE doc_id NOT IN (SELECT doc_id FROM w2dropw)
+    AND doc_id NOT IN (SELECT doc_id FROM w2dropx)
+),
+d2 AS (
+  SELECT d1.doc_id, d1.text FROM d1
+  WHERE d1.doc_id IN (SELECT doc_id FROM s1)
+     OR d1.doc_id IN (SELECT doc_id FROM s2)
+),
+"""
+    + _langid_ctes_over("d2")
+    + r""",
+spans AS (SELECT substr(text, 1, 48) AS s FROM documents
+          WHERE doc_id % 40 = 0 AND substr(text, 1, 48) <> ''),
+d3 AS (
+  SELECT d2.doc_id, d2.text, lid.lang_pred
+  FROM d2 JOIN lid USING (doc_id)
+  WHERE lid.lang_pred <> 'und'
+    AND NOT EXISTS (SELECT 1 FROM spans WHERE contains(d2.text, spans.s))
+),
+red AS (
+  SELECT doc_id, lang_pred,
+    regexp_replace(
+        regexp_replace(COALESCE(text, ''),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+            '[EMAIL]', 'g'),
+        '[0-9]{4,}', '[NUM]', 'g') AS text
+  FROM d3
+),
+tok AS (
+  SELECT doc_id, lang_pred, text,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM red
+),
+d4 AS (SELECT * FROM tok WHERE n_tokens >= 20),
+spl AS (
+  SELECT *,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) < 3221225472 THEN 'train'
+         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) < 3758096384 THEN 'val'
+         ELSE 'test' END AS split
+  FROM d4
+),
+packed AS (
+  SELECT doc_id, text, lang_pred, n_tokens, split,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+        PARTITION BY split ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS start_offset
+  FROM spl
+)
+SELECT doc_id, text, lang_pred, n_tokens, split, start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS pack_id
+FROM packed
+"""
+)

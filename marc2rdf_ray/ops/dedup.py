@@ -721,6 +721,11 @@ def incremental_dedup(
         kept.map_batches(
             lambda b: b.select(["content_hash"]), batch_format="pyarrow"
         ).write_parquet(win_dir, filesystem=fs)
+        # an all-duplicates window writes ZERO files and write_parquet
+        # then never creates win_dir -- the marker write must not crash
+        # (the committed empty window is real state: it records that the
+        # window was processed)
+        fsio.makedirs(fs, win_dir)
         fsio.write_text_atomic(fs, done_marker, "done")
     return kept
 
@@ -1510,5 +1515,8 @@ def incremental_minhash_dedup(
             broadcast_budget=broadcast_budget,
         )
         kept_rows.write_parquet(win_dir, filesystem=fs)
+        # all-survivors-dropped window: write_parquet creates no dir
+        # (same guard as incremental_dedup)
+        fsio.makedirs(fs, win_dir)
         fsio.write_text_atomic(fs, done_marker, "done")
     return survivors

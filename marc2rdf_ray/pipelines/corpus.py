@@ -875,3 +875,216 @@ def run_corpus_pipeline(
     )
     write_manifest(out_dir, manifest, filesystem=fs)
     return manifest
+
+
+def sync_corpus_windows(
+    windows_root: str,
+    out_dir: str,
+    config: Optional[CorpusConfig] = None,
+    *,
+    filesystem=None,
+    require_marker: bool = False,
+    marker_name: str = "_complete",
+) -> RunManifest | None:
+    """Incremental corpus-flagship driver (round-5 task #8): fold every
+    window directory under ``windows_root`` (one subdir per crawl drop,
+    lexicographic order = arrival order) into the packed corpus at
+    ``out_dir`` EXACTLY ONCE -- the corpus twin of the KG side's
+    pipelines/incremental.sync_windows.
+
+    Per new window:
+    - exact dedup vs ALL committed windows (ops/dedup.incremental_dedup:
+      durable content-hash state, within-window min-id, first-ARRIVAL
+      representative across windows);
+    - near-dup vs the kept corpus (ops/dedup.incremental_minhash_dedup:
+      durable LSH band state, verification-free drop-on-band-collision
+      -- the documented incremental policy; it agrees with the full
+      chain's verified-CC policy on clear-cut duplicate clusters and is
+      the policy actually run at crawl scale);
+    - the SAME fused prep map as the full pipeline (langid filter,
+      decontaminate, redact, token count, split assign);
+    - pack-APPEND: per-split token offsets continue from the durable
+      totals (``_pack_totals.json``), so ``start_offset``/``pack_id``
+      equal a single full run whenever windows arrive in id order; each
+      window writes its own contiguous ``part=NNNNN`` range (the
+      partition-id counter is durable), so committed windows are never
+      rewritten.
+
+    Crash safety: the dedup states commit marker-LAST inside their ops
+    (idempotent reruns return the same survivors); partition writes are
+    ``_sig``-protected; totals + manifest + the synced-window list
+    commit LAST, atomically, after the window's partitions exist.
+
+    NOT supported incrementally (loud): ``config.shuffle_order`` (the
+    md5 training rank is a global permutation -- recompute it with a
+    full run) and ``config.audit``.
+
+    Returns the merged manifest (None when nothing has been folded)."""
+    import json as _json
+
+    import ray
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from ..ops.dedup import (incremental_dedup, incremental_minhash_dedup,
+                             semi_join_filter)
+
+    config = config or CorpusConfig()
+    if config.shuffle_order:
+        raise ValueError(
+            "sync_corpus_windows: shuffle_order is a GLOBAL permutation "
+            "and cannot append-pack; run the full pipeline for a "
+            "shuffled corpus"
+        )
+    if config.audit:
+        raise ValueError(
+            "sync_corpus_windows: audit is not supported incrementally; "
+            "run the full pipeline for the drop-audit artifact"
+        )
+    id_col, text_col = config.id_col, config.text_col
+    fs, out_dir = fsio.resolve_fs(out_dir, filesystem)
+    fsio.makedirs(fs, out_dir)
+    root_fs, root = fsio.resolve_fs(windows_root)
+    windows = sorted(
+        d for d in fsio.listdir(root_fs, root)
+        if fsio.isdir(root_fs, fsio.join(root, d))
+    )
+    if require_marker:
+        windows = [
+            d for d in windows
+            if fsio.isfile(root_fs, fsio.join(root, d, marker_name))
+        ]
+
+    synced_path = fsio.join(out_dir, "_synced_windows.json")
+    totals_path = fsio.join(out_dir, "_pack_totals.json")
+    done = set(_json.loads(fsio.read_text(fs, synced_path) or "[]"))
+    tstate = _json.loads(
+        fsio.read_text(fs, totals_path)
+        or '{"splits": {}, "next_part": 0, "counts": {}, "tokens": 0, '
+           '"sigs": []}'
+    )
+    cfg_hash = config.config_hash()
+    num_partitions = int(
+        config.num_partitions
+        or max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    )
+
+    manifest = read_manifest(out_dir, filesystem=fs)
+    for w in windows:
+        if w in done:
+            continue
+        wdir = fsio.join(root, w)
+        wsig = input_signature(list_input_files(wdir))
+
+        ds = rd.read_parquet(wdir, columns=[id_col, text_col])
+        surv1 = incremental_dedup(
+            ds, fsio.join(out_dir, "_exact_state"), w,
+            id_col=id_col, text_col=text_col,
+            broadcast_budget=config.broadcast_budget, filesystem=fs,
+        )
+        docs1 = semi_join_filter(
+            rd.read_parquet(wdir, columns=[id_col, text_col]),
+            surv1, id_col, keys_col=id_col,
+            broadcast_budget=config.broadcast_budget,
+        ).materialize()
+        surv2 = incremental_minhash_dedup(
+            docs1, fsio.join(out_dir, "_minhash_state"), w,
+            id_col=id_col, text_col=text_col,
+            num_perm=config.num_perm, bands=config.bands,
+            ngram=config.ngram,
+            broadcast_budget=config.broadcast_budget, filesystem=fs,
+        )
+        clean = semi_join_filter(
+            docs1, surv2, id_col, keys_col=id_col,
+            broadcast_budget=config.broadcast_budget,
+        ).map_batches(_prep_fn(config), batch_format="pyarrow").materialize()
+
+        run_sig = f"{wsig}:{cfg_hash}:{num_partitions}:{config.pack_budget}"
+        mx = clean.max("doc_id") if clean.count() else None
+        rows_by_part: dict = {}
+        win_tokens = 0
+        if mx is not None:
+            width = max(1, (int(mx) + num_partitions) // num_partitions)
+            base_part = int(tstate["next_part"])
+
+            def counted(b: pa.Table) -> pa.Table:
+                bucket = pc.cast(
+                    pc.floor(pc.divide(
+                        pc.cast(b["doc_id"], pa.float64()), width)),
+                    pa.int64(),
+                )
+                t = pa.table(
+                    {"split": b["split"], "bucket": bucket,
+                     "n": b["n_tokens"]}
+                )
+                g = (t.group_by(["split", "bucket"], use_threads=False)
+                     .aggregate([("n", "sum")]))
+                return g.rename_columns(["split", "bucket", "n"])
+
+            tiny = (
+                clean.map_batches(counted, batch_format="pyarrow")
+                .groupby(["split", "bucket"])
+                .aggregate(Sum("n", alias_name="n"))
+                .take_all()
+            )
+            offsets: dict = {}
+            runs = {k: int(v) for k, v in tstate["splits"].items()}
+            max_bucket = 0
+            for row in sorted(tiny, key=lambda r: (r["split"],
+                                                   r["bucket"])):
+                key = (row["split"], base_part + int(row["bucket"]))
+                offsets[key] = runs.get(row["split"], 0)
+                runs[row["split"]] = offsets[key] + int(row["n"])
+                max_bucket = max(max_bucket, int(row["bucket"]))
+
+            def bucketed(b: pa.Table) -> pa.Table:
+                return b.append_column(
+                    "_bucket",
+                    pc.cast(
+                        pc.add(
+                            pc.floor(pc.divide(
+                                pc.cast(b["doc_id"], pa.float64()),
+                                width)),
+                            pa.scalar(float(base_part)),
+                        ),
+                        pa.int32(),
+                    ),
+                )
+
+            counts_ds = (
+                clean.map_batches(bucketed, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(
+                    lambda g: _write_corpus_partition(
+                        g, out_dir, fs, run_sig=run_sig, offsets=offsets,
+                        pack_budget=config.pack_budget,
+                        order_col="doc_id",
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            for r in counts_ds.take_all():
+                rows_by_part[str(r["part"])] = int(r["rows"])
+                win_tokens += int(r["tokens"])
+            tstate["splits"] = runs
+            tstate["next_part"] = base_part + max_bucket + 1
+
+        # commit LAST: totals, manifest, synced list
+        tstate["counts"].update(rows_by_part)
+        tstate["tokens"] = int(tstate["tokens"]) + win_tokens
+        tstate["sigs"].append(wsig)
+        manifest = RunManifest(
+            input_signature=";".join(tstate["sigs"]),
+            ruleset_hash=cfg_hash,
+            num_partitions=int(tstate["next_part"]),
+            triple_count=sum(int(v) for v in tstate["counts"].values()),
+            partition_counts=dict(tstate["counts"]),
+            extra={"total_tokens": int(tstate["tokens"]),
+                   "order": "doc_id", "incremental": True},
+        )
+        fsio.write_text_atomic(fs, totals_path, _json.dumps(tstate))
+        write_manifest(out_dir, manifest, filesystem=fs)
+        done.add(w)
+        fsio.write_text_atomic(fs, synced_path, _json.dumps(sorted(done)))
+    return manifest
