@@ -394,6 +394,18 @@ def run_kg_pipeline(
             override_num_blocks=nblocks,
             filesystem=fs,
         )
+    # pages-equivalent sizing for the auto-shard spill cap when the
+    # input was a DATASET (no paths -> materialize_graph's own file
+    # sizing sees 0 and would run unsharded).  Calibration: the sort
+    # exchange measures ~6x the pages parquet, pages parquet ~13x the
+    # compressed triples checkpoint (2M: 13 GB pages / ~1 GB ckpt; 8M:
+    # 54 GB / 4.0 GB), and ~1x the materialized raw Arrow bytes.
+    size_hint = 0
+    if not input_paths:
+        if checkpoint_mode == "memory":
+            size_hint = (raw.size_bytes() or 0) // 6
+        else:
+            size_hint = fsio.total_size(read_files, fs) * 13
     if checkpoint_mode == "memory":
         # dedup rides the materialize subject-hash shuffle (dedup=True):
         # every copy of a triple lands in the same partition, so the
@@ -409,4 +421,5 @@ def run_kg_pipeline(
         preserve_src_prefixes=preserve_src_prefixes,
         filesystem=fs,
         shards=config.materialize_shards,
+        input_bytes_hint=size_hint,
     )
