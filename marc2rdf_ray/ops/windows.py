@@ -2115,10 +2115,11 @@ def cep_match_last(
     all comparisons are int64 microseconds.
 
     Scale shape: one hash(key) bucket shuffle of slim (key, ts, id,
-    type) rows; per bucket a stable lexsort + two pandas grouped
-    cummax/shift passes (C kernels, no Python per row) compute each
-    row's latest-prior prereq/blocker stamps; the match filter is
-    stateless.  One key's rows share a task (the sessionize contract).
+    type) rows; per bucket a lexsort + two segment-guarded prefix-max
+    scans (Hillis-Steele over numpy, log2(n) vector passes -- no pandas
+    conversion, no Python per row) compute each row's latest-prior
+    prereq/blocker stamps; the match filter is stateless.  One key's
+    rows share a task (the sessionize contract).
 
     Returns (key, id, gap_us) for matched targets.
     """
@@ -2147,36 +2148,71 @@ def cep_match_last(
             bucket_codes(pc.cast(t[key_col], pa.string()), num_buckets),
         )
 
+    _NINF = np.int64(-(1 << 62))
+
     def match(g: pa.Table) -> pa.Table:
-        import pandas as pd
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {key_col: pa.array([], g[key_col].type),
+                 id_col: pa.array([], g[id_col].type),
+                 "gap_us": pa.array([], pa.int64())}
+            )
+        ts = np.asarray(g["ts_us"].to_numpy(zero_copy_only=False), np.int64)
+        # key codes: sort-stable integer ranks work for any key dtype
+        keys_np = np.asarray(g[key_col].to_numpy(zero_copy_only=False))
+        _, kcode = np.unique(keys_np, return_inverse=True)
+        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False))
+        types = np.asarray(g[type_col].to_pylist(), object)
+        order = np.lexsort((ids, ts, kcode))
+        ts, kcode, ids, types = (ts[order], kcode[order], ids[order],
+                                 types[order])
+        brk = np.empty(n, bool)
+        brk[:1] = True
+        brk[1:] = kcode[1:] != kcode[:-1]
+        # per-row index of its key segment's first row
+        seg_start = np.maximum.accumulate(
+            np.where(brk, np.arange(n), 0)
+        )
 
-        df = g.select([key_col, "ts_us", id_col, type_col]).to_pandas()
-        df = df.sort_values(["ts_us", id_col], kind="stable")
-        grp = df.groupby(key_col, sort=False)
+        def last_prior(evt: str) -> np.ndarray:
+            # strict-predecessor latest stamp of `evt` within the key:
+            # segment-guarded inclusive prefix max (Hillis-Steele,
+            # log2(n) full-vector passes), then shift(1) with a reset at
+            # every segment start
+            stamped = np.where(types == evt, ts, _NINF)
+            cm = stamped.copy()
+            d = 1
+            pos = np.arange(n)
+            while d < n:
+                src = pos - d
+                valid = src >= seg_start
+                upd = np.where(valid, cm[np.maximum(src, 0)], _NINF)
+                cm = np.maximum(cm, upd)
+                d <<= 1
+            lp = np.empty(n, np.int64)
+            lp[0] = _NINF
+            lp[1:] = cm[:-1]
+            lp[brk] = _NINF
+            return lp
 
-        def last_prior(evt: str) -> "pd.Series":
-            # cummax leaves NaN at masked rows (it only skips them for
-            # LATER maxes), so forward-fill within the key before the
-            # strict-predecessor shift
-            stamped = df["ts_us"].where(df[type_col] == evt)
-            cm = stamped.groupby(df[key_col], sort=False).cummax()
-            cm = cm.groupby(df[key_col], sort=False).ffill()
-            return cm.groupby(df[key_col], sort=False).shift(1)
-
-        del grp
         lv = last_prior(prereq_type)
         le = last_prior(blocker_type)
-        is_t = df[type_col] == target_type
-        gap = df["ts_us"] - lv
+        is_t = types == target_type
+        gap = ts - lv
         ok = (
             is_t
-            & lv.notna()
+            & (lv != _NINF)
             & (gap <= window_us)
-            & (le.isna() | (le < lv))
+            & ((le == _NINF) | (le < lv))
         )
-        out = df.loc[ok, [key_col, id_col]].copy()
-        out["gap_us"] = gap[ok].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.table(
+            {
+                key_col: pa.array(keys_np[order][ok]),
+                id_col: pa.array(ids[ok]),
+                "gap_us": pa.array(gap[ok], pa.int64()),
+            }
+        )
 
     return (
         ds.map_batches(slim, batch_format="pyarrow")
