@@ -14919,3 +14919,85 @@ SELECT doc_id, text, lang_pred, n_tokens, split, start_offset,
 FROM packed
 """
 )
+
+
+# -- personalized PageRank (round-5 candidate list) ------------------------
+
+def doc_pagerank_personalized(sf_dir: str):
+    """Personalized weighted PageRank (random-walk-with-restart family):
+    teleport base and dangling mass flow to the seed set only (documents
+    with doc_id % 50 == 0), ranks start at 0 off-seed -- the
+    neighborhood-relevance score entity-linking re-ranking uses.  Same
+    order-free integer recurrence as doc_pagerank_weighted, so the
+    unrolled oracle is bit-exact; budget-gated one-task fast path first
+    (parity-tested against the distributed rounds)."""
+    from .ops.graph import pagerank_weighted, pagerank_weighted_local
+
+    edges, nodes, _ = _md5_link_graph(sf_dir)
+    seeds = [
+        r["doc_id"]
+        for r in _read(sf_dir, "documents", columns=["doc_id"]).take_all()
+        if r["doc_id"] % 50 == 0
+    ]
+    local = pagerank_weighted_local(
+        edges, nodes, iterations=3, personalization=seeds
+    )
+    if local is not None:
+        return local
+    edges2, nodes2, _ = _md5_link_graph(sf_dir)
+    return pagerank_weighted(
+        edges2, nodes2, iterations=3, personalization=seeds
+    )
+
+
+QUERIES["doc_pagerank_personalized"] = doc_pagerank_personalized
+
+_PPR_CHAIN = [f"""
+WITH {_MD5_EDGES_SQL},
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+we AS (
+  SELECT src, dst,
+         1 + CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
+             CAST(dst AS VARCHAR) || ':w'), 1, 8)) AS BIGINT) % 8 AS w
+  FROM e
+),
+ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM we GROUP BY src),
+uni AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents
+        UNION SELECT src FROM we),
+seeds AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents
+          WHERE doc_id % 50 = 0),
+ns AS (SELECT COUNT(*) AS c FROM seeds),
+r0 AS MATERIALIZED (
+  SELECT u.node,
+         CAST(CASE WHEN u.node IN (SELECT node FROM seeds)
+              THEN 1000000000000 // (SELECT c FROM ns) ELSE 0 END
+           AS BIGINT) AS r
+  FROM uni u
+)"""]
+for _i in range(1, 4):
+    _p = _i - 1
+    _PPR_CHAIN.append(f""",
+d{_i} AS (
+  SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS m FROM r{_p}
+  WHERE node NOT IN (SELECT src FROM we)
+),
+c{_i} AS (
+  SELECT we.dst AS node,
+         CAST(SUM((r.r * we.w) // ws.wout) AS BIGINT) AS s
+  FROM we JOIN r{_p} r ON r.node = we.src JOIN ws ON ws.src = we.src
+  GROUP BY we.dst
+),
+r{_i} AS MATERIALIZED (
+  SELECT u.node,
+    CAST((15 * CASE WHEN u.node IN (SELECT node FROM seeds)
+               THEN 1000000000000 // (SELECT c FROM ns) ELSE 0 END
+          + 85 * (COALESCE(c.s, 0)
+                  + CASE WHEN u.node IN (SELECT node FROM seeds)
+                    THEN (SELECT m FROM d{_i}) // (SELECT c FROM ns)
+                    ELSE 0 END))
+         // 100 AS BIGINT) AS r
+  FROM uni u LEFT JOIN c{_i} c ON c.node = u.node
+)""")
+_PPR_CHAIN.append("\nSELECT node, r AS rank FROM r3")
+
+ORACLE_SQL["doc_pagerank_personalized"] = "".join(_PPR_CHAIN)

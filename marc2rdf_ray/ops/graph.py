@@ -6578,6 +6578,7 @@ def pagerank_weighted(
     damping_den: int = 100,
     weight_fn=None,
     broadcast_budget: int = 256 << 20,
+    personalization=None,
 ):
     """Weighted PageRank (the link-strength variant, public): each
     DISTINCT simple edge (u, v) carries an integer weight and u's rank
@@ -6594,11 +6595,21 @@ def pagerank_weighted(
 
     Returns (node, rank) in 1/scale units.
 
+    ``personalization``: an iterable of node ids -- the PERSONALIZED
+    variant (public: the random-walk-with-restart family): the teleport
+    base AND the dangling redistribution go to the seed set only
+    (``scale // n_seeds`` each, floor-divided exactly like the uniform
+    case), other nodes start at 0.  Seeds outside the node universe are
+    ignored; an empty effective seed set raises.  Every term stays
+    order-free int64, so the unrolled oracle replays bit-for-bit.
+
     Scale shape: the weighted adjacency (src, dst, w) materializes once
     (distinct via the int64-packed pair key, guarded to ids < 2^32);
     per iteration ONE (dst, contrib) combiner groupby-sum + one slim
     dangling aggregate + one broadcast-or-join rank attach; rank state
-    is a slim (node, rank) table."""
+    is a slim (node, rank) table.  The seed set broadcasts once via
+    ray.put (seed sets are query-sized; a corpus-sized one would need a
+    join-side flag, the attach_map shape)."""
     from ray.data.aggregate import Sum
 
     from .dedup import distinct_first, normalize_join_blocks
@@ -6657,8 +6668,37 @@ def pagerank_weighted(
                  "rank": pa.array([], pa.int64())}
             )
         )
-    base = scale // n_nodes
+    seeds_sorted = None
+    seeds_ref = None
+    if personalization is not None:
+        want = np.unique(np.asarray(list(personalization), np.int64))
+        uni_nodes = np.sort(np.concatenate([
+            t["node"].to_numpy(zero_copy_only=False)
+            for t in ray.get(uni.to_arrow_refs()) if t.num_rows
+        ]))
+        pos = np.searchsorted(uni_nodes, want)
+        ok = (pos < len(uni_nodes)) & (
+            uni_nodes[np.minimum(pos, max(len(uni_nodes) - 1, 0))] == want
+        )
+        seeds_sorted = want[ok]
+        if not len(seeds_sorted):
+            raise ValueError(
+                "pagerank_weighted: no personalization seed is in the "
+                "node universe"
+            )
+        seeds_ref = ray.put(seeds_sorted)
+        n_base = len(seeds_sorted)
+    else:
+        n_base = n_nodes
+    base = scale // n_base
     comp_num = damping_den - damping_num
+
+    def _seed_mask(nodes_np, _ref=seeds_ref):
+        import ray as _r
+
+        a = _r.get(_ref)
+        p = np.searchsorted(a, nodes_np)
+        return (p < len(a)) & (a[np.minimum(p, len(a) - 1)] == nodes_np)
 
     # attach wout to edges once (broadcast-or-join)
     def attach_map(ds, mat, key, valcol, out_name):
@@ -6693,16 +6733,15 @@ def pagerank_weighted(
 
     edges_w = attach_map(edges, uni, "src", "wout", "wo").materialize()
 
-    ranks = uni.map_batches(
-        lambda b, _base=base: pa.table(
-            {
-                "node": b["node"],
-                "r": pa.array(np.full(len(b), _base, np.int64),
-                              pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    def init_r(b: pa.Table, _base=base) -> pa.Table:
+        n = b["node"].to_numpy(zero_copy_only=False)
+        if seeds_sorted is None:
+            r = np.full(len(b), _base, np.int64)
+        else:
+            r = np.where(_seed_mask(n), np.int64(_base), np.int64(0))
+        return pa.table({"node": b["node"], "r": pa.array(r, pa.int64())})
+
+    ranks = uni.map_batches(init_r, batch_format="pyarrow").materialize()
 
     for _ in range(iterations):
         # dangling mass (wout == 0 in the universe)
@@ -6726,7 +6765,7 @@ def pagerank_weighted(
             batch_format="pyarrow",
         ).aggregate(Sum("m", alias_name="m"))
         dang = int(t["m"]) if t and t["m"] is not None else 0
-        share = dang // n_nodes
+        share = dang // n_base
 
         with_r = attach_map(edges_w, ranks, "src", "r", "rr")
 
@@ -6773,22 +6812,25 @@ def pagerank_weighted(
         # drop contributions to nodes outside the universe: the zero
         # rows above cover exactly the universe, so semi-filter via an
         # inner attach back onto uni
+        def apply_r(b: pa.Table, _sh=share) -> pa.Table:
+            n = b["node"].to_numpy(zero_copy_only=False)
+            s = b["s"].to_numpy(zero_copy_only=False)
+            if seeds_sorted is None:
+                r = (comp_num * base + damping_num * (s + _sh)) \
+                    // damping_den
+            else:
+                m = _seed_mask(n)
+                r = (comp_num * np.where(m, np.int64(base), np.int64(0))
+                     + damping_num
+                     * (s + np.where(m, np.int64(_sh), np.int64(0)))
+                     ) // damping_den
+            return pa.table(
+                {"node": b["node"], "r": pa.array(r, pa.int64())}
+            )
+
         ranks = attach_map(
             uni, contribs.materialize(), "node", "s", "s"
-        ).map_batches(
-            lambda b, _sh=share: pa.table(
-                {
-                    "node": b["node"],
-                    "r": pa.array(
-                        (comp_num * base + damping_num
-                         * (b["s"].to_numpy(zero_copy_only=False)
-                            + _sh)) // damping_den,
-                        pa.int64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        ).materialize()
+        ).map_batches(apply_r, batch_format="pyarrow").materialize()
     return ranks.map_batches(
         lambda b: pa.table({"node": b["node"], "rank": b["r"]}),
         batch_format="pyarrow",
@@ -6805,10 +6847,12 @@ def pagerank_weighted_local(
     damping_num: int = 85,
     damping_den: int = 100,
     weight_fn=None,
+    personalization=None,
 ):
     """Budget-gated one-task weighted PageRank -- the identical integer
     recurrence vectorized with np.add.at (bit-identical to
-    :func:`pagerank_weighted`; the parity pytest runs both).  Returns
+    :func:`pagerank_weighted`, incl. the ``personalization`` seed-set
+    teleport/dangling variant; the parity pytest runs both).  Returns
     the (node, rank) Dataset or ``None`` when over budget."""
     weight_fn = weight_fn or _wpr_default_weight
     mat_e = edges_ds.materialize()
@@ -6860,16 +6904,34 @@ def pagerank_weighted_local(
     d_ok = (in_uni < n) & (uni[np.minimum(in_uni, n - 1)] == d)
     wout = np.zeros(n, np.int64)
     np.add.at(wout, si, w)
-    base = scale // n
     comp_num = damping_den - damping_num
-    r = np.full(n, base, np.int64)
+    if personalization is not None:
+        want = np.unique(np.asarray(list(personalization), np.int64))
+        smask = np.isin(uni, want)
+        n_base = int(smask.sum())
+        if not n_base:
+            raise ValueError(
+                "pagerank_weighted: no personalization seed is in the "
+                "node universe"
+            )
+        base = scale // n_base
+        base_v = np.where(smask, np.int64(base), np.int64(0))
+    else:
+        n_base = n
+        base = scale // n
+        base_v = np.full(n, base, np.int64)
+        smask = None
+    r = base_v.copy()
     for _ in range(iterations):
         dang = int(r[wout == 0].sum())
-        share = dang // n
+        share = dang // n_base
+        share_v = (np.where(smask, np.int64(share), np.int64(0))
+                   if smask is not None else share)
         c = (r[si] * w) // np.maximum(wout[si], 1)
         sums = np.zeros(n, np.int64)
         np.add.at(sums, in_uni[d_ok], c[d_ok])
-        r = (comp_num * base + damping_num * (sums + share)) // damping_den
+        r = (comp_num * base_v + damping_num * (sums + share_v)) \
+            // damping_den
     return rd.from_arrow(
         pa.table(
             {"node": pa.array(uni, pa.int64()),

@@ -239,3 +239,63 @@ def test_local_fast_paths_raise_on_wide_ids():
     seeds = rd.from_arrow(pa.table({"s": pa.array([0], pa.int64())}))
     with pytest.raises(ValueError, match="2\\^32"):
         stress_centrality_sampled(edges2, seeds, depth=2).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_personalized_pagerank_local_matches_distributed():
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from marc2rdf_ray.ops.graph import (pagerank_weighted,
+                                        pagerank_weighted_local)
+
+    n = 120
+    src, dst = [], []
+    for i in range(n):
+        for k in range(i % 4):
+            t = int(
+                hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16
+            ) % n
+            src.append(i)
+            dst.append(t)
+    seeds = [i for i in range(n) if i % 10 == 0]
+
+    def mk():
+        return (
+            rd.from_arrow(
+                pa.table(
+                    {"src": pa.array(src, pa.int64()),
+                     "dst": pa.array(dst, pa.int64())}
+                )
+            ),
+            rd.from_arrow(
+                pa.table({"node": pa.array(range(n), pa.int64())})
+            ),
+        )
+
+    e1, n1 = mk()
+    loc = {
+        r["node"]: r["rank"]
+        for r in pagerank_weighted_local(
+            e1, n1, iterations=3, personalization=seeds
+        ).take_all()
+    }
+    e2, n2 = mk()
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank_weighted(
+            e2, n2, iterations=3, personalization=seeds
+        ).take_all()
+    }
+    assert loc == dist
+    # personalization concentrates mass: seeds beat the median non-seed
+    import statistics
+
+    nonseed = [v for k, v in loc.items() if k % 10 != 0]
+    assert min(loc[s] for s in seeds) > statistics.median(nonseed)
+    # unknown-seed guard fires on both paths
+    e3, n3 = mk()
+    with pytest.raises(ValueError, match="personalization"):
+        pagerank_weighted_local(e3, n3, personalization=[10**9])
